@@ -1,0 +1,305 @@
+"""Pattern algebra: skeleton graphs, canonical keys, subgraph isomorphism,
+optional/MUST closures, eventuality construction.
+
+Re-implements (from scratch, no igraph) the semantics of the reference's
+pattern stack:
+
+- skeletonization — drop OPTIONAL/IGNORE-tag vertices outside the template
+  (src/pattern/pattern_miner.py:107-181);
+- fuzzy POS families NN*/JJ*/RB* and dep-label families split on ":"
+  (src/pattern/pattern_miner.py:60-67; pattern_retriever.py:28-60);
+- VF2-style subgraph isomorphism with a label-multiset fast pre-check
+  (pattern_retriever.py:143-266);
+- match validity: clause-separator straddle rejection
+  (pattern_match.py:96-118), MUST-tag closure (IN/CC/TO must stay inside the
+  match, pattern_miner.py:233-253), forbidden end tags
+  (utils.py:35, used pattern_miner.py:574);
+- optional-token closure pulling OPTIONAL-tag vertices adjacent to the match
+  (pattern_match.py:123-134);
+- eventuality normalization + eid (object.py:360-418, eid 120-130): leading-IN
+  drop, lowercase lemmas, positional dependency re-index.
+
+Patterns here are tiny (≤ ~12 vertices); sentences are short.  All functions
+are pure and run inside ``map_batches`` workers with the pattern set broadcast
+once via ``ray.put``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .relations import (
+    CLAUSE_SEPARATORS,
+    FORBIDDEN_END_POS_TAGS,
+    IGNORE_POS_TAGS,
+    MUST_POS_TAGS,
+    OPTIONAL_POS_TAGS,
+    REL_INDEX,
+)
+from .util import generate_eid
+
+
+def pos_family(tag: str) -> str:
+    """Fuzzy POS collapse: NN*/JJ*/RB* families (pattern_miner.py:60-67)."""
+    for fam in ("NN", "JJ", "RB"):
+        if tag.startswith(fam):
+            return fam
+    return tag
+
+
+def dep_family(label: str) -> str:
+    """Dependency-label family: text before ':' (pattern_retriever.py:44-52)."""
+    return label.split(":", 1)[0]
+
+
+# ------------------------------------------------------------------ patterns
+
+@dataclass(frozen=True)
+class Pattern:
+    rel: str
+    verts: tuple[str, ...]                      # fuzzy POS labels, 0..k-1
+    edges: tuple[tuple[int, str, int], ...]     # (gov, label-family, dep)
+    support: int = 0
+
+    @property
+    def key(self) -> str:
+        return encode_pattern(self.rel, self.verts, self.edges)
+
+    def priority(self):
+        """Sort key: larger patterns first (pattern_match.py:33,47), then a
+        stable lexicographic tiebreak so match order is deterministic."""
+        return (-len(self.edges), -len(self.verts), self.verts, self.edges)
+
+
+def encode_pattern(rel, verts, edges) -> str:
+    ve = " ".join(verts)
+    ed = ";".join(f"{g},{l},{d}" for g, l, d in edges)
+    return f"{rel}|{ve}|{ed}"
+
+
+def decode_pattern(key: str, support: int = 0) -> Pattern:
+    rel, ve, ed = key.split("|")
+    verts = tuple(ve.split())
+    edges = tuple(
+        (int(g), l, int(d))
+        for g, l, d in (e.split(",") for e in ed.split(";") if e)
+    )
+    return Pattern(rel, verts, edges, support)
+
+
+def skeleton_of(rel: str, pos_tags, deps):
+    """Template-anchored skeleton: drop OPTIONAL/IGNORE vertices outside the
+    template span, keep induced edges, re-index to 0..k-1.
+
+    Returns (verts, edges, kept_indices) with fuzzy vertex labels and
+    dep-family edge labels — the canonical mining key space.
+    """
+    n_template = len(REL_INDEX[rel].tokens)
+    kept = [
+        i
+        for i, t in enumerate(pos_tags)
+        if i < n_template or (t not in OPTIONAL_POS_TAGS and t not in IGNORE_POS_TAGS)
+    ]
+    remap = {i: j for j, i in enumerate(kept)}
+    verts = tuple(pos_family(pos_tags[i]) for i in kept)
+    edges = tuple(
+        sorted(
+            (remap[g], dep_family(l), remap[d])
+            for g, l, d in deps
+            if g in remap and d in remap
+        )
+    )
+    return verts, edges, kept
+
+
+def pattern_of_parsed(rel: str, pos_tags, deps) -> str:
+    verts, edges, _ = skeleton_of(rel, pos_tags, deps)
+    return encode_pattern(rel, verts, edges)
+
+
+# --------------------------------------------------- subgraph isomorphism
+
+def _label_multiset_dominated(p_verts, g_verts) -> bool:
+    """Fast pre-check: the pattern's label multiset must fit the graph's
+    (pattern_retriever.py:143-231)."""
+    counts: dict[str, int] = {}
+    for t in g_verts:
+        counts[t] = counts.get(t, 0) + 1
+    for t in p_verts:
+        c = counts.get(t, 0)
+        if c == 0:
+            return False
+        counts[t] = c - 1
+    return True
+
+
+def find_embedding(pattern: Pattern, g_tags, g_adj) -> list[int] | None:
+    """First (deterministic) embedding of ``pattern`` into the sentence graph.
+
+    ``g_tags``: fuzzy POS per sentence vertex; ``g_adj``: dict
+    (gov, dep) -> set of dep-label families.  VF2-style backtracking over the
+    pattern's vertices in index order — pattern graphs are ≤ ~12 vertices so
+    the search is trivial; the multiset pre-check rejects most non-matches.
+    """
+    if not _label_multiset_dominated(pattern.verts, g_tags):
+        return None
+    k = len(pattern.verts)
+    # pattern adjacency constraints grouped by the later endpoint so each
+    # assignment is checked incrementally
+    cons: list[list[tuple[int, str, bool]]] = [[] for _ in range(k)]
+    for g, l, d in pattern.edges:
+        later, other, out = (g, d, True) if g > d else (d, g, False)
+        # out=True: edge later->other; False: edge other->later
+        cons[later].append((other, l, out))
+    n = len(g_tags)
+    cand = [[v for v in range(n) if g_tags[v] == t] for t in pattern.verts]
+    assign: list[int] = []
+    used = [False] * n
+
+    def ok(pv: int, gv: int) -> bool:
+        for other_pv, lab, out in cons[pv]:
+            ov = assign[other_pv]
+            e = (gv, ov) if out else (ov, gv)
+            labs = g_adj.get(e)
+            if not labs or lab not in labs:
+                return False
+        return True
+
+    def bt(pv: int) -> bool:
+        if pv == k:
+            return True
+        for gv in cand[pv]:
+            if not used[gv] and ok(pv, gv):
+                used[gv] = True
+                assign.append(gv)
+                if bt(pv + 1):
+                    return True
+                assign.pop()
+                used[gv] = False
+        return False
+
+    return list(assign) if bt(0) else None
+
+
+def pattern_contains(big: Pattern, small: Pattern) -> bool:
+    """small ⊑ big via subgraph isomorphism (redundancy removal,
+    pattern_miner.py:464-478)."""
+    adj: dict[tuple[int, int], set[str]] = {}
+    for g, l, d in big.edges:
+        adj.setdefault((g, d), set()).add(l)
+    return find_embedding(small, list(big.verts), adj) is not None
+
+
+def dedup_patterns(patterns: list[Pattern]) -> list[Pattern]:
+    """Keep maximal patterns; merge the support of contained duplicates into
+    their container (pattern_merge.py:40-60 sums counts of isomorphic dups)."""
+    patterns = sorted(patterns, key=Pattern.priority)
+    kept: list[Pattern] = []
+    for p in patterns:
+        merged = False
+        for i, q in enumerate(kept):
+            if p.rel == q.rel and pattern_contains(q, p):
+                kept[i] = Pattern(q.rel, q.verts, q.edges, q.support + p.support)
+                merged = True
+                break
+        if not merged:
+            kept.append(p)
+    return kept
+
+
+# --------------------------------------------------------------- matching
+
+def match_row(patterns: list[Pattern], rel: str, tokens, lemmas, pos_tags, deps):
+    """All valid eventualities extracted from one parsed assertion.
+
+    Follows pattern_match.py:78-172: try each pattern in priority order,
+    validate, close over optional tokens, build the eventuality, dedup by eid
+    within the row.
+    """
+    g_tags = [pos_family(t) for t in pos_tags]
+    g_adj: dict[tuple[int, int], set[str]] = {}
+    for g, l, d in deps:
+        g_adj.setdefault((g, d), set()).add(dep_family(l))
+
+    out = []
+    seen_eids = set()
+    for p in patterns:
+        if p.rel != rel:
+            continue
+        emb = find_embedding(p, g_tags, g_adj)
+        if emb is None:
+            continue
+        matched = set(emb)
+        lo, hi = min(matched), max(matched)
+        # clause-separator straddle rejection (pattern_match.py:96-118)
+        if any(tokens[i] in CLAUSE_SEPARATORS for i in range(lo, hi + 1)):
+            continue
+        # optional-token closure (pattern_match.py:123-134)
+        closed = set(matched)
+        grew = True
+        while grew:
+            grew = False
+            for g, l, d in deps:
+                if g in closed and d not in closed and pos_tags[d] in OPTIONAL_POS_TAGS:
+                    closed.add(d)
+                    grew = True
+                elif d in closed and g not in closed and pos_tags[g] in OPTIONAL_POS_TAGS:
+                    closed.add(g)
+                    grew = True
+        # MUST-tag closure: IN/CC/TO adjacent to the match must be inside it
+        # (pattern_miner.py:233-253)
+        bad = False
+        for g, l, d in deps:
+            if g in closed and d not in closed and pos_tags[d] in MUST_POS_TAGS:
+                bad = True
+                break
+            if d in closed and g not in closed and pos_tags[g] in MUST_POS_TAGS:
+                bad = True
+                break
+        if bad:
+            continue
+        idx = sorted(closed)
+        # forbidden end tag (utils.py:35; pattern_miner.py:574)
+        if pos_tags[idx[-1]] in FORBIDDEN_END_POS_TAGS:
+            continue
+        ev = build_eventuality(p, idx, matched, lemmas, pos_tags, deps)
+        if ev is not None and ev["eid"] not in seen_eids:
+            seen_eids.add(ev["eid"])
+            out.append(ev)
+    return out
+
+
+def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags, deps):
+    """Normalize a matched token set into an eventuality (object.py:360-418).
+
+    Leading-IN drop, lowercase lemmas, positional dependency re-index, eid =
+    sha1(json([deps, words, pos_tags])) (object.py:120-130).
+    """
+    idx = list(indices)
+    if not idx:
+        return None
+    if pos_tags[idx[0]] == "IN":
+        drop = idx[0]
+        idx = idx[1:]
+        skeleton_set = {i for i in skeleton_set if i != drop}
+        if not idx:
+            return None
+    remap = {i: j for j, i in enumerate(idx)}
+    words = [lemmas[i].lower() for i in idx]
+    ptags = [pos_tags[i] for i in idx]
+    ev_deps = sorted(
+        (remap[g], l, remap[d])
+        for g, l, d in deps
+        if g in remap and d in remap
+    )
+    skeleton_indices = sorted(remap[i] for i in skeleton_set if i in remap)
+    eid = generate_eid(ev_deps, words, ptags)
+    return {
+        "eid": eid,
+        "pattern": pattern.key,
+        "words": words,
+        "pos_tags": ptags,
+        "deps": [{"gov": g, "rel": l, "dep": d} for g, l, d in ev_deps],
+        "skeleton_indices": skeleton_indices,
+        "frequency": 1.0,
+    }

@@ -1,0 +1,327 @@
+"""End-to-end KG construction: source files -> (subj, pred, obj) triples.
+
+The flagship pipeline (SURVEY.md §3.2 re-expressed Ray-Data-first):
+
+    read_parquet(source)                                   [pruned read]
+      -> ingest (sha256 + entities, content dropped)       [map_batches]
+      -> pairs -> 21-relation prompt fan-out               [map_batches explode]
+      -> MockGenerator actor pool (3 gens/prompt)          [actor pool]
+      -> Critic actor pool + plausibility filter           [actor pool]
+      -> deterministic parse                               [map_batches]
+      == checkpoint "parsed" (mining needs a second pass) ==
+      -> pattern mining (map-side combine + tiny groupby)  [shuffle 1]
+      -> PatternMatcher with patterns broadcast            [map_batches]
+      -> canonicalization (LSH + union-find, broadcast map)[shuffle 2, salted]
+      -> eventuality merge on eid                          [shuffle 3]
+      -> conceptualizer actor pool                         [actor pool]
+      -> triple aggregation + partitioned parquet by pred  [shuffle 4]
+
+Every shuffle key is listed in SURVEY.md §7.4.  With ``run_dir`` set, stages
+checkpoint through ``state.manifest`` and a killed run resumes without
+recomputing completed stages.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Min, Sum
+
+from ..stages.canonicalize import CanonicalMapper, build_canonical_map
+from ..stages.conceptualize import Conceptualizer
+from ..stages.critic import CRITIC_BATCH_SIZE, Critic
+from ..stages.generate import GEN_BATCH_SIZE, MockGenerator
+from ..stages.ingest import ingest_batch, pairs_batch
+from ..stages.match import PatternMatcher
+from ..stages.mine import mine_patterns, patterns_from_table, patterns_to_table
+from ..stages.parse import parse_batch
+from ..stages.prompts import expand_prompts
+from ..state import manifest as mf
+from ..synth import taxonomy_rows
+
+
+def _cpus() -> int:
+    try:
+        return int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        return 4
+
+
+@dataclass
+class KGPipeline:
+    """Lazily composed KG build over one source Parquet table.
+
+    Each product property returns a (lazy) Dataset; heavy barriers (pattern
+    mining, canonical map) are cached on the instance.  ``run_dir=None`` keeps
+    intermediates in the object store; a path makes the run resumable.
+    """
+
+    source_path: str
+    run_dir: str | None = None
+    _cache: dict = field(default_factory=dict)
+
+    # ------------------------------------------------------------ stages
+
+    def files(self) -> Dataset:
+        ds = rd.read_parquet(self.source_path)
+        return ds.map_batches(ingest_batch, batch_format="pyarrow")
+
+    def pairs(self) -> Dataset:
+        return self.files().map_batches(pairs_batch, batch_format="pyarrow")
+
+    def assertions(self) -> Dataset:
+        """Scored candidate assertions (post-critic)."""
+        n = max(2, _cpus() // 2)
+        ds = self.pairs().map_batches(expand_prompts, batch_format="pyarrow")
+        ds = ds.map_batches(
+            MockGenerator,
+            batch_format="pyarrow",
+            batch_size=GEN_BATCH_SIZE,
+            concurrency=(1, n),
+        )
+        ds = ds.map_batches(
+            Critic,
+            batch_format="pyarrow",
+            batch_size=CRITIC_BATCH_SIZE,
+            concurrency=(1, n),
+        )
+        return ds
+
+    def parsed(self) -> Dataset:
+        """Parsed assertions, checkpointed (mining + matching both consume it)."""
+        if "parsed" in self._cache:
+            return self._cache["parsed"]
+        ds = self.assertions().map_batches(parse_batch, batch_format="pyarrow")
+        if self.run_dir:
+            fp = mf.fingerprint("parsed", self.source_path)
+            ds = mf.checkpoint(ds, self.run_dir, "parsed", fp)
+        else:
+            ds = ds.materialize()
+        self._cache["parsed"] = ds
+        return ds
+
+    def patterns(self) -> list:
+        if "patterns" in self._cache:
+            return self._cache["patterns"]
+        pats = None
+        if self.run_dir:
+            fp = mf.fingerprint("patterns", self.source_path)
+            if mf.stage_complete(self.run_dir, "patterns", fp):
+                import pyarrow.parquet as pq
+
+                d = mf.stage_dir(self.run_dir, "patterns")
+                tbls = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
+                pats = patterns_from_table(pa.concat_tables(tbls))
+        if pats is None:
+            pats = mine_patterns(self.parsed())
+            if self.run_dir:
+                fp = mf.fingerprint("patterns", self.source_path)
+                ds = rd.from_arrow(patterns_to_table(pats))
+                mf.checkpoint(ds, self.run_dir, "patterns", fp)
+        self._cache["patterns"] = pats
+        return pats
+
+    def canonical_map(self) -> dict:
+        if "canon" not in self._cache:
+            self._cache["canon"] = build_canonical_map(self.pairs())
+        return self._cache["canon"]
+
+    def eventualities(self) -> Dataset:
+        """Per-occurrence eventualities with canonical entity ids."""
+        if "events" in self._cache:
+            return self._cache["events"]
+        pat_ref = ray.put(self.patterns())
+        canon_ref = ray.put(self.canonical_map())
+        ds = self.parsed().map_batches(
+            PatternMatcher,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"patterns": pat_ref},
+            concurrency=(1, max(2, _cpus())),
+        )
+        ds = ds.map_batches(
+            CanonicalMapper,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"canon_ref": canon_ref},
+            concurrency=(1, max(2, _cpus())),
+        )
+        if self.run_dir:
+            fp = mf.fingerprint("eventualities", self.source_path)
+            ds = mf.checkpoint(ds, self.run_dir, "eventualities", fp)
+        self._cache["events"] = ds
+        return ds
+
+    def eventualities_merged(self) -> Dataset:
+        """Corpus-level exact dedup on eid with frequency merge
+        (object.py:132-160 / extractor.py:417-423): shuffle keyed on eid.
+
+        Implemented as a pure ``aggregate`` (partial+final combine — no
+        map_groups): the eid is a content hash of (deps, words, pos_tags), so
+        every row of a group carries an identical payload; we pack it into one
+        JSON column, take Min (any representative), and unpack after the
+        shuffle.  Only (eid, payload, frequency) rows move."""
+        import json
+
+        def pack(batch: pa.Table) -> pa.Table:
+            payloads = [
+                json.dumps([w, p, [[d["gov"], d["rel"], d["dep"]] for d in dd], sk, pat, rel])
+                for w, p, dd, sk, pat, rel in zip(
+                    batch.column("words").to_pylist(),
+                    batch.column("ev_pos_tags").to_pylist(),
+                    batch.column("ev_deps").to_pylist(),
+                    batch.column("skeleton_indices").to_pylist(),
+                    batch.column("pattern").to_pylist(),
+                    batch.column("rel").to_pylist(),
+                )
+            ]
+            return pa.table(
+                {
+                    "eid": batch.column("eid"),
+                    "payload": pa.array(payloads, pa.string()),
+                    "frequency": batch.column("frequency"),
+                }
+            )
+
+        from ..stages.parse import DEP_STRUCT
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            words, ptags, deps, skels, pats, rels = [], [], [], [], [], []
+            for p in batch.column("payload").to_pylist():
+                w, pt, dd, sk, pat, rel = json.loads(p)
+                words.append(w)
+                ptags.append(pt)
+                deps.append([{"gov": g, "rel": l, "dep": d} for g, l, d in dd])
+                skels.append(sk)
+                pats.append(pat)
+                rels.append(rel)
+            return pa.table(
+                {
+                    "eid": batch.column("eid"),
+                    "words": pa.array(words, pa.list_(pa.string())),
+                    "ev_pos_tags": pa.array(ptags, pa.list_(pa.string())),
+                    "ev_deps": pa.array(deps, pa.list_(DEP_STRUCT)),
+                    "skeleton_indices": pa.array(skels, pa.list_(pa.int32())),
+                    "pattern": pa.array(pats, pa.string()),
+                    "rel": pa.array(rels, pa.string()),
+                    "frequency": batch.column("frequency"),
+                    "support": batch.column("support"),
+                }
+            )
+
+        return (
+            self.eventualities()
+            .map_batches(pack, batch_format="pyarrow")
+            .groupby("eid")
+            .aggregate(
+                Min("payload", alias_name="payload"),
+                Sum("frequency", alias_name="frequency"),
+                Count(alias_name="support"),
+            )
+            .map_batches(unpack, batch_format="pyarrow")
+        )
+
+    def concepts(self) -> Dataset:
+        """Concept instances per distinct eventuality (actor-pool taxonomy)."""
+        tax_ref = ray.put(taxonomy_rows())
+        return self.eventualities_merged().map_batches(
+            Conceptualizer,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"taxonomy": tax_ref},
+            concurrency=(1, max(2, _cpus() // 2)),
+        )
+
+    def concept_agg(self) -> Dataset:
+        """cid-level aggregation: score = Σ score×frequency (conceptualizer.py:649-663)."""
+
+        def weighted(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            w = pc.multiply(batch.column("score"), batch.column("frequency"))
+            return batch.append_column("weighted_score", w)
+
+        return (
+            self.concepts()
+            .map_batches(weighted, batch_format="pyarrow")
+            .groupby("cid")
+            .aggregate(Sum("weighted_score", alias_name="score"),
+                       Count(alias_name="n_instances"))
+        )
+
+    def triples(self) -> Dataset:
+        """Final KG edges: (subj, pred, obj) + scores + support + lineage."""
+        if "triples" in self._cache:
+            return self._cache["triples"]
+
+        def to_triple_rows(batch: pa.Table) -> pa.Table:
+            subs, objs, packed = [], [], []
+            canon_a = batch.column("canon_a").to_pylist()
+            canon_b = batch.column("canon_b").to_pylist()
+            words = batch.column("words").to_pylist()
+            for a, b, w in zip(canon_a, canon_b, words):
+                subs.append(f"{a}-{b}")
+                objs.append(" ".join(w))
+            for r, p, c, s in zip(
+                batch.column("repo").to_pylist(),
+                batch.column("path").to_pylist(),
+                batch.column("commit").to_pylist(),
+                batch.column("content_sha256").to_pylist(),
+            ):
+                packed.append(f"{r}\t{p}\t{c}\t{s}")
+            return pa.table(
+                {
+                    "subj": pa.array(subs, pa.string()),
+                    "pred": batch.column("rel"),
+                    "obj": pa.array(objs, pa.string()),
+                    "plausibility": batch.column("plausibility"),
+                    "typicality": batch.column("typicality"),
+                    "frequency": batch.column("frequency"),
+                    "lineage": pa.array(packed, pa.string()),
+                }
+            )
+
+        agg = (
+            self.eventualities()
+            .map_batches(to_triple_rows, batch_format="pyarrow")
+            .groupby(["subj", "pred", "obj"])
+            .aggregate(
+                Count(alias_name="support"),
+                Sum("frequency", alias_name="frequency"),
+                Max("plausibility", alias_name="plausibility"),
+                Max("typicality", alias_name="typicality"),
+                Min("lineage", alias_name="lineage"),
+            )
+        )
+
+        def unpack(batch: pa.Table) -> pa.Table:
+            lin = batch.column("lineage").to_pylist()
+            repo, path, commit, sha = zip(*(l.split("\t") for l in lin)) if lin else ((), (), (), ())
+            out = batch.drop_columns(["lineage"])
+            out = out.append_column("repo", pa.array(list(repo), pa.string()))
+            out = out.append_column("path", pa.array(list(path), pa.string()))
+            out = out.append_column("commit", pa.array(list(commit), pa.string()))
+            out = out.append_column("content_sha256", pa.array(list(sha), pa.string()))
+            return out
+
+        ds = agg.map_batches(unpack, batch_format="pyarrow")
+        if self.run_dir:
+            fp = mf.fingerprint("triples", self.source_path)
+            if not mf.stage_complete(self.run_dir, "triples", fp):
+                import tempfile
+
+                tmp_out = tempfile.mkdtemp(dir=self.run_dir, prefix=".triples-tmp-")
+                ds.write_parquet(tmp_out, partition_cols=["pred"])
+                mf.finalize_stage_partitioned(self.run_dir, "triples", fp, tmp_out)
+            ds = rd.read_parquet(mf.stage_dir(self.run_dir, "triples"))
+        self._cache["triples"] = ds
+        return ds
+
+
+def build_kg(source_path: str, run_dir: str | None = None) -> KGPipeline:
+    if run_dir:
+        os.makedirs(run_dir, exist_ok=True)
+    return KGPipeline(source_path, run_dir)

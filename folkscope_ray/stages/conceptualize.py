@@ -1,0 +1,141 @@
+"""Conceptualization: eventuality nouns -> taxonomy concepts with likelihoods.
+
+Re-implements the reference's Probase conceptualizer semantics
+(src/pattern/conceptualizer.py):
+
+- taxonomy index built ONCE per actor in ``__init__`` from (concept, instance,
+  freq) rows — the distributed analogue of the per-process Probase load
+  (conceptualizer.py:32-56; T6 in SURVEY.md §2.3);
+- ``likelihood(concept | instance) = freq / instance_freq``
+  (conceptualizer.py:58-83, score_method="likelihood");
+- per word: top-K concepts, distinct after space->dash normalization
+  (conceptualizer.py:510-522);
+- per eventuality: enumerate word->concept replacement combinations, scored by
+  the product of the replaced words' likelihoods, heap-truncated to
+  ``max_candidates`` (bounded-heap semantics of conceptualizer.py:531-566);
+- concept id = sha1 of the space-joined words (object.py:702-711); the
+  (cid, eid) instance pair mirrors ASERConceptInstancePair
+  (object.py:742-780).
+
+Only lowercase NN*-tagged words that are taxonomy instances are abstracted
+(conceptualizer.py:505-507).
+"""
+
+from __future__ import annotations
+
+import heapq
+from itertools import combinations
+
+import pyarrow as pa
+import ray
+
+from ..util import generate_cid
+
+TOP_K = 5
+MAX_CANDIDATES = 50
+
+
+class TaxonomyIndex:
+    def __init__(self, rows):
+        """rows: iterable of (concept, instance, freq) tuples or dicts."""
+        inst: dict[str, list[tuple[str, int]]] = {}
+        for row in rows:
+            if isinstance(row, dict):
+                concept, instance, freq = row["concept"], row["instance"], row["freq"]
+            else:
+                concept, instance, freq = row
+            inst.setdefault(instance, []).append((concept, int(freq)))
+        self.instance_concepts: dict[str, list[tuple[str, float]]] = {}
+        for instance, cl in inst.items():
+            total = sum(f for _, f in cl)
+            scored = [(c, f / total) for c, f in cl]
+            scored.sort(key=lambda t: (-t[1], t[0]))
+            self.instance_concepts[instance] = scored
+
+    def conceptualize(self, word: str, top_k: int = TOP_K) -> list[tuple[str, float]]:
+        """Top-K (concept, likelihood), concept spaces dashed, distinct."""
+        out, seen = [], set()
+        for concept, score in self.instance_concepts.get(word, ()):
+            dashed = concept.replace(" ", "-")
+            if dashed not in seen:
+                seen.add(dashed)
+                out.append((dashed, score))
+            if len(out) >= top_k:
+                break
+        return out
+
+
+def conceptualize_words(index: TaxonomyIndex, words, pos_tags,
+                        max_candidates: int = MAX_CANDIDATES):
+    """All bounded-heap concept rewrites of one word sequence.
+
+    Returns [(concept_words, score)] sorted by score desc then words.
+    """
+    word2concepts = {}
+    for w, t in zip(words, pos_tags):
+        if t.startswith("NN") and w and w[0].islower() and w not in word2concepts:
+            cs = index.conceptualize(w)
+            if cs:
+                word2concepts[w] = cs
+    if not word2concepts:
+        return []
+    matched = list(word2concepts.keys())
+    heap: list[tuple[float, list[str]]] = []
+    for r in range(1, len(matched) + 1):
+        for combo in combinations(matched, r):
+            partials = [(1.0, list(words))]
+            for w in combo:
+                nxt = []
+                for prob, ws in partials:
+                    for concept, cprob in word2concepts[w]:
+                        rewritten = [concept if x == w else x for x in ws]
+                        nxt.append((prob * cprob, rewritten))
+                partials = nxt
+            for prob, ws in partials:
+                item = (prob, ws)
+                if len(heap) >= max_candidates:
+                    heapq.heappushpop(heap, item)
+                else:
+                    heapq.heappush(heap, item)
+    out = sorted(heap, key=lambda t: (-t[0], t[1]))
+    return [(ws, prob) for prob, ws in out]
+
+
+class Conceptualizer:
+    """Actor-pool stage: eventualities in, (cid, eid, concept words, score) out.
+
+    ``taxonomy`` may be a list of rows or a ``ray.ObjectRef`` to one
+    (broadcast once, resolved in ``__init__`` — once per actor)."""
+
+    def __init__(self, taxonomy, top_k: int = TOP_K):
+        if isinstance(taxonomy, ray.ObjectRef):
+            taxonomy = ray.get(taxonomy)
+        self.index = TaxonomyIndex(taxonomy)
+        self.top_k = top_k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        eids = batch.column("eid").to_pylist()
+        wordss = batch.column("words").to_pylist()
+        poss = batch.column("ev_pos_tags").to_pylist()
+        freqs = (
+            batch.column("frequency").to_pylist()
+            if "frequency" in batch.column_names
+            else [1.0] * len(eids)
+        )
+        o_cid, o_eid, o_words, o_score, o_freq = [], [], [], [], []
+        for eid, words, pos, freq in zip(eids, wordss, poss, freqs):
+            for cw, score in conceptualize_words(self.index, words, pos):
+                o_cid.append(generate_cid(cw))
+                o_eid.append(eid)
+                o_words.append(cw)
+                o_score.append(score)
+                o_freq.append(freq)
+        return pa.table(
+            {
+                "cid": pa.array(o_cid, pa.string()),
+                "eid": pa.array(o_eid, pa.string()),
+                "concept_words": pa.array(o_words, pa.list_(pa.string())),
+                "score": pa.array(o_score, pa.float64()),
+                "frequency": pa.array(o_freq, pa.float64()),
+            }
+        )

@@ -1,0 +1,60 @@
+"""Critic: plausibility + typicality scoring and threshold filter.
+
+The reference scores every assertion with fine-tuned DeBERTa classifiers and
+keeps rows whose softmax score clears a threshold chosen on a PR curve
+(src/classifier/run_classification.py:396-411,634-656;
+src/classifier/precision_recall_selection.py:21-54).  Here the same stage is a
+stateful actor pool with a deterministic seeded scorer (sandbox has no GPU /
+model weights); the contract — batch of assertions in, same batch + two score
+columns out, filter downstream — is identical, so a real model actor drops in.
+
+Scores are pure functions of (pair_key, gen_idx, assertion) so the
+single-process oracle reproduces them exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..util import stable_uniform
+
+PLAUSIBILITY_THRESHOLD = 0.5   # precision@recall-selected cut, reference sweeps thresholds
+CRITIC_BATCH_SIZE = 2048       # reference eval batch is 32 on GPU (run_predict.sh:13)
+
+
+def plausibility_score(pair_key: str, gen_idx: int, assertion: str) -> float:
+    """Deterministic stand-in for P(valid) = softmax[:, 1] (run_classification.py:68-71)."""
+    base = stable_uniform("plaus", pair_key, gen_idx)
+    length_bonus = 0.05 * min(len(assertion.split()), 10) / 10.0
+    return round(min(0.999, 0.10 + 0.85 * base + length_bonus), 6)
+
+
+def typicality_score(pair_key: str, gen_idx: int, assertion: str) -> float:
+    base = stable_uniform("typic", pair_key, gen_idx)
+    return round(min(0.999, 0.05 + 0.90 * base), 6)
+
+
+class Critic:
+    """Actor-pool scorer: model state loads once per actor in ``__init__``."""
+
+    def __init__(self, threshold: float = PLAUSIBILITY_THRESHOLD):
+        self.threshold = threshold  # a real impl would load weights here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = batch.column("pair_key").to_pylist()
+        gens = batch.column("gen_idx").to_pylist()
+        texts = batch.column("assertion").to_pylist()
+        plaus = np.fromiter(
+            (plausibility_score(k, g, a) for k, g, a in zip(keys, gens, texts)),
+            dtype=np.float64, count=len(keys),
+        )
+        typic = np.fromiter(
+            (typicality_score(k, g, a) for k, g, a in zip(keys, gens, texts)),
+            dtype=np.float64, count=len(keys),
+        )
+        out = batch.append_column("plausibility", pa.array(plaus, pa.float64()))
+        out = out.append_column("typicality", pa.array(typic, pa.float64()))
+        # threshold filter fused into the scoring batch (avoids a second pass)
+        return out.filter(pc.greater_equal(out.column("plausibility"), self.threshold))

@@ -1,0 +1,66 @@
+"""Candidate-assertion generation: the (mock) causal-LM actor pool.
+
+The reference loads OPT-30B once per process and generates
+``num_return_sequences=3`` completions per prompt in fixed-size batches
+(src/generator/generation.py:43-63,92-113).  Here the same stage is an actor
+pool: heavyweight "model load" happens once in ``__init__``; ``__call__``
+handles one Arrow batch and fans out 1 prompt -> N_GENS assertion rows.  The
+model is a deterministic template LM (sandbox has no GPU) with the identical
+I/O contract — swap the class to use a real model.
+
+Usage:
+    ds.map_batches(MockGenerator, batch_format="pyarrow",
+                   batch_size=GEN_BATCH_SIZE, concurrency=N, num_cpus=1)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..lexicon import assertion_text
+from ..relations import REL_INDEX
+
+N_GENS = 3            # num_return_sequences, generation.py:108,137
+GEN_BATCH_SIZE = 512  # prompts per inference batch (reference uses 10 on GPU)
+MAX_PROMPT_WORDS = 50  # long-title guard, generation.py:217-220 / prompt.py:57-59
+
+
+class MockGenerator:
+    """Deterministic stand-in for the OPT generator actor.
+
+    ``__init__`` is where a real implementation would load model weights —
+    executed once per actor, amortized over all batches it serves.
+    """
+
+    def __init__(self, n_gens: int = N_GENS):
+        self.n_gens = n_gens
+        # placeholder for model/tokenizer state; deterministic here.
+        self._rels = REL_INDEX
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("gen_idx", pa.array([], pa.int8())) \
+                        .append_column("assertion", pa.array([], pa.string()))
+        # prompt-length guard (per-row, not per-batch — the reference drops the
+        # whole batch at generation.py:96-99, which loses data; we filter rows)
+        prompts = batch.column("prompt").to_pylist()
+        keep = [i for i, p in enumerate(prompts) if len(p.split()) <= MAX_PROMPT_WORDS + 12]
+        if len(keep) < n:
+            batch = batch.take(pa.array(keep, pa.int64()))
+            n = batch.num_rows
+        idx = np.repeat(np.arange(n, dtype=np.int64), self.n_gens)
+        rep = batch.take(pa.array(idx))
+        gen_idx = np.tile(np.arange(self.n_gens, dtype=np.int8), n)
+        surf_a = rep.column("surf_a").to_pylist()
+        surf_b = rep.column("surf_b").to_pylist()
+        rels = rep.column("rel").to_pylist()
+        texts = [
+            assertion_text(r, a, b, int(g))
+            for r, a, b, g in zip(rels, surf_a, surf_b, gen_idx)
+        ]
+        out = rep.drop_columns(["prompt"])
+        out = out.append_column("gen_idx", pa.array(gen_idx, pa.int8()))
+        out = out.append_column("assertion", pa.array(texts, pa.string()))
+        return out

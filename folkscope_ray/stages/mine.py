@@ -1,0 +1,89 @@
+"""Pattern mining: per-relation frequent skeleton-pattern discovery.
+
+Replaces the reference's gSpan-Java + Counter pipeline
+(src/pattern/pattern_filter.py:71-117 meta/full-pattern Counters;
+pattern_filter.py:15-33 gSpan subprocess; pattern_miner.py:426-604 support
+counting) with the idiomatic Ray Data shape:
+
+1. ``map_batches`` computes each parsed row's canonical skeleton-pattern key
+   and PRE-AGGREGATES counts within the batch (map-side combine) — the
+   groupby then shuffles one row per (rel, pattern_key) per batch instead of
+   one per sentence, which is what keeps this viable at 10^12 rows;
+2. ``groupby(["rel", "pattern_key"]).aggregate(Sum)`` — the only shuffle, over
+   the tiny partial-count table;
+3. the surviving pattern set (dozens) is collected on the driver, thresholded
+   at support ≥ max(min_support, N × 1e-4) (reference floor,
+   pattern_miner.py:564), deduped by subgraph-isomorphism maximality
+   (pattern_miner.py:464-478) and broadcast to the match stage via
+   ``ray.put``.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+from ..patterns import Pattern, decode_pattern, dedup_patterns, pattern_of_parsed
+
+MIN_SUPPORT = 2
+SUPPORT_FLOOR_FRAC = 1e-4  # support ≥ N * 1e-4, pattern_miner.py:564
+
+
+def pattern_counts_batch(batch: pa.Table) -> pa.Table:
+    """Emit per-batch partial counts of canonical skeleton-pattern keys."""
+    rels = batch.column("rel").to_pylist()
+    poss = batch.column("pos_tags").to_pylist()
+    depss = batch.column("deps").to_pylist()
+    counts: dict[tuple[str, str], int] = {}
+    for rel, pos, deps in zip(rels, poss, depss):
+        dep_triples = [(d["gov"], d["rel"], d["dep"]) for d in deps]
+        key = pattern_of_parsed(rel, pos, dep_triples)
+        k = (rel, key)
+        counts[k] = counts.get(k, 0) + 1
+    return pa.table(
+        {
+            "rel": pa.array([k[0] for k in counts], pa.string()),
+            "pattern_key": pa.array([k[1] for k in counts], pa.string()),
+            "n": pa.array(list(counts.values()), pa.int64()),
+        }
+    )
+
+
+def mine_patterns(parsed: Dataset, total_rows: int | None = None) -> list[Pattern]:
+    """Full mining pass; returns the deduped frequent pattern list (small)."""
+    partials = parsed.map_batches(pattern_counts_batch, batch_format="pyarrow")
+    counted = partials.groupby(["rel", "pattern_key"]).aggregate(
+        Sum("n", alias_name="support")
+    )
+    tbl = counted.to_pandas()  # dozens–hundreds of rows: driver-side is correct
+    if total_rows is None:
+        total_rows = int(tbl["support"].sum())
+    floor = max(MIN_SUPPORT, math.ceil(total_rows * SUPPORT_FLOOR_FRAC))
+    pats = [
+        decode_pattern(row.pattern_key, int(row.support))
+        for row in tbl.itertuples()
+        if int(row.support) >= floor
+    ]
+    return dedup_patterns(pats)
+
+
+def patterns_to_table(patterns: list[Pattern]) -> pa.Table:
+    """Pattern artifact as Arrow (the analogue of the freq.txt/.lg side files,
+    pattern_miner.py:321-328) — written next to the run's checkpoints."""
+    return pa.table(
+        {
+            "rel": pa.array([p.rel for p in patterns], pa.string()),
+            "pattern_key": pa.array([p.key for p in patterns], pa.string()),
+            "support": pa.array([p.support for p in patterns], pa.int64()),
+        }
+    )
+
+
+def patterns_from_table(tbl: pa.Table) -> list[Pattern]:
+    return [
+        decode_pattern(k, int(s))
+        for k, s in zip(tbl.column("pattern_key").to_pylist(), tbl.column("support").to_pylist())
+    ]
