@@ -37,10 +37,12 @@ import ray
 from ray.data import Dataset
 
 N_PERMS = 64
-LSH_BANDS = 16
-LSH_ROWS = 4          # N_PERMS == LSH_BANDS * LSH_ROWS
+LSH_BANDS = 32
+LSH_ROWS = 2          # N_PERMS == LSH_BANDS * LSH_ROWS; narrow bands => high
+                      # candidate recall even at Jaccard ~0.5 (verifier filters)
 SHINGLE_K = 3
-JACCARD_THRESHOLD = 0.5
+JACCARD_THRESHOLD = 0.8   # only for non-prefix near-dups; see is_near_duplicate
+MAX_SUFFIX_EXTRA = 4      # prefix-extension variants: base + <=4 extra chars
 
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
@@ -91,6 +93,28 @@ def jaccard(a: str, b: str) -> float:
     sa, sb = shingles(a), shingles(b)
     inter = len(sa & sb)
     return inter / (len(sa) + len(sb) - inter) if inter else 0.0
+
+
+def is_near_duplicate(a: str, b: str) -> bool:
+    """Edge verifier for candidate pairs from LSH banding.
+
+    Union-find is transitive, so the verifier must be strict enough that
+    chains cannot bridge distinct entities that share a long suffix
+    ("local_allocator" ~ "disk_allocator" have char-3-gram J = 0.5 — a naive
+    J >= 0.5 cut over-merges through such chains).  Two rules:
+
+    - prefix extension: one norm extends the other by <= MAX_SUFFIX_EXTRA
+      chars ("jsonparser" -> "jsonparserimpl", "jsonparser2") — the shape of
+      real fork/version/impl suffixes;
+    - otherwise a high Jaccard bar (>= JACCARD_THRESHOLD) for genuine
+      near-identical strings.
+    """
+    if a == b:
+        return True
+    lo, hi = (a, b) if len(a) <= len(b) else (b, a)
+    if hi.startswith(lo) and len(hi) - len(lo) <= MAX_SUFFIX_EXTRA:
+        return True
+    return jaccard(a, b) >= JACCARD_THRESHOLD
 
 
 # ------------------------------------------------------------- Ray stages
@@ -178,7 +202,7 @@ def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
         uf.find(n)
     edge_df = edges.to_pandas()
     for a, b in zip(edge_df["a"], edge_df["b"]):
-        if jaccard(a, b) >= JACCARD_THRESHOLD:
+        if is_near_duplicate(a, b):
             uf.union(a, b)
     return {n: uf.find(n) for n in norm_list}
 
