@@ -1,0 +1,211 @@
+"""Unit tests for pure-Python operator semantics (SURVEY.md §5 strategy)."""
+
+from __future__ import annotations
+
+import pytest
+
+from folkscope_ray.lexicon import assertion_text, obj_phrase
+from folkscope_ray.patterns import (
+    Pattern,
+    decode_pattern,
+    dedup_patterns,
+    match_row,
+    pattern_of_parsed,
+    skeleton_of,
+)
+from folkscope_ray.relations import N_RELATIONS, REL_INDEX, REL_NAMES, RELATIONS
+from folkscope_ray.stages.canonicalize import (
+    band_hashes,
+    is_near_duplicate,
+    jaccard,
+    normalize_surface,
+)
+from folkscope_ray.stages.conceptualize import TaxonomyIndex, conceptualize_words
+from folkscope_ray.stages.critic import plausibility_score
+from folkscope_ray.stages.ingest import extract_entities
+from folkscope_ray.stages.parse import parse_assertion
+from folkscope_ray.synth import build_corpus_table, file_row
+from folkscope_ray.util import generate_eid, pair_key
+
+
+def test_relation_registry_has_21_relations():
+    assert N_RELATIONS == 21
+    assert len(set(REL_NAMES)) == 21
+    # the reference misspelling is corrected (SURVEY.md §7.5 decision)
+    assert "propertyOf" in REL_NAMES and "propertOf" not in REL_NAMES
+    for r in RELATIONS:
+        if r.rel != "open":
+            assert len(r.tokens) == len(r.pos) > 0
+
+
+def test_pair_key_is_md5_of_a_b_rel():
+    # format per reference src/generator/utils.py:42-49
+    import hashlib
+
+    assert pair_key("x", "y", "usedFor") == hashlib.md5(b"x-y-usedFor").hexdigest()
+
+
+def test_corpus_determinism():
+    t1 = build_corpus_table(50)
+    t2 = build_corpus_table(50)
+    assert t1.equals(t2)
+    assert t1.column_names == ["repo", "path", "commit", "lang", "content"]
+
+
+def test_wide_rows_exist():
+    assert len(file_row(0)["content"]) > 100_000
+
+
+def test_entity_extraction_roundtrip():
+    row = file_row(7)
+    ents = extract_entities(row["lang"], row["content"])
+    assert len(ents) >= 2
+    for e in ents:
+        assert e in row["content"]
+
+
+def test_generation_deterministic_and_templated():
+    t1 = assertion_text("usedFor", "jsonParser", "lru_cache", 0)
+    t2 = assertion_text("usedFor", "jsonParser", "lru_cache", 0)
+    assert t1 == t2
+    assert t1.startswith("they are both used for ")
+    assert assertion_text("usedFor", "jsonParser", "lru_cache", 1) != t1 or True
+    # verbal relations produce verb-led phrases
+    assert obj_phrase("can", "a", "b", 0)[0] in __import__("folkscope_ray.synth", fromlist=["VERB"]).VERB
+
+
+def test_parse_shapes():
+    for rel in REL_NAMES:
+        if rel == "open":
+            assert parse_assertion(rel, "stable validation") is None
+            continue
+        text = assertion_text(rel, "json_parser", "lru_cache", 0)
+        parsed = parse_assertion(rel, text)
+        assert parsed is not None, rel
+        toks, lems, pos, deps = parsed
+        assert len(toks) == len(lems) == len(pos)
+        n = len(toks)
+        for g, lab, d in deps:
+            assert 0 <= g < n and 0 <= d < n and g != d
+    # non-template sentence rejected
+    assert parse_assertion("usedFor", "completely different words") is None
+
+
+def test_eid_formula_matches_reference_shape():
+    # eid = sha1(json([deps, words, pos_tags])) — object.py:120-130
+    import hashlib, json
+
+    deps = [(1, "nsubj", 0)]
+    words = ["they", "run"]
+    pos = ["PRP", "VBP"]
+    expect = hashlib.sha1(
+        json.dumps([[[1, "nsubj", 0]], words, pos]).encode()
+    ).hexdigest()
+    assert generate_eid(deps, words, pos) == expect
+
+
+def test_skeleton_drops_optional_outside_template():
+    text = assertion_text("usedFor", "a", "b", 1)  # may contain JJ in obj
+    parsed = parse_assertion("usedFor", text)
+    toks, lems, pos, deps = parsed
+    verts, edges, kept = skeleton_of("usedFor", pos, deps)
+    n_template = len(REL_INDEX["usedFor"].tokens)
+    assert all(i < n_template or pos[i] not in ("JJ", "DT") for i in kept)
+    # template DT ("both") is retained even though DT is optional
+    assert 2 in kept
+
+
+def test_pattern_roundtrip_and_dedup():
+    text = assertion_text("isA", "a", "b", 0)
+    toks, lems, pos, deps = parse_assertion("isA", text)
+    key = pattern_of_parsed("isA", pos, deps)
+    p = decode_pattern(key, 5)
+    assert p.key == key and p.support == 5
+    # a strictly-contained pattern is merged into the larger one
+    small = Pattern(p.rel, p.verts[:-1], tuple(e for e in p.edges if p.verts.__len__() - 1 not in (e[0], e[2])), 3)
+    merged = dedup_patterns([p, small])
+    assert len(merged) == 1 and merged[0].support == 8
+
+
+def test_match_row_extracts_and_dedups():
+    text = assertion_text("usedFor", "a", "b", 0)
+    toks, lems, pos, deps = parse_assertion("usedFor", text)
+    key = pattern_of_parsed("usedFor", pos, deps)
+    p = decode_pattern(key, 10)
+    evs = match_row([p], "usedFor", toks, lems, pos, deps)
+    assert len(evs) == 1
+    ev = evs[0]
+    assert ev["words"][0] == "they"
+    assert "be" in ev["words"]  # lemma of "are"
+    assert len(ev["words"]) == len(ev["pos_tags"])
+    # deps re-indexed into the eventuality's own 0..n-1 space
+    n = len(ev["words"])
+    for d in ev["deps"]:
+        assert 0 <= d["gov"] < n and 0 <= d["dep"] < n
+    # wrong relation -> no eventualities
+    assert match_row([p], "isA", toks, lems, pos, deps) == []
+
+
+def test_eventuality_forbidden_end():
+    # a pattern matching a sentence ending in IN must be rejected
+    toks = ["they", "are", "made", "of"]
+    pos = ["PRP", "VBP", "VBN", "IN"]
+    lems = ["they", "be", "make", "of"]
+    deps = [(2, "nsubj", 0), (2, "aux", 1), (2, "case", 3)]
+    key = pattern_of_parsed("madeOf", pos, deps)
+    p = decode_pattern(key)
+    assert match_row([p], "madeOf", toks, lems, pos, deps) == []
+
+
+def test_normalize_surface_variants_collapse():
+    assert normalize_surface("json_parser") == "jsonparser"
+    assert normalize_surface("jsonParser") == "jsonparser"
+    assert normalize_surface("JsonParser") == "jsonparser"
+    assert normalize_surface("json-parser") == "jsonparser"
+
+
+def test_near_duplicate_rules():
+    assert is_near_duplicate("jsonparser", "jsonparserimpl")
+    assert is_near_duplicate("jsonparser", "jsonparser2")
+    assert not is_near_duplicate("jsonparser", "yamlparser")
+    # long shared suffix must NOT merge distinct entities (over-merge guard)
+    assert not is_near_duplicate("localallocator", "diskallocator")
+    assert not is_near_duplicate("localallocator", "asyncallocator")
+
+
+def test_lsh_bands_recall_candidates():
+    # true near-dups must collide in >=1 band
+    for a, b in [("jsonparser", "jsonparserimpl"), ("tcppool", "tcppoolimpl"),
+                 ("configloader", "configloader2")]:
+        ha, hb = band_hashes(a), band_hashes(b)
+        assert any(x == y for x, y in zip(ha, hb)), (a, b)
+
+
+def test_jaccard_bounds():
+    assert jaccard("abcdef", "abcdef") == 1.0
+    assert jaccard("abcdef", "uvwxyz") == 0.0
+
+
+def test_taxonomy_likelihood_math():
+    # likelihood = freq / instance_freq — conceptualizer.py:58-83
+    idx = TaxonomyIndex([("tool", "parser", 30), ("service", "parser", 10)])
+    cs = idx.conceptualize("parser")
+    assert cs[0] == ("tool", 0.75) and cs[1] == ("service", 0.25)
+
+
+def test_conceptualize_words_combinations():
+    idx = TaxonomyIndex([("tool", "parser", 1), ("store", "cache", 1)])
+    out = conceptualize_words(idx, ["the", "parser", "cache"], ["DT", "NN", "NN"])
+    rewrites = {tuple(ws) for ws, _ in out}
+    assert ("the", "tool", "cache") in rewrites
+    assert ("the", "parser", "store") in rewrites
+    assert ("the", "tool", "store") in rewrites
+    # capitalised / non-NN words never abstracted
+    assert conceptualize_words(idx, ["Parser"], ["NN"]) == []
+    assert conceptualize_words(idx, ["parser"], ["VB"]) == []
+
+
+def test_critic_scores_deterministic_bounded():
+    s1 = plausibility_score("k", 0, "they are both used for data caching")
+    s2 = plausibility_score("k", 0, "they are both used for data caching")
+    assert s1 == s2 and 0.0 <= s1 <= 1.0

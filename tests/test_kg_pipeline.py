@@ -1,0 +1,108 @@
+"""End-to-end KG pipeline tests: golden P/R gate, invariants, resume."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from folkscope_ray.pipelines.kg import build_kg
+from folkscope_ray.pipelines.oracle import oracle_triples, precision_recall
+from folkscope_ray.relations import N_RELATIONS
+
+
+@pytest.fixture(scope="module")
+def triples_df(kg_200):
+    return kg_200.triples().to_pandas()
+
+
+def test_prompt_fanout_invariant(kg_200):
+    n_pairs = kg_200.pairs().count()
+    n_prompts = kg_200.pairs().map_batches(
+        __import__("folkscope_ray.stages.prompts", fromlist=["expand_prompts"]).expand_prompts,
+        batch_format="pyarrow",
+    ).count()
+    assert n_prompts == n_pairs * N_RELATIONS
+
+
+def test_triples_match_oracle(triples_df):
+    golden = oracle_triples(200)
+    p, r = precision_recall(triples_df, golden)
+    assert p >= 0.95 and r >= 0.95, (p, r)
+    # scores and support agree exactly on the intersection
+    m = triples_df.merge(golden, on=["subj", "pred", "obj"], suffixes=("_a", "_b"))
+    assert (m["support_a"] == m["support_b"]).all()
+    assert (abs(m["plausibility_a"] - m["plausibility_b"]) < 1e-12).all()
+
+
+def test_sha256_lineage_invariant(triples_df, corpus_200):
+    src = pq.read_table(corpus_200).to_pandas()
+    src["sha"] = src["content"].map(lambda c: hashlib.sha256(c.encode()).hexdigest())
+    m = triples_df.merge(src, on=["repo", "path", "commit"], how="left")
+    assert m["sha"].notna().all()
+    assert (m["sha"] == m["content_sha256"]).all()
+
+
+def test_eventuality_merge_math(kg_200):
+    ev = kg_200.eventualities_merged().to_pandas()
+    assert ev["eid"].is_unique
+    # frequency is the sum of per-occurrence frequencies (1.0 each)
+    assert (ev["frequency"] == ev["support"]).all()
+
+
+def test_concept_cid_is_sha1_of_words(kg_200):
+    import hashlib as h
+
+    cdf = kg_200.concepts().to_pandas().head(50)
+    for _, row in cdf.iterrows():
+        assert row["cid"] == h.sha1(" ".join(row["concept_words"]).encode()).hexdigest()
+
+
+def test_resume_skips_completed_stages(corpus_200, tmp_path):
+    run_dir = str(tmp_path / "run")
+    kg1 = build_kg(corpus_200, run_dir=run_dir)
+    t1 = kg1.triples().to_pandas()
+    manifests = {
+        f: os.path.getmtime(os.path.join(run_dir, f))
+        for f in os.listdir(run_dir)
+        if f.endswith(".manifest.json")
+    }
+    assert {"parsed.manifest.json", "patterns.manifest.json",
+            "eventualities.manifest.json", "triples.manifest.json"} <= set(manifests)
+
+    kg2 = build_kg(corpus_200, run_dir=run_dir)
+    t2 = kg2.triples().to_pandas()
+    manifests2 = {
+        f: os.path.getmtime(os.path.join(run_dir, f))
+        for f in os.listdir(run_dir)
+        if f.endswith(".manifest.json")
+    }
+    assert manifests == manifests2  # nothing recomputed
+    key = ["subj", "pred", "obj"]
+    assert t1.sort_values(key).reset_index(drop=True)[key].equals(
+        t2.sort_values(key).reset_index(drop=True)[key]
+    )
+
+
+def test_resume_invalidated_by_different_input(corpus_200, tmp_path):
+    from folkscope_ray.state import manifest as mf
+
+    run_dir = str(tmp_path / "run2")
+    kg1 = build_kg(corpus_200, run_dir=run_dir)
+    kg1.parsed()
+    fp_other = mf.fingerprint("parsed", "/some/other/input.parquet")
+    assert not mf.stage_complete(run_dir, "parsed", fp_other)
+
+
+def test_triples_partitioned_by_pred(corpus_200, tmp_path):
+    run_dir = str(tmp_path / "run3")
+    kg = build_kg(corpus_200, run_dir=run_dir)
+    kg.triples().count()
+    tdir = os.path.join(run_dir, "triples")
+    parts = [d for d in os.listdir(tdir) if d.startswith("pred=")]
+    assert len(parts) >= 15  # most of the 20 extractable relations present
+    m = mfst = os.path.join(run_dir, "triples.manifest.json")
+    assert os.path.exists(mfst)
