@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship KG pipeline; ``queries()`` exposes one callable
+per implemented operator family from SURVEY.md §2 over the driver's parquet
+tables (plus the KG pipeline over the deterministic synthetic source-code
+corpus mandated by BASELINE.json's input_hint); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible query.  Ray is initialised by
+the driver — nothing here calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Column names in each Ray result match the SQL aliases exactly (the driver
+hashes values after sorting columns by name).
 """
 
 from __future__ import annotations
@@ -18,27 +16,549 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _rp(sf_dir: str, table: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _round_cols(ds, ndigits: dict[str, int]):
+    """Quantize float aggregate columns so hash-compare vs the SQL oracle is
+    bit-exact: double summation order differs between engines, and even
+    round(x, n) can land on adjacent doubles.  Both sides therefore compute
+    round(x * 10^n) as an exact int64 and divide by the same 10^n double —
+    IEEE division of identical operands is bit-identical everywhere."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        for col, nd in ndigits.items():
+            i = b.column_names.index(col)
+            scale = float(10 ** nd)
+            q = pc.cast(pc.round(pc.multiply(b.column(col), scale)), pa.int64())
+            b = b.set_column(i, col, pc.divide(pc.cast(q, pa.float64()), scale))
+        return b
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------- flagship
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """KG triples over the synthetic source-code corpus at smoke scale."""
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.synth import corpus_for_sf
+
+    return build_kg(corpus_for_sf("/root/testdata/sf0.001")).triples()
+
+
+# --------------------------------------------------------------- queries
+
+def _q_tpch_q1(sf_dir: str):
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _rp(sf_dir, "lineitem")
+
+    def revenue(b: pa.Table) -> pa.Table:
+        disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return b.append_column("disc_price", disc)
+
+    out = (
+        ds.map_batches(revenue, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+    return _round_cols(out, {"sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6})
+
+
+def _q_groupby_count_docs(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return (
+        _rp(sf_dir, "documents")
+        .groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_filter_project_events(sf_dir: str):
+    ds = _rp(sf_dir, "events")
+    return ds.map_batches(
+        lambda b: b.filter(
+            pc.and_(pc.equal(b["event_type"], "click"), pc.greater(b["value"], 50.0))
+        ).select(["event_id", "user_id", "value"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_topk_orders(sf_dir: str):
+    return (
+        _rp(sf_dir, "orders")
+        .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+        .limit(10)
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+    )
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from folkscope_ray.ops.dedup import exact_dedup
+
+    return exact_dedup(_rp(sf_dir, "documents"), text_col="text", id_col="doc_id")
+
+
+def _q_first_wins_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Min
+
+    return (
+        _rp(sf_dir, "documents")
+        .groupby("source")
+        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
+    )
+
+
+def _q_broadcast_join_orders(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from folkscope_ray.ops.relational import broadcast_join
+
+    cust = _rp(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = cust.rename(columns={"c_custkey": "o_custkey"})
+    joined = broadcast_join(
+        _rp(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]), cust, on="o_custkey"
+    )
+    out = joined.groupby("c_mktsegment").aggregate(
+        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    )
+    return _round_cols(out, {"total": 2})
+
+
+def _q_hash_join_lineitem_orders(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from folkscope_ray.ops.relational import hash_join
+
+    li = _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_extendedprice"])
+
+    def ren(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["o_orderkey", "l_extendedprice"])
+
+    li = li.map_batches(ren, batch_format="pyarrow")
+    od = _rp(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, od, on="o_orderkey", n_buckets=32)
+    out = joined.groupby("o_orderpriority").aggregate(
+        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price")
+    )
+    return _round_cols(out, {"sum_price": 2})
+
+
+def _q_anti_join_customers(sf_dir: str):
+    from folkscope_ray.ops.relational import anti_join
+
+    order_keys = set(
+        _rp(sf_dir, "orders").select_columns(["o_custkey"]).to_pandas()["o_custkey"]
+    )
+    import pandas as pd
+
+    df = anti_join(
+        _rp(sf_dir, "customer").select_columns(["c_custkey", "c_name"]),
+        order_keys,
+        on="c_custkey",
+    ).to_pandas()
+    if df.empty:  # keep a stable schema even when no row survives
+        df = pd.DataFrame(
+            {"c_custkey": pd.Series([], dtype="int64"),
+             "c_name": pd.Series([], dtype="object")}
+        )
+    return df
+
+
+def _q_salted_agg_events(sf_dir: str):
+    from folkscope_ray.ops.relational import salted_aggregate
+
+    out = salted_aggregate(_rp(sf_dir, "events"), key="event_type", value="value")
+    return _round_cols(out, {"sum_value": 2})
+
+
+def _q_tumbling_window_events(sf_dir: str):
+    from folkscope_ray.ops.relational import tumbling_window
+
+    out = tumbling_window(
+        _rp(sf_dir, "events"), ts_col="ts", key_col="user_id",
+        value_col="value", window_s=3600,
+    )
+    return _round_cols(out, {"sum_value": 2, "mean_value": 6})
+
+
+def _q_token_count_docs(sf_dir: str):
+    from folkscope_ray.ops.text import token_count_batch
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(token_count_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_words"])
+    )
+
+
+def _q_doc_length_cdf(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    def bucket(b: pa.Table) -> pa.Table:
+        buck = pc.cast(pc.floor(pc.divide(pc.cast(b["n_chars"], pa.float64()), 100.0)), pa.int64())
+        return b.append_column("len_bucket", buck)
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(bucket, batch_format="pyarrow")
+        .groupby("len_bucket")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_sort_limit_parts(sf_dir: str):
+    return (
+        _rp(sf_dir, "part")
+        .sort(["p_retailprice", "p_partkey"], descending=[True, False])
+        .limit(5)
+        .select_columns(["p_partkey", "p_name", "p_retailprice"])
+    )
+
+
+def _q_distinct_event_types(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    return _rp(sf_dir, "events").groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+def _q_ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (broadcast query)."""
+    import pandas as pd
+
+    from folkscope_ray.ops.similarity import brute_force_topk
+
+    emb = _rp(sf_dir, "embeddings")
+    q = (
+        emb.map_batches(
+            lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow"
+        )
+        .to_pandas()["embedding"].iloc[0]
+    )
+    rest = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
+    )
+    out = brute_force_topk(rest, np.asarray([q], dtype=np.float64), k=10)
+    out = out.drop(columns=["query_id"])
+    # same int-quantize trick as _round_cols (bit-exact vs the SQL oracle)
+    out["cosine"] = np.round(out["cosine"].to_numpy() * 1e6).astype(np.int64) / 1e6
+    return out
+
+
+def _q_events_per_day(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    def day(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 86_400_000_000.0)), pa.int64())
+        return b.append_column("day_idx", d)
+
+    return (
+        _rp(sf_dir, "events")
+        .map_batches(day, batch_format="pyarrow")
+        .groupby("day_idx")
+        .aggregate(Count(alias_name="n"))
+    )
+
+
+def _q_region_nation_join(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from folkscope_ray.ops.relational import broadcast_join
+
+    reg = _rp(sf_dir, "region").to_pandas().rename(columns={"r_regionkey": "n_regionkey"})
+    joined = broadcast_join(_rp(sf_dir, "nation"), reg, on="n_regionkey")
+    return joined.groupby("r_name").aggregate(Count(alias_name="n_nations"))
+
+
+def _q_acctbal_stats_by_nation(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    out = (
+        _rp(sf_dir, "customer")
+        .groupby("c_nationkey")
+        .aggregate(
+            Min("c_acctbal", alias_name="min_bal"),
+            Max("c_acctbal", alias_name="max_bal"),
+            Mean("c_acctbal", alias_name="avg_bal"),
+            Count(alias_name="n"),
+        )
+    )
+    return _round_cols(out, {"avg_bal": 6})
+
+
+def _q_avg_doc_len_by_lang(sf_dir: str):
+    from ray.data.aggregate import Count, Mean
+
+    out = (
+        _rp(sf_dir, "documents")
+        .groupby("lang")
+        .aggregate(Mean("n_chars", alias_name="avg_chars"), Count(alias_name="n"))
+    )
+    return _round_cols(out, {"avg_chars": 6})
+
+
+# ---------------------------------------------- non-SQL-expressible queries
+
+def _q_kg_triples(sf_dir: str):
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.synth import corpus_for_sf
+
+    return build_kg(corpus_for_sf(sf_dir)).triples()
+
+
+def _q_kg_eventualities(sf_dir: str):
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.synth import corpus_for_sf
+
+    return build_kg(corpus_for_sf(sf_dir)).eventualities_merged()
+
+
+def _q_kg_concept_agg(sf_dir: str):
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.synth import corpus_for_sf
+
+    return build_kg(corpus_for_sf(sf_dir)).concept_agg()
+
+
+def _q_minhash_dedup_docs(sf_dir: str):
+    import pandas as pd
+
+    from folkscope_ray.ops.dedup import minhash_lsh_components
+
+    comp = minhash_lsh_components(_rp(sf_dir, "documents"), text_col="text", id_col="doc_id")
+    return pd.DataFrame(
+        {"doc_id": list(comp.keys()), "component": list(comp.values())}
+    ).sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_simhash_docs(sf_dir: str):
+    from folkscope_ray.ops.dedup import simhash_batch
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(simhash_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "simhash"])
+    )
+
+
+def _q_fingerprint_docs(sf_dir: str):
+    from folkscope_ray.ops.text import fingerprint_batch
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(fingerprint_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "fingerprint"])
+    )
+
+
+def _q_langid_quality_docs(sf_dir: str):
+    from folkscope_ray.ops.text import LangId, quality_batch
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(quality_batch, batch_format="pyarrow")
+        .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
+        .select_columns(["doc_id", "quality_score", "stop_ratio", "lang_guess"])
+    )
+
+
+def _q_multimodal_image_features(sf_dir: str):
+    import ray.data as rd
+
+    from folkscope_ray.ops.multimodal import ImageFeatures, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(300))
+    return media.map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
+def _q_multimodal_frame_sample(sf_dir: str):
+    import ray.data as rd
+
+    from folkscope_ray.ops.multimodal import FrameSampler, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(300))
+    return media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
+    )
+
+
+def _q_ann_lsh_topk(sf_dir: str):
+    import ray
+
+    from folkscope_ray.ops.similarity import LshTopK, hyperplanes
+
+    emb = _rp(sf_dir, "embeddings")
+    q = (
+        emb.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)), batch_format="pyarrow")
+        .to_pandas()["embedding"].iloc[0]
+    )
+    rest = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
+    )
+    planes = hyperplanes(len(q), n_planes=6)
+    partials = rest.map_batches(
+        LshTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(np.asarray([q], dtype=np.float64)),
+            "planes_ref": ray.put(planes),
+            "k": 10,
+        },
+        concurrency=(1, 4),
+    ).to_pandas()
+    out = partials.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(10)
+    return out.drop(columns=["query_id"]).reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "groupby_count_docs": _q_groupby_count_docs,
+        "filter_project_events": _q_filter_project_events,
+        "topk_orders": _q_topk_orders,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "first_wins_by_source": _q_first_wins_by_source,
+        "broadcast_join_orders": _q_broadcast_join_orders,
+        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
+        "anti_join_customers": _q_anti_join_customers,
+        "salted_agg_events": _q_salted_agg_events,
+        "tumbling_window_events": _q_tumbling_window_events,
+        "token_count_docs": _q_token_count_docs,
+        "doc_length_cdf": _q_doc_length_cdf,
+        "sort_limit_parts": _q_sort_limit_parts,
+        "distinct_event_types": _q_distinct_event_types,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "events_per_day": _q_events_per_day,
+        "region_nation_join": _q_region_nation_join,
+        "acctbal_stats_by_nation": _q_acctbal_stats_by_nation,
+        "avg_doc_len_by_lang": _q_avg_doc_len_by_lang,
+        # KG pipeline + non-SQL ops
+        "kg_triples": _q_kg_triples,
+        "kg_eventualities": _q_kg_eventualities,
+        "kg_concept_agg": _q_kg_concept_agg,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "simhash_docs": _q_simhash_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "langid_quality_docs": _q_langid_quality_docs,
+        "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   (round((sum(l_extendedprice)) * 1e2)::BIGINT / 1e2) AS sum_base_price,
+                   (round((sum(l_extendedprice * (1 - l_discount))) * 1e2)::BIGINT / 1e2) AS sum_disc_price,
+                   (round((avg(l_quantity)) * 1e6)::BIGINT / 1e6) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "groupby_count_docs": """
+            SELECT lang, source, count(*) AS n FROM documents GROUP BY lang, source
+        """,
+        "filter_project_events": """
+            SELECT event_id, user_id, value FROM events
+            WHERE event_type = 'click' AND value > 50.0
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+        """,
+        "exact_dedup_docs": """
+            SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents GROUP BY md5(text)
+        """,
+        "first_wins_by_source": """
+            SELECT source, min(doc_id) AS keep_id, count(*) AS n FROM documents GROUP BY source
+        """,
+        "broadcast_join_orders": """
+            SELECT c.c_mktsegment, count(*) AS n_orders, (round((sum(o.o_totalprice)) * 1e2)::BIGINT / 1e2) AS total
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "hash_join_lineitem_orders": """
+            SELECT o.o_orderpriority, count(*) AS n_items, (round((sum(l.l_extendedprice)) * 1e2)::BIGINT / 1e2) AS sum_price
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "salted_agg_events": """
+            SELECT event_type, (round((sum(value)) * 1e2)::BIGINT / 1e2) AS sum_value, count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "tumbling_window_events": """
+            SELECT user_id,
+                   (floor(epoch(ts) / 3600) * 3600)::BIGINT AS window_start,
+                   count(*) AS n_events, (round((sum(value)) * 1e2)::BIGINT / 1e2) AS sum_value,
+                   (round((avg(value)) * 1e6)::BIGINT / 1e6) AS mean_value
+            FROM events GROUP BY user_id, window_start
+        """,
+        "token_count_docs": """
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words
+            FROM documents
+        """,
+        "doc_length_cdf": """
+            SELECT (n_chars // 100)::BIGINT AS len_bucket, count(*) AS n
+            FROM documents GROUP BY len_bucket
+        """,
+        "sort_limit_parts": """
+            SELECT p_partkey, p_name, p_retailprice FROM part
+            ORDER BY p_retailprice DESC, p_partkey LIMIT 5
+        """,
+        "distinct_event_types": """
+            SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "ann_cosine_topk": """
+            SELECT e2.vec_id AS vec_id,
+                   (round((list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])) * 1e6)::BIGINT / 1e6) AS cosine
+            FROM embeddings e1 CROSS JOIN embeddings e2
+            WHERE e1.vec_id = 0 AND e2.vec_id <> 0
+            ORDER BY cosine DESC, e2.vec_id LIMIT 10
+        """,
+        "events_per_day": """
+            SELECT (epoch(ts)::BIGINT // 86400) AS day_idx, count(*) AS n
+            FROM events GROUP BY day_idx
+        """,
+        "region_nation_join": """
+            SELECT r.r_name, count(*) AS n_nations
+            FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
+        """,
+        "acctbal_stats_by_nation": """
+            SELECT c_nationkey, min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+                   (round((avg(c_acctbal)) * 1e6)::BIGINT / 1e6) AS avg_bal, count(*) AS n
+            FROM customer GROUP BY c_nationkey
+        """,
+        "avg_doc_len_by_lang": """
+            SELECT lang, (round((avg(n_chars)) * 1e6)::BIGINT / 1e6) AS avg_chars, count(*) AS n
+            FROM documents GROUP BY lang
+        """,
+    }

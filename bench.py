@@ -1,0 +1,130 @@
+"""Benchmark harness: headline KG pipeline + representative operator queries.
+
+Plain run (one JSON line, driver contract):
+    RAY_GRAFT_CPUS=32 GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
+
+Scaling run (north rule: two parallelism levels in fresh processes):
+    python bench.py --scaling       # 8 vs 32 CPUs on the same input
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "tpch_q1_pricing_summary",
+    "hash_join_lineitem_orders",
+    "broadcast_join_orders",
+    "tumbling_window_events",
+    "exact_dedup_docs",
+    "minhash_dedup_docs",
+    "ann_cosine_topk",
+    "token_count_docs",
+    "langid_quality_docs",
+    "simhash_docs",
+]
+
+
+def _consume(res) -> int:
+    """Count rows without materializing to the driver."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.synth import corpus_for_sf, n_files_for_sf, sf_of_dir
+
+    sf = sf_of_dir(SF_DIR)
+    src = corpus_for_sf(SF_DIR)
+    n_files = n_files_for_sf(sf)
+
+    # warm the OS page cache so we measure compute + shuffle, not cold disk
+    import pyarrow.parquet as pq
+
+    pq.read_table(src)
+
+    t0 = time.time()
+    kg = build_kg(src)
+    n_triples = kg.triples().count()
+    t_kg = time.time() - t0
+
+    qs = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        _consume(qs[name](SF_DIR))
+        q_times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "kg_pipeline_e2e",
+        "value": round(t_kg, 3),
+        "unit": "sec",
+        "queries": q_times,
+        "sf": sf,
+        "num_cpus": NCPU,
+        "n_files": n_files,
+        "n_triples": n_triples,
+        "files_per_sec": round(n_files / t_kg, 2),
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling():
+    """Same job at two parallelism levels in fresh processes; report
+    throughputs + efficiency = (T_lo / T_hi) / (cpus_hi / cpus_lo)."""
+    lo, hi = 8, 32
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    r_lo, r_hi = one(lo), one(hi)
+    eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+    print(json.dumps({
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+        "cpus_lo": lo, "cpus_hi": hi,
+        "files_per_sec_lo": r_lo["files_per_sec"],
+        "files_per_sec_hi": r_hi["files_per_sec"],
+        "sf": r_hi["sf"],
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run_bench()))

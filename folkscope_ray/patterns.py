@@ -299,7 +299,7 @@ def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags,
         "pattern": pattern.key,
         "words": words,
         "pos_tags": ptags,
-        "deps": [{"gov": g, "rel": l, "dep": d} for g, l, d in ev_deps],
+        "deps": ev_deps,  # (gov, rel, dep) triples, eventuality-local indices
         "skeleton_indices": skeleton_indices,
         "frequency": 1.0,
     }

@@ -33,12 +33,12 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..stages.canonicalize import CanonicalMapper, build_canonical_map
+from ..stages.canonicalize import build_canonical_map
 from ..stages.conceptualize import Conceptualizer
 from ..stages.critic import CRITIC_BATCH_SIZE, Critic
 from ..stages.generate import GEN_BATCH_SIZE, MockGenerator
 from ..stages.ingest import ingest_batch, pairs_batch
-from ..stages.match import PatternMatcher
+from ..stages.match import make_match_fn
 from ..stages.mine import mine_patterns, patterns_from_table, patterns_to_table
 from ..stages.parse import parse_batch
 from ..stages.prompts import expand_prompts
@@ -69,35 +69,44 @@ class KGPipeline:
     # ------------------------------------------------------------ stages
 
     def files(self) -> Dataset:
-        ds = rd.read_parquet(self.source_path)
-        return ds.map_batches(ingest_batch, batch_format="pyarrow")
+        # A single-file synthetic corpus would otherwise become 1-2 read
+        # blocks and serialize the whole ingest; split the read to keep every
+        # core busy.  (A real 10^12-file corpus arrives as many files and
+        # needs no override.)
+        ds = rd.read_parquet(self.source_path, override_num_blocks=4 * _cpus())
+        return ds.map_batches(ingest_batch, batch_format="pyarrow", batch_size=None)
 
     def pairs(self) -> Dataset:
-        return self.files().map_batches(pairs_batch, batch_format="pyarrow")
+        return self.files().map_batches(pairs_batch, batch_format="pyarrow",
+                                        batch_size=None)
 
     def assertions(self) -> Dataset:
-        """Scored candidate assertions (post-critic)."""
-        n = max(2, _cpus() // 2)
-        ds = self.pairs().map_batches(expand_prompts, batch_format="pyarrow")
-        ds = ds.map_batches(
-            MockGenerator,
-            batch_format="pyarrow",
-            batch_size=GEN_BATCH_SIZE,
-            concurrency=(1, n),
-        )
-        ds = ds.map_batches(
-            Critic,
-            batch_format="pyarrow",
-            batch_size=CRITIC_BATCH_SIZE,
-            concurrency=(1, n),
-        )
+        """Scored candidate assertions (post-critic).
+
+        No Ray-level ``batch_size`` on the generator/critic: a batch_size here
+        becomes min_rows_per_bundle for the FUSED read->...->generator
+        operator, i.e. it counts *source* rows and caps the whole pipeline at
+        n_files/batch_size tasks.  Instead each actor slices its block into
+        fixed-size inference batches internally (the reference's fixed-batch
+        contract, generation.py:238-243), and task fan-out follows the source
+        block count."""
+        ds = self.pairs().map_batches(expand_prompts, batch_format="pyarrow",
+                                      batch_size=None)
+        # The mock generator/critic carry no real model state, so they run as
+        # stateless tasks (pickled instances).  A real GPU deployment swaps
+        # each line for an actor pool —
+        #   map_batches(RealGenerator, concurrency=N, num_gpus=1, batch_size=None)
+        # — with weights loaded in __init__; the I/O contract is identical.
+        ds = ds.map_batches(MockGenerator(), batch_format="pyarrow", batch_size=None)
+        ds = ds.map_batches(Critic(), batch_format="pyarrow", batch_size=None)
         return ds
 
     def parsed(self) -> Dataset:
         """Parsed assertions, checkpointed (mining + matching both consume it)."""
         if "parsed" in self._cache:
             return self._cache["parsed"]
-        ds = self.assertions().map_batches(parse_batch, batch_format="pyarrow")
+        ds = self.assertions().map_batches(parse_batch, batch_format="pyarrow",
+                                           batch_size=None)
         if self.run_dir:
             fp = mf.fingerprint("parsed", self.source_path)
             ds = mf.checkpoint(ds, self.run_dir, "parsed", fp)
@@ -128,8 +137,11 @@ class KGPipeline:
         return pats
 
     def canonical_map(self) -> dict:
+        """Surface->canonical map, built from the parsed checkpoint (which
+        carries surf_a/surf_b) so the source table is scanned exactly once."""
         if "canon" not in self._cache:
-            self._cache["canon"] = build_canonical_map(self.pairs())
+            surfaces = self.parsed().select_columns(["surf_a", "surf_b"])
+            self._cache["canon"] = build_canonical_map(surfaces)
         return self._cache["canon"]
 
     def eventualities(self) -> Dataset:
@@ -139,16 +151,8 @@ class KGPipeline:
         pat_ref = ray.put(self.patterns())
         canon_ref = ray.put(self.canonical_map())
         ds = self.parsed().map_batches(
-            PatternMatcher,
-            batch_format="pyarrow",
-            fn_constructor_kwargs={"patterns": pat_ref},
-            concurrency=(1, max(2, _cpus())),
-        )
-        ds = ds.map_batches(
-            CanonicalMapper,
-            batch_format="pyarrow",
-            fn_constructor_kwargs={"canon_ref": canon_ref},
-            concurrency=(1, max(2, _cpus())),
+            make_match_fn(pat_ref, canon_ref), batch_format="pyarrow",
+            batch_size=None,
         )
         if self.run_dir:
             fp = mf.fingerprint("eventualities", self.source_path)
@@ -168,12 +172,14 @@ class KGPipeline:
         import json
 
         def pack(batch: pa.Table) -> pa.Table:
+            from ..stages.parse import iter_deps, iter_strlists
+
             payloads = [
-                json.dumps([w, p, [[d["gov"], d["rel"], d["dep"]] for d in dd], sk, pat, rel])
+                json.dumps([w, p, [list(d) for d in dd], sk, pat, rel])
                 for w, p, dd, sk, pat, rel in zip(
-                    batch.column("words").to_pylist(),
-                    batch.column("ev_pos_tags").to_pylist(),
-                    batch.column("ev_deps").to_pylist(),
+                    iter_strlists(batch.column("words")),
+                    iter_strlists(batch.column("ev_pos_tags")),
+                    iter_deps(batch.column("ev_deps")),
                     batch.column("skeleton_indices").to_pylist(),
                     batch.column("pattern").to_pylist(),
                     batch.column("rel").to_pylist(),
@@ -257,50 +263,78 @@ class KGPipeline:
         if "triples" in self._cache:
             return self._cache["triples"]
 
-        def to_triple_rows(batch: pa.Table) -> pa.Table:
-            subs, objs, packed = [], [], []
+        def to_triple_partials(batch: pa.Table) -> pa.Table:
+            """Map-side combine: one partial row per (subj, pred, obj) per
+            batch.  Hot triples (the skewed hot entity's pairs) collapse here
+            before the shuffle — the reducer never sees the raw row stream."""
+            from ..stages.parse import iter_strlists
+
             canon_a = batch.column("canon_a").to_pylist()
             canon_b = batch.column("canon_b").to_pylist()
-            words = batch.column("words").to_pylist()
-            for a, b, w in zip(canon_a, canon_b, words):
-                subs.append(f"{a}-{b}")
-                objs.append(" ".join(w))
-            for r, p, c, s in zip(
-                batch.column("repo").to_pylist(),
-                batch.column("path").to_pylist(),
-                batch.column("commit").to_pylist(),
-                batch.column("content_sha256").to_pylist(),
-            ):
-                packed.append(f"{r}\t{p}\t{c}\t{s}")
+            words = iter_strlists(batch.column("words"))
+            rels = batch.column("rel").to_pylist()
+            plaus = batch.column("plausibility").to_pylist()
+            typic = batch.column("typicality").to_pylist()
+            freqs = batch.column("frequency").to_pylist()
+            repos = batch.column("repo").to_pylist()
+            paths = batch.column("path").to_pylist()
+            commits = batch.column("commit").to_pylist()
+            shas = batch.column("content_sha256").to_pylist()
+            acc: dict[tuple, list] = {}
+            for i in range(batch.num_rows):
+                key = (f"{canon_a[i]}-{canon_b[i]}", rels[i], " ".join(words[i]))
+                lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
+                slot = acc.get(key)
+                if slot is None:
+                    acc[key] = [1, freqs[i], plaus[i], typic[i], lin]
+                else:
+                    slot[0] += 1
+                    slot[1] += freqs[i]
+                    slot[2] = max(slot[2], plaus[i])
+                    slot[3] = max(slot[3], typic[i])
+                    slot[4] = min(slot[4], lin)
+            keys = list(acc.keys())
+            vals = [acc[k] for k in keys]
+            from ..util import stable_u64
+
+            # group on a 64-bit key hash: int sort-shuffle is far cheaper
+            # than sorting three string columns (collision odds ~1e-9 at 10^5
+            # triples; at 10^9+ keys switch to a 128-bit hash)
+            tkeys = [stable_u64(*k) % (1 << 63) for k in keys]
             return pa.table(
                 {
-                    "subj": pa.array(subs, pa.string()),
-                    "pred": batch.column("rel"),
-                    "obj": pa.array(objs, pa.string()),
-                    "plausibility": batch.column("plausibility"),
-                    "typicality": batch.column("typicality"),
-                    "frequency": batch.column("frequency"),
-                    "lineage": pa.array(packed, pa.string()),
+                    "tkey": pa.array(tkeys, pa.int64()),
+                    "subj": pa.array([k[0] for k in keys], pa.string()),
+                    "pred": pa.array([k[1] for k in keys], pa.string()),
+                    "obj": pa.array([k[2] for k in keys], pa.string()),
+                    "support_p": pa.array([v[0] for v in vals], pa.int64()),
+                    "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
+                    "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
+                    "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
+                    "lineage_p": pa.array([v[4] for v in vals], pa.string()),
                 }
             )
 
         agg = (
             self.eventualities()
-            .map_batches(to_triple_rows, batch_format="pyarrow")
-            .groupby(["subj", "pred", "obj"])
+            .map_batches(to_triple_partials, batch_format="pyarrow")
+            .groupby("tkey")
             .aggregate(
-                Count(alias_name="support"),
-                Sum("frequency", alias_name="frequency"),
-                Max("plausibility", alias_name="plausibility"),
-                Max("typicality", alias_name="typicality"),
-                Min("lineage", alias_name="lineage"),
+                Min("subj", alias_name="subj"),
+                Min("pred", alias_name="pred"),
+                Min("obj", alias_name="obj"),
+                Sum("support_p", alias_name="support"),
+                Sum("frequency_p", alias_name="frequency"),
+                Max("plausibility_p", alias_name="plausibility"),
+                Max("typicality_p", alias_name="typicality"),
+                Min("lineage_p", alias_name="lineage"),
             )
         )
 
         def unpack(batch: pa.Table) -> pa.Table:
             lin = batch.column("lineage").to_pylist()
             repo, path, commit, sha = zip(*(l.split("\t") for l in lin)) if lin else ((), (), (), ())
-            out = batch.drop_columns(["lineage"])
+            out = batch.drop_columns(["lineage", "tkey"])
             out = out.append_column("repo", pa.array(list(repo), pa.string()))
             out = out.append_column("path", pa.array(list(path), pa.string()))
             out = out.append_column("commit", pa.array(list(commit), pa.string()))

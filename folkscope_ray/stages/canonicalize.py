@@ -43,6 +43,7 @@ LSH_ROWS = 2          # N_PERMS == LSH_BANDS * LSH_ROWS; narrow bands => high
 SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8   # only for non-prefix near-dups; see is_near_duplicate
 MAX_SUFFIX_EXTRA = 4      # prefix-extension variants: base + <=4 extra chars
+DRIVER_BANDING_MAX = 200_000  # below this many distinct surfaces, band on driver
 
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
@@ -182,26 +183,59 @@ class UnionFind:
 
 
 def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
-    """surface-bearing Dataset -> {normalized surface: canonical id}."""
-    distinct = (
-        pairs_or_surfaces.map_batches(_distinct_norms_batch, batch_format="pyarrow")
-        .groupby("norm")
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    ).materialize()  # distinct-surface set is small; it feeds two consumers
-    norm_tbl = distinct.to_arrow_refs()
-    norm_list: list[str] = []
-    for ref in norm_tbl:
-        norm_list.extend(ray.get(ref).column("norm").to_pylist())
+    """surface-bearing Dataset -> {normalized surface: canonical id}.
 
-    bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
-    edges = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _star_edges, batch_format="pandas"
+    One distributed pass computes per-batch partial dedups (the skew defence);
+    the partials are merged on the driver while they stream back.  Only if the
+    merged set exceeds ``DRIVER_BANDING_MAX`` does the full distributed
+    ``groupby(norm)`` + banding path run instead."""
+    partials = pairs_or_surfaces.map_batches(
+        _distinct_norms_batch, batch_format="pyarrow"
     )
+    seen: set[str] = set()
+    overflow = False
+    for tbl in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if "norm" in tbl.column_names:
+            seen.update(tbl.column("norm").to_pylist())
+        if len(seen) > DRIVER_BANDING_MAX:
+            overflow = True
+            break
+    if overflow:  # web-scale path: distributed distinct
+        distinct = (
+            partials.groupby("norm")
+            .map_groups(lambda g: g.head(1), batch_format="pandas")
+        ).materialize()
+        norm_list = []
+        for tbl in distinct.iter_batches(batch_size=None, batch_format="pyarrow"):
+            if "norm" in tbl.column_names:
+                norm_list.extend(tbl.column("norm").to_pylist())
+    else:
+        distinct = None
+        norm_list = sorted(seen)
+
     uf = UnionFind()
     for n in norm_list:
         uf.find(n)
-    edge_df = edges.to_pandas()
-    for a, b in zip(edge_df["a"], edge_df["b"]):
+    if len(norm_list) <= DRIVER_BANDING_MAX:
+        # the distinct-surface set is small: band + bucket on the driver and
+        # skip a whole distributed execution (same math, same result)
+        buckets: dict[tuple[int, int], list[str]] = {}
+        for n in norm_list:
+            for bid, bh in enumerate(band_hashes(n)):
+                buckets.setdefault((bid, bh), []).append(n)
+        edge_pairs = []
+        for members in buckets.values():
+            if len(members) > 1:
+                members = sorted(set(members))
+                edge_pairs.extend((members[0], m) for m in members[1:])
+    else:
+        bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
+        edges = bands.groupby(["band_id", "band_hash"]).map_groups(
+            _star_edges, batch_format="pandas"
+        )
+        edge_df = edges.to_pandas()
+        edge_pairs = list(zip(edge_df["a"], edge_df["b"]))
+    for a, b in edge_pairs:
         if is_near_duplicate(a, b):
             uf.union(a, b)
     return {n: uf.find(n) for n in norm_list}

@@ -39,6 +39,16 @@ class MockGenerator:
         self._rels = REL_INDEX
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Slices the incoming block into fixed GEN_BATCH_SIZE inference
+        batches internally — the fixed-batch contract of the reference
+        generator (generation.py:238-243) without forcing Ray-level row
+        bundling (which would throttle upstream fan-out)."""
+        if batch.num_rows > GEN_BATCH_SIZE:
+            pieces = [
+                self(batch.slice(i, GEN_BATCH_SIZE))
+                for i in range(0, batch.num_rows, GEN_BATCH_SIZE)
+            ]
+            return pa.concat_tables(pieces)
         n = batch.num_rows
         if n == 0:
             return batch.append_column("gen_idx", pa.array([], pa.int8())) \

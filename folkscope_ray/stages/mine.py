@@ -34,13 +34,14 @@ SUPPORT_FLOOR_FRAC = 1e-4  # support ≥ N * 1e-4, pattern_miner.py:564
 
 def pattern_counts_batch(batch: pa.Table) -> pa.Table:
     """Emit per-batch partial counts of canonical skeleton-pattern keys."""
+    from .parse import iter_deps, iter_strlists
+
     rels = batch.column("rel").to_pylist()
-    poss = batch.column("pos_tags").to_pylist()
-    depss = batch.column("deps").to_pylist()
+    poss = iter_strlists(batch.column("pos_tags"))
+    depss = iter_deps(batch.column("deps"))
     counts: dict[tuple[str, str], int] = {}
     for rel, pos, deps in zip(rels, poss, depss):
-        dep_triples = [(d["gov"], d["rel"], d["dep"]) for d in deps]
-        key = pattern_of_parsed(rel, pos, dep_triples)
+        key = pattern_of_parsed(rel, pos, deps)
         k = (rel, key)
         counts[k] = counts.get(k, 0) + 1
     return pa.table(

@@ -184,7 +184,7 @@ def build_corpus_table(n_files: int) -> pa.Table:
 
 
 def n_files_for_sf(sf: float) -> int:
-    return max(100, int(sf * 50_000))
+    return max(100, int(sf * 200_000))
 
 
 def sf_of_dir(sf_dir: str) -> float:
@@ -198,21 +198,31 @@ def sf_of_dir(sf_dir: str) -> float:
     return 0.001
 
 
-def corpus_path(n_files: int, root: str = "/tmp/folkscope_corpus") -> str:
-    """Materialize (once) and return the synthetic corpus Parquet for n_files.
+N_CORPUS_SHARDS = 32
 
-    Written atomically (temp file + rename) so concurrent callers are safe and
-    a rerun reuses the cached file — the analogue of the reference's sampled
-    pair pickle cache (src/generator/generation.py:151-157), minus the
+
+def corpus_path(n_files: int, root: str = "/tmp/folkscope_corpus") -> str:
+    """Materialize (once) and return the synthetic corpus for n_files — a
+    DIRECTORY of shard parquet files, so reads parallelize like a real
+    many-file corpus would.
+
+    Written atomically (temp dir + rename) so concurrent callers are safe and
+    a rerun reuses the cache — the analogue of the reference's sampled pair
+    pickle cache (src/generator/generation.py:151-157), minus the
     nondeterminism.
     """
     os.makedirs(root, exist_ok=True)
-    path = os.path.join(root, f"source_files_{n_files}_seed{SEED}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(root, f"source_files_{n_files}_seed{SEED}")
+    if not os.path.isdir(path):
         table = build_corpus_table(n_files)
-        fd, tmp = tempfile.mkstemp(dir=root, suffix=".parquet")
-        os.close(fd)
-        pq.write_table(table, tmp, row_group_size=4096)
+        tmp = tempfile.mkdtemp(dir=root)
+        shards = min(N_CORPUS_SHARDS, max(1, n_files // 50))
+        per = (n_files + shards - 1) // shards
+        for s in range(shards):
+            piece = table.slice(s * per, per)
+            if piece.num_rows:
+                pq.write_table(piece, os.path.join(tmp, f"part-{s:05d}.parquet"),
+                               row_group_size=2048)
         os.replace(tmp, path)
     return path
 

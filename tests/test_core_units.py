@@ -140,8 +140,8 @@ def test_match_row_extracts_and_dedups():
     assert len(ev["words"]) == len(ev["pos_tags"])
     # deps re-indexed into the eventuality's own 0..n-1 space
     n = len(ev["words"])
-    for d in ev["deps"]:
-        assert 0 <= d["gov"] < n and 0 <= d["dep"] < n
+    for g, _lab, dp in ev["deps"]:
+        assert 0 <= g < n and 0 <= dp < n
     # wrong relation -> no eventualities
     assert match_row([p], "isA", toks, lems, pos, deps) == []
 

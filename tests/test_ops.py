@@ -1,0 +1,206 @@
+"""Tests for the training-data ops suite (dedup / similarity / text /
+relational / multimodal) against DuckDB or numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_vs_duckdb():
+    import duckdb
+
+    from folkscope_ray.ops.dedup import exact_dedup
+
+    got = exact_dedup(_docs()).to_pandas().sort_values("content_hash").reset_index(drop=True)
+    want = (
+        duckdb.sql(
+            f"""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dupes
+                FROM read_parquet('{SF}/documents.parquet') GROUP BY md5(text) ORDER BY content_hash"""
+        ).fetchdf()
+    )
+    assert got["content_hash"].tolist() == want["content_hash"].tolist()
+    assert got["keep_id"].tolist() == want["keep_id"].tolist()
+    assert got["n_dupes"].astype(int).tolist() == want["n_dupes"].astype(int).tolist()
+
+
+def test_minhash_lsh_finds_planted_near_dups(ray_session=None):
+    import ray.data as rd
+
+    from folkscope_ray.ops.dedup import minhash_lsh_components
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    rows = [{"doc_id": 0, "text": base},
+            {"doc_id": 1, "text": base + " again"},          # near-dup of 0
+            {"doc_id": 2, "text": base.replace("quick", "slow")},  # near-dup of 0
+            {"doc_id": 3, "text": "completely different content about databases and indexes and storage"},
+            {"doc_id": 4, "text": "completely different content about databases and indexes and storage systems"}]
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    comp = minhash_lsh_components(ds)
+    assert comp[0] == comp[1] == comp[2]
+    assert comp[3] == comp[4]
+    assert comp[0] != comp[3]
+
+
+def test_simhash_close_for_similar_texts():
+    from folkscope_ray.ops.dedup import simhash64
+
+    a = simhash64("the quick brown fox jumps over the lazy dog near the river bank")
+    b = simhash64("the quick brown fox jumps over the lazy cat near the river bank")
+    c = simhash64("databases indexes storage engines compaction levels bloom filters")
+    ham_ab = bin(a ^ b).count("1")
+    ham_ac = bin(a ^ c).count("1")
+    assert ham_ab < ham_ac
+    assert simhash64("x y z") == simhash64("x y z")
+
+
+def test_ngram_jaccard():
+    from folkscope_ray.ops.dedup import ngram_jaccard
+
+    assert ngram_jaccard("a b c d", "a b c d") == 1.0
+    assert ngram_jaccard("a b c d", "x y z w") == 0.0
+    assert 0.0 < ngram_jaccard("a b c d e", "a b c d x") < 1.0
+
+
+def test_brute_force_topk_matches_numpy():
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import brute_force_topk
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((200, 16))
+    df = pd.DataFrame({"vec_id": np.arange(200), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    q = rng.standard_normal(16)
+    got = brute_force_topk(ds, np.asarray([q]), k=5)
+    qn = q / np.linalg.norm(q)
+    vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = vn @ qn
+    want = np.argsort(-sims)[:5]
+    assert got["vec_id"].tolist() == want.tolist()
+    assert np.allclose(got["cosine"].to_numpy(), sims[want])
+
+
+def test_lsh_topk_subset_of_exact():
+    import ray
+
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import LshTopK, hyperplanes
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((300, 8))
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    q = vecs[0] + 0.01 * rng.standard_normal(8)
+    planes = hyperplanes(8, n_planes=4)
+    out = ds.map_batches(
+        LshTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={
+            "queries_ref": ray.put(np.asarray([q])),
+            "planes_ref": ray.put(planes),
+            "k": 5,
+        },
+        concurrency=1,
+    ).to_pandas()
+    # the query's own near-copy must be found (same bucket by construction)
+    assert 0 in out["vec_id"].tolist()
+
+
+def test_token_count_matches_python_split():
+    from folkscope_ray.ops.text import token_count_batch
+
+    batch = pa.table({"doc_id": [1, 2, 3], "text": ["a b  c", "", "  x "]})
+    out = token_count_batch(batch)
+    assert out.column("n_words").to_pylist() == [3, 0, 1]
+
+
+def test_quality_and_langid():
+    from folkscope_ray.ops.text import LangId, quality_batch
+
+    batch = pa.table(
+        {"doc_id": [1, 2],
+         "text": ["The cat and the dog sat in the garden of the house for a day.",
+                  "@@@@ #### !!!! %%%% ^^^^"]}
+    )
+    out = quality_batch(batch)
+    q = out.column("quality_score").to_pylist()
+    assert q[0] > q[1]
+    lang = LangId()(out).column("lang_guess").to_pylist()
+    assert lang[0] == "en"
+
+
+def test_fingerprint_deterministic_and_discriminative():
+    from folkscope_ray.ops.text import fingerprint_batch
+
+    t1 = "some longer document text that exceeds the fingerprint window easily"
+    t2 = "a completely different body of text with other words inside it today"
+    b = pa.table({"doc_id": [1, 2, 3], "text": [t1, t2, t1]})
+    fps = fingerprint_batch(b).column("fingerprint").to_pylist()
+    assert fps[0] == fps[2] != fps[1]
+
+
+def test_hash_join_matches_duckdb():
+    import duckdb
+
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import hash_join
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    li = li.map_batches(
+        lambda b: b.rename_columns(["o_orderkey", "l_quantity"]), batch_format="pyarrow"
+    )
+    od = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_orderstatus"])
+    got = hash_join(li, od, on="o_orderkey").to_pandas()
+    want = duckdb.sql(
+        f"""SELECT count(*) AS n FROM read_parquet('{SF}/lineitem.parquet') l
+            JOIN read_parquet('{SF}/orders.parquet') o ON l.l_orderkey = o.o_orderkey"""
+    ).fetchone()[0]
+    assert len(got) == want
+
+
+def test_salted_aggregate_skewed_key():
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import salted_aggregate
+
+    # 90% of rows share one hot key — the salted two-phase agg must be exact
+    n = 10_000
+    keys = np.where(np.arange(n) % 10 < 9, "hot", "cold")
+    vals = np.ones(n)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys, "v": vals}))
+    out = salted_aggregate(ds, "k", "v").to_pandas().set_index("k")
+    assert out.loc["hot", "sum_v"] == 9000.0 and out.loc["hot", "n"] == 9000
+    assert out.loc["cold", "sum_v"] == 1000.0 and out.loc["cold", "n"] == 1000
+
+
+def test_multimodal_plumbing():
+    import ray.data as rd
+
+    from folkscope_ray.ops.multimodal import (
+        FrameSampler,
+        ImageFeatures,
+        synthetic_media_table,
+    )
+
+    media = rd.from_arrow(synthetic_media_table(30))
+    feats = media.map_batches(ImageFeatures, batch_format="pyarrow", batch_size=8,
+                              concurrency=1).to_pandas()
+    assert len(feats) == 10  # every 3rd row is an image
+    assert all(len(m) == 3 for m in feats["channel_mean"])
+    frames = media.map_batches(FrameSampler, batch_format="pyarrow", batch_size=8,
+                               concurrency=1).to_pandas()
+    assert len(frames) == 10 * 4  # every 3rd row is a video, k=4 frames each
+    assert frames.groupby("media_id")["frame_idx"].count().eq(4).all()

@@ -1,0 +1,111 @@
+"""Self-check harness approximating the driver's correctness compare:
+row-count + schema + order-insensitive value compare per query vs DuckDB.
+
+Usage: python tools/check_queries.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+
+def to_pandas(res) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+
+    if isinstance(res, ray.data.Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(ray_df) != len(sql_df):
+        problems.append(f"rowcount ray={len(ray_df)} sql={len(sql_df)}")
+    if sorted(ray_df.columns) != sorted(sql_df.columns):
+        problems.append(f"columns ray={sorted(ray_df.columns)} sql={sorted(sql_df.columns)}")
+        return problems
+    a, b = canon(ray_df), canon(sql_df)
+    if len(a) == len(b):
+        for col in a.columns:
+            av, bv = a[col].to_numpy(), b[col].to_numpy()
+            if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+                ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9)
+                exact = (av.astype(float) == bv.astype(float)).all()
+                if not ok:
+                    problems.append(f"col {col}: float mismatch beyond tolerance")
+                elif not exact:
+                    problems.append(f"col {col}: float NOT bit-equal (hash would fail)")
+            else:
+                if not (av == bv).all():
+                    problems.append(f"col {col}: value mismatch")
+    return problems
+
+
+def main():
+    import ray
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+    ray.init(address="local", num_cpus=8, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    sys.path.insert(0, ".")
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    n_ok = n_bad = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            ray_df = to_pandas(fn(sf_dir))
+        except Exception as e:
+            print(f"FAIL {name}: ray error {type(e).__name__}: {e}")
+            n_bad += 1
+            continue
+        if name not in sqls:
+            print(f"ok(rows-only) {name}: {len(ray_df)} rows")
+            n_ok += 1
+            continue
+        try:
+            sql_df = con.execute(sqls[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: sql error {e}")
+            n_bad += 1
+            continue
+        problems = compare(name, ray_df, sql_df)
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            n_bad += 1
+        else:
+            print(f"ok {name}: {len(ray_df)} rows")
+            n_ok += 1
+    print(f"\n{n_ok} ok, {n_bad} failing")
+    ray.shutdown()
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
