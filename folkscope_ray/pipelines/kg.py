@@ -115,10 +115,77 @@ class KGPipeline:
         self._cache["parsed"] = ds
         return ds
 
+    def _stats_pass(self) -> None:
+        """ONE scan of the parsed checkpoint computes both driver-side
+        barriers: frequent-pattern mining partials (SURVEY.md A1/A2) and the
+        distinct entity surfaces for canonicalization.  Per-batch partials
+        stream back to the driver (a few dozen pattern keys + the distinct
+        norms per block — the map-side combines bound both), where a Counter
+        / set merge replaces two separate shuffle executions."""
+        import math as _math
+        from collections import Counter
+
+        from ..stages.canonicalize import (
+            DRIVER_BANDING_MAX,
+            _distinct_norms_batch,
+            build_canonical_map,
+            canonical_from_norms,
+        )
+        from ..stages.mine import (
+            MIN_SUPPORT,
+            SUPPORT_FLOOR_FRAC,
+            pattern_counts_batch,
+        )
+        from ..patterns import decode_pattern, dedup_patterns
+
+        def stats_batch(batch: pa.Table) -> pa.Table:
+            pc_tbl = pattern_counts_batch(batch)
+            dn_tbl = _distinct_norms_batch(batch)
+            k1 = pc_tbl.column("pattern_key").to_pylist() + dn_tbl.column("norm").to_pylist()
+            nn = pc_tbl.column("n").to_pylist() + [0] * dn_tbl.num_rows
+            kinds = ["p"] * pc_tbl.num_rows + ["n"] * dn_tbl.num_rows
+            return pa.table(
+                {
+                    "kind": pa.array(kinds, pa.string()),
+                    "k1": pa.array(k1, pa.string()),
+                    "n": pa.array(nn, pa.int64()),
+                }
+            )
+
+        counts: Counter = Counter()
+        norms: set[str] = set()
+        total = 0
+        for tbl in self.parsed().map_batches(
+            stats_batch, batch_format="pyarrow", batch_size=None
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            if "kind" not in tbl.column_names:
+                continue
+            for kind, k1, n in zip(
+                tbl.column("kind").to_pylist(),
+                tbl.column("k1").to_pylist(),
+                tbl.column("n").to_pylist(),
+            ):
+                if kind == "p":
+                    counts[k1] += n
+                    total += n
+                else:
+                    norms.add(k1)
+        floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
+        pats = dedup_patterns(
+            [decode_pattern(k, v) for k, v in counts.items() if v >= floor]
+        )
+        if len(norms) <= DRIVER_BANDING_MAX:
+            canon = canonical_from_norms(sorted(norms))
+        else:  # fall back to the fully distributed path
+            canon = build_canonical_map(
+                self.parsed().select_columns(["surf_a", "surf_b"])
+            )
+        self._cache["patterns"] = pats
+        self._cache["canon"] = canon
+
     def patterns(self) -> list:
         if "patterns" in self._cache:
             return self._cache["patterns"]
-        pats = None
         if self.run_dir:
             fp = mf.fingerprint("patterns", self.source_path)
             if mf.stage_complete(self.run_dir, "patterns", fp):
@@ -126,22 +193,19 @@ class KGPipeline:
 
                 d = mf.stage_dir(self.run_dir, "patterns")
                 tbls = [pq.read_table(os.path.join(d, f)) for f in sorted(os.listdir(d)) if f.endswith(".parquet")]
-                pats = patterns_from_table(pa.concat_tables(tbls))
-        if pats is None:
-            pats = mine_patterns(self.parsed())
-            if self.run_dir:
-                fp = mf.fingerprint("patterns", self.source_path)
-                ds = rd.from_arrow(patterns_to_table(pats))
-                mf.checkpoint(ds, self.run_dir, "patterns", fp)
-        self._cache["patterns"] = pats
-        return pats
+                self._cache["patterns"] = patterns_from_table(pa.concat_tables(tbls))
+                return self._cache["patterns"]
+        self._stats_pass()
+        if self.run_dir:
+            fp = mf.fingerprint("patterns", self.source_path)
+            ds = rd.from_arrow(patterns_to_table(self._cache["patterns"]))
+            mf.checkpoint(ds, self.run_dir, "patterns", fp)
+        return self._cache["patterns"]
 
     def canonical_map(self) -> dict:
-        """Surface->canonical map, built from the parsed checkpoint (which
-        carries surf_a/surf_b) so the source table is scanned exactly once."""
+        """Surface->canonical map (built in the fused stats pass)."""
         if "canon" not in self._cache:
-            surfaces = self.parsed().select_columns(["surf_a", "surf_b"])
-            self._cache["canon"] = build_canonical_map(surfaces)
+            self._stats_pass()
         return self._cache["canon"]
 
     def eventualities(self) -> Dataset:
@@ -174,6 +238,7 @@ class KGPipeline:
         def pack(batch: pa.Table) -> pa.Table:
             from ..stages.parse import iter_deps, iter_strlists
 
+            eids = batch.column("eid").to_pylist()
             payloads = [
                 json.dumps([w, p, [list(d) for d in dd], sk, pat, rel])
                 for w, p, dd, sk, pat, rel in zip(
@@ -185,12 +250,24 @@ class KGPipeline:
                     batch.column("rel").to_pylist(),
                 )
             ]
+            nb = 4 * _cpus()
+            buckets = [int(e[:8], 16) % nb for e in eids]
             return pa.table(
                 {
+                    "bucket": pa.array(buckets, pa.int32()),
                     "eid": batch.column("eid"),
                     "payload": pa.array(payloads, pa.string()),
                     "frequency": batch.column("frequency"),
                 }
+            )
+
+        def bucket_merge(df):
+            return (
+                df.groupby("eid", sort=False)
+                .agg(payload=("payload", "first"),
+                     frequency=("frequency", "sum"),
+                     support=("payload", "size"))
+                .reset_index()
             )
 
         from ..stages.parse import DEP_STRUCT
@@ -222,12 +299,8 @@ class KGPipeline:
         return (
             self.eventualities()
             .map_batches(pack, batch_format="pyarrow")
-            .groupby("eid")
-            .aggregate(
-                Min("payload", alias_name="payload"),
-                Sum("frequency", alias_name="frequency"),
-                Count(alias_name="support"),
-            )
+            .groupby("bucket")
+            .map_groups(bucket_merge, batch_format="pandas")
             .map_batches(unpack, batch_format="pyarrow")
         )
 
@@ -297,13 +370,15 @@ class KGPipeline:
             vals = [acc[k] for k in keys]
             from ..util import stable_u64
 
-            # group on a 64-bit key hash: int sort-shuffle is far cheaper
-            # than sorting three string columns (collision odds ~1e-9 at 10^5
-            # triples; at 10^9+ keys switch to a 128-bit hash)
-            tkeys = [stable_u64(*k) % (1 << 63) for k in keys]
+            # shuffle on a hash BUCKET (≈4×cpus of them), not on the raw key:
+            # with ~1 output row per key, per-group accumulator overhead in a
+            # keyed aggregate dwarfs the actual math.  Per bucket we instead
+            # run one VECTORIZED pandas groupby (bucket_combine below).
+            nb = 4 * _cpus()
+            buckets = [stable_u64(*k) % nb for k in keys]
             return pa.table(
                 {
-                    "tkey": pa.array(tkeys, pa.int64()),
+                    "bucket": pa.array(buckets, pa.int32()),
                     "subj": pa.array([k[0] for k in keys], pa.string()),
                     "pred": pa.array([k[1] for k in keys], pa.string()),
                     "obj": pa.array([k[2] for k in keys], pa.string()),
@@ -315,26 +390,30 @@ class KGPipeline:
                 }
             )
 
+        def bucket_combine(df):
+            return (
+                df.groupby(["subj", "pred", "obj"], sort=False)
+                .agg(
+                    support=("support_p", "sum"),
+                    frequency=("frequency_p", "sum"),
+                    plausibility=("plausibility_p", "max"),
+                    typicality=("typicality_p", "max"),
+                    lineage=("lineage_p", "min"),
+                )
+                .reset_index()
+            )
+
         agg = (
             self.eventualities()
             .map_batches(to_triple_partials, batch_format="pyarrow")
-            .groupby("tkey")
-            .aggregate(
-                Min("subj", alias_name="subj"),
-                Min("pred", alias_name="pred"),
-                Min("obj", alias_name="obj"),
-                Sum("support_p", alias_name="support"),
-                Sum("frequency_p", alias_name="frequency"),
-                Max("plausibility_p", alias_name="plausibility"),
-                Max("typicality_p", alias_name="typicality"),
-                Min("lineage_p", alias_name="lineage"),
-            )
+            .groupby("bucket")
+            .map_groups(bucket_combine, batch_format="pandas")
         )
 
         def unpack(batch: pa.Table) -> pa.Table:
             lin = batch.column("lineage").to_pylist()
             repo, path, commit, sha = zip(*(l.split("\t") for l in lin)) if lin else ((), (), (), ())
-            out = batch.drop_columns(["lineage", "tkey"])
+            out = batch.drop_columns(["lineage"])
             out = out.append_column("repo", pa.array(list(repo), pa.string()))
             out = out.append_column("path", pa.array(list(path), pa.string()))
             out = out.append_column("commit", pa.array(list(commit), pa.string()))

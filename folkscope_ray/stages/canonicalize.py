@@ -213,31 +213,38 @@ def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
         distinct = None
         norm_list = sorted(seen)
 
+    if len(norm_list) <= DRIVER_BANDING_MAX:
+        return canonical_from_norms(norm_list)
     uf = UnionFind()
     for n in norm_list:
         uf.find(n)
-    if len(norm_list) <= DRIVER_BANDING_MAX:
-        # the distinct-surface set is small: band + bucket on the driver and
-        # skip a whole distributed execution (same math, same result)
-        buckets: dict[tuple[int, int], list[str]] = {}
-        for n in norm_list:
-            for bid, bh in enumerate(band_hashes(n)):
-                buckets.setdefault((bid, bh), []).append(n)
-        edge_pairs = []
-        for members in buckets.values():
-            if len(members) > 1:
-                members = sorted(set(members))
-                edge_pairs.extend((members[0], m) for m in members[1:])
-    else:
-        bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
-        edges = bands.groupby(["band_id", "band_hash"]).map_groups(
-            _star_edges, batch_format="pandas"
-        )
-        edge_df = edges.to_pandas()
-        edge_pairs = list(zip(edge_df["a"], edge_df["b"]))
-    for a, b in edge_pairs:
+    bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
+    edges = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _star_edges, batch_format="pandas"
+    )
+    edge_df = edges.to_pandas()
+    for a, b in zip(edge_df["a"], edge_df["b"]):
         if is_near_duplicate(a, b):
             uf.union(a, b)
+    return {n: uf.find(n) for n in norm_list}
+
+
+def canonical_from_norms(norm_list: list[str]) -> dict[str, str]:
+    """Driver-side banding + union-find over a (small) distinct-norm list —
+    the same minhash-LSH math as the distributed path, minus the shuffle."""
+    uf = UnionFind()
+    buckets: dict[tuple[int, int], list[str]] = {}
+    for n in norm_list:
+        uf.find(n)
+        for bid, bh in enumerate(band_hashes(n)):
+            buckets.setdefault((bid, bh), []).append(n)
+    for members in buckets.values():
+        if len(members) > 1:
+            members = sorted(set(members))
+            root = members[0]
+            for m in members[1:]:
+                if is_near_duplicate(root, m):
+                    uf.union(root, m)
     return {n: uf.find(n) for n in norm_list}
 
 
