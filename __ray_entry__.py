@@ -315,25 +315,31 @@ def _q_avg_doc_len_by_lang(sf_dir: str):
 
 # ---------------------------------------------- non-SQL-expressible queries
 
-def _q_kg_triples(sf_dir: str):
+_KG_CACHE: dict = {}
+
+
+def _kg_for(sf_dir: str):
+    """One shared KGPipeline per sf_dir so the three kg_* queries reuse the
+    parsed checkpoint / pattern / canonical-map barriers."""
     from folkscope_ray.pipelines.kg import build_kg
     from folkscope_ray.synth import corpus_for_sf
 
-    return build_kg(corpus_for_sf(sf_dir)).triples()
+    src = corpus_for_sf(sf_dir)
+    if src not in _KG_CACHE:
+        _KG_CACHE[src] = build_kg(src)
+    return _KG_CACHE[src]
+
+
+def _q_kg_triples(sf_dir: str):
+    return _kg_for(sf_dir).triples()
 
 
 def _q_kg_eventualities(sf_dir: str):
-    from folkscope_ray.pipelines.kg import build_kg
-    from folkscope_ray.synth import corpus_for_sf
-
-    return build_kg(corpus_for_sf(sf_dir)).eventualities_merged()
+    return _kg_for(sf_dir).eventualities_merged()
 
 
 def _q_kg_concept_agg(sf_dir: str):
-    from folkscope_ray.pipelines.kg import build_kg
-    from folkscope_ray.synth import corpus_for_sf
-
-    return build_kg(corpus_for_sf(sf_dir)).concept_agg()
+    return _kg_for(sf_dir).concept_agg()
 
 
 def _q_minhash_dedup_docs(sf_dir: str):

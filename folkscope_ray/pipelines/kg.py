@@ -73,7 +73,7 @@ class KGPipeline:
         # blocks and serialize the whole ingest; split the read to keep every
         # core busy.  (A real 10^12-file corpus arrives as many files and
         # needs no override.)
-        ds = rd.read_parquet(self.source_path, override_num_blocks=4 * _cpus())
+        ds = rd.read_parquet(self.source_path, override_num_blocks=2 * _cpus())
         return ds.map_batches(ingest_batch, batch_format="pyarrow", batch_size=None)
 
     def pairs(self) -> Dataset:
@@ -155,9 +155,14 @@ class KGPipeline:
         counts: Counter = Counter()
         norms: set[str] = set()
         total = 0
-        for tbl in self.parsed().map_batches(
+        # materialize the (tiny) partials first: the map pass then runs at
+        # full parallelism instead of being throttled by driver-side
+        # iter_batches backpressure, and the drain below touches only the
+        # pre-combined per-block partials
+        partials = self.parsed().map_batches(
             stats_batch, batch_format="pyarrow", batch_size=None
-        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        ).materialize()
+        for tbl in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
             if "kind" not in tbl.column_names:
                 continue
             for kind, k1, n in zip(
@@ -336,60 +341,6 @@ class KGPipeline:
         if "triples" in self._cache:
             return self._cache["triples"]
 
-        def to_triple_partials(batch: pa.Table) -> pa.Table:
-            """Map-side combine: one partial row per (subj, pred, obj) per
-            batch.  Hot triples (the skewed hot entity's pairs) collapse here
-            before the shuffle — the reducer never sees the raw row stream."""
-            from ..stages.parse import iter_strlists
-
-            canon_a = batch.column("canon_a").to_pylist()
-            canon_b = batch.column("canon_b").to_pylist()
-            words = iter_strlists(batch.column("words"))
-            rels = batch.column("rel").to_pylist()
-            plaus = batch.column("plausibility").to_pylist()
-            typic = batch.column("typicality").to_pylist()
-            freqs = batch.column("frequency").to_pylist()
-            repos = batch.column("repo").to_pylist()
-            paths = batch.column("path").to_pylist()
-            commits = batch.column("commit").to_pylist()
-            shas = batch.column("content_sha256").to_pylist()
-            acc: dict[tuple, list] = {}
-            for i in range(batch.num_rows):
-                key = (f"{canon_a[i]}-{canon_b[i]}", rels[i], " ".join(words[i]))
-                lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
-                slot = acc.get(key)
-                if slot is None:
-                    acc[key] = [1, freqs[i], plaus[i], typic[i], lin]
-                else:
-                    slot[0] += 1
-                    slot[1] += freqs[i]
-                    slot[2] = max(slot[2], plaus[i])
-                    slot[3] = max(slot[3], typic[i])
-                    slot[4] = min(slot[4], lin)
-            keys = list(acc.keys())
-            vals = [acc[k] for k in keys]
-            from ..util import stable_u64
-
-            # shuffle on a hash BUCKET (≈4×cpus of them), not on the raw key:
-            # with ~1 output row per key, per-group accumulator overhead in a
-            # keyed aggregate dwarfs the actual math.  Per bucket we instead
-            # run one VECTORIZED pandas groupby (bucket_combine below).
-            nb = 4 * _cpus()
-            buckets = [stable_u64(*k) % nb for k in keys]
-            return pa.table(
-                {
-                    "bucket": pa.array(buckets, pa.int32()),
-                    "subj": pa.array([k[0] for k in keys], pa.string()),
-                    "pred": pa.array([k[1] for k in keys], pa.string()),
-                    "obj": pa.array([k[2] for k in keys], pa.string()),
-                    "support_p": pa.array([v[0] for v in vals], pa.int64()),
-                    "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
-                    "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
-                    "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
-                    "lineage_p": pa.array([v[4] for v in vals], pa.string()),
-                }
-            )
-
         def bucket_combine(df):
             return (
                 df.groupby(["subj", "pred", "obj"], sort=False)
@@ -403,9 +354,25 @@ class KGPipeline:
                 .reset_index()
             )
 
+        # Fused match -> per-block (subj, pred, obj) partials: the map side
+        # never materializes the per-event table, and hot triples (the skewed
+        # hot entity's pairs) collapse inside each block BEFORE the shuffle —
+        # the reducer sees pre-combined partials, never the raw row stream.
+        # The shuffle keys on a hash BUCKET (≈4×cpus of them), not the raw
+        # 3-string key: with ~1 output row per key, per-group accumulator
+        # overhead in a keyed aggregate dwarfs the math, so each bucket runs
+        # one VECTORIZED pandas groupby instead (bucket_combine above).
+        from ..stages.match import make_triple_partials_fn
+
+        pat_ref = ray.put(self.patterns())
+        canon_ref = ray.put(self.canonical_map())
         agg = (
-            self.eventualities()
-            .map_batches(to_triple_partials, batch_format="pyarrow")
+            self.parsed()
+            .map_batches(
+                make_triple_partials_fn(pat_ref, canon_ref, 4 * _cpus()),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
             .groupby("bucket")
             .map_groups(bucket_combine, batch_format="pandas")
         )

@@ -191,7 +191,7 @@ def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
     ``groupby(norm)`` + banding path run instead."""
     partials = pairs_or_surfaces.map_batches(
         _distinct_norms_batch, batch_format="pyarrow"
-    )
+    ).materialize()  # tiny per-block partials; full-parallel map pass
     seen: set[str] = set()
     overflow = False
     for tbl in partials.iter_batches(batch_size=None, batch_format="pyarrow"):

@@ -48,6 +48,95 @@ def make_match_fn(pat_ref, canon_ref):
     return match_and_canonicalize
 
 
+def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
+    """Fused match -> per-block triple partials for the triples path.
+
+    Skips materializing the full per-event table (words/pos/deps/skeleton
+    arrays for millions of rows) when the consumer only needs aggregated
+    (subj, pred, obj) partials — the eventuality table remains available as
+    its own product via :class:`PatternMatcher`."""
+    from ..util import stable_u64
+    from .canonicalize import normalize_surface
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .parse import iter_deps, iter_strlists
+
+        key = "T" + pat_ref.hex()
+        matcher = _WORKER_CACHE.get(key)
+        if matcher is None:
+            matcher = PatternMatcher(ray.get(pat_ref))
+            _WORKER_CACHE[key] = matcher
+        ckey = "C" + canon_ref.hex()
+        canon = _WORKER_CACHE.get(ckey)
+        if canon is None:
+            canon = ray.get(canon_ref)
+            _WORKER_CACHE[ckey] = canon
+        surf_cache: dict[str, str] = _WORKER_CACHE.setdefault("surf_cache", {})
+
+        def cid(surface: str) -> str:
+            c = surf_cache.get(surface)
+            if c is None:
+                n = normalize_surface(surface)
+                c = canon.get(n, n)
+                surf_cache[surface] = c
+            return c
+
+        rels = batch.column("rel").to_pylist()
+        toks = iter_strlists(batch.column("tokens"))
+        lems = iter_strlists(batch.column("lemmas"))
+        poss = iter_strlists(batch.column("pos_tags"))
+        depss = iter_deps(batch.column("deps"))
+        surfs_a = batch.column("surf_a").to_pylist()
+        surfs_b = batch.column("surf_b").to_pylist()
+        plaus = batch.column("plausibility").to_pylist()
+        typic = batch.column("typicality").to_pylist()
+        repos = batch.column("repo").to_pylist()
+        paths = batch.column("path").to_pylist()
+        commits = batch.column("commit").to_pylist()
+        shas = batch.column("content_sha256").to_pylist()
+
+        acc: dict[tuple, list] = {}
+        for i, rel in enumerate(rels):
+            pats = matcher.by_rel.get(rel)
+            if not pats:
+                continue
+            evs = match_row(pats, rel, toks[i], lems[i], poss[i], depss[i])
+            if not evs:
+                continue
+            subj = f"{cid(surfs_a[i])}-{cid(surfs_b[i])}"
+            lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
+            for ev in evs:
+                k = (subj, rel, " ".join(ev["words"]))
+                slot = acc.get(k)
+                if slot is None:
+                    acc[k] = [1, ev["frequency"], plaus[i], typic[i], lin]
+                else:
+                    slot[0] += 1
+                    slot[1] += ev["frequency"]
+                    slot[2] = max(slot[2], plaus[i])
+                    slot[3] = max(slot[3], typic[i])
+                    slot[4] = min(slot[4], lin)
+        keys = list(acc.keys())
+        vals = [acc[k] for k in keys]
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    [stable_u64(*k) % n_buckets for k in keys], pa.int32()
+                ),
+                "subj": pa.array([k[0] for k in keys], pa.string()),
+                "pred": pa.array([k[1] for k in keys], pa.string()),
+                "obj": pa.array([k[2] for k in keys], pa.string()),
+                "support_p": pa.array([v[0] for v in vals], pa.int64()),
+                "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
+                "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
+                "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
+                "lineage_p": pa.array([v[4] for v in vals], pa.string()),
+            }
+        )
+
+    return fn
+
+
 class PatternMatcher:
     """Callable for ``map_batches``; accepts the pattern list directly or as a
     ``ray.ObjectRef`` (broadcast — resolved once per worker, not per batch)."""

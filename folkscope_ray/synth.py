@@ -184,7 +184,11 @@ def build_corpus_table(n_files: int) -> pa.Table:
 
 
 def n_files_for_sf(sf: float) -> int:
-    return max(100, int(sf * 200_000))
+    """Corpus size per scale factor — sized so that at the bench scale
+    (sf=0.1 -> 60k files) per-row compute dominates Ray's fixed per-execution
+    overheads and measured scaling efficiency reflects the pipeline, not the
+    executor's constant costs."""
+    return max(100, int(sf * 600_000))
 
 
 def sf_of_dir(sf_dir: str) -> float:

@@ -70,8 +70,11 @@ def test_resume_skips_completed_stages(corpus_200, tmp_path):
         for f in os.listdir(run_dir)
         if f.endswith(".manifest.json")
     }
+    # the triples path checkpoints parsed/patterns/triples; the per-event
+    # "eventualities" checkpoint belongs to the eventuality product path
+    # (triples now fuse match->partials without materializing per-event rows)
     assert {"parsed.manifest.json", "patterns.manifest.json",
-            "eventualities.manifest.json", "triples.manifest.json"} <= set(manifests)
+            "triples.manifest.json"} <= set(manifests)
 
     kg2 = build_kg(corpus_200, run_dir=run_dir)
     t2 = kg2.triples().to_pandas()
