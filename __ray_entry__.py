@@ -434,6 +434,64 @@ def _q_ann_lsh_topk(sf_dir: str):
     return out.drop(columns=["query_id"]).reset_index(drop=True)
 
 
+def _q_session_windows_events(sf_dir: str):
+    from folkscope_ray.ops.relational import session_windows
+
+    return session_windows(
+        _rp(sf_dir, "events"), ts_col="ts", key_col="user_id",
+        id_col="event_id", gap_s=1800,
+    )
+
+
+def _q_topk_per_group_orders(sf_dir: str):
+    """Top-3 orders per o_orderpriority by totalprice (per-group top-k)."""
+    import pandas as pd
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["o_totalprice", "o_orderkey"],
+                             ascending=[False, True]).head(3)
+
+    return (
+        _rp(sf_dir, "orders")
+        .select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
+        .groupby("o_orderpriority")
+        .map_groups(top3, batch_format="pandas")
+    )
+
+
+def _q_dedup_keep_rows(sf_dir: str):
+    """Rows that survive exact dedup (semi-join against the winner set)."""
+    import pyarrow as _pa
+
+    from folkscope_ray.ops.dedup import exact_dedup
+
+    winners = set(
+        exact_dedup(_rp(sf_dir, "documents")).to_pandas()["keep_id"]
+    )
+    import ray as _ray
+
+    wref = _ray.put(frozenset(winners))
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        w = _ray.get(wref)
+        ids = batch.column("doc_id").to_pylist()
+        return batch.filter(_pa.array([i in w for i in ids], _pa.bool_()))
+
+    return (
+        _rp(sf_dir, "documents")
+        .map_batches(keep, batch_format="pyarrow")
+        .select_columns(["doc_id", "lang", "source", "n_chars"])
+    )
+
+
+def _q_mean_vector_by_label(sf_dir: str):
+    from folkscope_ray.ops.vector import mean_vector_by_key
+
+    out = mean_vector_by_key(_rp(sf_dir, "embeddings"), key_col="label", vec_col="embedding")
+    out["mean_val"] = np.round(out["mean_val"].to_numpy() * 1e6).astype(np.int64) / 1e6
+    return out
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
@@ -468,6 +526,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "session_windows_events": _q_session_windows_events,
+        "topk_per_group_orders": _q_topk_per_group_orders,
+        "dedup_keep_rows": _q_dedup_keep_rows,
+        "mean_vector_by_label": _q_mean_vector_by_label,
     }
 
 
@@ -566,5 +628,45 @@ def oracle_sql() -> dict[str, str]:
         "avg_doc_len_by_lang": """
             SELECT lang, (round((avg(n_chars)) * 1e6)::BIGINT / 1e6) AS avg_chars, count(*) AS n
             FROM documents GROUP BY lang
+        """,
+        "session_windows_events": """
+            WITH t0 AS (
+              SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS secs, ts
+              FROM events
+            ), t AS (
+              SELECT user_id, event_id, secs,
+                     CASE WHEN secs - lag(secs) OVER w > 1800
+                          OR lag(secs) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM t0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id, secs,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM t)
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(secs) AS start_epoch, max(secs) AS end_epoch
+            FROM s GROUP BY user_id, session_id
+        """,
+        "topk_per_group_orders": """
+            SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+              SELECT o_orderpriority, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_orderpriority
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "dedup_keep_rows": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE doc_id IN (
+              SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "mean_vector_by_label": """
+            SELECT label, dim,
+                   (round((avg(v)) * 1e6)::BIGINT / 1e6) AS mean_val
+            FROM (SELECT label,
+                         generate_subscripts(embedding, 1) - 1 AS dim,
+                         unnest(embedding::DOUBLE[]) AS v
+                  FROM embeddings)
+            GROUP BY label, dim
         """,
     }

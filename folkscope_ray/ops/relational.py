@@ -142,3 +142,36 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
             Mean(value_col, alias_name=f"mean_{value_col}"),
         )
     )
+
+
+def session_windows(events: Dataset, ts_col: str, key_col: str, id_col: str,
+                    gap_s: int) -> Dataset:
+    """Per-key session windows (gap-based): rows more than ``gap_s`` apart
+    start a new session.  Shuffle keyed on ``key_col``; the per-group pandas
+    body sorts by (ts, id) and runs the vectorized gaps-and-islands
+    computation.  Ordering assumption: each key's full history fits one group
+    (the same assumption the reference's batch jobs make — SURVEY.md §2.10).
+
+    Returns (key, session_id, n_events, start_epoch, end_epoch)."""
+    import pandas as pd
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        # normalize to epoch seconds regardless of datetime64 resolution
+        secs = g[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        new_session = (secs - secs.shift(1)).fillna(gap_s + 1) > gap_s
+        sid = new_session.cumsum()
+        out = (
+            pd.DataFrame({key_col: g[key_col], "session_id": sid, "secs": secs})
+            .groupby([key_col, "session_id"], sort=False)
+            .agg(n_events=("secs", "size"), start_epoch=("secs", "min"),
+                 end_epoch=("secs", "max"))
+            .reset_index()
+        )
+        return out
+
+    return (
+        events.select_columns([ts_col, key_col, id_col])
+        .groupby(key_col)
+        .map_groups(per_key, batch_format="pandas")
+    )

@@ -95,6 +95,27 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+# cleaning semantics per the reference's clean_sentence
+# (src/pattern/utils.py:195-214): drop non-ASCII, collapse <ref ...> tags,
+# rewrite URLs to a placeholder, squeeze whitespace.  The URL regex here is a
+# compact equivalent, not the reference's 4KB TLD enumeration.
+_REF_TAG_RE = re.compile(r"<ref[^>]*>")
+_URL_RE = re.compile(r"\bhttps?://[^\s<>\"]+|\bwww\.[^\s<>\"]+", re.I)
+_WS_RE = re.compile(r"\s+")
+
+
+def clean_text(text: str) -> str:
+    t = text.encode("ascii", "ignore").decode("ascii")
+    t = _REF_TAG_RE.sub("<ref>", t)
+    t = _URL_RE.sub("<url>", t)
+    return _WS_RE.sub(" ", t).strip()
+
+
+def clean_text_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    cleaned = [clean_text(t) for t in batch.column(text_col).to_pylist()]
+    return batch.append_column("clean_text", pa.array(cleaned, pa.string()))
+
+
 def fingerprint_batch(batch: pa.Table, text_col: str = "text",
                       window: int = 16) -> pa.Table:
     """Winnowing-style document fingerprint: min rolling hash per window,

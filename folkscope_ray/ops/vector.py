@@ -1,0 +1,51 @@
+"""Vector-column aggregation: per-key mean pooling of embeddings.
+
+The analogue of the reference's per-asin mean-pool of SBERT edge embeddings
+(src/recommendation/preprocess.py:216-234), expressed scale-first: each batch
+computes one (key -> sum-vector, count) PARTIAL with numpy, the groupby only
+shuffles the tiny partials, and a final vectorized combine divides.  No raw
+embedding row ever crosses the shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str) -> pd.DataFrame:
+    """Returns a DataFrame (key, dim, mean_val) — exploded per dimension so
+    the result is flat-schema (and SQL-comparable)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        sums: dict = {}
+        counts: dict = {}
+        for k, v in zip(keys, vecs):
+            if k in sums:
+                sums[k] += v
+                counts[k] += 1
+            else:
+                sums[k] = v.copy()
+                counts[k] = 1
+        ks = list(sums.keys())
+        return pa.table(
+            {
+                key_col: pa.array(ks),
+                "vsum": pa.array([sums[k].tolist() for k in ks], pa.list_(pa.float64())),
+                "n": pa.array([counts[k] for k in ks], pa.int64()),
+            }
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_rows = []
+    for k, grp in parts.groupby(key_col):
+        total = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
+        n = int(grp["n"].sum())
+        mean = total / n
+        for d, val in enumerate(mean):
+            out_rows.append({key_col: k, "dim": d, "mean_val": float(val)})
+    return pd.DataFrame(out_rows).sort_values([key_col, "dim"]).reset_index(drop=True)

@@ -117,6 +117,51 @@ def pattern_of_parsed(rel: str, pos_tags, deps) -> str:
     return encode_pattern(rel, verts, edges)
 
 
+# -------------------------------------------------- gSpan text interop
+
+def patterns_to_lg(patterns: list["Pattern"]) -> str:
+    """Serialize patterns in the gSpan ``.lg`` text form the reference's
+    miner writes/reads (``t # freq`` / ``v id label`` / ``e u v label`` —
+    pattern_miner.py:321-328 / 19-104), for interop with external tooling."""
+    lines = []
+    for p in patterns:
+        lines.append(f"t # {p.support}")
+        for i, tag in enumerate(p.verts):
+            lines.append(f"v {i} {tag}")
+        for g, l, d in p.edges:
+            lines.append(f"e {g} {d} {l}")
+    return "\n".join(lines) + "\n"
+
+
+def patterns_from_lg(text: str, rel: str) -> list["Pattern"]:
+    """Parse gSpan ``.lg`` text back into Pattern objects (one relation per
+    file, as in the reference's per-relation freq files)."""
+    out: list[Pattern] = []
+    verts: list[str] = []
+    edges: list[tuple[int, str, int]] = []
+    support = 0
+
+    def flush():
+        if verts:
+            out.append(Pattern(rel, tuple(verts), tuple(sorted(edges)), support))
+
+    for line in text.splitlines():
+        parts = line.split()
+        if not parts:
+            continue
+        if parts[0] == "t":
+            flush()
+            verts, edges = [], []
+            support = int(parts[-1]) if parts[-1].isdigit() else 0
+        elif parts[0] == "v":
+            assert int(parts[1]) == len(verts)
+            verts.append(parts[2])
+        elif parts[0] == "e":
+            edges.append((int(parts[1]), parts[3], int(parts[2])))
+    flush()
+    return out
+
+
 # --------------------------------------------------- subgraph isomorphism
 
 def _label_multiset_dominated(p_verts, g_verts) -> bool:

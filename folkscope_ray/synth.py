@@ -262,6 +262,36 @@ def taxonomy_rows() -> list[dict]:
     return rows
 
 
+def annotations_rows(n: int = 500) -> list[dict]:
+    """Synthetic critic-eval labels (FIXTURES.md §4): pair_key, assertion with
+    Item A/B placeholders (substitution semantics per
+    src/classifier/run_classification.py:479-482), majority_answer in
+    {"v","i"} (label vocabulary per run_classification.py:326-341), quality
+    in [0,1].  Labels correlate with the deterministic critic score so PR
+    curves are non-degenerate."""
+    from .util import md5_hex, stable_uniform
+
+    rows = []
+    for i in range(n):
+        a = _ENTITIES[stable_u64("ann_a", SEED, i) % _N_ENT]
+        b = _ENTITIES[stable_u64("ann_b", SEED, i) % _N_ENT]
+        rel = ("usedFor", "isA", "hasA", "cause")[i % 4]
+        key = md5_hex(f"{a}-{b}-{rel}")
+        assertion = "Item A and Item B are both used for " + ACT[i % len(ACT)]
+        score_signal = stable_uniform("ann_s", SEED, i)
+        noise = stable_uniform("ann_n", SEED, i)
+        label = "v" if (0.7 * score_signal + 0.3 * noise) > 0.5 else "i"
+        rows.append(
+            {
+                "pair_key": key,
+                "assertion": assertion,
+                "majority_answer": label,
+                "quality": round(score_signal, 4),
+            }
+        )
+    return rows
+
+
 def taxonomy_table() -> pa.Table:
     return pa.Table.from_pylist(
         taxonomy_rows(),

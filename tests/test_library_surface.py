@@ -1,0 +1,113 @@
+"""Tests for the user-extension surface: extractor API, metrics, pattern
+text interop, cleaning, new relational ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from folkscope_ray.extractor import EventualityExtractor
+from folkscope_ray.functions.metrics import (
+    classification_metrics,
+    pr_curve,
+    score_to_label,
+    threshold_for_precision,
+)
+from folkscope_ray.lexicon import assertion_text
+from folkscope_ray.patterns import (
+    decode_pattern,
+    pattern_of_parsed,
+    patterns_from_lg,
+    patterns_to_lg,
+)
+from folkscope_ray.stages.parse import parse_assertion
+from folkscope_ray.synth import annotations_rows
+
+
+def _pattern_for(rel: str, gen_idx: int = 0):
+    text = assertion_text(rel, "json_parser", "lru_cache", gen_idx)
+    toks, lems, pos, deps = parse_assertion(rel, text)
+    return decode_pattern(pattern_of_parsed(rel, pos, deps), 5)
+
+
+def test_extractor_from_text_and_any():
+    p = _pattern_for("usedFor")
+    ex = EventualityExtractor([p])
+    text = assertion_text("usedFor", "json_parser", "lru_cache", 0)
+    evs = ex.extract_from_text("usedFor", text)
+    assert len(evs) == 1 and evs[0]["words"][0] == "they"
+    assert ex.extract_from_text("usedFor", "unrelated text") == []
+    assert ex.extract_from_text("isA", text) == []
+    assert len(ex.extract_any(text)) == 1
+
+
+def test_pattern_lg_roundtrip():
+    pats = [_pattern_for("usedFor"), _pattern_for("isA")]
+    text = patterns_to_lg(pats)
+    assert text.startswith("t # 5\n")
+    back_used = patterns_from_lg(text, "usedFor")
+    assert len(back_used) == 2
+    assert back_used[0].verts == pats[0].verts
+    assert set(back_used[0].edges) == set(pats[0].edges)
+
+
+def test_metrics_math():
+    labels = ["v", "v", "i", "i"]
+    preds = ["v", "i", "v", "i"]
+    m = classification_metrics(labels, preds)
+    assert m["tp"] == 1 and m["fp"] == 1 and m["fn"] == 1 and m["tn"] == 1
+    assert m["precision"] == 0.5 and m["recall"] == 0.5 and m["accuracy"] == 0.5
+    assert (score_to_label([0.4, 0.6], 0.5) == np.array(["i", "v"])).all()
+
+
+def test_pr_threshold_selection_on_annotations():
+    rows = annotations_rows(500)
+    labels = [r["majority_answer"] for r in rows]
+    scores = [r["quality"] for r in rows]
+    ts, ps, rs = pr_curve(labels, scores)
+    # precision grows toward high thresholds (last point is degenerate: no
+    # predictions above t=1.0 -> precision 0)
+    assert ps[-2] >= ps[0]
+    assert rs[0] == 1.0  # threshold 0 predicts everything positive
+    t = threshold_for_precision(labels, scores, 0.9)
+    assert t is not None
+    m = classification_metrics(labels, score_to_label(scores, t))
+    assert m["precision"] >= 0.9
+
+
+def test_clean_text_semantics():
+    from folkscope_ray.ops.text import clean_text
+
+    assert clean_text("héllo  <ref name=x>cite</ref> see https://a.b/c ok") == \
+        "hllo <ref>cite</ref> see <url> ok"
+
+
+def test_session_windows_gap_logic():
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import session_windows
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i, off in enumerate([0, 100, 200, 5000, 5100]):  # gap 1800s splits at idx 3
+        rows.append({"event_id": i, "user_id": 1, "ts": base + pd.Timedelta(seconds=off)})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    out = session_windows(ds, "ts", "user_id", "event_id", gap_s=1800).to_pandas()
+    out = out.sort_values("session_id").reset_index(drop=True)
+    assert len(out) == 2
+    assert out.loc[0, "n_events"] == 3 and out.loc[1, "n_events"] == 2
+
+
+def test_mean_vector_by_key():
+    import ray.data as rd
+
+    from folkscope_ray.ops.vector import mean_vector_by_key
+
+    df = pd.DataFrame(
+        {"label": [0, 0, 1], "embedding": [[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]]}
+    )
+    out = mean_vector_by_key(rd.from_pandas(df), "label", "embedding")
+    got = {(r.label, r.dim): r.mean_val for r in out.itertuples()}
+    assert got[(0, 0)] == 2.0 and got[(0, 1)] == 3.0
+    assert got[(1, 0)] == 5.0 and got[(1, 1)] == 6.0
