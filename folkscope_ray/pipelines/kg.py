@@ -320,20 +320,33 @@ class KGPipeline:
         )
 
     def concept_agg(self) -> Dataset:
-        """cid-level aggregation: score = Σ score×frequency (conceptualizer.py:649-663)."""
+        """cid-level aggregation: score = Σ score×frequency
+        (conceptualizer.py:649-663).  Bucketed combine like the triple agg —
+        most cids have few instances, so a keyed aggregate would pay
+        per-group overhead on ~1-row groups."""
 
         def weighted(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
             w = pc.multiply(batch.column("score"), batch.column("frequency"))
-            return batch.append_column("weighted_score", w)
+            out = batch.append_column("weighted_score", w)
+            cids = batch.column("cid").to_pylist()
+            nb = 4 * _cpus()
+            buckets = [int(c[:8], 16) % nb for c in cids]
+            return out.append_column("cbucket", pa.array(buckets, pa.int32()))
+
+        def combine(df):
+            return (
+                df.groupby("cid", sort=False)
+                .agg(score=("weighted_score", "sum"), n_instances=("cid", "size"))
+                .reset_index()
+            )
 
         return (
             self.concepts()
             .map_batches(weighted, batch_format="pyarrow")
-            .groupby("cid")
-            .aggregate(Sum("weighted_score", alias_name="score"),
-                       Count(alias_name="n_instances"))
+            .groupby("cbucket")
+            .map_groups(combine, batch_format="pandas")
         )
 
     def triples(self) -> Dataset:

@@ -1,0 +1,65 @@
+"""Sources & sinks: pruned readers and resumable writers.
+
+Mirrors the reference's file I/O inventory (SURVEY.md §2.1 S1-S15) with the
+two rules that matter at 100 TB: PRUNE AT THE READ (column projection +
+row-group predicate pushdown via pyarrow dataset expressions) and write
+RESUMABLE partitioned layouts (state/manifest.py) — never one giant file.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+from ray.data import Dataset
+
+SOURCE_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+
+def read_source_files(path: str, *, langs: list[str] | None = None,
+                      columns: list[str] | None = None,
+                      override_num_blocks: int | None = None) -> Dataset:
+    """Read the (repo, path, commit, lang, content) table with pushdown.
+
+    ``langs`` becomes a row-group predicate (never a post-read filter);
+    ``columns`` prunes at the parquet reader so unused columns never leave
+    storage (S1/S6 discipline)."""
+    kwargs: dict = {}
+    if columns:
+        kwargs["columns"] = columns
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    if langs:
+        import pyarrow.compute as pc
+
+        kwargs["filter"] = pc.field("lang").isin(langs)
+    return rd.read_parquet(path, **kwargs)
+
+
+def read_taxonomy(path: str) -> list[tuple[str, str, int]]:
+    """(concept, instance, freq) rows for the conceptualizer actor — the
+    Probase-TSV loader analogue (conceptualizer.py:32-56); small enough to
+    load driver-side and broadcast with ray.put."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path)
+    return list(
+        zip(
+            t.column("concept").to_pylist(),
+            t.column("instance").to_pylist(),
+            t.column("freq").to_pylist(),
+        )
+    )
+
+
+def write_triples(ds: Dataset, run_dir: str, *, source_path: str) -> dict:
+    """Write triples hive-partitioned by ``pred`` with a lineage manifest;
+    a rerun with the same inputs is a no-op (resume semantics)."""
+    import tempfile
+
+    from ..state import manifest as mf
+
+    fp = mf.fingerprint("triples", source_path)
+    if not mf.stage_complete(run_dir, "triples", fp):
+        tmp_out = tempfile.mkdtemp(dir=run_dir, prefix=".triples-tmp-")
+        ds.write_parquet(tmp_out, partition_cols=["pred"])
+        return mf.finalize_stage_partitioned(run_dir, "triples", fp, tmp_out)
+    return mf.load_manifest(run_dir, "triples")

@@ -29,7 +29,7 @@ from itertools import combinations
 import pyarrow as pa
 import ray
 
-from ..util import generate_cid
+from ..util import generate_cid, sha1_hex
 
 TOP_K = 5
 MAX_CANDIDATES = 50
@@ -122,11 +122,15 @@ class Conceptualizer:
             if "frequency" in batch.column_names
             else [1.0] * len(eids)
         )
-        o_cid, o_eid, o_words, o_score, o_freq = [], [], [], [], []
+        o_cid, o_eid, o_pid, o_words, o_score, o_freq = [], [], [], [], [], []
         for eid, words, pos, freq in zip(eids, wordss, poss, freqs):
             for cw, score in conceptualize_words(self.index, words, pos):
-                o_cid.append(generate_cid(cw))
+                cid = generate_cid(cw)
+                o_cid.append(cid)
                 o_eid.append(eid)
+                # pid = sha1("{cid}${eid}") — ASERConceptInstancePair id
+                # (object.py:762-773)
+                o_pid.append(sha1_hex(f"{cid}${eid}"))
                 o_words.append(cw)
                 o_score.append(score)
                 o_freq.append(freq)
@@ -134,6 +138,7 @@ class Conceptualizer:
             {
                 "cid": pa.array(o_cid, pa.string()),
                 "eid": pa.array(o_eid, pa.string()),
+                "pid": pa.array(o_pid, pa.string()),
                 "concept_words": pa.array(o_words, pa.list_(pa.string())),
                 "score": pa.array(o_score, pa.float64()),
                 "frequency": pa.array(o_freq, pa.float64()),
