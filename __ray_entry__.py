@@ -153,7 +153,7 @@ def _q_hash_join_lineitem_orders(sf_dir: str):
 
     li = li.map_batches(ren, batch_format="pyarrow")
     od = _rp(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
-    joined = hash_join(li, od, on="o_orderkey", n_buckets=32)
+    joined = hash_join(li, od, on="o_orderkey")
     out = joined.groupby("o_orderpriority").aggregate(
         Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price")
     )

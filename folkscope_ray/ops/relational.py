@@ -45,13 +45,27 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str | list[str],
     return large.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
 
 
-def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int = 32,
+def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = None,
               how: str = "inner") -> Dataset:
-    """Partitioned hash join: bucket both sides on hash(key) % B, co-group,
-    merge per bucket.  B should exceed cluster parallelism; salt hot keys by
-    raising B (buckets are hash-spread, so one hot *key* still lands in one
-    bucket — for that case pre-aggregate or use broadcast_join on the
-    deduplicated hot side)."""
+    """Partitioned hash join on ``on``.
+
+    Uses the native hash-partitioned ``Dataset.join`` when this Ray version
+    ships it (2.47+), falling back to the portable manual shape: bucket both
+    sides on hash(key) % B, co-group, merge per bucket.  B should exceed
+    cluster parallelism; salt hot keys by raising B (buckets are hash-spread,
+    so one hot *key* still lands in one bucket — for that case pre-aggregate
+    or use broadcast_join on the deduplicated hot side)."""
+    if n_buckets is None:
+        # each partition spins up join-aggregator state; too many partitions
+        # at small scale costs more than the join (measured 4x at sf0.1)
+        try:
+            import ray as _ray
+
+            n_buckets = max(2, int(_ray.cluster_resources().get("CPU", 8)) // 4)
+        except Exception:
+            n_buckets = 8
+    if hasattr(left, "join"):
+        return left.join(right, join_type=how, num_partitions=n_buckets, on=(on,))
 
     def bucketize(side: str):
         def fn(batch: pa.Table) -> pa.Table:
