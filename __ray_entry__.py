@@ -492,6 +492,29 @@ def _q_mean_vector_by_label(sf_dir: str):
     return out
 
 
+def _q_sample_mod_docs(sf_dir: str):
+    """Deterministic key-mod sample (the reproducible analogue of the
+    reference's seeded random pair sample, generation.py:24-30,178)."""
+    return _rp(sf_dir, "documents").map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0))
+                   .select(["doc_id", "lang", "n_chars"]),
+        batch_format="pyarrow",
+    )
+
+
+def _q_union_name_counts(sf_dir: str):
+    """Dataset.union coverage (D7): region names ∪ nation names, counted."""
+    from ray.data.aggregate import Count
+
+    r = _rp(sf_dir, "region").map_batches(
+        lambda b: b.select(["r_name"]).rename_columns(["name"]), batch_format="pyarrow"
+    )
+    n = _rp(sf_dir, "nation").map_batches(
+        lambda b: b.select(["n_name"]).rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return r.union(n).groupby("name").aggregate(Count(alias_name="n"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
@@ -530,6 +553,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "mean_vector_by_label": _q_mean_vector_by_label,
+        "sample_mod_docs": _q_sample_mod_docs,
+        "union_name_counts": _q_union_name_counts,
     }
 
 
@@ -659,6 +684,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang, source, n_chars FROM documents
             WHERE doc_id IN (
               SELECT min(doc_id) FROM documents GROUP BY md5(text))
+        """,
+        "sample_mod_docs": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 8 = 0
+        """,
+        "union_name_counts": """
+            SELECT name, count(*) AS n FROM (
+              SELECT r_name AS name FROM region
+              UNION ALL SELECT n_name AS name FROM nation)
+            GROUP BY name
         """,
         "mean_vector_by_label": """
             SELECT label, dim,

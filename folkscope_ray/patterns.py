@@ -235,6 +235,20 @@ def pattern_contains(big: Pattern, small: Pattern) -> bool:
     return find_embedding(small, list(big.verts), adj) is not None
 
 
+def build_hierarchy(patterns: list[Pattern]) -> dict[str, list[str]]:
+    """Containment DAG over a pattern set: parent.key -> [child.key, ...]
+    where child ⊑ parent via subgraph isomorphism, computed with a size-sorted
+    sweep (pattern_miner.py:364-405).  Pattern sets are tiny (dozens), so
+    this is driver-side by design."""
+    ordered = sorted(patterns, key=Pattern.priority)  # big -> small
+    children: dict[str, list[str]] = {p.key: [] for p in ordered}
+    for i, big in enumerate(ordered):
+        for small in ordered[i + 1 :]:
+            if big.rel == small.rel and pattern_contains(big, small):
+                children[big.key].append(small.key)
+    return children
+
+
 def dedup_patterns(patterns: list[Pattern]) -> list[Pattern]:
     """Keep maximal patterns; merge the support of contained duplicates into
     their container (pattern_merge.py:40-60 sums counts of isomorphic dups)."""

@@ -36,6 +36,26 @@ def typicality_score(pair_key: str, gen_idx: int, assertion: str) -> float:
     return round(min(0.999, 0.05 + 0.90 * base), 6)
 
 
+def prep_critic_text(assertion: str, name_a: str, name_b: str) -> str:
+    """Classifier input prep: substitute the Item A / Item B placeholders
+    with the actual entity names (run_classification.py:479-482)."""
+    return assertion.replace("Item A", name_a).replace("Item B", name_b)
+
+
+def prep_critic_batch(batch: pa.Table, a_col: str = "surf_a",
+                      b_col: str = "surf_b",
+                      text_col: str = "assertion") -> pa.Table:
+    texts = [
+        prep_critic_text(t, a, b)
+        for t, a, b in zip(
+            batch.column(text_col).to_pylist(),
+            batch.column(a_col).to_pylist(),
+            batch.column(b_col).to_pylist(),
+        )
+    ]
+    return batch.append_column("critic_input", pa.array(texts, pa.string()))
+
+
 class Critic:
     """Actor-pool scorer: model state loads once per actor in ``__init__``."""
 

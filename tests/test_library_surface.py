@@ -111,3 +111,43 @@ def test_mean_vector_by_key():
     got = {(r.label, r.dim): r.mean_val for r in out.itertuples()}
     assert got[(0, 0)] == 2.0 and got[(0, 1)] == 3.0
     assert got[(1, 0)] == 5.0 and got[(1, 1)] == 6.0
+
+
+def test_pattern_hierarchy():
+    from folkscope_ray.patterns import build_hierarchy
+
+    big = _pattern_for("isA", 0)   # template + obj NN(s)
+    # a contained pattern: strip the last vertex and its edges
+    from folkscope_ray.patterns import Pattern
+
+    small = Pattern(
+        big.rel, big.verts[:-1],
+        tuple(e for e in big.edges if len(big.verts) - 1 not in (e[0], e[2])),
+        1,
+    )
+    h = build_hierarchy([big, small])
+    assert small.key in h[big.key]
+    assert h[small.key] == []
+
+
+def test_critic_text_prep():
+    from folkscope_ray.stages.critic import prep_critic_batch, prep_critic_text
+
+    assert prep_critic_text("Item A works with Item B", "json_parser", "lru_cache") == \
+        "json_parser works with lru_cache"
+    b = pa.table({"assertion": ["Item A and Item B"], "surf_a": ["x"], "surf_b": ["y"]})
+    out = prep_critic_batch(b)
+    assert out.column("critic_input").to_pylist() == ["x and y"]
+
+
+def test_read_source_files_pushdown(tmp_path):
+    import ray
+
+    from folkscope_ray.sources.io import read_source_files
+    from folkscope_ray.synth import corpus_path
+
+    src = corpus_path(200)
+    ds = read_source_files(src, langs=["python"], columns=["repo", "lang"])
+    df = ds.to_pandas()
+    assert set(df.columns) == {"repo", "lang"}
+    assert (df["lang"] == "python").all() and len(df) > 0
