@@ -95,6 +95,34 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out
 
 
+MAX_SENTENCE_LEN = 1024
+
+
+def split_sentences(text: str, max_len: int = MAX_SENTENCE_LEN) -> list[str]:
+    """Recursive long-text splitting: paragraphs ("\\n\\n"), then lines
+    ("\\n"), then sentence-final punctuation — the reference's recursive
+    splitter shape (src/pattern/utils.py:144-192, MAX_LEN utils.py:69) with a
+    regex sentence fallback instead of a CoreNLP ssplit call."""
+    text = text.strip()
+    if not text:
+        return []
+    if len(text) <= max_len:
+        return [text]
+    for sep in ("\n\n", "\n"):
+        if sep in text:
+            out = []
+            for part in text.split(sep):
+                out.extend(split_sentences(part, max_len))
+            return out
+    pieces = re.split(r"(?<=[.!?])\s+", text)
+    if len(pieces) > 1:
+        out = []
+        for p in pieces:
+            out.extend(split_sentences(p, max_len))
+        return out
+    return [text[i : i + max_len] for i in range(0, len(text), max_len)]
+
+
 # cleaning semantics per the reference's clean_sentence
 # (src/pattern/utils.py:195-214): drop non-ASCII, collapse <ref ...> tags,
 # rewrite URLs to a placeholder, squeeze whitespace.  The URL regex here is a

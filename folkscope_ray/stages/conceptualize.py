@@ -35,6 +35,73 @@ TOP_K = 5
 MAX_CANDIDATES = 50
 
 
+PRONOUNS = frozenset(
+    "i me my mine myself we us our ours ourselves you your yours yourself "
+    "he him his himself she her hers herself it its itself they them their "
+    "theirs themselves".split()
+)
+
+NER_TYPES = frozenset(
+    ["CITY", "ORGANIZATION", "COUNTRY", "STATE_OR_PROVINCE", "LOCATION",
+     "NATIONALITY", "PERSON"]  # TYPE_SET, src/pattern/utils.py:39
+)
+
+
+def seed_rule_conceptualize(words, ners=None):
+    """Seed-rule conceptualization: replace NER-typed words with __TYPE__k
+    placeholders and person pronouns with __PERSON__k
+    (conceptualizer.py:226-287 semantics).  ``ners`` aligns with ``words``
+    ("O" = no entity); our deterministic parser emits no NERs, so this is the
+    library surface for externally-NER-tagged inputs."""
+    ners = ners or ["O"] * len(words)
+    out = []
+    counters: dict[str, int] = {}
+    for w, ner in zip(words, ners):
+        if ner in NER_TYPES:
+            k = counters.setdefault(ner, len(counters))
+            out.append(f"__{ner}__{k}")
+        elif w.lower() in PRONOUNS:
+            k = counters.setdefault("PERSON", len(counters))
+            out.append(f"__PERSON__{k}")
+        else:
+            out.append(w)
+    return out
+
+
+def compound_segments(words, deps):
+    """Compound-dependency phrase segmentation: merge ``compound*`` edges
+    into contiguous spans (object.py:508-576; duplicate impl
+    conceptualizer.py:568-636).  Returns [(start, end)] half-open spans
+    covering every word, multi-word spans where compound chains connect
+    adjacent tokens."""
+    n = len(words)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for g, label, d in deps:
+        if label.startswith("compound") and abs(g - d) <= 3:
+            ra, rb = find(g), find(d)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, list[int]] = {}
+    for i in range(n):
+        groups.setdefault(find(i), []).append(i)
+    spans = []
+    for root in sorted(groups):
+        idxs = groups[root]
+        lo, hi = min(idxs), max(idxs) + 1
+        if hi - lo == len(idxs):  # contiguous span
+            spans.append((lo, hi))
+        else:  # non-contiguous compounds degrade to singletons
+            spans.extend((i, i + 1) for i in idxs)
+    return sorted(spans)
+
+
 class TaxonomyIndex:
     def __init__(self, rows):
         """rows: iterable of (concept, instance, freq) tuples or dicts."""

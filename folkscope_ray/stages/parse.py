@@ -25,6 +25,21 @@ from ..relations import REL_INDEX, Relation
 DEP_STRUCT = pa.struct([("gov", pa.int32()), ("rel", pa.string()), ("dep", pa.int32())])
 
 
+def slice_at_template(rel_name: str, generation: str) -> str | None:
+    """Cut a raw generation at the relation's template prefix — the
+    reference's assertion prefix slicer (generation_parser.py:128-138).
+    Returns the template-anchored suffix sentence, or None when the template
+    never occurs in the generation."""
+    r = REL_INDEX.get(rel_name)
+    if r is None or not r.tokens:
+        return None
+    prefix = " ".join(r.tokens)
+    idx = generation.find(prefix)
+    if idx < 0:
+        return None
+    return generation[idx:].strip()
+
+
 def parse_assertion(rel_name: str, sentence: str):
     """Parse one assertion; returns (tokens, lemmas, pos, deps) or None.
 

@@ -151,3 +151,55 @@ def test_read_source_files_pushdown(tmp_path):
     df = ds.to_pandas()
     assert set(df.columns) == {"repo", "lang"}
     assert (df["lang"] == "python").all() and len(df) > 0
+
+
+def test_split_sentences():
+    from folkscope_ray.ops.text import split_sentences
+
+    assert split_sentences("short text") == ["short text"]
+    long = ("para one sentence. " * 40 + "\n\n" + "para two sentence. " * 40)
+    parts = split_sentences(long, max_len=200)
+    assert all(len(p) <= 200 for p in parts) and len(parts) > 2
+    assert split_sentences("") == []
+
+
+def test_slice_at_template():
+    from folkscope_ray.stages.parse import slice_at_template
+
+    gen = 'He bought "A" and "B" because they are both used for data caching'
+    assert slice_at_template("usedFor", gen) == "they are both used for data caching"
+    assert slice_at_template("usedFor", "no template here") is None
+    assert slice_at_template("open", gen) is None
+
+
+def test_seed_rule_conceptualize():
+    from folkscope_ray.stages.conceptualize import seed_rule_conceptualize
+
+    words = ["he", "visited", "paris", "with", "acme"]
+    ners = ["O", "O", "CITY", "O", "ORGANIZATION"]
+    out = seed_rule_conceptualize(words, ners)
+    assert out == ["__PERSON__0", "visited", "__CITY__1", "with", "__ORGANIZATION__2"]
+    assert seed_rule_conceptualize(["plain", "words"]) == ["plain", "words"]
+
+
+def test_compound_segments():
+    from folkscope_ray.stages.conceptualize import compound_segments
+
+    words = ["data", "cache", "is", "fast"]
+    deps = [(1, "compound", 0), (3, "nsubj", 1), (3, "cop", 2)]
+    assert compound_segments(words, deps) == [(0, 2), (2, 3), (3, 4)]
+    # no compounds -> all singleton spans
+    assert compound_segments(["a", "b"], [(1, "nsubj", 0)]) == [(0, 1), (1, 2)]
+
+
+def test_read_csv_source(tmp_path):
+    import ray.data as rd
+    import duckdb
+
+    csv = tmp_path / "region.csv"
+    duckdb.sql(
+        "COPY (SELECT * FROM read_parquet('/root/testdata/sf0.001/region.parquet')) "
+        f"TO '{csv}' (HEADER)"
+    )
+    ds = rd.read_csv(str(csv))
+    assert ds.count() == 5 and "r_name" in ds.schema().names
