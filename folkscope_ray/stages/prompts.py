@@ -17,6 +17,39 @@ from ..util import md5_hex
 
 _SUFFIXES = [r.suffix for r in RELATIONS]
 
+# single-entity predicate — the reference's single_buy variant uses column 1
+# of the prompt dict ("because the product is ...", prompt.py:41-47,66-81)
+SINGLE_PREDICATE = 'The project uses "[A]" '
+_SINGLE_SUFFIXES = [
+    r.suffix.replace("they both are", "the component is")
+    .replace("they are both", "the component is")
+    .replace("they both have", "the component has")
+    .replace("they are", "the component is")
+    .replace("they could both", "the component could")
+    for r in RELATIONS
+]
+
+
+def expand_single_prompts(batch: pa.Table, entity_col: str = "surf_a") -> pa.Table:
+    """1 entity row -> N_RELATIONS single-entity prompt rows (the single_buy
+    analogue; same fan-out law as the pair form)."""
+    n = batch.num_rows
+    if n == 0:
+        return batch
+    idx = np.repeat(np.arange(n, dtype=np.int64), N_RELATIONS)
+    rep = batch.take(pa.array(idx))
+    rels = np.tile(np.asarray(REL_NAMES, dtype=object), n)
+    ents = rep.column(entity_col).to_pylist()
+    suffixes = np.tile(np.asarray(_SINGLE_SUFFIXES, dtype=object), n)
+    prompts = [
+        SINGLE_PREDICATE.replace("[A]", e) + suf for e, suf in zip(ents, suffixes)
+    ]
+    keys = [md5_hex(f"{e}-{r}") for e, r in zip(ents, rels)]
+    out = rep.append_column("rel", pa.array(rels, pa.string()))
+    out = out.append_column("prompt", pa.array(prompts, pa.string()))
+    out = out.append_column("pair_key", pa.array(keys, pa.string()))
+    return out
+
 
 def expand_prompts(batch: pa.Table) -> pa.Table:
     """1 pair row -> N_RELATIONS prompt rows (vectorized repeat + tile)."""

@@ -109,3 +109,38 @@ def test_triples_partitioned_by_pred(corpus_200, tmp_path):
     assert len(parts) >= 15  # most of the 20 extractable relations present
     m = mfst = os.path.join(run_dir, "triples.manifest.json")
     assert os.path.exists(mfst)
+
+
+def test_hot_entity_skew_handled(kg_200):
+    """The fixture plants config_loader in ~30% of files (FIXTURES.md §1);
+    the canonicalization path must bound per-reducer work (map-side partial
+    dedup) and still cluster every variant of the hot entity."""
+    pairs = kg_200.pairs().to_pandas()
+    from folkscope_ray.stages.canonicalize import normalize_surface
+
+    hot_frac = (
+        pairs[["surf_a", "surf_b"]]
+        .apply(lambda c: c.map(lambda s: normalize_surface(s).startswith("configloader")))
+        .any(axis=1)
+        .mean()
+    )
+    assert hot_frac > 0.15  # the skew is really in the data (~30% of FILES;
+    # pair-row share is diluted by multi-pair files)
+    canon = kg_200.canonical_map()
+    hot_variants = [n for n in canon if n.startswith("configloader")]
+    assert len(hot_variants) >= 2
+    assert {canon[n] for n in hot_variants} == {"configloader"}
+
+
+def test_single_entity_prompt_fanout():
+    import pyarrow as pa
+
+    from folkscope_ray.relations import N_RELATIONS
+    from folkscope_ray.stages.prompts import expand_single_prompts
+
+    b = pa.table({"surf_a": ["json_parser", "lru_cache"]})
+    out = expand_single_prompts(b)
+    assert out.num_rows == 2 * N_RELATIONS
+    prompts = out.column("prompt").to_pylist()
+    assert all(p.startswith('The project uses "') for p in prompts)
+    assert any("the component is" in p for p in prompts)
