@@ -100,6 +100,38 @@ class ImageFeatures:
         )
 
 
+class AudioFeatures:
+    """Actor-pool stage for audio rows: (stub) decode + frame-level stats.
+
+    Emits per-clip RMS/zero-crossing-style features from deterministic fake
+    samples; a real implementation holds the codec in ``__init__``."""
+
+    def __init__(self, sample_rate: int = 16_000):
+        self.sr = sample_rate
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rms, zcr, durs = [], [], [], []
+        for row in batch.to_pylist():
+            if row["kind"] != "audio":
+                continue
+            seed = int.from_bytes(hashlib.sha256(row["payload"]).digest()[:8], "little")
+            rng = np.random.RandomState(seed % (2**32))
+            n = max(1, min(self.sr, row["duration_ms"] * self.sr // 1000))
+            wave = rng.standard_normal(n).astype(np.float32)
+            ids.append(row["media_id"])
+            rms.append(float(np.sqrt(np.mean(wave**2))))
+            zcr.append(float(np.mean(np.abs(np.diff(np.sign(wave))) > 0)))
+            durs.append(row["duration_ms"])
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zcr": pa.array(zcr, pa.float64()),
+                "duration_ms": pa.array(durs, pa.int32()),
+            }
+        )
+
+
 class FrameSampler:
     """Actor-pool stage for video rows: emit k evenly-spaced (stub) frames.
 

@@ -414,6 +414,31 @@ class KGPipeline:
         return ds
 
 
+    def run_metrics(self) -> dict:
+        """Per-stage metrics for the current run (north rule: lineage +
+        metrics): stage row counts from manifests (checkpointed runs) or
+        live counts, pattern/canonicalization cardinalities."""
+        out: dict = {"source_path": self.source_path}
+        if self.run_dir:
+            for stage in ("parsed", "patterns", "eventualities", "triples"):
+                m = mf.load_manifest(self.run_dir, stage)
+                if m:
+                    out[stage] = {"rows": m["rows"], "partitions": len(m["partitions"])}
+        if "patterns" in self._cache:
+            out["n_patterns"] = len(self._cache["patterns"])
+        if "canon" in self._cache:
+            canon = self._cache["canon"]
+            out["n_surfaces"] = len(canon)
+            out["n_canonical_entities"] = len(set(canon.values()))
+        if self.run_dir:
+            import json as _json
+
+            path = os.path.join(self.run_dir, "metrics.json")
+            with open(path, "w") as f:
+                _json.dump(out, f, indent=1)
+        return out
+
+
 def build_kg(source_path: str, run_dir: str | None = None) -> KGPipeline:
     if run_dir:
         os.makedirs(run_dir, exist_ok=True)

@@ -144,3 +144,15 @@ def test_single_entity_prompt_fanout():
     prompts = out.column("prompt").to_pylist()
     assert all(p.startswith('The project uses "') for p in prompts)
     assert any("the component is" in p for p in prompts)
+
+
+def test_run_metrics(corpus_200, tmp_path):
+    import json
+
+    run_dir = str(tmp_path / "mrun")
+    kg = build_kg(corpus_200, run_dir=run_dir)
+    kg.triples().count()
+    m = kg.run_metrics()
+    assert m["parsed"]["rows"] > 0 and m["triples"]["rows"] > 0
+    assert m["n_patterns"] > 0 and m["n_canonical_entities"] <= m["n_surfaces"]
+    assert json.load(open(f"{run_dir}/metrics.json"))["triples"]["rows"] == m["triples"]["rows"]

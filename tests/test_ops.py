@@ -204,3 +204,36 @@ def test_multimodal_plumbing():
                                concurrency=1).to_pandas()
     assert len(frames) == 10 * 4  # every 3rd row is a video, k=4 frames each
     assert frames.groupby("media_id")["frame_idx"].count().eq(4).all()
+
+
+def test_audio_features_stub():
+    import ray.data as rd
+
+    from folkscope_ray.ops.multimodal import AudioFeatures, synthetic_media_table
+
+    media = rd.from_arrow(synthetic_media_table(30))
+    feats = media.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                              concurrency=1).to_pandas()
+    assert len(feats) == 10  # every 3rd row is audio
+    assert (feats["rms"] > 0).all()
+    # deterministic: same payload -> same features
+    again = media.map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8,
+                              concurrency=1).to_pandas()
+    assert feats.sort_values("media_id").reset_index(drop=True).equals(
+        again.sort_values("media_id").reset_index(drop=True))
+
+
+def test_salted_aggregate_matches_plain():
+    import ray.data as rd
+
+    from ray.data.aggregate import Count, Sum
+
+    from folkscope_ray.ops.relational import salted_aggregate
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 5000), "v": rng.rand(5000)})
+    ds = rd.from_pandas(df)
+    salted = salted_aggregate(ds, "k", "v").to_pandas().set_index("k").sort_index()
+    plain = df.groupby("k").agg(sum_v=("v", "sum"), n=("v", "size")).sort_index()
+    assert (salted["n"] == plain["n"]).all()
+    assert np.allclose(salted["sum_v"], plain["sum_v"])
