@@ -74,12 +74,13 @@ def run_bench() -> dict:
     n_triples = kg.triples().count()
     t_kg = time.time() - t0
 
-    qs = entrymod.queries()
     q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        _consume(qs[name](SF_DIR))
-        q_times[name] = round(time.time() - t0, 3)
+    if os.environ.get("KG_BENCH_QUERIES", "1") != "0":
+        qs = entrymod.queries()
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            _consume(qs[name](SF_DIR))
+            q_times[name] = round(time.time() - t0, 3)
 
     out = {
         "metric": "kg_pipeline_e2e",
@@ -98,16 +99,27 @@ def run_bench() -> dict:
 
 def run_scaling():
     """Same job at two parallelism levels in fresh processes; report
-    throughputs + efficiency = (T_lo / T_hi) / (cpus_hi / cpus_lo)."""
+    throughputs + efficiency = (T_lo / T_hi) / (cpus_hi / cpus_lo).
+
+    Each level runs ``KG_BENCH_REPEATS`` times (default 2) and takes the MIN:
+    wall-clock variance on a shared VM is ±25%, and min-of-N is the standard
+    way to measure the pipeline rather than the neighbours."""
     lo, hi = 8, 32
+    repeats = int(os.environ.get("KG_BENCH_REPEATS", "2"))
 
     def one(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR)
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        return json.loads(out.strip().splitlines()[-1])
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=SF_DIR,
+                   KG_BENCH_QUERIES="0")
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        return best
 
     r_lo, r_hi = one(lo), one(hi)
     eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
@@ -119,6 +131,7 @@ def run_scaling():
         "cpus_lo": lo, "cpus_hi": hi,
         "files_per_sec_lo": r_lo["files_per_sec"],
         "files_per_sec_hi": r_hi["files_per_sec"],
+        "repeats": repeats,
         "sf": r_hi["sf"],
     }))
 

@@ -27,7 +27,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import AggregateFn, Count, Max, Mean, Min, Sum
+from ray.data.aggregate import Count, Mean, Sum
 
 
 def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str | list[str],

@@ -2,28 +2,29 @@
 
 The flagship pipeline (SURVEY.md §3.2 re-expressed Ray-Data-first):
 
-    read_parquet(source)                                   [pruned read]
+    read_parquet(source)                                   [pruned, split read]
       -> ingest (sha256 + entities, content dropped)       [map_batches]
       -> pairs -> 21-relation prompt fan-out               [map_batches explode]
-      -> MockGenerator actor pool (3 gens/prompt)          [actor pool]
-      -> Critic actor pool + plausibility filter           [actor pool]
-      -> deterministic parse                               [map_batches]
-      == checkpoint "parsed" (mining needs a second pass) ==
-      -> pattern mining (map-side combine + tiny groupby)  [shuffle 1]
-      -> PatternMatcher with patterns broadcast            [map_batches]
-      -> canonicalization (LSH + union-find, broadcast map)[shuffle 2, salted]
-      -> eventuality merge on eid                          [shuffle 3]
-      -> conceptualizer actor pool                         [actor pool]
-      -> triple aggregation + partitioned parquet by pred  [shuffle 4]
+      -> generation (3 gens/prompt, fixed internal batches)[tasks; actor pool for real models]
+      -> critic scoring + plausibility filter              [tasks]
+      -> deterministic parse (+ skeleton_key column)       [map_batches]
+      == checkpoint "parsed" (two-phase mining needs a second pass) ==
+      -> fused stats pass: pattern counts + distinct surfaces
+         (map-side combine -> driver merge)                [one scan]
+      -> fused match -> (subj, pred, obj) partials with
+         patterns + canonical map broadcast (ray.put once) [map_batches]
+      -> bucketed triple combine                           [shuffle: hash bucket]
+      -> canonicalization (minhash-LSH + union-find)       [driver or distributed]
+      -> eventuality merge on eid                          [shuffle: bucket(eid)]
+      -> conceptualizer actor pool -> concept aggregation  [shuffle: bucket(cid)]
+      -> partitioned parquet by pred + manifests           [resumable sink]
 
-Every shuffle key is listed in SURVEY.md §7.4.  With ``run_dir`` set, stages
-checkpoint through ``state.manifest`` and a killed run resumes without
-recomputing completed stages.
+With ``run_dir`` set, stages checkpoint through ``state.manifest`` and a
+killed run resumes without recomputing completed stages.
 """
 
 from __future__ import annotations
 
-import math
 import os
 from dataclasses import dataclass, field
 
@@ -31,15 +32,12 @@ import pyarrow as pa
 import ray
 import ray.data as rd
 from ray.data import Dataset
-from ray.data.aggregate import Count, Max, Min, Sum
 
-from ..stages.canonicalize import build_canonical_map
 from ..stages.conceptualize import Conceptualizer
-from ..stages.critic import CRITIC_BATCH_SIZE, Critic
-from ..stages.generate import GEN_BATCH_SIZE, MockGenerator
+from ..stages.critic import Critic
+from ..stages.generate import MockGenerator
 from ..stages.ingest import ingest_batch, pairs_batch
-from ..stages.match import make_match_fn
-from ..stages.mine import mine_patterns, patterns_from_table, patterns_to_table
+from ..stages.mine import patterns_from_table, patterns_to_table
 from ..stages.parse import parse_batch
 from ..stages.prompts import expand_prompts
 from ..state import manifest as mf
@@ -217,6 +215,8 @@ class KGPipeline:
         """Per-occurrence eventualities with canonical entity ids."""
         if "events" in self._cache:
             return self._cache["events"]
+        from ..stages.match import make_match_fn
+
         pat_ref = ray.put(self.patterns())
         canon_ref = ray.put(self.canonical_map())
         ds = self.parsed().map_batches(

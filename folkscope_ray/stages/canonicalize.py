@@ -121,11 +121,16 @@ def is_near_duplicate(a: str, b: str) -> bool:
 # ------------------------------------------------------------- Ray stages
 
 def _distinct_norms_batch(batch: pa.Table) -> pa.Table:
-    """Map-side combine: distinct (norm, surface-sample) pairs per batch."""
+    """Map-side combine: distinct (norm, surface-sample) pairs per batch.
+
+    ``pc.unique`` first (vectorized) — only the few hundred distinct surfaces
+    per block pay the Python normalization, not every row."""
+    import pyarrow.compute as pc
+
     seen: dict[str, str] = {}
     for col in ("surf_a", "surf_b"):
         if col in batch.column_names:
-            for s in batch.column(col).to_pylist():
+            for s in pc.unique(batch.column(col)).to_pylist():
                 n = normalize_surface(s)
                 if n not in seen or s < seen[n]:
                     seen[n] = s

@@ -86,6 +86,7 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
         lems = iter_strlists(batch.column("lemmas"))
         poss = iter_strlists(batch.column("pos_tags"))
         depss = iter_deps(batch.column("deps"))
+        texts = batch.column("assertion").to_pylist()
         surfs_a = batch.column("surf_a").to_pylist()
         surfs_b = batch.column("surf_b").to_pylist()
         plaus = batch.column("plausibility").to_pylist()
@@ -95,12 +96,20 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
         commits = batch.column("commit").to_pylist()
         shas = batch.column("content_sha256").to_pylist()
 
+        # content-addressed memoization: identical (rel, assertion) rows
+        # produce identical eventualities, and assertions repeat heavily
+        mcache: dict = _WORKER_CACHE.setdefault("mc" + pat_ref.hex(), {})
         acc: dict[tuple, list] = {}
         for i, rel in enumerate(rels):
             pats = matcher.by_rel.get(rel)
             if not pats:
                 continue
-            evs = match_row(pats, rel, toks[i], lems[i], poss[i], depss[i])
+            mk = (rel, texts[i])
+            evs = mcache.get(mk)
+            if evs is None:
+                evs = match_row(pats, rel, toks[i], lems[i], poss[i], depss[i])
+                if len(mcache) < 1_000_000:
+                    mcache[mk] = evs
             if not evs:
                 continue
             subj = f"{cid(surfs_a[i])}-{cid(surfs_b[i])}"

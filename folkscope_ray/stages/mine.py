@@ -33,7 +33,24 @@ SUPPORT_FLOOR_FRAC = 1e-4  # support ≥ N * 1e-4, pattern_miner.py:564
 
 
 def pattern_counts_batch(batch: pa.Table) -> pa.Table:
-    """Emit per-batch partial counts of canonical skeleton-pattern keys."""
+    """Emit per-batch partial counts of canonical skeleton-pattern keys.
+
+    Uses the precomputed ``skeleton_key`` column (vectorized value_counts)
+    when the parse stage provided it; falls back to recomputing per row."""
+    if "skeleton_key" in batch.column_names:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(batch.column("skeleton_key"))
+        keys = vc.field("values").to_pylist()
+        ns = vc.field("counts").to_pylist()
+        rels = [k.split("|", 1)[0] for k in keys]
+        return pa.table(
+            {
+                "rel": pa.array(rels, pa.string()),
+                "pattern_key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
     from .parse import iter_deps, iter_strlists
 
     rels = batch.column("rel").to_pylist()

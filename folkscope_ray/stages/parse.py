@@ -131,21 +131,39 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     List columns are built from flat arrays + offsets (ListArray.from_arrays)
     — an order of magnitude cheaper than pa.array on nested Python objects."""
+    from ..patterns import pattern_of_parsed
+
     rels = batch.column("rel").to_pylist()
     texts = batch.column("assertion").to_pylist()
     surfs_a = batch.column("surf_a").to_pylist()
     surfs_b = batch.column("surf_b").to_pylist()
-    keep, sids = [], []
+    keep, sids, skels = [], [], []
     tok_off, tok_flat = [0], []
     lem_flat, pos_flat = [], []
     dep_off, dep_gov, dep_lab, dep_dep = [0], [], [], []
+    # distinct assertion texts repeat heavily (closed phrase pools; real LLM
+    # generations repeat too) — memoize the parse per (rel, text) within the
+    # worker process
+    cache: dict[tuple[str, str], object] = _PARSE_CACHE
     for i, (rel, text) in enumerate(zip(rels, texts)):
-        parsed = parse_assertion(rel, text)
-        if parsed is None:
+        ck = (rel, text)
+        hit = cache.get(ck)
+        if hit is None:
+            parsed = parse_assertion(rel, text)
+            if parsed is None:
+                hit = (None,)
+            else:
+                t, l, p, d = parsed
+                skel = pattern_of_parsed(rel, p, d)
+                hit = (t, l, p, d, skel)
+            if len(cache) < 1_000_000:
+                cache[ck] = hit
+        if hit[0] is None:
             continue
-        t, l, p, d = parsed
+        t, l, p, d, skel = hit
         keep.append(i)
         sids.append(f"{surfs_a[i]}-{rel}-{surfs_b[i]}|{i}")
+        skels.append(skel)
         tok_flat.extend(t)
         lem_flat.extend(l)
         pos_flat.extend(p)
@@ -161,4 +179,10 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     out = out.append_column("lemmas", list_string_array(tok_off, lem_flat))
     out = out.append_column("pos_tags", list_string_array(tok_off, pos_flat))
     out = out.append_column("deps", deps_array(dep_off, dep_gov, dep_lab, dep_dep))
+    # canonical skeleton-pattern key (mining consumes this column with a
+    # vectorized value_counts instead of a second Python pass)
+    out = out.append_column("skeleton_key", pa.array(skels, pa.string()))
     return out
+
+
+_PARSE_CACHE: dict = {}
