@@ -342,6 +342,10 @@ def _q_kg_concept_agg(sf_dir: str):
     return _kg_for(sf_dir).concept_agg()
 
 
+def _q_kg_concept_triples(sf_dir: str):
+    return _kg_for(sf_dir).concept_triples()
+
+
 def _q_minhash_dedup_docs(sf_dir: str):
     import pandas as pd
 
@@ -542,6 +546,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
+        "kg_concept_triples": _q_kg_concept_triples,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_docs": _q_simhash_docs,
         "fingerprint_docs": _q_fingerprint_docs,

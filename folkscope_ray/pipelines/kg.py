@@ -414,6 +414,82 @@ class KGPipeline:
         return ds
 
 
+    def concept_triples(self) -> Dataset:
+        """Concept-level KG edges: (subj, pred, concept_obj, score, support).
+
+        The reference's released KG carries both eventuality- and
+        concept-level assertions (conceptualized_eventualities,
+        conceptualizer.py:667-688; consumed preprocess.py:172-199).  Shape:
+        eventuality occurrences (eid -> subj,pred) joined to concept
+        instances (eid -> cid) via a hash join keyed on eid, then the same
+        bucketed combine as triples."""
+        ev = self.eventualities().map_batches(
+            lambda b: b.select(["eid", "canon_a", "canon_b", "rel", "frequency"]),
+            batch_format="pyarrow", batch_size=None,
+        )
+        conc = self.concepts().map_batches(
+            lambda b: pa.table(
+                {
+                    "eid": b.column("eid"),
+                    "concept_obj": pa.array(
+                        [" ".join(w) for w in b.column("concept_words").to_pylist()],
+                        pa.string(),
+                    ),
+                    "score": b.column("score"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        from ..ops.relational import hash_join
+
+        joined = hash_join(ev, conc, on="eid")
+
+        def partials(batch: pa.Table) -> pa.Table:
+            from ..util import stable_u64
+
+            nb = 4 * _cpus()
+            acc: dict[tuple, list] = {}
+            for row in zip(
+                batch.column("canon_a").to_pylist(),
+                batch.column("canon_b").to_pylist(),
+                batch.column("rel").to_pylist(),
+                batch.column("concept_obj").to_pylist(),
+                batch.column("score").to_pylist(),
+                batch.column("frequency").to_pylist(),
+            ):
+                a, b_, rel, obj, score, freq = row
+                k = (f"{a}-{b_}", rel, obj)
+                slot = acc.get(k)
+                if slot is None:
+                    acc[k] = [1, score * freq]
+                else:
+                    slot[0] += 1
+                    slot[1] += score * freq
+            keys = list(acc.keys())
+            return pa.table(
+                {
+                    "bucket": pa.array([stable_u64(*k) % nb for k in keys], pa.int32()),
+                    "subj": pa.array([k[0] for k in keys], pa.string()),
+                    "pred": pa.array([k[1] for k in keys], pa.string()),
+                    "obj": pa.array([k[2] for k in keys], pa.string()),
+                    "support_p": pa.array([acc[k][0] for k in keys], pa.int64()),
+                    "score_p": pa.array([acc[k][1] for k in keys], pa.float64()),
+                }
+            )
+
+        def combine(df):
+            return (
+                df.groupby(["subj", "pred", "obj"], sort=False)
+                .agg(support=("support_p", "sum"), score=("score_p", "sum"))
+                .reset_index()
+            )
+
+        return (
+            joined.map_batches(partials, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(combine, batch_format="pandas")
+        )
+
     def run_metrics(self) -> dict:
         """Per-stage metrics for the current run (north rule: lineage +
         metrics): stage row counts from manifests (checkpointed runs) or

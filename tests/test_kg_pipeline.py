@@ -156,3 +156,12 @@ def test_run_metrics(corpus_200, tmp_path):
     assert m["parsed"]["rows"] > 0 and m["triples"]["rows"] > 0
     assert m["n_patterns"] > 0 and m["n_canonical_entities"] <= m["n_surfaces"]
     assert json.load(open(f"{run_dir}/metrics.json"))["triples"]["rows"] == m["triples"]["rows"]
+
+
+def test_concept_triples(kg_200):
+    ct = kg_200.concept_triples().to_pandas()
+    assert len(ct) > 0
+    assert set(ct.columns) == {"subj", "pred", "obj", "support", "score"}
+    # concept objects use dashed multiword concepts from the taxonomy
+    assert ct["obj"].str.contains("-").any()
+    assert (ct["support"] >= 1).all() and (ct["score"] > 0).all()
