@@ -7,8 +7,8 @@ The flagship pipeline (SURVEY.md §3.2 re-expressed Ray-Data-first):
       -> pairs -> 21-relation prompt fan-out               [map_batches explode]
       -> generation (3 gens/prompt, fixed internal batches)[tasks; actor pool for real models]
       -> critic scoring + plausibility filter              [tasks]
-      -> deterministic parse (+ skeleton_key column)       [map_batches]
-      == checkpoint "parsed" (two-phase mining needs a second pass) ==
+      == checkpoint "scored" (slim; two-phase mining needs a second pass) ==
+      -> deterministic parse, memoized per distinct text   [lazy map_batches]
       -> fused stats pass: pattern counts + distinct surfaces
          (map-side combine -> driver merge)                [one scan]
       -> fused match -> (subj, pred, obj) partials with
@@ -99,27 +99,45 @@ class KGPipeline:
         ds = ds.map_batches(Critic(), batch_format="pyarrow", batch_size=None)
         return ds
 
-    def parsed(self) -> Dataset:
-        """Parsed assertions, checkpointed (mining + matching both consume it)."""
-        if "parsed" in self._cache:
-            return self._cache["parsed"]
-        ds = self.assertions().map_batches(parse_batch, batch_format="pyarrow",
-                                           batch_size=None)
+    def scored(self) -> Dataset:
+        """Scored assertions, checkpointed — the pipeline's one wide-fan-in
+        barrier (two-phase mining needs a second pass over the corpus).
+
+        This is deliberately the SLIM table (no token/lemma/POS/dep list
+        columns): assertion texts repeat heavily, so downstream stages
+        re-derive parses from per-worker memo caches at dict-lookup cost
+        instead of shipping ~2.5x the bytes through the object store."""
+        if "scored" in self._cache:
+            return self._cache["scored"]
+        ds = self.assertions()
         if self.run_dir:
-            fp = mf.fingerprint("parsed", self.source_path)
-            ds = mf.checkpoint(ds, self.run_dir, "parsed", fp)
+            fp = mf.fingerprint("scored", self.source_path)
+            ds = mf.checkpoint(ds, self.run_dir, "scored", fp)
         else:
             ds = ds.materialize()
+        self._cache["scored"] = ds
+        return ds
+
+    def parsed(self) -> Dataset:
+        """Fully parsed assertions (token/lemma/POS/dep list columns) — lazy
+        over the scored checkpoint; the heavy parse is memoized per worker so
+        repeated consumption costs dict lookups, not re-parsing."""
+        if "parsed" in self._cache:
+            return self._cache["parsed"]
+        ds = self.scored().map_batches(parse_batch, batch_format="pyarrow",
+                                       batch_size=None)
         self._cache["parsed"] = ds
         return ds
 
     def _stats_pass(self) -> None:
-        """ONE scan of the parsed checkpoint computes both driver-side
+        """ONE scan of the scored checkpoint computes both driver-side
         barriers: frequent-pattern mining partials (SURVEY.md A1/A2) and the
         distinct entity surfaces for canonicalization.  Per-batch partials
         stream back to the driver (a few dozen pattern keys + the distinct
         norms per block — the map-side combines bound both), where a Counter
-        / set merge replaces two separate shuffle executions."""
+        / set merge replaces two separate shuffle executions.  Skeleton keys
+        come from the per-worker parse memo (``cached_parse``), so the heavy
+        parse work is paid once per DISTINCT assertion, not per row."""
         import math as _math
         from collections import Counter
 
@@ -129,19 +147,29 @@ class KGPipeline:
             build_canonical_map,
             canonical_from_norms,
         )
-        from ..stages.mine import (
-            MIN_SUPPORT,
-            SUPPORT_FLOOR_FRAC,
-            pattern_counts_batch,
-        )
+        from ..stages.mine import MIN_SUPPORT, SUPPORT_FLOOR_FRAC
         from ..patterns import decode_pattern, dedup_patterns
 
         def stats_batch(batch: pa.Table) -> pa.Table:
-            pc_tbl = pattern_counts_batch(batch)
+            from ..stages.parse import cached_parse
+
+            rels = batch.column("rel").to_pylist()
+            texts = batch.column("assertion").to_pylist()
+            text_counts: dict[tuple, int] = {}
+            for rel, t in zip(rels, texts):
+                k = (rel, t)
+                text_counts[k] = text_counts.get(k, 0) + 1
+            skel_counts: dict[str, int] = {}
+            for (rel, t), n in text_counts.items():
+                hit = cached_parse(rel, t)
+                if hit[0] is None:
+                    continue
+                skel = hit[4]
+                skel_counts[skel] = skel_counts.get(skel, 0) + n
             dn_tbl = _distinct_norms_batch(batch)
-            k1 = pc_tbl.column("pattern_key").to_pylist() + dn_tbl.column("norm").to_pylist()
-            nn = pc_tbl.column("n").to_pylist() + [0] * dn_tbl.num_rows
-            kinds = ["p"] * pc_tbl.num_rows + ["n"] * dn_tbl.num_rows
+            k1 = list(skel_counts.keys()) + dn_tbl.column("norm").to_pylist()
+            nn = list(skel_counts.values()) + [0] * dn_tbl.num_rows
+            kinds = ["p"] * len(skel_counts) + ["n"] * dn_tbl.num_rows
             return pa.table(
                 {
                     "kind": pa.array(kinds, pa.string()),
@@ -157,7 +185,7 @@ class KGPipeline:
         # full parallelism instead of being throttled by driver-side
         # iter_batches backpressure, and the drain below touches only the
         # pre-combined per-block partials
-        partials = self.parsed().map_batches(
+        partials = self.scored().map_batches(
             stats_batch, batch_format="pyarrow", batch_size=None
         ).materialize()
         for tbl in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
@@ -380,7 +408,7 @@ class KGPipeline:
         pat_ref = ray.put(self.patterns())
         canon_ref = ray.put(self.canonical_map())
         agg = (
-            self.parsed()
+            self.scored()
             .map_batches(
                 make_triple_partials_fn(pat_ref, canon_ref, 4 * _cpus()),
                 batch_format="pyarrow",
@@ -496,7 +524,7 @@ class KGPipeline:
         live counts, pattern/canonicalization cardinalities."""
         out: dict = {"source_path": self.source_path}
         if self.run_dir:
-            for stage in ("parsed", "patterns", "eventualities", "triples"):
+            for stage in ("scored", "patterns", "eventualities", "triples"):
                 m = mf.load_manifest(self.run_dir, stage)
                 if m:
                     out[stage] = {"rows": m["rows"], "partitions": len(m["partitions"])}

@@ -51,15 +51,17 @@ def make_match_fn(pat_ref, canon_ref):
 def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
     """Fused match -> per-block triple partials for the triples path.
 
-    Skips materializing the full per-event table (words/pos/deps/skeleton
-    arrays for millions of rows) when the consumer only needs aggregated
-    (subj, pred, obj) partials — the eventuality table remains available as
-    its own product via :class:`PatternMatcher`."""
+    Consumes the SLIM scored table — no token/POS/dep list columns exist at
+    all on this path.  Parses come from the per-worker ``cached_parse`` memo
+    and match results from a (rel, assertion)-keyed memo: both are paid once
+    per DISTINCT assertion, so per-row work is two dict lookups plus the
+    partial-aggregation update.  The full per-event table remains available
+    as its own product via :class:`PatternMatcher`."""
     from ..util import stable_u64
     from .canonicalize import normalize_surface
 
     def fn(batch: pa.Table) -> pa.Table:
-        from .parse import iter_deps, iter_strlists
+        from .parse import cached_parse
 
         key = "T" + pat_ref.hex()
         matcher = _WORKER_CACHE.get(key)
@@ -82,10 +84,6 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
             return c
 
         rels = batch.column("rel").to_pylist()
-        toks = iter_strlists(batch.column("tokens"))
-        lems = iter_strlists(batch.column("lemmas"))
-        poss = iter_strlists(batch.column("pos_tags"))
-        depss = iter_deps(batch.column("deps"))
         texts = batch.column("assertion").to_pylist()
         surfs_a = batch.column("surf_a").to_pylist()
         surfs_b = batch.column("surf_b").to_pylist()
@@ -96,8 +94,6 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
         commits = batch.column("commit").to_pylist()
         shas = batch.column("content_sha256").to_pylist()
 
-        # content-addressed memoization: identical (rel, assertion) rows
-        # produce identical eventualities, and assertions repeat heavily
         mcache: dict = _WORKER_CACHE.setdefault("mc" + pat_ref.hex(), {})
         acc: dict[tuple, list] = {}
         for i, rel in enumerate(rels):
@@ -107,7 +103,12 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
             mk = (rel, texts[i])
             evs = mcache.get(mk)
             if evs is None:
-                evs = match_row(pats, rel, toks[i], lems[i], poss[i], depss[i])
+                hit = cached_parse(rel, texts[i])
+                if hit[0] is None:
+                    evs = []
+                else:
+                    t, l, p, d, _skel = hit
+                    evs = match_row(pats, rel, t, l, p, d)
                 if len(mcache) < 1_000_000:
                     mcache[mk] = evs
             if not evs:

@@ -131,8 +131,6 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
     List columns are built from flat arrays + offsets (ListArray.from_arrays)
     — an order of magnitude cheaper than pa.array on nested Python objects."""
-    from ..patterns import pattern_of_parsed
-
     rels = batch.column("rel").to_pylist()
     texts = batch.column("assertion").to_pylist()
     surfs_a = batch.column("surf_a").to_pylist()
@@ -141,23 +139,8 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     tok_off, tok_flat = [0], []
     lem_flat, pos_flat = [], []
     dep_off, dep_gov, dep_lab, dep_dep = [0], [], [], []
-    # distinct assertion texts repeat heavily (closed phrase pools; real LLM
-    # generations repeat too) — memoize the parse per (rel, text) within the
-    # worker process
-    cache: dict[tuple[str, str], object] = _PARSE_CACHE
     for i, (rel, text) in enumerate(zip(rels, texts)):
-        ck = (rel, text)
-        hit = cache.get(ck)
-        if hit is None:
-            parsed = parse_assertion(rel, text)
-            if parsed is None:
-                hit = (None,)
-            else:
-                t, l, p, d = parsed
-                skel = pattern_of_parsed(rel, p, d)
-                hit = (t, l, p, d, skel)
-            if len(cache) < 1_000_000:
-                cache[ck] = hit
+        hit = cached_parse(rel, text)
         if hit[0] is None:
             continue
         t, l, p, d, skel = hit
@@ -186,3 +169,27 @@ def parse_batch(batch: pa.Table) -> pa.Table:
 
 
 _PARSE_CACHE: dict = {}
+
+
+def cached_parse(rel: str, text: str):
+    """Memoized parse per (rel, assertion) within the worker process.
+
+    Distinct assertion texts repeat heavily (closed phrase pools; real LLM
+    generations repeat too), so every stage that needs a parse — the parse
+    stage itself, the fused stats pass, the matcher — pays a dict lookup
+    after the first occurrence.  Returns ``(None,)`` for unparseable rows or
+    ``(tokens, lemmas, pos, deps, skeleton_key)``."""
+    ck = (rel, text)
+    hit = _PARSE_CACHE.get(ck)
+    if hit is None:
+        from ..patterns import pattern_of_parsed
+
+        parsed = parse_assertion(rel, text)
+        if parsed is None:
+            hit = (None,)
+        else:
+            t, l, p, d = parsed
+            hit = (t, l, p, d, pattern_of_parsed(rel, p, d))
+        if len(_PARSE_CACHE) < 1_000_000:
+            _PARSE_CACHE[ck] = hit
+    return hit

@@ -70,10 +70,10 @@ def test_resume_skips_completed_stages(corpus_200, tmp_path):
         for f in os.listdir(run_dir)
         if f.endswith(".manifest.json")
     }
-    # the triples path checkpoints parsed/patterns/triples; the per-event
+    # the triples path checkpoints scored/patterns/triples; the per-event
     # "eventualities" checkpoint belongs to the eventuality product path
-    # (triples now fuse match->partials without materializing per-event rows)
-    assert {"parsed.manifest.json", "patterns.manifest.json",
+    # (triples fuse match->partials without materializing per-event rows)
+    assert {"scored.manifest.json", "patterns.manifest.json",
             "triples.manifest.json"} <= set(manifests)
 
     kg2 = build_kg(corpus_200, run_dir=run_dir)
@@ -95,9 +95,9 @@ def test_resume_invalidated_by_different_input(corpus_200, tmp_path):
 
     run_dir = str(tmp_path / "run2")
     kg1 = build_kg(corpus_200, run_dir=run_dir)
-    kg1.parsed()
-    fp_other = mf.fingerprint("parsed", "/some/other/input.parquet")
-    assert not mf.stage_complete(run_dir, "parsed", fp_other)
+    kg1.scored()
+    fp_other = mf.fingerprint("scored", "/some/other/input.parquet")
+    assert not mf.stage_complete(run_dir, "scored", fp_other)
 
 
 def test_triples_partitioned_by_pred(corpus_200, tmp_path):
@@ -153,7 +153,7 @@ def test_run_metrics(corpus_200, tmp_path):
     kg = build_kg(corpus_200, run_dir=run_dir)
     kg.triples().count()
     m = kg.run_metrics()
-    assert m["parsed"]["rows"] > 0 and m["triples"]["rows"] > 0
+    assert m["scored"]["rows"] > 0 and m["triples"]["rows"] > 0
     assert m["n_patterns"] > 0 and m["n_canonical_entities"] <= m["n_surfaces"]
     assert json.load(open(f"{run_dir}/metrics.json"))["triples"]["rows"] == m["triples"]["rows"]
 

@@ -16,7 +16,7 @@ DataContext.get_current().enable_progress_bars = False
 from folkscope_ray.synth import corpus_path
 from folkscope_ray.pipelines.kg import build_kg
 kg = build_kg(corpus_path(200), run_dir=sys.argv[1])
-kg.parsed().count()          # completes the "parsed" checkpoint
+kg.scored().count()          # completes the "scored" checkpoint
 os._exit(137)                # hard kill BEFORE any later stage runs
 """
 
@@ -29,9 +29,9 @@ def test_killed_run_resumes_without_recompute(tmp_path):
         capture_output=True, text=True,
     )
     assert proc.returncode == 137
-    assert os.path.exists(os.path.join(run_dir, "parsed.manifest.json"))
+    assert os.path.exists(os.path.join(run_dir, "scored.manifest.json"))
     assert not os.path.exists(os.path.join(run_dir, "triples.manifest.json"))
-    parsed_mtime = os.path.getmtime(os.path.join(run_dir, "parsed.manifest.json"))
+    scored_mtime = os.path.getmtime(os.path.join(run_dir, "scored.manifest.json"))
 
     # restart in THIS process (the session-scoped ray fixture is live)
     from folkscope_ray.pipelines.kg import build_kg
@@ -41,5 +41,5 @@ def test_killed_run_resumes_without_recompute(tmp_path):
     n = kg.triples().count()
     assert n > 0
     # the parsed checkpoint was reused, not recomputed
-    assert os.path.getmtime(os.path.join(run_dir, "parsed.manifest.json")) == parsed_mtime
+    assert os.path.getmtime(os.path.join(run_dir, "scored.manifest.json")) == scored_mtime
     assert os.path.exists(os.path.join(run_dir, "triples.manifest.json"))
