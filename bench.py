@@ -104,7 +104,8 @@ def run_scaling():
     Each level runs ``KG_BENCH_REPEATS`` times (default 2) and takes the MIN:
     wall-clock variance on a shared VM is ±25%, and min-of-N is the standard
     way to measure the pipeline rather than the neighbours."""
-    lo, hi = 8, 32
+    lo = int(os.environ.get("SCALE_LO", "8"))
+    hi = int(os.environ.get("SCALE_HI", "32"))
     repeats = int(os.environ.get("KG_BENCH_REPEATS", "2"))
 
     def one(ncpu: int) -> dict:
