@@ -254,11 +254,11 @@ def _q_ann_cosine_topk(sf_dir: str):
     rest = emb.map_batches(
         lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
     )
-    out = brute_force_topk(rest, np.asarray([q], dtype=np.float64), k=10)
-    out = out.drop(columns=["query_id"])
-    # same int-quantize trick as _round_cols (bit-exact vs the SQL oracle)
-    out["cosine"] = np.round(out["cosine"].to_numpy() * 1e6).astype(np.int64) / 1e6
-    return out
+    # quantize BEFORE top-k selection (vec_id-asc tiebreak), mirroring the
+    # oracle's ORDER BY round(cosine) DESC, vec_id — boundary-collision safe
+    out = brute_force_topk(rest, np.asarray([q], dtype=np.float64), k=10,
+                           quantize_digits=6)
+    return out.drop(columns=["query_id"])
 
 
 def _q_events_per_day(sf_dir: str):
@@ -347,14 +347,13 @@ def _q_kg_concept_triples(sf_dir: str):
 
 
 def _q_minhash_dedup_docs(sf_dir: str):
-    import pandas as pd
+    """Distributed near-dup components — returns the (doc_id, component)
+    Dataset straight from label propagation (no driver union-find)."""
+    from folkscope_ray.ops.dedup import minhash_lsh_components_ds
 
-    from folkscope_ray.ops.dedup import minhash_lsh_components
-
-    comp = minhash_lsh_components(_rp(sf_dir, "documents"), text_col="text", id_col="doc_id")
-    return pd.DataFrame(
-        {"doc_id": list(comp.keys()), "component": list(comp.values())}
-    ).sort_values("doc_id").reset_index(drop=True)
+    return minhash_lsh_components_ds(
+        _rp(sf_dir, "documents"), text_col="text", id_col="doc_id"
+    )
 
 
 def _q_simhash_docs(sf_dir: str):
@@ -469,17 +468,14 @@ def _q_dedup_keep_rows(sf_dir: str):
 
     from folkscope_ray.ops.dedup import exact_dedup
 
-    winners = set(
-        exact_dedup(_rp(sf_dir, "documents")).to_pandas()["keep_id"]
-    )
+    winners = exact_dedup(_rp(sf_dir, "documents")).to_pandas()["keep_id"]
     import ray as _ray
 
-    wref = _ray.put(frozenset(winners))
+    wref = _ray.put(_pa.array(winners, _pa.int64()))
 
     def keep(batch: _pa.Table) -> _pa.Table:
         w = _ray.get(wref)
-        ids = batch.column("doc_id").to_pylist()
-        return batch.filter(_pa.array([i in w for i in ids], _pa.bool_()))
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=w))
 
     return (
         _rp(sf_dir, "documents")
@@ -664,14 +660,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS secs, ts
               FROM events
             ), t AS (
-              SELECT user_id, event_id, secs,
+              SELECT user_id, event_id, secs, ts,
                      CASE WHEN secs - lag(secs) OVER w > 1800
                           OR lag(secs) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
               FROM t0
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
               SELECT user_id, secs,
-                     sum(new_s) OVER (PARTITION BY user_id ORDER BY secs, event_id
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM t)
             SELECT user_id, session_id, count(*) AS n_events,

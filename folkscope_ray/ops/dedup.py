@@ -26,8 +26,6 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
-from ..stages.canonicalize import UnionFind
-
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
@@ -103,14 +101,12 @@ def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
     )
 
 
-def minhash_lsh_components(ds: Dataset, text_col: str = "text",
-                           id_col: str = "doc_id", bands: int = 16,
-                           rows: int = 8) -> dict[int, int]:
-    """Near-dup connected components: {doc_id: component_root_id}.
-
-    shingle+minhash per batch -> explode to band rows -> groupby(band) star
-    edges -> driver union-find.  Candidate edges are bounded by n_docs×bands.
-    """
+def minhash_lsh_candidate_edges(ds: Dataset, text_col: str = "text",
+                                id_col: str = "doc_id", bands: int = 16,
+                                rows: int = 8) -> Dataset:
+    """Candidate near-dup edges (a, b): shingle+minhash per batch -> explode
+    to band rows -> ``groupby(band)`` emits O(group)-size star edges (never
+    the O(group²) clique).  Edge count is bounded by n_docs × bands."""
     import pandas as pd
 
     band_ds = ds.map_batches(
@@ -121,17 +117,39 @@ def minhash_lsh_components(ds: Dataset, text_col: str = "text",
     def star(group: pd.DataFrame) -> pd.DataFrame:
         ids = sorted(set(group[id_col]))
         if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        return pd.DataFrame({"a": [ids[0]] * (len(ids) - 1), "b": ids[1:]})
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
+                             "b": pd.Series(ids[1:], dtype="int64")})
 
-    edges = band_ds.groupby(["band_id", "band_hash"]).map_groups(
+    return band_ds.groupby(["band_id", "band_hash"]).map_groups(
         star, batch_format="pandas"
-    ).to_pandas()
-    uf = UnionFind()
-    for a, b in zip(edges["a"], edges["b"]):
-        uf.union(str(int(a)), str(int(b)))
-    all_ids = ds.select_columns([id_col]).to_pandas()[id_col]
-    return {int(i): int(uf.find(str(int(i)))) for i in all_ids}
+    )
+
+
+def minhash_lsh_components_ds(ds: Dataset, text_col: str = "text",
+                              id_col: str = "doc_id", bands: int = 16,
+                              rows: int = 8) -> Dataset:
+    """Near-dup connected components as a DATASET (id_col, component) —
+    fully distributed: star candidate edges -> iterative min-label
+    propagation (ops/components.py) -> left-join labels back onto every id
+    (isolated docs are their own component).  Nothing unbounded ever lands
+    on the driver, so this is the 100-TB path."""
+    from .components import attach_components, connected_components
+
+    edges = minhash_lsh_candidate_edges(ds, text_col, id_col, bands, rows)
+    labels = connected_components(edges)
+    return attach_components(ds.select_columns([id_col]), labels, id_col)
+
+
+def minhash_lsh_components(ds: Dataset, text_col: str = "text",
+                           id_col: str = "doc_id", bands: int = 16,
+                           rows: int = 8) -> dict[int, int]:
+    """{doc_id: component_root_id} — driver-side convenience wrapper around
+    :func:`minhash_lsh_components_ds` for small corpora / tests.  The root is
+    the numeric min id of the component."""
+    out = minhash_lsh_components_ds(ds, text_col, id_col, bands, rows).to_pandas()
+    return {int(i): int(c) for i, c in zip(out[id_col], out["component"])}
 
 
 # ------------------------------------------------------------------ simhash

@@ -6,8 +6,9 @@ These back the reference's dict-lookup "joins" (SURVEY.md §2.4 J1-J5) and the
 wide aggregations (§2.5), expressed with explicit partitioning so the same
 code runs on a 256-node cluster:
 
-- broadcast_join      : small side via ``ray.put`` once, pandas merge per
-                        batch — no shuffle (J1 metadata joins);
+- broadcast_join      : small side via ``ray.put`` once, zero-copy Arrow
+                        ``Table.join`` per batch — no shuffle (J1 metadata
+                        joins);
 - hash_join           : both sides bucketed on hash(key) % B, per-bucket
                         pandas merge inside map_groups (the portable
                         partitioned hash join);
@@ -30,19 +31,28 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
 
 
-def broadcast_join(large: Dataset, small_df: pd.DataFrame, on: str | list[str],
-                   how: str = "inner") -> Dataset:
-    """Join a big Dataset against a small pandas table without a shuffle."""
-    ref = ray.put(small_df)
+_ARROW_JOIN_HOW = {"inner": "inner", "left": "left outer", "right": "right outer"}
+
+
+def broadcast_join(large: Dataset, small_df: pd.DataFrame | pa.Table,
+                   on: str | list[str], how: str = "inner") -> Dataset:
+    """Join a big Dataset against a small table without a shuffle.
+
+    The small side is ``ray.put`` once and each batch runs a zero-copy
+    ``pyarrow.Table.join`` against it (no pandas conversion on the big side)."""
+    small = (small_df if isinstance(small_df, pa.Table)
+             else pa.Table.from_pandas(small_df, preserve_index=False))
+    ref = ray.put(small)
+    join_type = _ARROW_JOIN_HOW.get(how, how)
 
     class _Join:
         def __init__(self):
             self.small = ray.get(ref)
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            return batch.merge(self.small, on=on, how=how)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return batch.join(self.small, keys=on, join_type=join_type)
 
-    return large.map_batches(_Join, batch_format="pandas", concurrency=(1, 8))
+    return large.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = None,
@@ -94,15 +104,18 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
 
 def anti_join(large: Dataset, keys, on: str) -> Dataset:
     """Rows of ``large`` whose ``on`` value is NOT in ``keys`` (broadcast set)."""
-    key_ref = ray.put(frozenset(keys))
+    key_ref = ray.put(pa.array(list(keys)))
 
     class _Anti:
         def __init__(self):
-            self.keys = ray.get(key_ref)
+            import pyarrow.compute as pc
+
+            self.keys = pc.unique(ray.get(key_ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            vals = batch.column(on).to_pylist()
-            mask = pa.array([v not in self.keys for v in vals], pa.bool_())
+            import pyarrow.compute as pc
+
+            mask = pc.invert(pc.is_in(batch.column(on), value_set=self.keys))
             return batch.filter(mask)
 
     return large.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 8))

@@ -34,22 +34,29 @@ class BruteForceTopK:
     """map_batches callable: emits per-batch partial top-k (query_id, vec_id, cosine)."""
 
     def __init__(self, queries_ref, k: int = 10,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 quantize_digits: int | None = None):
         q = ray.get(queries_ref) if isinstance(queries_ref, ray.ObjectRef) else queries_ref
         self.q = _normalize(np.asarray(q, dtype=np.float64))  # (Q, d)
         self.k = k
         self.vec_col = vec_col
         self.id_col = id_col
+        # quantize BEFORE selecting the top-k so boundary vectors that collide
+        # after rounding rank identically to a quantizing SQL oracle
+        # (tiebreak: vec_id ascending)
+        self.q_scale = float(10 ** quantize_digits) if quantize_digits else None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch.column(self.vec_col)))  # (B, d)
         ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
         sims = m @ self.q.T  # (B, Q)
+        if self.q_scale:
+            sims = np.round(sims * self.q_scale).astype(np.int64) / self.q_scale
         k = min(self.k, len(ids))
         o_q, o_id, o_s = [], [], []
         for qi in range(self.q.shape[0]):
             col = sims[:, qi]
-            top = np.argpartition(-col, k - 1)[:k]
+            top = np.lexsort((ids, -col))[:k]  # cosine desc, vec_id asc
             for t in top:
                 o_q.append(qi)
                 o_id.append(int(ids[t]))
@@ -64,7 +71,8 @@ class BruteForceTopK:
 
 
 def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
-                     vec_col: str = "embedding", id_col: str = "vec_id"):
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     quantize_digits: int | None = None):
     """Exact cosine top-k for each query row; returns a pandas DataFrame
     (query_id, vec_id, cosine) with exactly k rows per query."""
     qref = ray.put(np.asarray(queries, dtype=np.float64))
@@ -72,7 +80,8 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
         BruteForceTopK,
         batch_format="pyarrow",
         fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "vec_col": vec_col, "id_col": id_col},
+                               "vec_col": vec_col, "id_col": id_col,
+                               "quantize_digits": quantize_digits},
         concurrency=(1, 8),
     ).to_pandas()
     out = []

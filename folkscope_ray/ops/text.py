@@ -63,18 +63,45 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return out.append_column("n_tokens", pa.array(bpe, pa.int64()))
 
 
+# ASCII byte classes for the vectorized punct-ratio kernel: alnum or whitespace
+_ALNUM_SPACE_LUT = np.zeros(256, dtype=bool)
+for _b in (*range(48, 58), *range(65, 91), *range(97, 123), 9, 10, 11, 12, 13, 32, 28, 29, 30, 31):
+    _ALNUM_SPACE_LUT[_b] = True
+
+
 def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Length / punctuation / stopword-ratio quality features + a 0-1 score."""
+    """Length / punctuation / stopword-ratio quality features + a 0-1 score.
+
+    The per-character alnum scan is one numpy lookup-table pass over the
+    batch's concatenated UTF-8 bytes (ASCII fast path, which real code corpora
+    overwhelmingly hit); rows with multi-byte characters fall back to the
+    exact per-character scan."""
     texts = batch.column(text_col).to_pylist()
     n = len(texts)
-    lengths = np.empty(n, dtype=np.int64)
-    punct_ratio = np.empty(n, dtype=np.float64)
+    lengths = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
     stop_ratio = np.empty(n, dtype=np.float64)
     mean_word_len = np.empty(n, dtype=np.float64)
+
+    blob = "".join(texts).encode("utf-8", "surrogatepass")
+    if len(blob) == int(lengths.sum()):  # pure ASCII: byte == char
+        good = _ALNUM_SPACE_LUT[np.frombuffer(blob, dtype=np.uint8)]
+        bounds = np.concatenate(([0], np.cumsum(lengths)))
+        sums = np.add.reduceat(good, bounds[:-1].clip(max=max(len(blob) - 1, 0))) \
+            if len(blob) else np.zeros(n)
+        # reduceat quirk: an empty trailing slice repeats the previous segment
+        sums = np.where(lengths == 0, 0, sums)
+        punct_ratio = np.where(
+            lengths > 0, 1.0 - sums / np.maximum(lengths, 1), 0.0
+        )
+    else:
+        punct_ratio = np.fromiter(
+            (
+                (1.0 - sum(c.isalnum() or c.isspace() for c in t) / len(t)) if t else 0.0
+                for t in texts
+            ),
+            dtype=np.float64, count=n,
+        )
     for i, t in enumerate(texts):
-        lengths[i] = len(t)
-        n_alpha = sum(c.isalnum() or c.isspace() for c in t)
-        punct_ratio[i] = 1.0 - (n_alpha / len(t)) if t else 0.0
         words = WORD_RE.findall(t.lower())
         stop_ratio[i] = (
             sum(w in STOPWORDS for w in words) / len(words) if words else 0.0

@@ -51,6 +51,9 @@ def _cpus() -> int:
         return 4
 
 
+ROWS_PER_BUCKET = 100_000  # target rows per bucketed-combine shuffle bucket
+
+
 @dataclass
 class KGPipeline:
     """Lazily composed KG build over one source Parquet table.
@@ -64,7 +67,55 @@ class KGPipeline:
     run_dir: str | None = None
     _cache: dict = field(default_factory=dict)
 
+    # ------------------------------------------------- lineage fingerprints
+
+    def _fp(self, stage: str) -> str:
+        """Chained stage fingerprint: source content (file sizes+mtimes) +
+        stage config constants + the upstream stage's fingerprint, so a
+        changed input file, threshold, or upstream result invalidates this
+        stage and everything after it."""
+        fps = self._cache.get("_fps")
+        if fps is None:
+            from ..stages import canonicalize as cz
+            from ..stages.critic import PLAUSIBILITY_THRESHOLD
+            from ..stages.generate import MAX_PROMPT_WORDS, N_GENS
+            from ..stages.mine import MIN_SUPPORT, SUPPORT_FLOOR_FRAC
+
+            src = mf.source_fingerprint(self.source_path)
+            fps = {}
+            fps["scored"] = mf.fingerprint(
+                "scored", src, PLAUSIBILITY_THRESHOLD, N_GENS, MAX_PROMPT_WORDS
+            )
+            fps["patterns"] = mf.fingerprint(
+                "patterns", fps["scored"], MIN_SUPPORT, SUPPORT_FLOOR_FRAC
+            )
+            fps["eventualities"] = mf.fingerprint(
+                "eventualities", fps["patterns"], cz.JACCARD_THRESHOLD,
+                cz.MAX_SUFFIX_EXTRA, cz.LSH_BANDS, cz.LSH_ROWS,
+            )
+            fps["triples"] = mf.fingerprint("triples", fps["eventualities"])
+            self._cache["_fps"] = fps
+        return fps[stage]
+
     # ------------------------------------------------------------ stages
+
+    def _n_buckets(self, est_rows: int | None = None) -> int:
+        """Shuffle bucket count for the bucketed combines, computed ONCE on
+        the driver and captured in closures — a worker-side
+        ``cluster_resources()`` call can return different values between
+        tasks on an elastic cluster, hashing the same key to different
+        buckets and breaking groupby co-location.  Scaled to the DATA
+        (target ~``ROWS_PER_BUCKET`` rows per bucket, parallelism floor of
+        2×cpus): a fixed 4×cpus would make each bucket hold data/(4·cpus)
+        rows in one task's memory at 100× data on a fixed cluster."""
+        if est_rows is None:
+            if "n_buckets" in self._cache:
+                return self._cache["n_buckets"]
+            est_rows = self.scored().count()  # metadata count (checkpointed)
+            nb = int(max(2 * _cpus(), min(est_rows // ROWS_PER_BUCKET + 1, 65_536)))
+            self._cache["n_buckets"] = nb
+            return nb
+        return int(max(2 * _cpus(), min(est_rows // ROWS_PER_BUCKET + 1, 65_536)))
 
     def files(self) -> Dataset:
         # A single-file synthetic corpus would otherwise become 1-2 read
@@ -111,7 +162,7 @@ class KGPipeline:
             return self._cache["scored"]
         ds = self.assertions()
         if self.run_dir:
-            fp = mf.fingerprint("scored", self.source_path)
+            fp = self._fp("scored")
             ds = mf.checkpoint(ds, self.run_dir, "scored", fp)
         else:
             ds = ds.materialize()
@@ -180,6 +231,7 @@ class KGPipeline:
 
         counts: Counter = Counter()
         norms: set[str] = set()
+        norms_overflow = False
         total = 0
         # materialize the (tiny) partials first: the map pass then runs at
         # full parallelism instead of being throttled by driver-side
@@ -199,17 +251,25 @@ class KGPipeline:
                 if kind == "p":
                     counts[k1] += n
                     total += n
-                else:
+                elif not norms_overflow:
+                    # the driver set is CAPPED: past the banding bound we stop
+                    # accumulating (pattern counts stay bounded by the pattern
+                    # vocabulary, norms do not)
                     norms.add(k1)
+                    if len(norms) > DRIVER_BANDING_MAX:
+                        norms_overflow = True
         floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
         pats = dedup_patterns(
             [decode_pattern(k, v) for k, v in counts.items() if v >= floor]
         )
-        if len(norms) <= DRIVER_BANDING_MAX:
+        if not norms_overflow:
             canon = canonical_from_norms(sorted(norms))
-        else:  # fall back to the fully distributed path
+        else:  # fully distributed path: (norm, canon) labels Dataset
             canon = build_canonical_map(
-                self.parsed().select_columns(["surf_a", "surf_b"])
+                self.scored().map_batches(
+                    lambda b: b.select(["surf_a", "surf_b"]),
+                    batch_format="pyarrow",
+                )
             )
         self._cache["patterns"] = pats
         self._cache["canon"] = canon
@@ -218,7 +278,7 @@ class KGPipeline:
         if "patterns" in self._cache:
             return self._cache["patterns"]
         if self.run_dir:
-            fp = mf.fingerprint("patterns", self.source_path)
+            fp = self._fp("patterns")
             if mf.stage_complete(self.run_dir, "patterns", fp):
                 import pyarrow.parquet as pq
 
@@ -228,31 +288,57 @@ class KGPipeline:
                 return self._cache["patterns"]
         self._stats_pass()
         if self.run_dir:
-            fp = mf.fingerprint("patterns", self.source_path)
+            fp = self._fp("patterns")
             ds = rd.from_arrow(patterns_to_table(self._cache["patterns"]))
             mf.checkpoint(ds, self.run_dir, "patterns", fp)
         return self._cache["patterns"]
 
-    def canonical_map(self) -> dict:
-        """Surface->canonical map (built in the fused stats pass)."""
+    def canonical_map(self):
+        """Surface->canonical mapping (built in the fused stats pass): a
+        ``{norm: canon}`` dict below ``DRIVER_BANDING_MAX`` distinct
+        surfaces, a (norm, canon) labels Dataset above it."""
         if "canon" not in self._cache:
             self._stats_pass()
         return self._cache["canon"]
+
+    def _resolved_canon(self):
+        """('dict', {norm: canon}) when the map fits a broadcast, else
+        ('ds', labels Dataset) — consumers broadcast-apply or hash-join.
+
+        The broadcast ceiling is ``FOLKSCOPE_CANON_BROADCAST_MAX`` entries
+        (env-overridable; a billion-entity map cannot ship as one dict)."""
+        canon = self.canonical_map()
+        if isinstance(canon, dict):
+            return "dict", canon
+        limit = int(os.environ.get("FOLKSCOPE_CANON_BROADCAST_MAX", 2_000_000))
+        canon = canon.materialize()
+        if canon.count() <= limit:
+            df = canon.to_pandas()
+            return "dict", dict(zip(df["norm"], df["canon"]))
+        return "ds", canon
 
     def eventualities(self) -> Dataset:
         """Per-occurrence eventualities with canonical entity ids."""
         if "events" in self._cache:
             return self._cache["events"]
+        from ..stages.canonicalize import apply_canonical_join
         from ..stages.match import make_match_fn
 
         pat_ref = ray.put(self.patterns())
-        canon_ref = ray.put(self.canonical_map())
-        ds = self.parsed().map_batches(
-            make_match_fn(pat_ref, canon_ref), batch_format="pyarrow",
-            batch_size=None,
-        )
+        kind, canon = self._resolved_canon()
+        if kind == "dict":
+            ds = self.parsed().map_batches(
+                make_match_fn(pat_ref, ray.put(canon)), batch_format="pyarrow",
+                batch_size=None,
+            )
+        else:  # canonical map exceeds broadcast size: apply via hash join
+            matched = self.parsed().map_batches(
+                make_match_fn(pat_ref, None), batch_format="pyarrow",
+                batch_size=None,
+            )
+            ds = apply_canonical_join(matched, canon)
         if self.run_dir:
-            fp = mf.fingerprint("eventualities", self.source_path)
+            fp = self._fp("eventualities")
             ds = mf.checkpoint(ds, self.run_dir, "eventualities", fp)
         self._cache["events"] = ds
         return ds
@@ -267,6 +353,8 @@ class KGPipeline:
         JSON column, take Min (any representative), and unpack after the
         shuffle.  Only (eid, payload, frequency) rows move."""
         import json
+
+        nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def pack(batch: pa.Table) -> pa.Table:
             from ..stages.parse import iter_deps, iter_strlists
@@ -283,7 +371,6 @@ class KGPipeline:
                     batch.column("rel").to_pylist(),
                 )
             ]
-            nb = 4 * _cpus()
             buckets = [int(e[:8], 16) % nb for e in eids]
             return pa.table(
                 {
@@ -352,6 +439,7 @@ class KGPipeline:
         (conceptualizer.py:649-663).  Bucketed combine like the triple agg —
         most cids have few instances, so a keyed aggregate would pay
         per-group overhead on ~1-row groups."""
+        nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def weighted(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -359,7 +447,6 @@ class KGPipeline:
             w = pc.multiply(batch.column("score"), batch.column("frequency"))
             out = batch.append_column("weighted_score", w)
             cids = batch.column("cid").to_pylist()
-            nb = 4 * _cpus()
             buckets = [int(c[:8], 16) % nb for c in cids]
             return out.append_column("cbucket", pa.array(buckets, pa.int32()))
 
@@ -406,14 +493,46 @@ class KGPipeline:
         from ..stages.match import make_triple_partials_fn
 
         pat_ref = ray.put(self.patterns())
-        canon_ref = ray.put(self.canonical_map())
-        agg = (
-            self.scored()
-            .map_batches(
-                make_triple_partials_fn(pat_ref, canon_ref, 4 * _cpus()),
+        kind, canon = self._resolved_canon()
+        nb = self._n_buckets()
+        if kind == "dict":
+            partial_ds = self.scored().map_batches(
+                make_triple_partials_fn(pat_ref, ray.put(canon), nb),
                 batch_format="pyarrow",
                 batch_size=None,
             )
+        else:
+            # web-scale canonical map: partials key on normalized surfaces,
+            # the (norm, canon) labels join on afterwards, THEN the subj key
+            # fuses and buckets — sum/max/min partials re-aggregate exactly
+            from ..stages.canonicalize import apply_canonical_join
+            from ..util import stable_u64
+
+            norm_partials = self.scored().map_batches(
+                make_triple_partials_fn(pat_ref, None, nb),
+                batch_format="pyarrow",
+                batch_size=None,
+            )
+            joined = apply_canonical_join(
+                norm_partials, canon,
+                cols=(("norm_a", "canon_a"), ("norm_b", "canon_b")),
+            )
+
+            def fuse_subj(b: pa.Table) -> pa.Table:
+                subjs = [f"{a}-{c}" for a, c in zip(
+                    b.column("canon_a").to_pylist(),
+                    b.column("canon_b").to_pylist())]
+                preds = b.column("pred").to_pylist()
+                objs = b.column("obj").to_pylist()
+                buckets = [stable_u64(s, p, o) % nb
+                           for s, p, o in zip(subjs, preds, objs)]
+                out = b.drop_columns(["norm_a", "norm_b", "canon_a", "canon_b"])
+                out = out.append_column("subj", pa.array(subjs, pa.string()))
+                return out.append_column("bucket", pa.array(buckets, pa.int32()))
+
+            partial_ds = joined.map_batches(fuse_subj, batch_format="pyarrow")
+        agg = (
+            partial_ds
             .groupby("bucket")
             .map_groups(bucket_combine, batch_format="pandas")
         )
@@ -430,7 +549,7 @@ class KGPipeline:
 
         ds = agg.map_batches(unpack, batch_format="pyarrow")
         if self.run_dir:
-            fp = mf.fingerprint("triples", self.source_path)
+            fp = self._fp("triples")
             if not mf.stage_complete(self.run_dir, "triples", fp):
                 import tempfile
 
@@ -471,11 +590,11 @@ class KGPipeline:
         from ..ops.relational import hash_join
 
         joined = hash_join(ev, conc, on="eid")
+        nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def partials(batch: pa.Table) -> pa.Table:
             from ..util import stable_u64
 
-            nb = 4 * _cpus()
             acc: dict[tuple, list] = {}
             for row in zip(
                 batch.column("canon_a").to_pylist(),
@@ -532,8 +651,11 @@ class KGPipeline:
             out["n_patterns"] = len(self._cache["patterns"])
         if "canon" in self._cache:
             canon = self._cache["canon"]
-            out["n_surfaces"] = len(canon)
-            out["n_canonical_entities"] = len(set(canon.values()))
+            if isinstance(canon, dict):
+                out["n_surfaces"] = len(canon)
+                out["n_canonical_entities"] = len(set(canon.values()))
+            else:  # labels Dataset (web-scale path): count non-identity rows
+                out["n_merged_surfaces"] = canon.count()
         if self.run_dir:
             import json as _json
 

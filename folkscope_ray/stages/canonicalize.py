@@ -21,10 +21,19 @@ canonical id.  Distributed shape:
 6. the surface -> canonical map is broadcast via ``ray.put`` and applied
    inside ``map_batches`` — a broadcast join, not a shuffle join.
 
-For corpora where even the *distinct-surface* set outgrows the driver, step 5
-degrades gracefully to iterative min-label propagation over the edge Dataset
-(groupby(node).min(label) until fixpoint); the star-edge emission already
-bounds each round.  Documented, not needed at current scale.
+For corpora where even the *distinct-surface* set outgrows the driver
+(``DRIVER_BANDING_MAX``), the whole computation stays distributed: the
+distinct-norm ``groupby``, the banding explode, per-bucket candidate-pair
+generation AND Jaccard verification (inside ``map_groups`` — the verify work
+is distributed too), then iterative min-label propagation over the verified
+edge Dataset (``ops/components.connected_components``).  Nothing unbounded is
+ever materialized on the driver; the result is a (norm, canon) labels
+Dataset, applied either as a broadcast dict (when it fits) or as a hash join
+(``apply_canonical_join``).
+
+Candidate pairs per bucket: all pairs for buckets of ≤ ``PAIRWISE_CAP``
+members (recall parity with the exact O(n²) oracle), min-root star sweep
+above that (bounds a pathological hot band at O(n) edges).
 """
 
 from __future__ import annotations
@@ -44,6 +53,7 @@ SHINGLE_K = 3
 JACCARD_THRESHOLD = 0.8   # only for non-prefix near-dups; see is_near_duplicate
 MAX_SUFFIX_EXTRA = 4      # prefix-extension variants: base + <=4 extra chars
 DRIVER_BANDING_MAX = 200_000  # below this many distinct surfaces, band on driver
+PAIRWISE_CAP = 16         # full pairwise verify for buckets up to this size
 
 _MERSENNE = (1 << 61) - 1
 _rng = np.random.RandomState(42)
@@ -127,6 +137,8 @@ def _distinct_norms_batch(batch: pa.Table) -> pa.Table:
     per block pay the Python normalization, not every row."""
     import pyarrow.compute as pc
 
+    if "norm" in batch.column_names:  # already a (norm, surface) partial
+        return batch.select(["norm", "surface"])
     seen: dict[str, str] = {}
     for col in ("surf_a", "surf_b"):
         if col in batch.column_names:
@@ -159,14 +171,33 @@ def _band_rows_batch(batch: pa.Table) -> pa.Table:
     )
 
 
-def _star_edges(group) -> "pa.Table":
-    import pandas as pd
+def candidate_pairs(members) -> list[tuple[str, str]]:
+    """Candidate verify pairs for one LSH bucket — the SHARED edge-generation
+    rule for the driver and distributed paths (their outputs must match
+    exactly).  Small buckets verify all pairs: near-dups b~c sharing a bucket
+    with an unrelated min-member a would be missed by a root-only sweep (the
+    exact O(n²) oracle merges them).  Big buckets fall back to the min-root
+    star sweep so a pathological hot band stays O(n)."""
+    members = sorted(set(members))
+    if len(members) < 2:
+        return []
+    if len(members) <= PAIRWISE_CAP:
+        return [(a, b) for i, a in enumerate(members) for b in members[i + 1:]]
+    root = members[0]
+    return [(root, m) for m in members[1:]]
 
-    norms = sorted(set(group["norm"]))
-    if len(norms) < 2:
-        return pd.DataFrame({"a": [], "b": []})
-    root = norms[0]
-    return pd.DataFrame({"a": [root] * (len(norms) - 1), "b": norms[1:]})
+
+def _verified_bucket_edges(group) -> pa.Table:
+    """Per-bucket candidate generation + Jaccard verification (distributed:
+    runs inside groupby(band).map_groups, so verify cost scales out too).
+    Returns explicitly-typed Arrow (an empty object-dtype pandas frame would
+    become a null-typed block and poison the downstream union schema)."""
+    pairs = [(a, b) for a, b in candidate_pairs(group["norm"])
+             if is_near_duplicate(a, b)]
+    return pa.table(
+        {"a": pa.array([p[0] for p in pairs], pa.string()),
+         "b": pa.array([p[1] for p in pairs], pa.string())}
+    )
 
 
 class UnionFind:
@@ -187,13 +218,50 @@ class UnionFind:
             self.parent[hi] = lo
 
 
-def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
-    """surface-bearing Dataset -> {normalized surface: canonical id}.
+def build_canonical_labels(pairs_or_surfaces: Dataset) -> Dataset:
+    """surface-bearing Dataset -> (norm, canon) labels Dataset, FULLY
+    distributed: per-batch distinct partials -> groupby(norm) distinct ->
+    banding explode -> per-bucket verified candidate edges -> iterative
+    min-label propagation.  Only norms that merged with something appear
+    (identity mappings are implied; apply with ``canon.get(n, n)`` semantics
+    or a left join).  No driver-side materialization anywhere."""
+    from ray.data.aggregate import Min
+
+    from ..ops.components import connected_components
+
+    partials = pairs_or_surfaces.map_batches(
+        _distinct_norms_batch, batch_format="pyarrow"
+    )
+    # distributed distinct: aggregate (partial+final combine), NOT per-key
+    # map_groups — ~1-row groups make per-group accumulators pathological
+    distinct = partials.groupby("norm").aggregate(
+        Min("surface", alias_name="surface")
+    )
+    bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
+    edges = bands.groupby(["band_id", "band_hash"]).map_groups(
+        _verified_bucket_edges, batch_format="pandas"
+    )
+    labels = connected_components(edges)
+
+    def rename(b: pa.Table) -> pa.Table:
+        if "node" not in b.column_names:
+            return pa.table({"norm": pa.array([], pa.string()),
+                             "canon": pa.array([], pa.string())})
+        return pa.table({"norm": b.column("node"), "canon": b.column("label")})
+
+    return labels.map_batches(rename, batch_format="pyarrow")
+
+
+def build_canonical_map(pairs_or_surfaces: Dataset):
+    """surface-bearing Dataset -> canonical mapping.
 
     One distributed pass computes per-batch partial dedups (the skew defence);
-    the partials are merged on the driver while they stream back.  Only if the
-    merged set exceeds ``DRIVER_BANDING_MAX`` does the full distributed
-    ``groupby(norm)`` + banding path run instead."""
+    the partials are merged on the driver while they stream back — the merge
+    stops the moment ``DRIVER_BANDING_MAX`` distinct norms are seen.  Below
+    the cap: returns a plain ``{norm: canon}`` dict (driver banding).  Above
+    it: returns the distributed (norm, canon) labels **Dataset** from
+    :func:`build_canonical_labels` — callers apply it via broadcast if it
+    fits (``labels.count()`` is known then) or ``apply_canonical_join``."""
     partials = pairs_or_surfaces.map_batches(
         _distinct_norms_batch, batch_format="pyarrow"
     ).materialize()  # tiny per-block partials; full-parallel map pass
@@ -205,38 +273,15 @@ def build_canonical_map(pairs_or_surfaces: Dataset) -> dict[str, str]:
         if len(seen) > DRIVER_BANDING_MAX:
             overflow = True
             break
-    if overflow:  # web-scale path: distributed distinct
-        distinct = (
-            partials.groupby("norm")
-            .map_groups(lambda g: g.head(1), batch_format="pandas")
-        ).materialize()
-        norm_list = []
-        for tbl in distinct.iter_batches(batch_size=None, batch_format="pyarrow"):
-            if "norm" in tbl.column_names:
-                norm_list.extend(tbl.column("norm").to_pylist())
-    else:
-        distinct = None
-        norm_list = sorted(seen)
-
-    if len(norm_list) <= DRIVER_BANDING_MAX:
-        return canonical_from_norms(norm_list)
-    uf = UnionFind()
-    for n in norm_list:
-        uf.find(n)
-    bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
-    edges = bands.groupby(["band_id", "band_hash"]).map_groups(
-        _star_edges, batch_format="pandas"
-    )
-    edge_df = edges.to_pandas()
-    for a, b in zip(edge_df["a"], edge_df["b"]):
-        if is_near_duplicate(a, b):
-            uf.union(a, b)
-    return {n: uf.find(n) for n in norm_list}
+    if overflow:  # web-scale path: everything stays a Dataset
+        return build_canonical_labels(partials)
+    return canonical_from_norms(sorted(seen))
 
 
 def canonical_from_norms(norm_list: list[str]) -> dict[str, str]:
     """Driver-side banding + union-find over a (small) distinct-norm list —
-    the same minhash-LSH math as the distributed path, minus the shuffle."""
+    the same minhash-LSH math and ``candidate_pairs`` edge rule as the
+    distributed path (their outputs must match exactly)."""
     uf = UnionFind()
     buckets: dict[tuple[int, int], list[str]] = {}
     for n in norm_list:
@@ -244,12 +289,9 @@ def canonical_from_norms(norm_list: list[str]) -> dict[str, str]:
         for bid, bh in enumerate(band_hashes(n)):
             buckets.setdefault((bid, bh), []).append(n)
     for members in buckets.values():
-        if len(members) > 1:
-            members = sorted(set(members))
-            root = members[0]
-            for m in members[1:]:
-                if is_near_duplicate(root, m):
-                    uf.union(root, m)
+        for a, b in candidate_pairs(members):
+            if is_near_duplicate(a, b):
+                uf.union(a, b)
     return {n: uf.find(n) for n in norm_list}
 
 
@@ -260,6 +302,90 @@ def apply_canonical(batch: pa.Table, canon: dict[str, str]) -> pa.Table:
         surfs = batch.column(col).to_pylist()
         canons = [canon.get(normalize_surface(s), normalize_surface(s)) for s in surfs]
         out = out.append_column(new, pa.array(canons, pa.string()))
+    return out
+
+
+def _join_compatible(t: pa.DataType) -> bool:
+    return not (pa.types.is_list(t) or pa.types.is_large_list(t)
+                or pa.types.is_struct(t) or pa.types.is_map(t))
+
+
+def apply_canonical_join(ds: Dataset, labels: Dataset,
+                         cols=(("surf_a", "canon_a"), ("surf_b", "canon_b")),
+                         num_partitions: int | None = None) -> Dataset:
+    """Web-scale canonical-map application: for each (src_col, dst_col),
+    normalize the surface and LEFT hash-join the (norm, canon) labels Dataset
+    onto it (identity where unmatched).  Used when the canonical map exceeds
+    broadcast size — the map never exists as one driver/worker dict.
+
+    Nested (list/struct) payload columns are JSON-packed around the joins —
+    Acero's hash join rejects nested non-key fields — and rebuilt with their
+    original Arrow types afterwards."""
+    import json
+
+    import pyarrow.compute as pc
+
+    from ..ops.components import _drop_empty_blocks, _nparts
+
+    nparts = num_partitions or _nparts()
+    labels = _drop_empty_blocks(labels.materialize())
+
+    sch = ds.schema()
+    nested = {n: t for n, t in zip(sch.names, sch.types)
+              if isinstance(t, pa.DataType) and not _join_compatible(t)}
+
+    def pack(b: pa.Table) -> pa.Table:
+        for name in nested:
+            i = b.column_names.index(name)
+            vals = [json.dumps(v) for v in b.column(name).to_pylist()]
+            b = b.set_column(i, name, pa.array(vals, pa.string()))
+        return b
+
+    def unpack(b: pa.Table) -> pa.Table:
+        for name, typ in nested.items():
+            i = b.column_names.index(name)
+            vals = [json.loads(v) for v in b.column(name).to_pylist()]
+            b = b.set_column(i, name, pa.array(vals, typ))
+        return b
+
+    out = ds.map_batches(pack, batch_format="pyarrow") if nested else ds
+    for src, dst in cols:
+        tmp = f"__norm_{dst}"
+
+        def add_norm(b: pa.Table, src=src, tmp=tmp) -> pa.Table:
+            # normalize only the batch's DISTINCT surfaces (dictionary encode)
+            col = b.column(src)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = pc.dictionary_encode(col)
+            uniq = [normalize_surface(s) for s in enc.dictionary.to_pylist()]
+            norms = pc.take(pa.array(uniq, pa.string()), enc.indices)
+            return b.append_column(tmp, norms)
+
+        out = out.map_batches(add_norm, batch_format="pyarrow")
+        if labels is None:  # no merges anywhere: canon == norm
+            def ident(b: pa.Table, dst=dst, tmp=tmp) -> pa.Table:
+                return b.append_column(dst, b.column(tmp)).drop_columns([tmp])
+
+            out = out.map_batches(ident, batch_format="pyarrow")
+            continue
+
+        def rename(b: pa.Table, dst=dst) -> pa.Table:
+            return pa.table({"norm": b.column("norm"), dst: b.column("canon")})
+
+        lab = labels.map_batches(rename, batch_format="pyarrow")
+        out = out.join(lab, join_type="left_outer", num_partitions=nparts,
+                       on=(tmp,), right_on=("norm",))
+
+        def coalesce(b: pa.Table, dst=dst, tmp=tmp) -> pa.Table:
+            canon_col = b.column(dst)
+            merged = pc.if_else(pc.is_valid(canon_col), canon_col, b.column(tmp))
+            i = b.column_names.index(dst)
+            return b.set_column(i, dst, merged).drop_columns([tmp])
+
+        out = out.map_batches(coalesce, batch_format="pyarrow")
+    if nested:
+        out = out.map_batches(unpack, batch_format="pyarrow")
     return out
 
 

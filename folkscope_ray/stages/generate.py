@@ -51,7 +51,10 @@ class MockGenerator:
             return pa.concat_tables(pieces)
         n = batch.num_rows
         if n == 0:
-            return batch.append_column("gen_idx", pa.array([], pa.int8())) \
+            # same schema as the non-empty path (which drops 'prompt') — block
+            # schema divergence makes the streaming executor warn/misbehave
+            return batch.drop_columns(["prompt"]) \
+                        .append_column("gen_idx", pa.array([], pa.int8())) \
                         .append_column("assertion", pa.array([], pa.string()))
         # prompt-length guard (per-row, not per-batch — the reference drops the
         # whole batch at generation.py:96-99, which loses data; we filter rows)

@@ -29,7 +29,11 @@ def make_match_fn(pat_ref, canon_ref):
     """Stateless-task matcher with broadcast pattern set + canonical map.
 
     Plain tasks beat an actor pool here: no pool spin-up, fully elastic, and
-    the broadcast refs resolve once per worker process via a module cache."""
+    the broadcast refs resolve once per worker process via a module cache.
+
+    ``canon_ref=None`` skips canonical application (the web-scale path where
+    the map exceeds broadcast size applies it afterwards with
+    ``apply_canonical_join`` — a hash join, not a broadcast)."""
     from .canonicalize import apply_canonical
 
     def match_and_canonicalize(batch: pa.Table) -> pa.Table:
@@ -38,6 +42,8 @@ def make_match_fn(pat_ref, canon_ref):
         if matcher is None:
             matcher = PatternMatcher(ray.get(pat_ref))
             _WORKER_CACHE[key] = matcher
+        if canon_ref is None:
+            return matcher(batch)
         ckey = canon_ref.hex()
         canon = _WORKER_CACHE.get(ckey)
         if canon is None:
@@ -56,7 +62,12 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
     and match results from a (rel, assertion)-keyed memo: both are paid once
     per DISTINCT assertion, so per-row work is two dict lookups plus the
     partial-aggregation update.  The full per-event table remains available
-    as its own product via :class:`PatternMatcher`."""
+    as its own product via :class:`PatternMatcher`.
+
+    ``canon_ref=None`` (web-scale canonical map): partials key on the
+    NORMALIZED surfaces and emit separate ``norm_a``/``norm_b`` columns with
+    NO bucket — the caller hash-joins the canonical labels on, fuses the subj
+    key, buckets, and re-combines (sum/max/min re-aggregate exactly)."""
     from ..util import stable_u64
     from .canonicalize import normalize_surface
 
@@ -68,18 +79,25 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
         if matcher is None:
             matcher = PatternMatcher(ray.get(pat_ref))
             _WORKER_CACHE[key] = matcher
-        ckey = "C" + canon_ref.hex()
-        canon = _WORKER_CACHE.get(ckey)
-        if canon is None:
-            canon = ray.get(canon_ref)
-            _WORKER_CACHE[ckey] = canon
-        surf_cache: dict[str, str] = _WORKER_CACHE.setdefault("surf_cache", {})
+        if canon_ref is None:
+            canon = None
+        else:
+            ckey = "C" + canon_ref.hex()
+            canon = _WORKER_CACHE.get(ckey)
+            if canon is None:
+                canon = ray.get(canon_ref)
+                _WORKER_CACHE[ckey] = canon
+        # keyed by the canon map's identity: the same worker may serve
+        # pipelines with different canonical maps in one session
+        surf_cache: dict[str, str] = _WORKER_CACHE.setdefault(
+            "surf" + (canon_ref.hex() if canon_ref is not None else "_norm"), {}
+        )
 
         def cid(surface: str) -> str:
             c = surf_cache.get(surface)
             if c is None:
                 n = normalize_surface(surface)
-                c = canon.get(n, n)
+                c = canon.get(n, n) if canon is not None else n
                 surf_cache[surface] = c
             return c
 
@@ -113,10 +131,10 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
                     mcache[mk] = evs
             if not evs:
                 continue
-            subj = f"{cid(surfs_a[i])}-{cid(surfs_b[i])}"
+            ca, cb = cid(surfs_a[i]), cid(surfs_b[i])
             lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
             for ev in evs:
-                k = (subj, rel, " ".join(ev["words"]))
+                k = (ca, cb, rel, " ".join(ev["words"]))
                 slot = acc.get(k)
                 if slot is None:
                     acc[k] = [1, ev["frequency"], plaus[i], typic[i], lin]
@@ -128,19 +146,34 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
                     slot[4] = min(slot[4], lin)
         keys = list(acc.keys())
         vals = [acc[k] for k in keys]
+        parts = {
+            "support_p": pa.array([v[0] for v in vals], pa.int64()),
+            "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
+            "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
+            "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
+            "lineage_p": pa.array([v[4] for v in vals], pa.string()),
+        }
+        if canon is None:  # join path: norms stay separate, no bucket yet
+            return pa.table(
+                {
+                    "norm_a": pa.array([k[0] for k in keys], pa.string()),
+                    "norm_b": pa.array([k[1] for k in keys], pa.string()),
+                    "pred": pa.array([k[2] for k in keys], pa.string()),
+                    "obj": pa.array([k[3] for k in keys], pa.string()),
+                    **parts,
+                }
+            )
+        subjs = [f"{k[0]}-{k[1]}" for k in keys]
         return pa.table(
             {
                 "bucket": pa.array(
-                    [stable_u64(*k) % n_buckets for k in keys], pa.int32()
+                    [stable_u64(s, k[2], k[3]) % n_buckets
+                     for s, k in zip(subjs, keys)], pa.int32()
                 ),
-                "subj": pa.array([k[0] for k in keys], pa.string()),
-                "pred": pa.array([k[1] for k in keys], pa.string()),
-                "obj": pa.array([k[2] for k in keys], pa.string()),
-                "support_p": pa.array([v[0] for v in vals], pa.int64()),
-                "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
-                "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
-                "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
-                "lineage_p": pa.array([v[4] for v in vals], pa.string()),
+                "subj": pa.array(subjs, pa.string()),
+                "pred": pa.array([k[2] for k in keys], pa.string()),
+                "obj": pa.array([k[3] for k in keys], pa.string()),
+                **parts,
             }
         )
 

@@ -43,6 +43,29 @@ def fingerprint(*parts: object) -> str:
     return sha256_hex("|".join(str(p) for p in parts))[:16]
 
 
+def source_fingerprint(path: str) -> str:
+    """Content identity of a source path: every data file's relative path,
+    size and mtime_ns fold into the hash, so rewriting a file IN PLACE (same
+    path, new bytes) still invalidates downstream checkpoints.  Used as the
+    root of each stage's chained fingerprint (stage fp = hash(upstream fp +
+    stage config)), giving transitive downstream invalidation."""
+    entries = []
+    if os.path.isfile(path):
+        st = os.stat(path)
+        entries.append(f"{os.path.basename(path)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isdir(path):
+        for root, _dirs, files in sorted(os.walk(path)):
+            for f in sorted(files):
+                full = os.path.join(root, f)
+                st = os.stat(full)
+                entries.append(
+                    f"{os.path.relpath(full, path)}:{st.st_size}:{st.st_mtime_ns}"
+                )
+    else:
+        entries.append(path)
+    return fingerprint("src", *entries)
+
+
 def load_manifest(run_dir: str, stage: str) -> dict | None:
     path = _manifest_path(run_dir, stage)
     if not os.path.exists(path):

@@ -165,3 +165,41 @@ def test_concept_triples(kg_200):
     # concept objects use dashed multiword concepts from the taxonomy
     assert ct["obj"].str.contains("-").any()
     assert (ct["support"] >= 1).all() and (ct["score"] > 0).all()
+
+
+def test_fingerprint_invalidated_by_content_and_config(corpus_200, tmp_path, monkeypatch):
+    """Rewriting the source IN PLACE or changing a stage config constant must
+    change the chained stage fingerprints (silent-stale-resume guard)."""
+    import shutil
+
+    from folkscope_ray.state import manifest as mf
+
+    src2 = str(tmp_path / "copy_corpus")
+    if os.path.isdir(corpus_200):
+        shutil.copytree(corpus_200, src2)
+    else:
+        shutil.copy(corpus_200, src2)
+    kg_a = build_kg(src2)
+    fp_a = {s: kg_a._fp(s) for s in ("scored", "patterns", "triples")}
+
+    # same path, new mtime/bytes -> every stage fp changes
+    victim = src2
+    if os.path.isdir(src2):
+        for root, _d, files in os.walk(src2):
+            if files:
+                victim = os.path.join(root, files[0])
+                break
+    os.utime(victim, ns=(1, 1))
+    kg_b = build_kg(src2)
+    fp_b = {s: kg_b._fp(s) for s in ("scored", "patterns", "triples")}
+    assert all(fp_a[s] != fp_b[s] for s in fp_a)
+
+    # config change -> the owning stage AND everything downstream change
+    import folkscope_ray.stages.mine as mine
+
+    monkeypatch.setattr(mine, "MIN_SUPPORT", mine.MIN_SUPPORT + 1)
+    kg_c = build_kg(src2)
+    fp_c = {s: kg_c._fp(s) for s in ("scored", "patterns", "triples")}
+    assert fp_c["scored"] == fp_b["scored"]
+    assert fp_c["patterns"] != fp_b["patterns"]
+    assert fp_c["triples"] != fp_b["triples"]

@@ -237,3 +237,22 @@ def test_salted_aggregate_matches_plain():
     plain = df.groupby("k").agg(sum_v=("v", "sum"), n=("v", "size")).sort_index()
     assert (salted["n"] == plain["n"]).all()
     assert np.allclose(salted["sum_v"], plain["sum_v"])
+
+
+def test_quality_batch_unicode_parity():
+    """The vectorized ASCII byte path and the per-char unicode fallback agree
+    on pure-ASCII text, and unicode rows take the exact fallback."""
+    import pyarrow as pa
+
+    from folkscope_ray.ops.text import quality_batch
+
+    ascii_texts = ["the quick brown fox. it is fine!", "", "   ", "a_b-c(d)"]
+    uni_texts = ascii_texts + ["héllo wörld, the end."]
+    for texts in (ascii_texts, uni_texts):
+        out = quality_batch(pa.table({"text": pa.array(texts, pa.string())}))
+        got = out.column("punct_ratio").to_pylist()
+        want = [
+            (1.0 - sum(c.isalnum() or c.isspace() for c in t) / len(t)) if t else 0.0
+            for t in texts
+        ]
+        assert got == want
