@@ -346,6 +346,19 @@ def _q_kg_concept_triples(sf_dir: str):
     return _kg_for(sf_dir).concept_triples()
 
 
+def _q_edge_features(sf_dir: str):
+    """T7 feature path end-to-end: embed every KG edge text (SBERT-contract
+    actor pool), mean-pool per relation — (pred, dim, mean_val)."""
+    import pandas as pd
+
+    from folkscope_ray.ops.vector import mean_vector_by_key
+
+    feats = _kg_for(sf_dir).edge_features()
+    out = mean_vector_by_key(feats, key_col="pred", vec_col="embedding")
+    out["mean_val"] = np.round(out["mean_val"].to_numpy() * 1e6).astype(np.int64) / 1e6
+    return out.rename(columns={"pred": "pred"}).sort_values(["pred", "dim"]).reset_index(drop=True)
+
+
 def _q_minhash_dedup_docs(sf_dir: str):
     """Distributed near-dup components — returns the (doc_id, component)
     Dataset straight from label propagation (no driver union-find)."""
@@ -543,6 +556,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
         "kg_concept_triples": _q_kg_concept_triples,
+        "edge_features": _q_edge_features,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_docs": _q_simhash_docs,
         "fingerprint_docs": _q_fingerprint_docs,

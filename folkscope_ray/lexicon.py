@@ -41,6 +41,23 @@ def tag_obj_word(word: str, position: int, obj_kind: str) -> str:
     return "NN"
 
 
+NER_TYPE_POOL = ("ORGANIZATION", "PERSON", "LOCATION", "CITY", "COUNTRY")
+
+
+def ner_of(word: str, pos: str) -> str:
+    """Closed-world NER: a deterministic ~20% of the noun vocabulary carries
+    an entity type — the stand-in for CoreNLP's per-token ner annotations
+    (src/pattern/utils.py:292-299); everything else is "O".  A real NER
+    tagger drops in by replacing this function."""
+    if not pos.startswith("NN"):
+        return "O"
+    base = word[:-1] if pos == "NNS" and word.endswith("s") else word.lower()
+    h = stable_u64("ner", base)
+    if h % 5:
+        return "O"
+    return NER_TYPE_POOL[(h >> 8) % len(NER_TYPE_POOL)]
+
+
 def lemma_of(word: str, pos: str) -> str:
     w = word.lower()
     if w in TEMPLATE_LEMMAS:

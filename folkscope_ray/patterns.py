@@ -117,6 +117,52 @@ def pattern_of_parsed(rel: str, pos_tags, deps) -> str:
     return encode_pattern(rel, verts, edges)
 
 
+def enumerate_anchored_subgraphs(verts, edges, n_anchor: int, k: int,
+                                 window: int):
+    """Connected induced size-``k`` subgraphs that contain the template
+    anchor (vertices ``0..n_anchor-1``), restricted to the first ``window``
+    vertices — the enumeration core of sub-skeleton pattern growth.  The
+    window mirrors the reference's prefix truncation of sentence graphs
+    before gSpan (src/pattern/pattern_filter.py:158-166); anchor containment
+    keeps fragments template-relevant.  Vertices keep ascending original
+    order and re-index to 0..k-1; edge lists are sorted (the canonical key
+    form of ``encode_pattern``)."""
+    from itertools import combinations
+
+    m = min(len(verts), window)
+    if k > m or n_anchor > k or n_anchor < 1:
+        return []
+    und: dict[int, set[int]] = {}
+    for g, _l, d in edges:
+        if g < m and d < m:
+            und.setdefault(g, set()).add(d)
+            und.setdefault(d, set()).add(g)
+    anchor = list(range(n_anchor))
+    extra = list(range(n_anchor, m))
+    out = []
+    for comb in combinations(extra, k - n_anchor):
+        sub = anchor + list(comb)  # ascending
+        subset = set(sub)
+        seen = {sub[0]}
+        stack = [sub[0]]
+        while stack:
+            v = stack.pop()
+            for w in und.get(v, ()):
+                if w in subset and w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        if len(seen) != k:  # induced subgraph not connected
+            continue
+        remap = {v: i for i, v in enumerate(sub)}
+        sub_verts = tuple(verts[v] for v in sub)
+        sub_edges = tuple(sorted(
+            (remap[g], l, remap[d]) for g, l, d in edges
+            if g in remap and d in remap
+        ))
+        out.append((sub_verts, sub_edges))
+    return out
+
+
 # -------------------------------------------------- gSpan text interop
 
 def patterns_to_lg(patterns: list["Pattern"]) -> str:
@@ -266,14 +312,61 @@ def dedup_patterns(patterns: list[Pattern]) -> list[Pattern]:
     return kept
 
 
+# ------------------------------------------------- eid-merge NER semantics
+
+def merge_ner_lists(items):
+    """Sequential eid-merge of per-position NER tags — the reference's
+    ``Eventuality.update`` (src/pattern/object.py:145-153): positions where
+    every occurrence agrees stay plain strings; a disagreement promotes the
+    position to a frequency-weighted tag Counter (dict) that accumulates.
+
+    ``items``: [(ners, frequency)] for one eid, in merge order.  Returns the
+    merged per-position list (str | dict)."""
+    merged = None
+    acc_freq = 0.0
+    for ners, freq in items:
+        if merged is None:
+            merged = list(ners)
+            acc_freq = freq
+            continue
+        for i, new in enumerate(ners):
+            cur = merged[i]
+            if isinstance(cur, str) and isinstance(new, str) and cur == new:
+                continue
+            if isinstance(cur, str):
+                cur = {cur: acc_freq}
+            if isinstance(new, str):
+                new = {new: freq}
+            out = dict(cur)
+            for tag, w in new.items():
+                out[tag] = out.get(tag, 0) + w
+            merged[i] = out
+        acc_freq += freq
+    return merged or []
+
+
+def merge_mention_lists(items):
+    """Span-keyed mention union (object.py:154-156: ``self._mentions[s_t] =
+    x_mention`` — later occurrences overwrite).  ``items``: [list-of-mention-
+    dicts] in merge order; deterministic because identical spans carry
+    identical payloads here."""
+    by_span: dict[tuple[int, int], dict] = {}
+    for mentions in items:
+        for m in mentions:
+            by_span[(m["start"], m["end"])] = m
+    return [by_span[k] for k in sorted(by_span)]
+
+
 # --------------------------------------------------------------- matching
 
-def match_row(patterns: list[Pattern], rel: str, tokens, lemmas, pos_tags, deps):
+def match_row(patterns: list[Pattern], rel: str, tokens, lemmas, pos_tags, deps,
+              ners=None, mentions=None):
     """All valid eventualities extracted from one parsed assertion.
 
     Follows pattern_match.py:78-172: try each pattern in priority order,
     validate, close over optional tokens, build the eventuality, dedup by eid
-    within the row.
+    within the row.  ``ners``/``mentions`` (optional) ride along into each
+    eventuality (reference parsed dicts, utils.py:292-299).
     """
     g_tags = [pos_family(t) for t in pos_tags]
     g_adj: dict[tuple[int, int], set[str]] = {}
@@ -321,18 +414,24 @@ def match_row(patterns: list[Pattern], rel: str, tokens, lemmas, pos_tags, deps)
         # forbidden end tag (utils.py:35; pattern_miner.py:574)
         if pos_tags[idx[-1]] in FORBIDDEN_END_POS_TAGS:
             continue
-        ev = build_eventuality(p, idx, matched, lemmas, pos_tags, deps)
+        ev = build_eventuality(p, idx, matched, lemmas, pos_tags, deps,
+                               ners=ners, mentions=mentions)
         if ev is not None and ev["eid"] not in seen_eids:
             seen_eids.add(ev["eid"])
             out.append(ev)
     return out
 
 
-def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags, deps):
+def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags,
+                      deps, ners=None, mentions=None):
     """Normalize a matched token set into an eventuality (object.py:360-418).
 
     Leading-IN drop, lowercase lemmas, positional dependency re-index, eid =
-    sha1(json([deps, words, pos_tags])) (object.py:120-130).
+    sha1(json([deps, words, pos_tags])) (object.py:120-130).  NERs slice to
+    the kept indices; mentions fully inside the match re-index to
+    eventuality-local positions (the eid does NOT cover ners/mentions — the
+    reference hashes only deps/words/pos, object.py:120-130, which is what
+    makes the frequency-weighted ner merge on eid meaningful).
     """
     idx = list(indices)
     if not idx:
@@ -353,6 +452,13 @@ def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags,
     )
     skeleton_indices = sorted(remap[i] for i in skeleton_set if i in remap)
     eid = generate_eid(ev_deps, words, ptags)
+    ev_ners = [ners[i] for i in idx] if ners is not None else []
+    ev_mentions = [
+        {"start": remap[m["start"]], "end": remap[m["end"] - 1] + 1,
+         "text": m["text"], "ner": m["ner"]}
+        for m in (mentions or ())
+        if all(t in remap for t in range(m["start"], m["end"]))
+    ]
     return {
         "eid": eid,
         "pattern": pattern.key,
@@ -360,5 +466,7 @@ def build_eventuality(pattern: Pattern, indices, skeleton_set, lemmas, pos_tags,
         "pos_tags": ptags,
         "deps": ev_deps,  # (gov, rel, dep) triples, eventuality-local indices
         "skeleton_indices": skeleton_indices,
+        "ners": ev_ners,
+        "mentions": ev_mentions,
         "frequency": 1.0,
     }

@@ -198,7 +198,11 @@ class KGPipeline:
             build_canonical_map,
             canonical_from_norms,
         )
-        from ..stages.mine import MIN_SUPPORT, SUPPORT_FLOOR_FRAC
+        from ..stages.mine import (
+            MIN_SUPPORT,
+            SUPPORT_FLOOR_FRAC,
+            grow_subskeleton_patterns,
+        )
         from ..patterns import decode_pattern, dedup_patterns
 
         def stats_batch(batch: pa.Table) -> pa.Table:
@@ -211,16 +215,22 @@ class KGPipeline:
                 k = (rel, t)
                 text_counts[k] = text_counts.get(k, 0) + 1
             skel_counts: dict[str, int] = {}
+            len_counts: dict[str, int] = {}  # "rel\tlen" -> rows (growth CDF)
             for (rel, t), n in text_counts.items():
                 hit = cached_parse(rel, t)
                 if hit[0] is None:
                     continue
                 skel = hit[4]
                 skel_counts[skel] = skel_counts.get(skel, 0) + n
+                lk = f"{rel}\t{len(hit[0])}"
+                len_counts[lk] = len_counts.get(lk, 0) + n
             dn_tbl = _distinct_norms_batch(batch)
-            k1 = list(skel_counts.keys()) + dn_tbl.column("norm").to_pylist()
-            nn = list(skel_counts.values()) + [0] * dn_tbl.num_rows
-            kinds = ["p"] * len(skel_counts) + ["n"] * dn_tbl.num_rows
+            k1 = (list(skel_counts.keys()) + list(len_counts.keys())
+                  + dn_tbl.column("norm").to_pylist())
+            nn = (list(skel_counts.values()) + list(len_counts.values())
+                  + [0] * dn_tbl.num_rows)
+            kinds = (["p"] * len(skel_counts) + ["l"] * len(len_counts)
+                     + ["n"] * dn_tbl.num_rows)
             return pa.table(
                 {
                     "kind": pa.array(kinds, pa.string()),
@@ -230,6 +240,7 @@ class KGPipeline:
             )
 
         counts: Counter = Counter()
+        length_counts: dict[str, Counter] = {}
         norms: set[str] = set()
         norms_overflow = False
         total = 0
@@ -251,6 +262,9 @@ class KGPipeline:
                 if kind == "p":
                     counts[k1] += n
                     total += n
+                elif kind == "l":
+                    rel, ln = k1.split("\t")
+                    length_counts.setdefault(rel, Counter())[int(ln)] += n
                 elif not norms_overflow:
                     # the driver set is CAPPED: past the banding bound we stop
                     # accumulating (pattern counts stay bounded by the pattern
@@ -259,8 +273,10 @@ class KGPipeline:
                     if len(norms) > DRIVER_BANDING_MAX:
                         norms_overflow = True
         floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
+        grown = grow_subskeleton_patterns(dict(counts), length_counts)
         pats = dedup_patterns(
             [decode_pattern(k, v) for k, v in counts.items() if v >= floor]
+            + grown
         )
         if not norms_overflow:
             canon = canonical_from_norms(sorted(norms))
@@ -371,26 +387,61 @@ class KGPipeline:
                     batch.column("rel").to_pylist(),
                 )
             ]
+            has_ner = "ev_ners" in batch.column_names
+            ners_json = (
+                [json.dumps(x) for x in iter_strlists(batch.column("ev_ners"))]
+                if has_ner else ["[]"] * len(eids)
+            )
+            mentions_json = (
+                [json.dumps(x) for x in batch.column("ev_mentions").to_pylist()]
+                if "ev_mentions" in batch.column_names else ["[]"] * len(eids)
+            )
             buckets = [int(e[:8], 16) % nb for e in eids]
             return pa.table(
                 {
                     "bucket": pa.array(buckets, pa.int32()),
                     "eid": batch.column("eid"),
                     "payload": pa.array(payloads, pa.string()),
+                    "ners_json": pa.array(ners_json, pa.string()),
+                    "mentions_json": pa.array(mentions_json, pa.string()),
                     "frequency": batch.column("frequency"),
                 }
             )
 
         def bucket_merge(df):
-            return (
+            out = (
                 df.groupby("eid", sort=False)
                 .agg(payload=("payload", "first"),
                      frequency=("frequency", "sum"),
-                     support=("payload", "size"))
+                     support=("payload", "size"),
+                     ners_json=("ners_json", "first"),
+                     n_ner=("ners_json", "nunique"),
+                     mentions_json=("mentions_json", "first"),
+                     n_men=("mentions_json", "nunique"))
                 .reset_index()
             )
+            # NER-Counter merge + mention union (object.py:145-156) only for
+            # the rare eids whose occurrences actually disagree — agreeing
+            # groups take the vectorized fast path above
+            mixed = out.index[(out["n_ner"] > 1) | (out["n_men"] > 1)]
+            if len(mixed):
+                from ..patterns import merge_mention_lists, merge_ner_lists
 
-        from ..stages.parse import DEP_STRUCT
+                for ridx in mixed:
+                    eid = out.at[ridx, "eid"]
+                    rows = df[df["eid"] == eid]
+                    out.at[ridx, "ners_json"] = json.dumps(merge_ner_lists(
+                        [(json.loads(nj), f) for nj, f in
+                         zip(rows["ners_json"], rows["frequency"])]
+                    ))
+                    out.at[ridx, "mentions_json"] = json.dumps(
+                        merge_mention_lists(
+                            [json.loads(mj) for mj in rows["mentions_json"]]
+                        )
+                    )
+            return out.drop(columns=["n_ner", "n_men"])
+
+        from ..stages.parse import DEP_STRUCT, MENTION_STRUCT
 
         def unpack(batch: pa.Table) -> pa.Table:
             words, ptags, deps, skels, pats, rels = [], [], [], [], [], []
@@ -402,6 +453,8 @@ class KGPipeline:
                 skels.append(sk)
                 pats.append(pat)
                 rels.append(rel)
+            mentions = [json.loads(m) for m in
+                        batch.column("mentions_json").to_pylist()]
             return pa.table(
                 {
                     "eid": batch.column("eid"),
@@ -411,6 +464,10 @@ class KGPipeline:
                     "skeleton_indices": pa.array(skels, pa.list_(pa.int32())),
                     "pattern": pa.array(pats, pa.string()),
                     "rel": pa.array(rels, pa.string()),
+                    # per-position tag or frequency-weighted tag-Counter dict
+                    # (heterogeneous after a disagreeing merge -> JSON column)
+                    "ners": batch.column("ners_json"),
+                    "mentions": pa.array(mentions, pa.list_(MENTION_STRUCT)),
                     "frequency": batch.column("frequency"),
                     "support": batch.column("support"),
                 }
@@ -635,6 +692,21 @@ class KGPipeline:
             joined.map_batches(partials, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(combine, batch_format="pandas")
+        )
+
+    def edge_features(self) -> Dataset:
+        """SBERT-contract edge embeddings (T7): every (subj, pred, obj) edge
+        text encoded by the actor-pool embedder (model loaded once per
+        actor), feeding the mean-pool / ANN consumers — the reference's
+        eventuality_SBERT_feature.json step
+        (src/recommendation/preprocess.py:168-199) as a streaming stage."""
+        from ..stages.embed import SentenceEmbedder
+
+        return self.triples().map_batches(
+            SentenceEmbedder,
+            batch_format="pyarrow",
+            fn_constructor_kwargs={"text_col": "obj"},
+            concurrency=(1, max(2, _cpus() // 2)),
         )
 
     def run_metrics(self) -> dict:

@@ -67,13 +67,19 @@ def oracle_triples(n_files: int) -> pd.DataFrame:
                     toks, lems, pos, deps = parsed
                     parsed_rows.append((rel, a, b, plaus, typ, toks, lems, pos, deps))
 
-    # 2. pattern mining: global Counter over canonical skeleton keys
+    # 2. pattern mining: global Counter over canonical skeleton keys, plus
+    # the shared sub-skeleton growth (same leaf semantics as the Ray side)
+    from ..stages.mine import grow_subskeleton_patterns
+
     counts: Counter = Counter()
+    length_counts: dict[str, Counter] = {}
     for rel, a, b, plaus, typ, toks, lems, pos, deps in parsed_rows:
         counts[pattern_of_parsed(rel, pos, deps)] += 1
+        length_counts.setdefault(rel, Counter())[len(toks)] += 1
     floor = max(MIN_SUPPORT, math.ceil(len(parsed_rows) * SUPPORT_FLOOR_FRAC))
+    grown = grow_subskeleton_patterns(dict(counts), length_counts)
     patterns = dedup_patterns(
-        [decode_pattern(k, n) for k, n in counts.items() if n >= floor]
+        [decode_pattern(k, n) for k, n in counts.items() if n >= floor] + grown
     )
     by_rel: dict[str, list[Pattern]] = {}
     for p in sorted(patterns, key=Pattern.priority):

@@ -51,8 +51,8 @@ def seed_rule_conceptualize(words, ners=None):
     """Seed-rule conceptualization: replace NER-typed words with __TYPE__k
     placeholders and person pronouns with __PERSON__k
     (conceptualizer.py:226-287 semantics).  ``ners`` aligns with ``words``
-    ("O" = no entity); our deterministic parser emits no NERs, so this is the
-    library surface for externally-NER-tagged inputs."""
+    ("O" = no entity) — fed by the parser's closed-world ner column
+    (stages/parse.py ner_tags) through the eid merge."""
     ners = ners or ["O"] * len(words)
     out = []
     counters: dict[str, int] = {}
@@ -181,6 +181,8 @@ class Conceptualizer:
         self.top_k = top_k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
         eids = batch.column("eid").to_pylist()
         wordss = batch.column("words").to_pylist()
         poss = batch.column("ev_pos_tags").to_pylist()
@@ -189,18 +191,38 @@ class Conceptualizer:
             if "frequency" in batch.column_names
             else [1.0] * len(eids)
         )
+        if "ners" in batch.column_names:  # JSON: str | {tag: weight} per pos
+            nerss = [json.loads(x) for x in batch.column("ners").to_pylist()]
+        else:
+            nerss = [None] * len(eids)
         o_cid, o_eid, o_pid, o_words, o_score, o_freq = [], [], [], [], [], []
-        for eid, words, pos, freq in zip(eids, wordss, poss, freqs):
+
+        def emit(eid, cw, score, freq):
+            cid = generate_cid(cw)
+            o_cid.append(cid)
+            o_eid.append(eid)
+            # pid = sha1("{cid}${eid}") — ASERConceptInstancePair id
+            # (object.py:762-773)
+            o_pid.append(sha1_hex(f"{cid}${eid}"))
+            o_words.append(cw)
+            o_score.append(score)
+            o_freq.append(freq)
+
+        for eid, words, pos, freq, ners in zip(eids, wordss, poss, freqs, nerss):
+            # seed-rule concept first (conceptualizer.py:226-287): NER-typed
+            # words -> __TYPE__k, pronouns -> __PERSON__k, score 1.0
+            if ners is not None:
+                tags = [
+                    t if isinstance(t, str)
+                    else (sorted(t.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+                          if t else "O")
+                    for t in ners
+                ]
+                seeded = seed_rule_conceptualize(words, tags)
+                if seeded != list(words):
+                    emit(eid, seeded, 1.0, freq)
             for cw, score in conceptualize_words(self.index, words, pos):
-                cid = generate_cid(cw)
-                o_cid.append(cid)
-                o_eid.append(eid)
-                # pid = sha1("{cid}${eid}") — ASERConceptInstancePair id
-                # (object.py:762-773)
-                o_pid.append(sha1_hex(f"{cid}${eid}"))
-                o_words.append(cw)
-                o_score.append(score)
-                o_freq.append(freq)
+                emit(eid, cw, score, freq)
         return pa.table(
             {
                 "cid": pa.array(o_cid, pa.string()),

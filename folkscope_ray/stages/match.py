@@ -193,30 +193,45 @@ class PatternMatcher:
             self.by_rel.setdefault(p.rel, []).append(p)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        from .parse import deps_array, iter_deps, iter_strlists, list_string_array
+        from .parse import (
+            MENTION_STRUCT,
+            deps_array,
+            iter_deps,
+            iter_strlists,
+            list_string_array,
+        )
 
         rels = batch.column("rel").to_pylist()
         toks = iter_strlists(batch.column("tokens"))
         lems = iter_strlists(batch.column("lemmas"))
         poss = iter_strlists(batch.column("pos_tags"))
         depss = iter_deps(batch.column("deps"))
+        n = len(rels)
+        has_ner = "ners" in batch.column_names
+        nerss = iter_strlists(batch.column("ners")) if has_ner else [None] * n
+        menss = (batch.column("mentions").to_pylist() if "mentions" in batch.column_names
+                 else [None] * n)
         src_idx: list[int] = []
         eids, pats_out, freqs = [], [], []
         w_off, w_flat = [0], []
         p_flat: list[str] = []
+        ner_flat: list[str] = []
         d_off, d_gov, d_lab, d_dep = [0], [], [], []
         sk_off, sk_flat = [0], []
+        men_off, men_s, men_e, men_t, men_n = [0], [], [], [], []
         for i, (rel, t, l, p, dd) in enumerate(zip(rels, toks, lems, poss, depss)):
             pats = self.by_rel.get(rel)
             if not pats:
                 continue
-            for ev in match_row(pats, rel, t, l, p, dd):
+            for ev in match_row(pats, rel, t, l, p, dd,
+                                ners=nerss[i], mentions=menss[i]):
                 src_idx.append(i)
                 eids.append(ev["eid"])
                 pats_out.append(ev["pattern"])
                 freqs.append(ev["frequency"])
                 w_flat.extend(ev["words"])
                 p_flat.extend(ev["pos_tags"])
+                ner_flat.extend(ev["ners"] if has_ner else ["O"] * len(ev["words"]))
                 w_off.append(len(w_flat))
                 for g, lab, dp in ev["deps"]:
                     d_gov.append(g)
@@ -225,6 +240,12 @@ class PatternMatcher:
                 d_off.append(len(d_gov))
                 sk_flat.extend(ev["skeleton_indices"])
                 sk_off.append(len(sk_flat))
+                for m in ev["mentions"]:
+                    men_s.append(m["start"])
+                    men_e.append(m["end"])
+                    men_t.append(m["text"])
+                    men_n.append(m["ner"])
+                men_off.append(len(men_s))
         out = batch.select(EVENT_COLS).take(pa.array(src_idx, pa.int64()))
         out = out.append_column("eid", pa.array(eids, pa.string()))
         out = out.append_column("pattern", pa.array(pats_out, pa.string()))
@@ -234,6 +255,16 @@ class PatternMatcher:
         out = out.append_column(
             "skeleton_indices",
             pa.ListArray.from_arrays(pa.array(sk_off, pa.int32()), pa.array(sk_flat, pa.int32())),
+        )
+        out = out.append_column("ev_ners", list_string_array(w_off, ner_flat))
+        mention_struct = pa.StructArray.from_arrays(
+            [pa.array(men_s, pa.int32()), pa.array(men_e, pa.int32()),
+             pa.array(men_t, pa.string()), pa.array(men_n, pa.string())],
+            fields=list(MENTION_STRUCT),
+        )
+        out = out.append_column(
+            "ev_mentions",
+            pa.ListArray.from_arrays(pa.array(men_off, pa.int32()), mention_struct),
         )
         out = out.append_column("frequency", pa.array(freqs, pa.float64()))
         return out

@@ -26,10 +26,99 @@ import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Sum
 
-from ..patterns import Pattern, decode_pattern, dedup_patterns, pattern_of_parsed
+from ..patterns import (
+    Pattern,
+    decode_pattern,
+    dedup_patterns,
+    encode_pattern,
+    enumerate_anchored_subgraphs,
+    pattern_of_parsed,
+)
 
 MIN_SUPPORT = 2
 SUPPORT_FLOOR_FRAC = 1e-4  # support ≥ N * 1e-4, pattern_miner.py:564
+GROWTH_TH_SCALE = 0.1      # min_th = log(1 + bucket/N) * 0.1, pattern_filter.py:146
+GROWTH_MIN_TH = 1e-6       # stop when min_th < 1e-6, pattern_filter.py:147
+GROWTH_EARLY_STOP = 2      # consecutive empty sizes before stopping, pattern_filter.py:196-200
+
+
+def grow_subskeleton_patterns(skeleton_counts: dict[str, int],
+                              length_counts: dict[str, dict[int, int]]) -> list[Pattern]:
+    """Sub-skeleton frequent-pattern growth — the capability gSpan provides
+    in the reference (src/pattern/pattern_filter.py:103-200): a pattern
+    frequent only as a SUBGRAPH of many individually-infrequent skeletons is
+    still discovered.
+
+    Driver-side over the per-relation skeleton multiset (dozens of distinct
+    skeletons — the distributed work already happened in the stats pass that
+    produced the counts).  Per relation, for sizes k = n_template+1 upward
+    while k < ceil(avg token length): enumerate connected anchored induced
+    size-k subgraphs of every skeleton within the prefix window k+delta,
+    count with skeleton multiplicities, keep fragments whose count clears the
+    CDF-adaptive floor
+
+        min_th   = log(1 + (cum(k-1+delta) - cum(k-1)) / N) * 0.1
+        min_freq = (N - cum(k-1)) * min_th        (stop if < N * 1e-4)
+
+    (pattern_filter.py:139-151), early-stopping after 2 empty sizes.  Shared
+    verbatim by the single-process oracle so the P/R gate validates the
+    distributed plumbing around identical leaf semantics."""
+    from ..relations import REL_INDEX
+
+    by_rel: dict[str, list[Pattern]] = {}
+    for key, cnt in skeleton_counts.items():
+        p = decode_pattern(key, cnt)
+        by_rel.setdefault(p.rel, []).append(p)
+
+    out: list[Pattern] = []
+    for rel, skels in sorted(by_rel.items()):
+        lens = length_counts.get(rel)
+        if not lens:
+            continue
+        n_rows = sum(lens.values())
+        if n_rows == 0:
+            continue
+        avg = sum(ln * c for ln, c in lens.items()) / n_rows
+        n_template = len(REL_INDEX[rel].tokens)
+        if n_template == 0:  # template-less relation (pattern_filter.py:126-128)
+            continue
+        sorted_lens = sorted(lens.items())
+
+        def cum_leq(x: int) -> int:
+            return sum(c for ln, c in sorted_lens if ln <= x)
+
+        early = 0
+        delta = 1
+        while n_template + delta < math.ceil(avg):
+            k = n_template + delta
+            cum1 = cum_leq(k - 1)
+            cum2 = cum_leq(k - 1 + delta)
+            min_th = math.log(1 + (cum2 - cum1) / n_rows) * GROWTH_TH_SCALE
+            if min_th < GROWTH_MIN_TH:
+                break
+            min_freq = int((n_rows - cum1) * min_th)
+            if min_freq < n_rows * SUPPORT_FLOOR_FRAC:
+                break
+            counts: dict[str, int] = {}
+            for p in skels:
+                if len(p.verts) < k:
+                    continue
+                for sv, se in enumerate_anchored_subgraphs(
+                    p.verts, p.edges, n_template, k, k + delta
+                ):
+                    ckey = encode_pattern(rel, sv, se)
+                    counts[ckey] = counts.get(ckey, 0) + p.support
+            freq = [decode_pattern(ck, c) for ck, c in sorted(counts.items())
+                    if c >= max(min_freq, MIN_SUPPORT)]
+            if not freq:
+                early += 1
+                if early >= GROWTH_EARLY_STOP:
+                    break
+            else:
+                early = 0
+                out.extend(freq)
+            delta += 1
+    return out
 
 
 def pattern_counts_batch(batch: pa.Table) -> pa.Table:

@@ -23,6 +23,38 @@ from ..lexicon import lemma_of, tag_obj_word
 from ..relations import REL_INDEX, Relation
 
 DEP_STRUCT = pa.struct([("gov", pa.int32()), ("rel", pa.string()), ("dep", pa.int32())])
+MENTION_STRUCT = pa.struct([
+    ("start", pa.int32()), ("end", pa.int32()),
+    ("text", pa.string()), ("ner", pa.string()),
+])
+
+
+def ner_tags(tokens, pos_tags) -> list[str]:
+    """Per-token NER column (the reference's ``ners``, utils.py:292-299)."""
+    from ..lexicon import ner_of
+
+    return [ner_of(w, p) for w, p in zip(tokens, pos_tags)]
+
+
+def extract_mentions(tokens, ners) -> list[dict]:
+    """Contiguous same-type non-O spans -> mention dicts
+    ({start, end, text, ner}, half-open token span) — the reference's
+    ``entitymentions`` extraction filtered to typed tokens
+    (utils.py:279-291)."""
+    out = []
+    i, n = 0, len(tokens)
+    while i < n:
+        t = ners[i]
+        if t == "O":
+            i += 1
+            continue
+        j = i
+        while j + 1 < n and ners[j + 1] == t:
+            j += 1
+        out.append({"start": i, "end": j + 1,
+                    "text": " ".join(tokens[i:j + 1]), "ner": t})
+        i = j + 1
+    return out
 
 
 def slice_at_template(rel_name: str, generation: str) -> str | None:
@@ -137,8 +169,9 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     surfs_b = batch.column("surf_b").to_pylist()
     keep, sids, skels = [], [], []
     tok_off, tok_flat = [0], []
-    lem_flat, pos_flat = [], []
+    lem_flat, pos_flat, ner_flat = [], [], []
     dep_off, dep_gov, dep_lab, dep_dep = [0], [], [], []
+    men_off, men_s, men_e, men_t, men_n = [0], [], [], [], []
     for i, (rel, text) in enumerate(zip(rels, texts)):
         hit = cached_parse(rel, text)
         if hit[0] is None:
@@ -150,18 +183,36 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         tok_flat.extend(t)
         lem_flat.extend(l)
         pos_flat.extend(p)
+        ners = ner_tags(t, p)
+        ner_flat.extend(ners)
         tok_off.append(len(tok_flat))
         for g, lab, dp in d:
             dep_gov.append(g)
             dep_lab.append(lab)
             dep_dep.append(dp)
         dep_off.append(len(dep_gov))
+        for m in extract_mentions(t, ners):
+            men_s.append(m["start"])
+            men_e.append(m["end"])
+            men_t.append(m["text"])
+            men_n.append(m["ner"])
+        men_off.append(len(men_s))
     out = batch.take(pa.array(keep, pa.int64()))
     out = out.append_column("sid", pa.array(sids, pa.string()))
     out = out.append_column("tokens", list_string_array(tok_off, tok_flat))
     out = out.append_column("lemmas", list_string_array(tok_off, lem_flat))
     out = out.append_column("pos_tags", list_string_array(tok_off, pos_flat))
     out = out.append_column("deps", deps_array(dep_off, dep_gov, dep_lab, dep_dep))
+    out = out.append_column("ners", list_string_array(tok_off, ner_flat))
+    mention_struct = pa.StructArray.from_arrays(
+        [pa.array(men_s, pa.int32()), pa.array(men_e, pa.int32()),
+         pa.array(men_t, pa.string()), pa.array(men_n, pa.string())],
+        fields=list(MENTION_STRUCT),
+    )
+    out = out.append_column(
+        "mentions",
+        pa.ListArray.from_arrays(pa.array(men_off, pa.int32()), mention_struct),
+    )
     # canonical skeleton-pattern key (mining consumes this column with a
     # vectorized value_counts instead of a second Python pass)
     out = out.append_column("skeleton_key", pa.array(skels, pa.string()))

@@ -209,3 +209,57 @@ def test_critic_scores_deterministic_bounded():
     s1 = plausibility_score("k", 0, "they are both used for data caching")
     s2 = plausibility_score("k", 0, "they are both used for data caching")
     assert s1 == s2 and 0.0 <= s1 <= 1.0
+
+
+def test_subskeleton_growth_finds_planted_fragment():
+    """A fragment frequent only as a subgraph of many individually-infrequent
+    skeletons must be mined (reference gSpan growth, pattern_filter.py:103-200)
+    and must then match sentences via the normal embedding machinery."""
+    from folkscope_ray.patterns import (
+        encode_pattern,
+        enumerate_anchored_subgraphs,
+        find_embedding,
+        pos_family,
+    )
+    from folkscope_ray.relations import REL_INDEX
+    from folkscope_ray.stages.mine import grow_subskeleton_patterns
+
+    rel = "hasA"
+    n = len(REL_INDEX[rel].tokens)  # 3 ('they','both','have')
+    anchor_verts = ("PRP", "DT", "VBP")
+    # 30 distinct size-6 skeletons: shared anchored core (anchor + NN at 3)
+    # but each with a unique tail -> no full skeleton is frequent
+    skeleton_counts = {}
+    tails = [("NN", "NN"), ("NN", "JJ"), ("JJ", "NN"), ("JJ", "JJ"),
+             ("NN", "RB"), ("RB", "NN"), ("JJ", "RB"), ("RB", "JJ"),
+             ("RB", "RB"), ("NN", "VB")]
+    for i, tail in enumerate(tails):
+        verts = anchor_verts + ("NN",) + tail
+        edges = ((2, "obj", 3), (0, "nsubj", 2), (1, "det", 0),
+                 (3, "amod", 4), (4, "dep", 5))
+        skeleton_counts[encode_pattern(rel, verts, edges)] = 200  # each rare
+    # spread of token lengths (the CDF-adaptive floor needs non-empty buckets)
+    length_counts = {rel: {4: 300, 5: 400, 6: 500, 7: 800}}
+    grown = grow_subskeleton_patterns(skeleton_counts, length_counts)
+    assert grown, "no fragments mined"
+    core = encode_pattern(rel, anchor_verts + ("NN",),
+                          ((0, "nsubj", 2), (1, "det", 0), (2, "obj", 3)))
+    keys = {p.key for p in grown}
+    assert core in keys, keys
+    # the mined fragment embeds into a fresh sentence graph
+    planted = next(p for p in grown if p.key == core)
+    g_tags = [pos_family(t) for t in ("PRP", "DT", "VBP", "NNS", "JJ")]
+    g_adj = {(0, 2): {"nsubj"}, (1, 0): {"det"}, (2, 3): {"obj"},
+             (3, 4): {"amod"}}
+    assert find_embedding(planted, g_tags, g_adj) == [0, 1, 2, 3]
+
+
+def test_enumerate_anchored_subgraphs_connectivity_and_window():
+    from folkscope_ray.patterns import enumerate_anchored_subgraphs
+
+    verts = ("A", "B", "C", "D", "E")
+    edges = ((0, "x", 1), (1, "y", 2), (3, "z", 4))  # {3,4} disconnected
+    subs = enumerate_anchored_subgraphs(verts, edges, 2, 3, window=5)
+    assert subs == [(("A", "B", "C"), ((0, "x", 1), (1, "y", 2)))]
+    # window cuts off vertex 2
+    assert enumerate_anchored_subgraphs(verts, edges, 2, 3, window=2) == []

@@ -203,3 +203,78 @@ def test_fingerprint_invalidated_by_content_and_config(corpus_200, tmp_path, mon
     assert fp_c["scored"] == fp_b["scored"]
     assert fp_c["patterns"] != fp_b["patterns"]
     assert fp_c["triples"] != fp_b["triples"]
+
+
+def test_ner_mentions_flow_and_merge_semantics(kg_200):
+    """NER columns flow parse -> eventualities -> eid merge -> concepts
+    (reference utils.py:292-299 / object.py:145-156), and the merge math
+    implements the frequency-weighted Counter promotion."""
+    import json
+
+    from folkscope_ray.patterns import merge_mention_lists, merge_ner_lists
+
+    ev = kg_200.eventualities().to_pandas()
+    assert {"ev_ners", "ev_mentions"} <= set(ev.columns)
+    assert (ev["ev_ners"].map(len) == ev["words"].map(len)).all()
+    typed = [n for ns in ev["ev_ners"] for n in ns if n != "O"]
+    assert typed, "closed-world NER produced no typed tokens"
+
+    merged = kg_200.eventualities_merged().to_pandas()
+    assert {"ners", "mentions"} <= set(merged.columns)
+    some = merged[merged["mentions"].map(len) > 0]
+    assert len(some) > 0
+    m0 = some.iloc[0]["mentions"][0]
+    assert set(m0) == {"start", "end", "text", "ner"}
+    # ners JSON aligns positionally with words
+    r0 = merged.iloc[0]
+    assert len(json.loads(r0["ners"])) == len(r0["words"])
+
+    # Counter-promotion semantics (object.py:145-153): agree -> str stays;
+    # disagree -> frequency-weighted dict accumulating across occurrences
+    out = merge_ner_lists([
+        (["O", "PERSON"], 2.0),
+        (["O", "CITY"], 1.0),
+        (["O", "CITY"], 3.0),
+    ])
+    assert out[0] == "O"
+    assert out[1] == {"PERSON": 2.0, "CITY": 4.0}
+    ms = merge_mention_lists([
+        [{"start": 0, "end": 1, "text": "a", "ner": "CITY"}],
+        [{"start": 2, "end": 3, "text": "b", "ner": "PERSON"},
+         {"start": 0, "end": 1, "text": "a", "ner": "CITY"}],
+    ])
+    assert [m["start"] for m in ms] == [0, 2]
+
+
+def test_seed_rule_concepts_emitted(kg_200):
+    """The seed-rule conceptualizer is wired into concepts(): placeholder
+    rewrites (__PERSON__k / __TYPE__k) appear with score 1.0."""
+    cdf = kg_200.concepts().to_pandas()
+    seeded = cdf[cdf["concept_words"].map(
+        lambda ws: any(w.startswith("__") for w in ws))]
+    assert len(seeded) > 0
+    assert (seeded["score"] == 1.0).all()
+
+
+def test_edge_features_embedding_contract(kg_200):
+    """T7: edge texts embed deterministically to unit-norm vectors; identical
+    texts embed identically; the actor-pool stage preserves edge rows."""
+    import numpy as np
+
+    from folkscope_ray.stages.embed import EMBED_DIM, _DeterministicSentenceModel
+
+    feats = kg_200.edge_features().to_pandas()
+    n_triples = len(kg_200.triples().to_pandas())
+    assert len(feats) == n_triples
+    v0 = np.asarray(feats.iloc[0]["embedding"])
+    assert v0.shape == (EMBED_DIM,)
+    assert abs(np.linalg.norm(v0) - 1.0) < 1e-9
+    # same text -> same embedding, across fresh model instances
+    m1, m2 = _DeterministicSentenceModel(64), _DeterministicSentenceModel(64)
+    a, b = m1.encode(["be adaptive cache"]), m2.encode(["be adaptive cache"])
+    assert np.allclose(a, b)
+    # token overlap -> higher cosine than disjoint tokens
+    x = m1.encode(["be adaptive cache", "be adaptive queue", "zig zag zip"])
+    cos_close = float(x[0] @ x[1])
+    cos_far = float(x[0] @ x[2])
+    assert cos_close > cos_far
