@@ -335,7 +335,37 @@ def _q_kg_triples(sf_dir: str):
 
 
 def _q_kg_eventualities(sf_dir: str):
-    return _kg_for(sf_dir).eventualities_merged()
+    """Merged eventualities with nested columns serialized to canonical JSON
+    strings — the driver's value-hash compare (and the parquet golden
+    fixture) then sees a flat, engine-neutral schema."""
+    import json
+
+    ds = _kg_for(sf_dir).eventualities_merged()
+
+    def flatten(b: pa.Table) -> pa.Table:
+        def j(col):
+            return pa.array(
+                [json.dumps(x, sort_keys=True) for x in b.column(col).to_pylist()],
+                pa.string(),
+            )
+
+        return pa.table(
+            {
+                "eid": b.column("eid"),
+                "words_json": j("words"),
+                "pos_json": j("ev_pos_tags"),
+                "deps_json": j("ev_deps"),
+                "skeleton_json": j("skeleton_indices"),
+                "pattern": b.column("pattern"),
+                "rel": b.column("rel"),
+                "ners": b.column("ners"),
+                "mentions_json": j("mentions"),
+                "frequency": b.column("frequency"),
+                "support": b.column("support"),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_kg_concept_agg(sf_dir: str):
@@ -354,7 +384,10 @@ def _q_edge_features(sf_dir: str):
     from folkscope_ray.ops.vector import mean_vector_by_key
 
     feats = _kg_for(sf_dir).edge_features()
-    out = mean_vector_by_key(feats, key_col="pred", vec_col="embedding")
+    # fixed-point partials: bit-identical across parallelism levels, so the
+    # committed golden fixture matches whatever num_cpus the driver uses
+    out = mean_vector_by_key(feats, key_col="pred", vec_col="embedding",
+                             fixed_point_digits=9)
     out["mean_val"] = np.round(out["mean_val"].to_numpy() * 1e6).astype(np.int64) / 1e6
     return out.rename(columns={"pred": "pred"}).sort_values(["pred", "dim"]).reset_index(drop=True)
 
@@ -406,9 +439,20 @@ def _q_multimodal_image_features(sf_dir: str):
     from folkscope_ray.ops.multimodal import ImageFeatures, synthetic_media_table
 
     media = rd.from_arrow(synthetic_media_table(300))
-    return media.map_batches(
+    feats = media.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=32, concurrency=(1, 4)
     )
+
+    def flatten(b: pa.Table) -> pa.Table:  # flat schema for the fixture oracle
+        means = b.column("channel_mean").to_pylist()
+        stds = b.column("channel_std").to_pylist()
+        cols = {"media_id": b.column("media_id"), "phash": b.column("phash")}
+        for i, ch in enumerate(("r", "g", "b")):
+            cols[f"mean_{ch}"] = pa.array([m[i] for m in means], pa.float64())
+            cols[f"std_{ch}"] = pa.array([s[i] for s in stds], pa.float64())
+        return pa.table(cols)
+
+    return feats.map_batches(flatten, batch_format="pyarrow")
 
 
 def _q_multimodal_frame_sample(sf_dir: str):
@@ -443,6 +487,7 @@ def _q_ann_lsh_topk(sf_dir: str):
             "queries_ref": ray.put(np.asarray([q], dtype=np.float64)),
             "planes_ref": ray.put(planes),
             "k": 10,
+            "quantize_digits": 6,  # quantize BEFORE top-k: batch-boundary safe
         },
         concurrency=(1, 4),
     ).to_pandas()
@@ -718,4 +763,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM embeddings)
             GROUP BY label, dim
         """,
+        # ------------------------------------------------ golden fixtures
+        # The remaining queries are not ANSI-SQL-expressible (KG pipeline
+        # products, LSH/connected-components, stub multimodal kernels), so
+        # their oracle is a committed golden fixture: the expected output at
+        # sf0.01, generated by `python tools/fixtures.py make`, verified
+        # bit-identical across parallelism levels (fixed-point float
+        # accumulation + deterministic merge ordering), and read back here so
+        # a pipeline regression fails the driver's rows/schema/hash compare
+        # exactly like a SQL-backed query.
+        **{
+            name: f"SELECT * FROM read_parquet('/root/repo/fixtures/sf0.01/{name}.parquet')"
+            for name in (
+                "kg_triples",
+                "kg_eventualities",
+                "kg_concept_agg",
+                "kg_concept_triples",
+                "edge_features",
+                "minhash_dedup_docs",
+                "simhash_docs",
+                "fingerprint_docs",
+                "langid_quality_docs",
+                "multimodal_image_features",
+                "multimodal_frame_sample",
+                "ann_lsh_topk",
+            )
+        },
     }

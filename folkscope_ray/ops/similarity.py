@@ -119,8 +119,9 @@ class LshTopK(BruteForceTopK):
     (or a bucket at hamming distance <= 1 — cheap multi-probe)."""
 
     def __init__(self, queries_ref, planes_ref, k: int = 10,
-                 vec_col: str = "embedding", id_col: str = "vec_id"):
-        super().__init__(queries_ref, k, vec_col, id_col)
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 quantize_digits: int | None = None):
+        super().__init__(queries_ref, k, vec_col, id_col, quantize_digits)
         planes = ray.get(planes_ref) if isinstance(planes_ref, ray.ObjectRef) else planes_ref
         self.planes = planes
         qb = bucket_of(self.q, planes)

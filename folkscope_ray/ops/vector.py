@@ -15,13 +15,23 @@ import pyarrow as pa
 from ray.data import Dataset
 
 
-def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str) -> pd.DataFrame:
+def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
+                       fixed_point_digits: int | None = None) -> pd.DataFrame:
     """Returns a DataFrame (key, dim, mean_val) — exploded per dimension so
-    the result is flat-schema (and SQL-comparable)."""
+    the result is flat-schema (and SQL-comparable).
+
+    ``fixed_point_digits``: when set, each element is quantized to
+    ``10^-digits`` and accumulated in int64 — integer addition is associative,
+    so the result is bit-identical across any block/batch partitioning
+    (required for golden-fixture hash-compare across parallelism levels).
+    """
+    scale = float(10 ** fixed_point_digits) if fixed_point_digits else None
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch.column(key_col).to_pylist()
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if scale:
+            vecs = np.round(vecs * scale).astype(np.int64)
         sums: dict = {}
         counts: dict = {}
         for k, v in zip(keys, vecs):
@@ -32,10 +42,11 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str) -> pd.DataFrame:
                 sums[k] = v.copy()
                 counts[k] = 1
         ks = list(sums.keys())
+        vtype = pa.list_(pa.int64()) if scale else pa.list_(pa.float64())
         return pa.table(
             {
                 key_col: pa.array(ks),
-                "vsum": pa.array([sums[k].tolist() for k in ks], pa.list_(pa.float64())),
+                "vsum": pa.array([sums[k].tolist() for k in ks], vtype),
                 "n": pa.array([counts[k] for k in ks], pa.int64()),
             }
         )
@@ -45,7 +56,7 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str) -> pd.DataFrame:
     for k, grp in parts.groupby(key_col):
         total = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
         n = int(grp["n"].sum())
-        mean = total / n
+        mean = (total / n) / scale if scale else total / n
         for d, val in enumerate(mean):
             out_rows.append({key_col: k, "dim": d, "mean_val": float(val)})
     return pd.DataFrame(out_rows).sort_values([key_col, "dim"]).reset_index(drop=True)

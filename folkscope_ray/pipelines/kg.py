@@ -409,6 +409,11 @@ class KGPipeline:
             )
 
         def bucket_merge(df):
+            # shuffle arrival order varies run to run; sort on deterministic
+            # keys so the NER/mention merge (order-sensitive Counter promotion)
+            # and 'first' picks are reproducible bit-for-bit
+            df = df.sort_values(["eid", "ners_json", "mentions_json", "frequency"],
+                                kind="mergesort")
             out = (
                 df.groupby("eid", sort=False)
                 .agg(payload=("payload", "first"),
@@ -433,7 +438,7 @@ class KGPipeline:
                     out.at[ridx, "ners_json"] = json.dumps(merge_ner_lists(
                         [(json.loads(nj), f) for nj, f in
                          zip(rows["ners_json"], rows["frequency"])]
-                    ))
+                    ), sort_keys=True)
                     out.at[ridx, "mentions_json"] = json.dumps(
                         merge_mention_lists(
                             [json.loads(mj) for mj in rows["mentions_json"]]
@@ -508,6 +513,10 @@ class KGPipeline:
             return out.append_column("cbucket", pa.array(buckets, pa.int32()))
 
         def combine(df):
+            # deterministic float-summation order: shuffle arrival order varies
+            # run to run, so sort on a unique key before the groupby-sum (the
+            # fixture/oracle compare hashes raw float bits)
+            df = df.sort_values(["cid", "eid", "weighted_score"], kind="mergesort")
             return (
                 df.groupby("cid", sort=False)
                 .agg(score=("weighted_score", "sum"), n_instances=("cid", "size"))
@@ -663,12 +672,17 @@ class KGPipeline:
             ):
                 a, b_, rel, obj, score, freq = row
                 k = (f"{a}-{b_}", rel, obj)
+                # fixed-point accumulation: int64 partial sums are associative,
+                # so the final score is bit-identical across any block/batch
+                # partitioning (float partials would differ in the LSB between
+                # parallelism levels and break fixture hash-compare)
+                sp = int(round(score * freq * 1e6))
                 slot = acc.get(k)
                 if slot is None:
-                    acc[k] = [1, score * freq]
+                    acc[k] = [1, sp]
                 else:
                     slot[0] += 1
-                    slot[1] += score * freq
+                    slot[1] += sp
             keys = list(acc.keys())
             return pa.table(
                 {
@@ -677,16 +691,18 @@ class KGPipeline:
                     "pred": pa.array([k[1] for k in keys], pa.string()),
                     "obj": pa.array([k[2] for k in keys], pa.string()),
                     "support_p": pa.array([acc[k][0] for k in keys], pa.int64()),
-                    "score_p": pa.array([acc[k][1] for k in keys], pa.float64()),
+                    "score_p": pa.array([acc[k][1] for k in keys], pa.int64()),
                 }
             )
 
         def combine(df):
-            return (
+            out = (
                 df.groupby(["subj", "pred", "obj"], sort=False)
                 .agg(support=("support_p", "sum"), score=("score_p", "sum"))
                 .reset_index()
             )
+            out["score"] = out["score"] / 1e6  # back from fixed-point
+            return out
 
         return (
             joined.map_batches(partials, batch_format="pyarrow")
