@@ -392,6 +392,27 @@ def _q_edge_features(sf_dir: str):
     return out.rename(columns={"pred": "pred"}).sort_values(["pred", "dim"]).reset_index(drop=True)
 
 
+def _q_transe_embeddings(sf_dir: str):
+    """G9 trainer path: TransE over the KG triples (distributed synchronous
+    epochs, bit-deterministic fixed-point gradients).  Output: the first
+    1000 entities' embeddings, exploded (entity, dim, value) — a
+    deterministic subset so the fixture stays small; training covers the
+    full graph."""
+    import pandas as pd
+
+    from folkscope_ray.stages.transe import train_transe
+
+    entities, _rels, ent_emb, _rel_emb = train_transe(
+        _kg_for(sf_dir).triples(), dim=16, epochs=3, lr=0.05
+    )
+    rows = []
+    for i, e in enumerate(entities[:1000]):
+        for d in range(ent_emb.shape[1]):
+            rows.append({"entity": e, "dim": d,
+                         "value": float(np.round(ent_emb[i, d] * 1e6) / 1e6)})
+    return pd.DataFrame(rows)
+
+
 def _q_minhash_dedup_docs(sf_dir: str):
     """Distributed near-dup components — returns the (doc_id, component)
     Dataset straight from label propagation (no driver union-find)."""
@@ -602,6 +623,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_concept_agg": _q_kg_concept_agg,
         "kg_concept_triples": _q_kg_concept_triples,
         "edge_features": _q_edge_features,
+        "transe_entity_embeddings": _q_transe_embeddings,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_docs": _q_simhash_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -729,7 +751,8 @@ def oracle_sql() -> dict[str, str]:
                      sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_id
               FROM t)
-            SELECT user_id, session_id, count(*) AS n_events,
+            SELECT user_id, session_id::BIGINT AS session_id,
+                   count(*) AS n_events,
                    min(secs) AS start_epoch, max(secs) AS end_epoch
             FROM s GROUP BY user_id, session_id
         """,
@@ -780,6 +803,7 @@ def oracle_sql() -> dict[str, str]:
                 "kg_concept_agg",
                 "kg_concept_triples",
                 "edge_features",
+                "transe_entity_embeddings",
                 "minhash_dedup_docs",
                 "simhash_docs",
                 "fingerprint_docs",

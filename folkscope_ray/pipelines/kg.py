@@ -181,14 +181,24 @@ class KGPipeline:
         return ds
 
     def _stats_pass(self) -> None:
-        """ONE scan of the scored checkpoint computes both driver-side
-        barriers: frequent-pattern mining partials (SURVEY.md A1/A2) and the
-        distinct entity surfaces for canonicalization.  Per-batch partials
-        stream back to the driver (a few dozen pattern keys + the distinct
-        norms per block — the map-side combines bound both), where a Counter
-        / set merge replaces two separate shuffle executions.  Skeleton keys
-        come from the per-worker parse memo (``cached_parse``), so the heavy
-        parse work is paid once per DISTINCT assertion, not per row."""
+        """ONE scan of the scored checkpoint computes every driver-side
+        barrier: frequent-pattern mining counts (SURVEY.md A1/A2), the
+        distinct entity surfaces for canonicalization, and the distinct
+        assertion set feeding the broadcast match memo.
+
+        Two-phase so NO worker ever parses the whole distinct vocabulary:
+
+        1. **scan** (parallel): per-block ``(rel\\x1ftext) -> row count``
+           partials + distinct norms.  No parsing — the scan is pure
+           dict/Arrow work, so its wall time scales with rows/cpus instead
+           of being floored at (per-worker vocabulary warm-up).
+        2. **parse** (parallel): the merged distinct set is chunked across
+           ``parse_stats_chunk`` tasks; each distinct assertion is parsed
+           exactly ONCE cluster-wide, returning (skeleton key, token count)
+           used to fold row counts into skeleton/length histograms.
+
+        The driver merge is vectorized (pandas groupby over the partials),
+        not a Python row loop."""
         import math as _math
         from collections import Counter
 
@@ -203,75 +213,65 @@ class KGPipeline:
             SUPPORT_FLOOR_FRAC,
             grow_subskeleton_patterns,
         )
+        from ..stages.parse import parse_stats_chunk
         from ..patterns import decode_pattern, dedup_patterns
 
         def stats_batch(batch: pa.Table) -> pa.Table:
-            from ..stages.parse import cached_parse
-
             rels = batch.column("rel").to_pylist()
             texts = batch.column("assertion").to_pylist()
-            text_counts: dict[tuple, int] = {}
+            text_counts: dict[str, int] = {}
             for rel, t in zip(rels, texts):
-                k = (rel, t)
+                k = rel + "\x1f" + t
                 text_counts[k] = text_counts.get(k, 0) + 1
-            skel_counts: dict[str, int] = {}
-            len_counts: dict[str, int] = {}  # "rel\tlen" -> rows (growth CDF)
-            for (rel, t), n in text_counts.items():
-                hit = cached_parse(rel, t)
-                if hit[0] is None:
-                    continue
-                skel = hit[4]
-                skel_counts[skel] = skel_counts.get(skel, 0) + n
-                lk = f"{rel}\t{len(hit[0])}"
-                len_counts[lk] = len_counts.get(lk, 0) + n
             dn_tbl = _distinct_norms_batch(batch)
-            k1 = (list(skel_counts.keys()) + list(len_counts.keys())
-                  + dn_tbl.column("norm").to_pylist())
-            nn = (list(skel_counts.values()) + list(len_counts.values())
-                  + [0] * dn_tbl.num_rows)
-            kinds = (["p"] * len(skel_counts) + ["l"] * len(len_counts)
-                     + ["n"] * dn_tbl.num_rows)
+            keys = list(text_counts.keys())
             return pa.table(
                 {
-                    "kind": pa.array(kinds, pa.string()),
-                    "k1": pa.array(k1, pa.string()),
-                    "n": pa.array(nn, pa.int64()),
+                    "kind": pa.array(
+                        ["t"] * len(keys) + ["n"] * dn_tbl.num_rows, pa.string()
+                    ),
+                    "k1": pa.array(keys + dn_tbl.column("norm").to_pylist(),
+                                   pa.string()),
+                    "n": pa.array(
+                        list(text_counts.values()) + [0] * dn_tbl.num_rows,
+                        pa.int64(),
+                    ),
                 }
             )
 
-        counts: Counter = Counter()
-        length_counts: dict[str, Counter] = {}
-        norms: set[str] = set()
-        norms_overflow = False
-        total = 0
-        # materialize the (tiny) partials first: the map pass then runs at
-        # full parallelism instead of being throttled by driver-side
-        # iter_batches backpressure, and the drain below touches only the
-        # pre-combined per-block partials
+        # scan: materialize the partials first so the map runs at full
+        # parallelism, then one vectorized driver merge
         partials = self.scored().map_batches(
             stats_batch, batch_format="pyarrow", batch_size=None
         ).materialize()
-        for tbl in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-            if "kind" not in tbl.column_names:
-                continue
-            for kind, k1, n in zip(
-                tbl.column("kind").to_pylist(),
-                tbl.column("k1").to_pylist(),
-                tbl.column("n").to_pylist(),
-            ):
-                if kind == "p":
-                    counts[k1] += n
-                    total += n
-                elif kind == "l":
-                    rel, ln = k1.split("\t")
-                    length_counts.setdefault(rel, Counter())[int(ln)] += n
-                elif not norms_overflow:
-                    # the driver set is CAPPED: past the banding bound we stop
-                    # accumulating (pattern counts stay bounded by the pattern
-                    # vocabulary, norms do not)
-                    norms.add(k1)
-                    if len(norms) > DRIVER_BANDING_MAX:
-                        norms_overflow = True
+        pdf = partials.to_pandas()
+        tmask = pdf["kind"] == "t"
+        text_counts = pdf[tmask].groupby("k1", sort=False)["n"].sum().to_dict()
+        norm_arr = pdf.loc[~tmask, "k1"].unique()
+        norms_overflow = len(norm_arr) > DRIVER_BANDING_MAX
+        norms = set() if norms_overflow else set(norm_arr)
+        evs_max = int(os.environ.get("FOLKSCOPE_EVS_BROADCAST_MAX", 3_000_000))
+        evs_overflow = len(text_counts) > evs_max
+
+        # parse each distinct assertion exactly once, cluster-wide
+        items = sorted(text_counts)
+        chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
+        futs = [
+            parse_stats_chunk.remote(items[i:i + chunk])
+            for i in range(0, len(items), chunk)
+        ]
+        counts: Counter = Counter()
+        length_counts: dict[str, Counter] = {}
+        assertions_set: list[str] = []
+        total = 0
+        for part in ray.get(futs):
+            for key, skel, n_tokens in part:
+                n = text_counts[key]
+                counts[skel] += n
+                total += n
+                rel = key.split("\x1f", 1)[0]
+                length_counts.setdefault(rel, Counter())[n_tokens] += n
+                assertions_set.append(key)
         floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
         grown = grow_subskeleton_patterns(dict(counts), length_counts)
         pats = dedup_patterns(
@@ -289,6 +289,32 @@ class KGPipeline:
             )
         self._cache["patterns"] = pats
         self._cache["canon"] = canon
+        self._cache["evs_ref"] = (
+            None if evs_overflow
+            else self._build_evs_ref(pats, assertions_set)  # already sorted
+        )
+
+    def _build_evs_ref(self, pats: list, items: list[str]):
+        """Global match memo {rel\\x1ftext: [(obj, freq)]}: distributed
+        parse+match over the DISTINCT assertion set (each distinct matched
+        exactly once, chunked across the cluster), then one ``ray.put`` so
+        the triples pass reads it zero-copy — replaces every worker lazily
+        re-matching the whole distinct set to warm a private memo (an
+        O(workers × distinct) duplicated cost that grows with cluster size)."""
+        from ..stages.match import match_objs_chunk
+
+        if not items:
+            return ray.put({})
+        pat_ref = ray.put(pats)
+        chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
+        futs = [
+            match_objs_chunk.remote(pat_ref, items[i:i + chunk])
+            for i in range(0, len(items), chunk)
+        ]
+        evs: dict = {}
+        for d in ray.get(futs):
+            evs.update(d)
+        return ray.put(evs)
 
     def patterns(self) -> list:
         if "patterns" in self._cache:
@@ -561,9 +587,11 @@ class KGPipeline:
         pat_ref = ray.put(self.patterns())
         kind, canon = self._resolved_canon()
         nb = self._n_buckets()
+        evs_ref = self._cache.get("evs_ref")  # broadcast global match memo
         if kind == "dict":
             partial_ds = self.scored().map_batches(
-                make_triple_partials_fn(pat_ref, ray.put(canon), nb),
+                make_triple_partials_fn(pat_ref, ray.put(canon), nb,
+                                        evs_ref=evs_ref),
                 batch_format="pyarrow",
                 batch_size=None,
             )
@@ -575,7 +603,7 @@ class KGPipeline:
             from ..util import stable_u64
 
             norm_partials = self.scored().map_batches(
-                make_triple_partials_fn(pat_ref, None, nb),
+                make_triple_partials_fn(pat_ref, None, nb, evs_ref=evs_ref),
                 batch_format="pyarrow",
                 batch_size=None,
             )

@@ -25,6 +25,39 @@ EVENT_COLS = [
 _WORKER_CACHE: dict[str, object] = {}
 
 
+@ray.remote
+def match_objs_chunk(pats: list, items: list[str]) -> dict:
+    """Parse + VF2-match one chunk of DISTINCT ``rel\\x1ftext`` keys and
+    return ``{key: [(obj_text, frequency), ...]}`` — the slice of the global
+    match memo this chunk owns.
+
+    The memo used to be rebuilt lazily inside EVERY worker process (each of
+    N workers re-parsing and re-matching all distinct assertions to warm its
+    private cache: O(N × distinct) duplicated compute that grows with the
+    worker count and erases scaling).  Building it once here — distributed
+    over the distinct set, then broadcast via ``ray.put`` — makes the triples
+    pass pure dict lookups."""
+    from .parse import cached_parse
+
+    by_rel: dict[str, list] = {}
+    for p in pats:
+        by_rel.setdefault(p.rel, []).append(p)
+    out: dict[str, list] = {}
+    for key in items:
+        rel, text = key.split("\x1f", 1)
+        pats_r = by_rel.get(rel)
+        if not pats_r:
+            out[key] = []
+            continue
+        hit = cached_parse(rel, text)
+        if hit[0] is None:
+            out[key] = []
+            continue
+        evs = match_row(pats_r, rel, hit[0], hit[1], hit[2], hit[3])
+        out[key] = [(" ".join(ev["words"]), ev["frequency"]) for ev in evs]
+    return out
+
+
 def make_match_fn(pat_ref, canon_ref):
     """Stateless-task matcher with broadcast pattern set + canonical map.
 
@@ -54,7 +87,7 @@ def make_match_fn(pat_ref, canon_ref):
     return match_and_canonicalize
 
 
-def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
+def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
     """Fused match -> per-block triple partials for the triples path.
 
     Consumes the SLIM scored table — no token/POS/dep list columns exist at
@@ -112,35 +145,51 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int):
         commits = batch.column("commit").to_pylist()
         shas = batch.column("content_sha256").to_pylist()
 
+        # global match memo: computed ONCE over the distinct assertions and
+        # broadcast (match_objs_chunk) — workers just ray.get it (once per
+        # process).  evs_ref=None (memo overflowed its broadcast ceiling, or
+        # patterns came from a checkpoint): fall back to the lazy per-worker
+        # memo below.
+        if evs_ref is not None:
+            ekey = "E" + evs_ref.hex()
+            evsmap = _WORKER_CACHE.get(ekey)
+            if evsmap is None:
+                evsmap = ray.get(evs_ref)
+                _WORKER_CACHE[ekey] = evsmap
+        else:
+            evsmap = None
         mcache: dict = _WORKER_CACHE.setdefault("mc" + pat_ref.hex(), {})
         acc: dict[tuple, list] = {}
         for i, rel in enumerate(rels):
             pats = matcher.by_rel.get(rel)
             if not pats:
                 continue
-            mk = (rel, texts[i])
-            evs = mcache.get(mk)
+            mk = rel + "\x1f" + texts[i]
+            evs = evsmap.get(mk) if evsmap is not None else None
+            if evs is None:
+                evs = mcache.get(mk)
             if evs is None:
                 hit = cached_parse(rel, texts[i])
                 if hit[0] is None:
                     evs = []
                 else:
                     t, l, p, d, _skel = hit
-                    evs = match_row(pats, rel, t, l, p, d)
+                    evs = [(" ".join(ev["words"]), ev["frequency"])
+                           for ev in match_row(pats, rel, t, l, p, d)]
                 if len(mcache) < 1_000_000:
                     mcache[mk] = evs
             if not evs:
                 continue
             ca, cb = cid(surfs_a[i]), cid(surfs_b[i])
             lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
-            for ev in evs:
-                k = (ca, cb, rel, " ".join(ev["words"]))
+            for obj, freq in evs:
+                k = (ca, cb, rel, obj)
                 slot = acc.get(k)
                 if slot is None:
-                    acc[k] = [1, ev["frequency"], plaus[i], typic[i], lin]
+                    acc[k] = [1, freq, plaus[i], typic[i], lin]
                 else:
                     slot[0] += 1
-                    slot[1] += ev["frequency"]
+                    slot[1] += freq
                     slot[2] = max(slot[2], plaus[i])
                     slot[3] = max(slot[3], typic[i])
                     slot[4] = min(slot[4], lin)

@@ -244,3 +244,38 @@ def cached_parse(rel: str, text: str):
         if len(_PARSE_CACHE) < 1_000_000:
             _PARSE_CACHE[ck] = hit
     return hit
+
+
+def _parse_stats_chunk(items: list[str]) -> list[tuple[str, str, int]]:
+    out = []
+    for key in items:
+        rel, text = key.split("\x1f", 1)
+        hit = cached_parse(rel, text)
+        if hit[0] is None:
+            continue
+        out.append((key, hit[4], len(hit[0])))
+    return out
+
+
+def _get_parse_stats_chunk():
+    """Lazy @ray.remote wrapper (keeps this module importable without ray)."""
+    import ray
+
+    return ray.remote(_parse_stats_chunk)
+
+
+class _LazyRemote:
+    """``parse_stats_chunk.remote(...)`` — the Ray remote function is built
+    on first use so the module has no import-time ray dependency."""
+
+    _fn = None
+
+    def remote(self, *args):
+        if _LazyRemote._fn is None:
+            _LazyRemote._fn = _get_parse_stats_chunk()
+        return _LazyRemote._fn.remote(*args)
+
+
+#: chunked distributed parse over distinct ``rel\x1ftext`` keys ->
+#: [(key, skeleton_key, n_tokens)] — each distinct parsed ONCE cluster-wide
+parse_stats_chunk = _LazyRemote()

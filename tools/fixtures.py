@@ -38,6 +38,7 @@ FIXTURE_QUERIES = [
     "kg_concept_agg",
     "kg_concept_triples",
     "edge_features",
+    "transe_entity_embeddings",
     "minhash_dedup_docs",
     "simhash_docs",
     "fingerprint_docs",
