@@ -487,6 +487,24 @@ def _q_multimodal_frame_sample(sf_dir: str):
     )
 
 
+def _q_embedding_neardup_pairs(sf_dir: str):
+    """Exact embedding-cosine near-dup pairs (a < b, quantized cosine >= tau).
+    tau=0.4 because the synthetic embeddings are near-orthogonal (max pair
+    cosine ~0.51); real corpora use ~0.9-0.97."""
+    from folkscope_ray.ops.similarity import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(_rp(sf_dir, "embeddings"), tau=0.4)
+
+
+def _q_embedding_neardup_components(sf_dir: str):
+    """Near-dup clusters: pairs -> distributed min-label propagation ->
+    (vec_id, component) over every vector (isolated ones are their own
+    component) — the keep-rule is component == vec_id."""
+    from folkscope_ray.ops.similarity import embedding_neardup_components
+
+    return embedding_neardup_components(_rp(sf_dir, "embeddings"), tau=0.4)
+
+
 def _q_ann_lsh_topk(sf_dir: str):
     import ray
 
@@ -631,6 +649,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "embedding_neardup_components": _q_embedding_neardup_components,
         "session_windows_events": _q_session_windows_events,
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
@@ -710,6 +730,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "distinct_event_types": """
             SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+        """,
+        "embedding_neardup_pairs": """
+            WITH p AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b,
+                     (round((list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])) * 1e6)::BIGINT / 1e6) AS cosine
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+            )
+            SELECT a, b, cosine FROM p WHERE cosine >= 0.4
+        """,
+        "embedding_neardup_components": """
+            WITH RECURSIVE p AS (
+              SELECT e1.vec_id AS a, e2.vec_id AS b
+              FROM embeddings e1 JOIN embeddings e2 ON e1.vec_id < e2.vec_id
+              WHERE (round((list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[])) * 1e6)::BIGINT / 1e6) >= 0.4
+            ), e AS (
+              SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+            ), reach(node, lab) AS (
+              SELECT vec_id, vec_id FROM embeddings
+              UNION
+              SELECT e.b AS node, reach.lab FROM reach JOIN e ON e.a = reach.node
+            )
+            SELECT node AS vec_id, min(lab) AS component FROM reach GROUP BY node
         """,
         "ann_cosine_topk": """
             SELECT e2.vec_id AS vec_id,

@@ -114,6 +114,149 @@ def bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:
     return out
 
 
+# ------------------------------------------- embedding-cosine near-dup
+
+class NearDupPairs:
+    """map_batches callable: exact cosine-radius pairs.  Each block GEMMs its
+    rows against the broadcast normalized corpus matrix (``ray.put`` once,
+    zero-copy per worker) and emits (a, b, cosine) with ``a < b`` and
+    quantized cosine ≥ tau — one (B × d) @ (d × n) GEMM per block, no
+    shuffle.  Cosine is quantized (1e-``quantize_digits``) BEFORE the
+    threshold so the pair set is bit-stable against a quantizing SQL oracle."""
+
+    def __init__(self, corpus_ref, tau: float, vec_col: str = "embedding",
+                 id_col: str = "vec_id", quantize_digits: int = 6):
+        ids, mat = ray.get(corpus_ref) if isinstance(corpus_ref, ray.ObjectRef) else corpus_ref
+        self.c_ids = ids              # (n,) int64, ascending
+        self.c_mat = mat              # (n, d) float64, L2-normalized
+        self.tau = tau
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.q_scale = float(10 ** quantize_digits)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column(self.vec_col)))      # (B, d)
+        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        sims = np.round((m @ self.c_mat.T) * self.q_scale) / self.q_scale
+        # a < b: keep only corpus ids strictly greater than the row id, so
+        # each unordered pair is emitted by exactly ONE block (the one owning
+        # its smaller id) regardless of partitioning
+        keep = (sims >= self.tau) & (ids[:, None] < self.c_ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pa.table(
+            {
+                "a": pa.array(ids[ai], pa.int64()),
+                "b": pa.array(self.c_ids[bj], pa.int64()),
+                "cosine": pa.array(sims[ai, bj], pa.float64()),
+            }
+        )
+
+
+def _broadcast_corpus(ds: Dataset, vec_col: str, id_col: str):
+    """(ids, normalized matrix) broadcast ref for the exact near-dup GEMM.
+
+    The corpus matrix is the BROADCAST side (like ANN's query matrix): bounded
+    by ``FOLKSCOPE_NEARDUP_BROADCAST_MAX`` rows (default 2M ≈ 3 GB at d=384
+    float32 — object-store resident, read zero-copy by every worker).  Beyond
+    the ceiling use :func:`embedding_neardup_pairs_lsh`, whose candidate
+    generation is bucket-local and needs no global matrix."""
+    import os
+
+    limit = int(os.environ.get("FOLKSCOPE_NEARDUP_BROADCAST_MAX", 2_000_000))
+    tbl = ds.select_columns([id_col, vec_col]).to_pandas()
+    if len(tbl) > limit:
+        raise ValueError(
+            f"corpus exceeds FOLKSCOPE_NEARDUP_BROADCAST_MAX={limit}; "
+            "use embedding_neardup_pairs_lsh (bucketed) instead"
+        )
+    order = np.argsort(tbl[id_col].to_numpy(), kind="stable")
+    ids = tbl[id_col].to_numpy()[order].astype(np.int64)
+    mat = _normalize(np.asarray(list(tbl[vec_col].to_numpy()[order]),
+                                dtype=np.float64))
+    return ray.put((ids, mat))
+
+
+def embedding_neardup_pairs(ds: Dataset, tau: float = 0.4,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            quantize_digits: int = 6) -> Dataset:
+    """EXACT embedding-cosine near-duplicate pairs: (a, b, cosine), a < b,
+    quantized cosine ≥ tau.  Distributed as one GEMM per block against the
+    broadcast corpus (O(n²/p) flops, zero shuffle); the all-pairs semantics
+    make it SQL-checkable.  Real near-dup corpora use tau ≈ 0.9–0.97; the
+    synthetic test embeddings are near-orthogonal so tests use lower tau."""
+    corpus_ref = _broadcast_corpus(ds, vec_col, id_col)
+    return ds.map_batches(
+        NearDupPairs,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"corpus_ref": corpus_ref, "tau": tau,
+                               "vec_col": vec_col, "id_col": id_col,
+                               "quantize_digits": quantize_digits},
+        concurrency=(1, 8),
+    )
+
+
+def embedding_neardup_pairs_lsh(ds: Dataset, tau: float = 0.4,
+                                vec_col: str = "embedding",
+                                id_col: str = "vec_id",
+                                n_planes: int = 8,
+                                quantize_digits: int = 6) -> Dataset:
+    """Approximate scale path: random-hyperplane bucket -> in-bucket pairwise
+    cosine verify.  No broadcast matrix and no all-pairs GEMM — candidate
+    work is O(Σ bucket²) and the only shuffle is the bucket groupby — at the
+    cost of missing pairs that share no bucket (recall grows with repeated
+    calls under independent plane sets, the standard banding trade)."""
+    import pandas as pd
+
+    planes_ref = ray.put(hyperplanes_for(ds, vec_col, n_planes))
+    q_scale = float(10 ** quantize_digits)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(b.column(vec_col)))
+        bk = bucket_of(m, ray.get(planes_ref))
+        return b.append_column("bucket", pa.array(bk, pa.int64()))
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(np.asarray(list(g[vec_col].to_numpy()[order]),
+                                  dtype=np.float64))
+        sims = np.round((m @ m.T) * q_scale) / q_scale
+        iu, ju = np.triu_indices(len(ids), 1)
+        keep = sims[iu, ju] >= tau
+        return pd.DataFrame({"a": ids[iu[keep]], "b": ids[ju[keep]],
+                             "cosine": sims[iu[keep], ju[keep]]})
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
+def hyperplanes_for(ds: Dataset, vec_col: str, n_planes: int) -> np.ndarray:
+    """Hyperplanes sized to the Dataset's embedding dim (reads one row)."""
+    dim = len(ds.take(1)[0][vec_col])
+    return hyperplanes(dim, n_planes)
+
+
+def embedding_neardup_components(ds: Dataset, tau: float = 0.4,
+                                 vec_col: str = "embedding",
+                                 id_col: str = "vec_id",
+                                 quantize_digits: int = 6) -> Dataset:
+    """(id, component) Dataset: exact cosine-radius pairs -> distributed
+    min-label propagation -> labels joined back onto every id (isolated
+    vectors are their own component).  The dedup decision is then
+    'keep id == component' — the same first-wins rule as exact dedup."""
+    from .components import attach_components, connected_components
+
+    edges = embedding_neardup_pairs(ds, tau, vec_col, id_col, quantize_digits)
+    labels = connected_components(edges)
+    return attach_components(ds.select_columns([id_col]), labels, id_col)
+
+
 class LshTopK(BruteForceTopK):
     """Approximate variant: only score vectors landing in a query's bucket
     (or a bucket at hamming distance <= 1 — cheap multi-probe)."""

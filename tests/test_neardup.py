@@ -1,0 +1,103 @@
+"""Embedding-cosine near-duplicate detection (exact + LSH scale path).
+
+Oracle: numpy all-pairs cosine on the same table (and, via the driver gate,
+the DuckDB ``list_cosine_similarity`` SQL in ``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+TAU = 0.4
+
+
+def _emb():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def _oracle_pairs():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id").to_pylist(), dtype=np.int64)
+    m = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = np.round((m @ m.T) * 1e6) / 1e6
+    order = np.argsort(ids, kind="stable")
+    ids, sims = ids[order], sims[np.ix_(order, order)]
+    iu, ju = np.triu_indices(len(ids), 1)
+    keep = sims[iu, ju] >= TAU
+    return {
+        (int(ids[i]), int(ids[j])): float(sims[i, j])
+        for i, j in zip(iu[keep], ju[keep])
+    }
+
+
+def test_exact_pairs_match_numpy_oracle():
+    from folkscope_ray.ops.similarity import embedding_neardup_pairs
+
+    got = embedding_neardup_pairs(_emb(), tau=TAU).to_pandas()
+    want = _oracle_pairs()
+    assert len(want) > 0, "threshold too high: no pairs to verify"
+    got_map = {(int(a), int(b)): float(c)
+               for a, b, c in zip(got["a"], got["b"], got["cosine"])}
+    assert got_map == want
+
+
+def test_exact_pairs_invariant_to_partitioning():
+    from folkscope_ray.ops.similarity import embedding_neardup_pairs
+
+    def run(nblocks):
+        ds = _emb().repartition(nblocks)
+        df = embedding_neardup_pairs(ds, tau=TAU).to_pandas()
+        return df.sort_values(["a", "b"]).reset_index(drop=True)
+
+    a, b = run(1), run(7)
+    assert a.equals(b)
+
+
+def test_lsh_pairs_are_subset_of_exact():
+    from folkscope_ray.ops.similarity import (
+        embedding_neardup_pairs_lsh,
+    )
+
+    got = embedding_neardup_pairs_lsh(_emb(), tau=TAU, n_planes=2).to_pandas()
+    want = _oracle_pairs()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+    assert got_pairs <= set(want)
+    # single-band hyperplane LSH collision prob at cosine 0.4 is
+    # (1 - acos(0.4)/pi)^2 ~ 0.40; assert half that to stay variance-safe
+    assert len(got_pairs) >= len(want) * 0.2
+
+
+def test_components_group_transitively():
+    from folkscope_ray.ops.similarity import embedding_neardup_components
+
+    comp = embedding_neardup_components(_emb(), tau=TAU).to_pandas()
+    lab = {int(i): int(c) for i, c in zip(comp["vec_id"], comp["component"])}
+    # every vector labeled exactly once
+    n = _emb().count()
+    assert len(lab) == n
+    # union-find oracle over the exact pair set
+    parent = {i: i for i in lab}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _oracle_pairs():
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in lab}
+    # canonical root = min member, which is what min-label propagation yields
+    roots: dict[int, int] = {}
+    for i, r in want.items():
+        roots[r] = min(roots.get(r, r), i)
+    want = {i: roots[find(i)] for i in lab}
+    assert lab == want
