@@ -295,6 +295,55 @@ def build_hierarchy(patterns: list[Pattern]) -> dict[str, list[str]]:
     return children
 
 
+def attribute_exclusive_support(
+    skeleton_counts: dict[str, int],
+    candidates: list[Pattern],
+    floor: int,
+) -> list[Pattern]:
+    """Reference support counting with hierarchy-flag semantics
+    (src/pattern/pattern_miner.py:506-597): candidates are processed in
+    priority order (big -> small); each counts only still-UNCLAIMED lines,
+    claims them if its count clears ``floor``, and a below-floor candidate
+    claims nothing — its lines stay available to later (smaller) candidates.
+    The reference reaches the same outcome with per-line bitmask flags
+    pre-propagated to hierarchy children (pattern_match_flag /
+    line_used_indices, pattern_miner.py:583-590); since every line sharing a
+    skeleton matches identically, the greedy runs on the (skeleton -> rows)
+    multiset instead of per line.
+
+    This replaces container-merge dedup for SUPPORT ATTRIBUTION: a child
+    pattern keeps the lines its surviving ancestors did not claim instead of
+    donating its support to the container, and an infrequent full skeleton
+    releases its lines to the sub-patterns grown from it."""
+    seen: set[str] = set()
+    ordered: list[Pattern] = []
+    for p in sorted(candidates, key=Pattern.priority):
+        if p.key not in seen:
+            seen.add(p.key)
+            ordered.append(p)
+    skels = [(decode_pattern(k), n) for k, n in sorted(skeleton_counts.items())]
+    cand_lines: list[list[int]] = [[] for _ in ordered]
+    for si, (sp, _n) in enumerate(skels):
+        for ci, c in enumerate(ordered):
+            if (
+                c.rel == sp.rel
+                and len(c.verts) <= len(sp.verts)
+                and len(c.edges) <= len(sp.edges)
+                and pattern_contains(sp, c)
+            ):
+                cand_lines[ci].append(si)
+    claimed = [False] * len(skels)
+    kept: list[Pattern] = []
+    for ci, c in enumerate(ordered):
+        mine = [si for si in cand_lines[ci] if not claimed[si]]
+        sup = sum(skels[si][1] for si in mine)
+        if mine and sup >= floor:
+            kept.append(Pattern(c.rel, c.verts, c.edges, sup))
+            for si in mine:
+                claimed[si] = True
+    return kept
+
+
 def dedup_patterns(patterns: list[Pattern]) -> list[Pattern]:
     """Keep maximal patterns; merge the support of contained duplicates into
     their container (pattern_merge.py:40-60 sums counts of isomorphic dups)."""

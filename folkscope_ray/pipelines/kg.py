@@ -214,7 +214,7 @@ class KGPipeline:
             grow_subskeleton_patterns,
         )
         from ..stages.parse import parse_stats_chunk
-        from ..patterns import decode_pattern, dedup_patterns
+        from ..patterns import attribute_exclusive_support, decode_pattern
 
         def stats_batch(batch: pa.Table) -> pa.Table:
             rels = batch.column("rel").to_pylist()
@@ -274,9 +274,12 @@ class KGPipeline:
                 assertions_set.append(key)
         floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
         grown = grow_subskeleton_patterns(dict(counts), length_counts)
-        pats = dedup_patterns(
-            [decode_pattern(k, v) for k, v in counts.items() if v >= floor]
-            + grown
+        # reference support semantics: priority-ordered exclusive line
+        # attribution with hierarchy-flag behavior (A5) — full skeletons are
+        # candidates UNthresholded; the greedy drops the infrequent ones and
+        # releases their lines to the grown sub-patterns
+        pats = attribute_exclusive_support(
+            dict(counts), [decode_pattern(k) for k in counts] + grown, floor
         )
         if not norms_overflow:
             canon = canonical_from_norms(sorted(norms))

@@ -27,8 +27,8 @@ import pandas as pd
 from ..lexicon import assertion_text
 from ..patterns import (
     Pattern,
+    attribute_exclusive_support,
     decode_pattern,
-    dedup_patterns,
     match_row,
     pattern_of_parsed,
 )
@@ -78,8 +78,9 @@ def oracle_triples(n_files: int) -> pd.DataFrame:
         length_counts.setdefault(rel, Counter())[len(toks)] += 1
     floor = max(MIN_SUPPORT, math.ceil(len(parsed_rows) * SUPPORT_FLOOR_FRAC))
     grown = grow_subskeleton_patterns(dict(counts), length_counts)
-    patterns = dedup_patterns(
-        [decode_pattern(k, n) for k, n in counts.items() if n >= floor] + grown
+    # shared A5 semantics: exclusive first-match support attribution
+    patterns = attribute_exclusive_support(
+        dict(counts), [decode_pattern(k) for k in counts] + grown, floor
     )
     by_rel: dict[str, list[Pattern]] = {}
     for p in sorted(patterns, key=Pattern.priority):

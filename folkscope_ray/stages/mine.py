@@ -28,8 +28,8 @@ from ray.data.aggregate import Sum
 
 from ..patterns import (
     Pattern,
+    attribute_exclusive_support,
     decode_pattern,
-    dedup_patterns,
     encode_pattern,
     enumerate_anchored_subgraphs,
     pattern_of_parsed,
@@ -169,12 +169,12 @@ def mine_patterns(parsed: Dataset, total_rows: int | None = None) -> list[Patter
     if total_rows is None:
         total_rows = int(tbl["support"].sum())
     floor = max(MIN_SUPPORT, math.ceil(total_rows * SUPPORT_FLOOR_FRAC))
-    pats = [
-        decode_pattern(row.pattern_key, int(row.support))
-        for row in tbl.itertuples()
-        if int(row.support) >= floor
-    ]
-    return dedup_patterns(pats)
+    skel_counts = {row.pattern_key: int(row.support) for row in tbl.itertuples()}
+    # A5 reference semantics: priority-ordered exclusive attribution — a
+    # below-floor skeleton releases its lines to smaller contained candidates
+    return attribute_exclusive_support(
+        skel_counts, [decode_pattern(k) for k in skel_counts], floor
+    )
 
 
 def patterns_to_table(patterns: list[Pattern]) -> pa.Table:

@@ -263,3 +263,41 @@ def test_enumerate_anchored_subgraphs_connectivity_and_window():
     assert subs == [(("A", "B", "C"), ((0, "x", 1), (1, "y", 2)))]
     # window cuts off vertex 2
     assert enumerate_anchored_subgraphs(verts, edges, 2, 3, window=2) == []
+
+
+def test_exclusive_support_attribution_reference_semantics():
+    """A5 hierarchy-flag semantics (pattern_miner.py:506-597): patterns claim
+    lines in priority order; a surviving parent keeps its lines away from its
+    children; a below-floor parent RELEASES its lines to the child."""
+    from folkscope_ray.patterns import (
+        attribute_exclusive_support,
+        encode_pattern,
+    )
+
+    rel = "hasA"
+    big_verts = ("PRP", "DT", "VBP", "NN", "JJ")
+    big_edges = ((0, "nsubj", 2), (1, "det", 0), (2, "obj", 3), (3, "amod", 4))
+    small_verts = ("PRP", "DT", "VBP", "NN")
+    small_edges = ((0, "nsubj", 2), (1, "det", 0), (2, "obj", 3))
+    big = encode_pattern(rel, big_verts, big_edges)
+    small = encode_pattern(rel, small_verts, small_edges)
+    from folkscope_ray.patterns import decode_pattern
+
+    cands = [decode_pattern(big), decode_pattern(small)]
+
+    # case 1: both frequent.  Parent claims its 100 lines; the child pattern
+    # gets ONLY the 40 small-skeleton lines (not 140 as container-merge would
+    # attribute, and not 0 as child-drop would).
+    kept = attribute_exclusive_support({big: 100, small: 40}, cands, floor=10)
+    sup = {p.key: p.support for p in kept}
+    assert sup == {big: 100, small: 40}
+
+    # case 2: parent below floor -> releases its lines; the child (contained
+    # in BOTH skeletons) claims all 140.
+    kept = attribute_exclusive_support({big: 5, small: 40}, cands, floor=10)
+    sup = {p.key: p.support for p in kept}
+    assert sup == {small: 45}
+
+    # case 3: child alone below floor even with released lines -> nothing kept
+    kept = attribute_exclusive_support({big: 3, small: 4}, cands, floor=10)
+    assert kept == []
