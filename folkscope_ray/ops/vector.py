@@ -28,6 +28,16 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
     scale = float(10 ** fixed_point_digits) if fixed_point_digits else None
 
     def partial(batch: pa.Table) -> pa.Table:
+        vtype_ = pa.list_(pa.int64()) if scale else pa.list_(pa.float64())
+        if batch.num_rows == 0:
+            # typed empty — an untyped empty block diverges the stream schema
+            return pa.table(
+                {
+                    key_col: pa.array([], batch.schema.field(key_col).type),
+                    "vsum": pa.array([], vtype_),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
         keys = batch.column(key_col).to_pylist()
         vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
         if scale:
@@ -51,12 +61,27 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
             }
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    out_rows = []
-    for k, grp in parts.groupby(key_col):
+    def combine(grp: pd.DataFrame) -> pd.DataFrame:
         total = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
         n = int(grp["n"].sum())
         mean = (total / n) / scale if scale else total / n
-        for d, val in enumerate(mean):
-            out_rows.append({key_col: k, "dim": d, "mean_val": float(val)})
-    return pd.DataFrame(out_rows).sort_values([key_col, "dim"]).reset_index(drop=True)
+        return pd.DataFrame(
+            {
+                key_col: grp[key_col].iloc[0],
+                "dim": np.arange(len(mean), dtype=np.int64),
+                "mean_val": mean.astype(np.float64),
+            }
+        )
+
+    # partials shuffle (tiny: n_keys x n_blocks rows), distributed per-key
+    # combine in map_groups; only the finished (key, dim, mean_val) result —
+    # n_keys x dim rows — ever reaches the driver.
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(combine, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:
+        return pd.DataFrame(columns=[key_col, "dim", "mean_val"])
+    return out.sort_values([key_col, "dim"]).reset_index(drop=True)
