@@ -18,11 +18,21 @@ Works for any orderable node type (int64 doc ids, string surface norms).
 
 from __future__ import annotations
 
+import os
+
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Min
+
+# Below this many edges the component labeling runs as one driver union-find
+# pass over the (bounded) edge list instead of iterative distributed rounds —
+# the same explicit small-side ceiling as canonicalize.DRIVER_BANDING_MAX.
+# Labels are identical on both paths (min member of the component), which
+# test_cc_driver_and_distributed_paths_agree pins.
+CC_DRIVER_EDGE_MAX = int(os.environ.get("FOLKSCOPE_CC_DRIVER_MAX", "2000000"))
 
 
 def _drop_empty_blocks(ds: Dataset) -> Dataset | None:
@@ -66,6 +76,59 @@ def _nparts() -> int:
         return 4
 
 
+def _driver_union_find(edges: Dataset) -> Dataset:
+    """Bounded-size exact path: edge list -> (node, min-of-component) via one
+    driver union-find sweep.  Only the edges (already counted <= the cap)
+    reach the driver; output covers exactly the nodes incident to an edge,
+    matching the distributed propagation's contract bit-for-bit."""
+    import ray.data as rd
+
+    parent: dict = {}
+
+    def find(x):
+        p = parent.setdefault(x, x)
+        while p != parent[p]:
+            p = parent[p]
+        while parent[x] != p:  # path compress
+            parent[x], x = p, parent[x]
+        return p
+
+    for blk in edges.iter_batches(batch_format="pyarrow"):
+        for a, b in zip(blk.column("a").to_pylist(), blk.column("b").to_pylist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+    nodes = sorted(parent)
+    labels = [find(n) for n in nodes]
+    typ = _field_type(edges, "a")
+    return rd.from_arrow(pa.table({"node": pa.array(nodes, typ),
+                                   "label": pa.array(labels, typ)}))
+
+
+def _labels_signature(labels: Dataset) -> int:
+    """Order/partition-independent signature of the (node, label) multiset:
+    XOR of mixed per-row 64-bit hashes, combined from one tiny partial per
+    block.  Labels only ever decrease under min-propagation, so an unchanged
+    signature == convergence (up to a 2^-64 collision)."""
+    import pandas as pd
+
+    def part(b: pa.Table) -> pa.Table:
+        if "node" not in b.column_names or b.num_rows == 0:
+            return pa.table({"sig": pa.array([0], pa.uint64())})
+        hn = pd.util.hash_array(b.column("node").to_pandas().to_numpy())
+        hl = pd.util.hash_array(b.column("label").to_pandas().to_numpy())
+        mix = (hn * np.uint64(0x9E3779B97F4A7C15)) ^ hl
+        return pa.table({"sig": pa.array([int(np.bitwise_xor.reduce(mix))], pa.uint64())})
+
+    sig = 0
+    for blk in labels.map_batches(part, batch_format="pyarrow").iter_batches(
+            batch_format="pyarrow"):
+        for v in blk.column("sig").to_pylist():
+            sig ^= v
+    return sig
+
+
 def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
                          max_iters: int = 25,
                          num_partitions: int | None = None) -> Dataset:
@@ -81,12 +144,15 @@ def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
         return pa.table({"a": b.column(a_col), "b": b.column(b_col)})
 
     edges = edges.map_batches(to_ab, batch_format="pyarrow").materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         typ = _field_type(edges, "a")
         empty = pa.table({"node": pa.array([], typ), "label": pa.array([], typ)})
         import ray.data as rd
 
         return rd.from_arrow(empty)
+    if n_edges <= CC_DRIVER_EDGE_MAX:
+        return _driver_union_find(edges)
 
     def symmetrize(b: pa.Table) -> pa.Table:
         src = pa.concat_arrays([b.column("a").combine_chunks(),
@@ -129,17 +195,10 @@ def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
             return _empty
         return pa.table({"node": b.column("dst"), "label": b.column("label")})
 
-    def rename_old(b: pa.Table) -> pa.Table:
-        if "node" not in b.column_names:
-            return pa.table({"node": pa.array([], node_t),
-                             "label_old": pa.array([], node_t)})
-        return pa.table({"node": b.column("node"), "label_old": b.column("label")})
-
-    def changed(b: pa.Table) -> pa.Table:
-        if "label" not in b.column_names or "label_old" not in b.column_names:
-            return b.slice(0, 0)
-        return b.filter(pc.not_equal(b.column("label"), b.column("label_old")))
-
+    # convergence = unchanged multiset signature (labels are monotone
+    # non-increasing, so equality <=> no label moved) — one tiny per-block
+    # partial instead of a second distributed join per round
+    sig = _labels_signature(labels)
     for _ in range(max_iters):
         joined = edges_sym.join(
             labels, join_type="inner", num_partitions=nparts,
@@ -154,17 +213,11 @@ def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
             .materialize()
         )
         new_labels = _drop_empty_blocks(new_labels) or new_labels
-        n_changed = (
-            new_labels.join(
-                labels.map_batches(rename_old, batch_format="pyarrow"),
-                join_type="inner", num_partitions=nparts, on=("node",),
-            )
-            .map_batches(changed, batch_format="pyarrow")
-            .count()
-        )
         labels = new_labels
-        if n_changed == 0:
+        new_sig = _labels_signature(labels)
+        if new_sig == sig:
             break
+        sig = new_sig
     return labels
 
 

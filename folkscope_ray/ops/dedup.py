@@ -53,10 +53,26 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
 # ------------------------------------------------------------------ minhash
 
 def _text_shingles(text: str, k: int = 5) -> np.ndarray:
-    """Hashed character k-shingles of a lowercased text."""
+    """Hashed character k-shingles of a lowercased text (FNV-1a per shingle).
+
+    ASCII fast path: the k FNV rounds run unrolled over a numpy sliding
+    window of the text's bytes — bit-identical to the scalar loop (byte
+    windows == char windows when every char is one byte).  Multi-byte texts
+    fall back to the exact per-shingle loop."""
     t = " ".join(text.lower().split())
     if len(t) < k:
         t = t.ljust(k)
+    raw = t.encode("utf-8")
+    if len(raw) == len(t):
+        buf = np.frombuffer(raw, dtype=np.uint8).astype(np.uint64)
+        n = len(t) - k + 1
+        win = np.lib.stride_tricks.sliding_window_view(buf, k)[:n]
+        h = np.full(n, 0xCBF29CE484222325, dtype=np.uint64)
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
+            for j in range(k):
+                h = (h ^ win[:, j]) * prime
+        return h
     out = np.empty(len(t) - k + 1, dtype=np.uint64)
     for i in range(len(t) - k + 1):
         h = 0xCBF29CE484222325
@@ -82,21 +98,22 @@ def minhash_bands_batch(batch: pa.Table, text_col: str = "text",
                         id_col: str = "doc_id", bands: int = 16, rows: int = 8) -> pa.Table:
     ids = batch.column(id_col).to_pylist()
     texts = batch.column(text_col).to_pylist()
-    o_band, o_hash, o_id = [], [], []
-    for i, t in zip(ids, texts):
-        sig = doc_minhash(t, bands * rows).reshape(bands, rows)
-        for b in range(bands):
-            h = 0xCBF29CE484222325
-            for v in sig[b]:
-                h = ((h ^ int(v)) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-            o_band.append(b)
-            o_hash.append(h)
-            o_id.append(i)
+    n = len(ids)
+    sigs = np.empty((n, bands, rows), dtype=np.uint64)
+    for r, t in enumerate(texts):
+        sigs[r] = doc_minhash(t, bands * rows).reshape(bands, rows)
+    # FNV-fold each band's row-signature, unrolled over the rows axis —
+    # bit-identical to the scalar loop (uint64 wraparound)
+    h = np.full((n, bands), 0xCBF29CE484222325, dtype=np.uint64)
+    prime = np.uint64(0x100000001B3)
+    with np.errstate(over="ignore"):
+        for r in range(rows):
+            h = (h ^ sigs[:, :, r]) * prime
     return pa.table(
         {
-            "band_id": pa.array(o_band, pa.int32()),
-            "band_hash": pa.array(o_hash, pa.uint64()),
-            id_col: pa.array(o_id, pa.int64()),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+            "band_hash": pa.array(h.reshape(-1)),
+            id_col: pa.array(np.repeat(np.asarray(ids, dtype=np.int64), bands)),
         }
     )
 
@@ -105,25 +122,49 @@ def minhash_lsh_candidate_edges(ds: Dataset, text_col: str = "text",
                                 id_col: str = "doc_id", bands: int = 16,
                                 rows: int = 8) -> Dataset:
     """Candidate near-dup edges (a, b): shingle+minhash per batch -> explode
-    to band rows -> ``groupby(band)`` emits O(group)-size star edges (never
-    the O(group²) clique).  Edge count is bounded by n_docs × bands."""
-    import pandas as pd
-
+    to band rows -> co-locate LSH buckets by coarse hash partition -> ONE
+    vectorized numpy sweep per partition emits O(group)-size star edges
+    (min-id root -> member; never the O(group²) clique).  A per-LSH-bucket
+    ``map_groups`` would pay a Python/pandas call per bucket (~n_docs × bands
+    tiny groups — pathological); hashing buckets into ~rows/200k coarse
+    partitions keeps the shuffle granularity data-tied and the sweep
+    vectorized.  Edge count stays bounded by n_docs × bands."""
     band_ds = ds.map_batches(
         lambda b: minhash_bands_batch(b, text_col, id_col, bands, rows),
         batch_format="pyarrow",
-    )
+    ).materialize()
+    n_rows = band_ds.count()
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    nb = int(max(2 * cpus, min(n_rows // 200_000 + 1, 65_536)))
 
-    def star(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        return pd.DataFrame({"a": pd.Series([ids[0]] * (len(ids) - 1), dtype="int64"),
-                             "b": pd.Series(ids[1:], dtype="int64")})
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = b.column("band_hash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        bi = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            mix = (h ^ (bi * np.uint64(0x9E3779B97F4A7C15))) & np.uint64(0x7FFFFFFF)
+        part = (mix % np.uint64(nb)).astype(np.int32)
+        return b.append_column("__part", pa.array(part, pa.int32()))
 
-    return band_ds.groupby(["band_id", "band_hash"]).map_groups(
-        star, batch_format="pandas"
+    def star_partition(group) -> pa.Table:
+        b = np.asarray(group["band_id"], dtype=np.int64)
+        h = np.asarray(group["band_hash"], dtype=np.uint64)
+        i = np.asarray(group[id_col], dtype=np.int64)
+        order = np.lexsort((i, h, b))
+        b, h, i = b[order], h[order], i[order]
+        first = np.ones(len(b), dtype=bool)
+        first[1:] = (b[1:] != b[:-1]) | (h[1:] != h[:-1])
+        root = i[np.maximum.accumulate(np.where(first, np.arange(len(b)), 0))]
+        member = ~first
+        return pa.table({"a": pa.array(root[member], pa.int64()),
+                         "b": pa.array(i[member], pa.int64())})
+
+    return (
+        band_ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("__part")
+        .map_groups(star_partition, batch_format="numpy")
     )
 
 

@@ -97,13 +97,15 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
 
 # ------------------------------------------------------- LSH-bucketed ANN
 
-_rng = np.random.RandomState(1234)
-
-
 def hyperplanes(dim: int, n_planes: int = 8) -> np.ndarray:
     """Size n_planes to the corpus: ~log2(n_vectors / expected_candidates);
-    small corpora want few planes (wide buckets), web-scale wants 16+."""
-    return _rng.standard_normal((n_planes, dim)).astype(np.float64)
+    small corpora want few planes (wide buckets), web-scale wants 16+.
+
+    PURE function of (dim, n_planes): a fresh seeded RandomState per call —
+    a shared module-level RNG would advance with every call, making bucket
+    assignments depend on in-process call history (order-dependent results
+    across test/driver runs)."""
+    return np.random.RandomState(1234).standard_normal((n_planes, dim)).astype(np.float64)
 
 
 def bucket_of(vecs: np.ndarray, planes: np.ndarray) -> np.ndarray:

@@ -123,3 +123,33 @@ def test_bucket_count_invariance_and_scaling(corpus_200, monkeypatch):
     assert want["eid"].tolist() == got["eid"].tolist()
     assert want["frequency"].tolist() == got["frequency"].tolist()
     assert want["support"].tolist() == got["support"].tolist()
+
+
+def test_cc_driver_and_distributed_paths_agree(monkeypatch):
+    """connected_components: the bounded driver union-find fast path and the
+    forced iterative min-label-propagation path must emit identical
+    (node, label) tables — including transitive chains that span buckets."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    import folkscope_ray.ops.components as ccmod
+
+    # chain 1-2-3-4 (transitive), star 10-{11,12}, pair 20-21, dup edge
+    edges = pa.table({
+        "a": pa.array([2, 3, 4, 10, 10, 20, 2], pa.int64()),
+        "b": pa.array([1, 2, 3, 11, 12, 21, 1], pa.int64()),
+    })
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    fast = ccmod.connected_components(rd.from_arrow(edges)).to_pandas()
+    assert dict(zip(fast["node"], fast["label"])) == want
+
+    monkeypatch.setattr(ccmod, "CC_DRIVER_EDGE_MAX", 0)
+    dist = ccmod.connected_components(rd.from_arrow(edges)).to_pandas()
+    assert dict(zip(dist["node"], dist["label"])) == want
+
+    # string nodes exercise the hash-signature convergence check's str path
+    sedges = pa.table({"a": pa.array(["b", "c"], pa.string()),
+                       "b": pa.array(["a", "b"], pa.string())})
+    sdist = ccmod.connected_components(rd.from_arrow(sedges)).to_pandas()
+    assert dict(zip(sdist["node"], sdist["label"])) == {"a": "a", "b": "a", "c": "a"}
