@@ -413,6 +413,55 @@ def _q_transe_embeddings(sf_dir: str):
     return pd.DataFrame(rows)
 
 
+def _rec_interactions(sf_dir: str):
+    """Shared (user=repo, item=entity, rating, split) matrix for the two
+    recommender queries, materialized once per sf_dir."""
+    from folkscope_ray.stages.recommend import build_interactions
+
+    key = "rec_inter:" + sf_dir
+    if key not in _KG_CACHE:
+        _KG_CACHE[key] = build_interactions(
+            _kg_for(sf_dir).eventualities()
+        ).materialize()
+    return _KG_CACHE[key]
+
+
+def _q_ncf_recommender(sf_dir: str):
+    """G9 NCF trainer path (run_NCF.py:25-63 semantics, fixed-point int64
+    forward/backward => bit-identical at any parallelism): trains on the
+    KG-derived (repo, entity) rating matrix, returns test-split predictions
+    from the best-validation epoch."""
+    from folkscope_ray.stages.recommend import predict_test, train_recommender
+
+    inter = _rec_interactions(sf_dir)
+    params, uv, iv, feat, _hist = train_recommender(
+        inter, epochs=15, eval_every=5)
+    return (
+        predict_test(inter, params, uv, iv, feat)
+        .to_pandas().sort_values(["user", "item"]).reset_index(drop=True)
+    )
+
+
+def _q_wnd_recommender(sf_dir: str):
+    """G9 Wide&Deep trainer path (run_WnD.py:25-67): NCF plus a frozen
+    per-item KG feature embedding (mean SBERT edge-text vector per entity,
+    preprocess.py:207-240) feeding deep + wide heads."""
+    from folkscope_ray.stages.recommend import (
+        item_feature_vectors,
+        predict_test,
+        train_recommender,
+    )
+
+    inter = _rec_interactions(sf_dir)
+    feats = item_feature_vectors(_kg_for(sf_dir).triples(), dim=32)
+    params, uv, iv, feat, _hist = train_recommender(
+        inter, item_features=feats, epochs=15, eval_every=5)
+    return (
+        predict_test(inter, params, uv, iv, feat)
+        .to_pandas().sort_values(["user", "item"]).reset_index(drop=True)
+    )
+
+
 def _q_minhash_dedup_docs(sf_dir: str):
     """Distributed near-dup components — returns the (doc_id, component)
     Dataset straight from label propagation (no driver union-find)."""
@@ -642,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_concept_triples": _q_kg_concept_triples,
         "edge_features": _q_edge_features,
         "transe_entity_embeddings": _q_transe_embeddings,
+        "ncf_recommender": _q_ncf_recommender,
+        "wnd_recommender": _q_wnd_recommender,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
         "simhash_docs": _q_simhash_docs,
         "fingerprint_docs": _q_fingerprint_docs,
@@ -846,6 +897,8 @@ def oracle_sql() -> dict[str, str]:
                 "kg_concept_triples",
                 "edge_features",
                 "transe_entity_embeddings",
+                "ncf_recommender",
+                "wnd_recommender",
                 "minhash_dedup_docs",
                 "simhash_docs",
                 "fingerprint_docs",

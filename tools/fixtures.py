@@ -39,6 +39,8 @@ FIXTURE_QUERIES = [
     "kg_concept_triples",
     "edge_features",
     "transe_entity_embeddings",
+    "ncf_recommender",
+    "wnd_recommender",
     "minhash_dedup_docs",
     "simhash_docs",
     "fingerprint_docs",
@@ -93,27 +95,27 @@ def _run_queries(sf_dir: str, names: list[str]):
         yield name, qs[name](sf_dir)
 
 
-def cmd_make(sf_dir: str) -> None:
+def cmd_make(sf_dir: str, names: list[str] | None = None) -> None:
     out_dir = fixture_dir(sf_dir)
     os.makedirs(out_dir, exist_ok=True)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    for name, res in _run_queries(sf_dir, FIXTURE_QUERIES):
+    for name, res in _run_queries(sf_dir, names or FIXTURE_QUERIES):
         df = to_canonical_df(res)
         path = os.path.join(out_dir, f"{name}.parquet")
         pq.write_table(pa.Table.from_pandas(df, preserve_index=False), path)
         print(f"wrote {path}: {len(df)} rows, hash={value_hash(df)[:16]}")
 
 
-def cmd_check(sf_dir: str) -> int:
+def cmd_check(sf_dir: str, names: list[str] | None = None) -> int:
     """Re-run every fixture query and compare against the committed fixture
     through DuckDB read_parquet — the exact oracle path the driver uses."""
     import duckdb
 
     out_dir = fixture_dir(sf_dir)
     failures = 0
-    for name, res in _run_queries(sf_dir, FIXTURE_QUERIES):
+    for name, res in _run_queries(sf_dir, names or FIXTURE_QUERIES):
         got = to_canonical_df(res)
         path = os.path.join(out_dir, f"{name}.parquet")
         exp = to_canonical_df(duckdb.sql(
@@ -135,6 +137,8 @@ def main() -> None:
     ap.add_argument("cmd", choices=["make", "check"])
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("RAY_GRAFT_CPUS", 32)))
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these fixture queries")
     args = ap.parse_args()
 
     import ray
@@ -146,9 +150,9 @@ def main() -> None:
     DataContext.get_current().enable_progress_bars = False
     try:
         if args.cmd == "make":
-            cmd_make(args.sf_dir)
+            cmd_make(args.sf_dir, args.only)
         else:
-            sys.exit(1 if cmd_check(args.sf_dir) else 0)
+            sys.exit(1 if cmd_check(args.sf_dir, args.only) else 0)
     finally:
         ray.shutdown()
 
