@@ -564,18 +564,22 @@ class KGPipeline:
         if "triples" in self._cache:
             return self._cache["triples"]
 
-        def bucket_combine(df):
-            return (
-                df.groupby(["subj", "pred", "obj"], sort=False)
-                .agg(
-                    support=("support_p", "sum"),
-                    frequency=("frequency_p", "sum"),
-                    plausibility=("plausibility_p", "max"),
-                    typicality=("typicality_p", "max"),
-                    lineage=("lineage_p", "min"),
-                )
-                .reset_index()
+        def bucket_combine(t: pa.Table) -> pa.Table:
+            # Arrow-native final combine: ~3x faster than the pandas
+            # equivalent on these string-heavy 100k-row buckets (no
+            # Arrow->pandas conversion, single-pass hash aggregate).
+            # ``use_threads=False``: each map_groups task is already one
+            # CPU slot; letting Arrow fan out threads oversubscribes.
+            # lineage is ASCII, so Arrow's binary min == Python str min.
+            g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+                [("support_p", "sum"), ("frequency_p", "sum"),
+                 ("plausibility_p", "max"), ("typicality_p", "max"),
+                 ("lineage_p", "min")]
             )
+            renames = {"support_p_sum": "support", "frequency_p_sum": "frequency",
+                       "plausibility_p_max": "plausibility",
+                       "typicality_p_max": "typicality", "lineage_p_min": "lineage"}
+            return g.rename_columns([renames.get(c, c) for c in g.column_names])
 
         # Fused match -> per-block (subj, pred, obj) partials: the map side
         # never materializes the per-event table, and hot triples (the skewed
@@ -631,7 +635,7 @@ class KGPipeline:
         agg = (
             partial_ds
             .groupby("bucket")
-            .map_groups(bucket_combine, batch_format="pandas")
+            .map_groups(bucket_combine, batch_format="pyarrow")
         )
 
         def unpack(batch: pa.Table) -> pa.Table:
@@ -726,19 +730,24 @@ class KGPipeline:
                 }
             )
 
-        def combine(df):
-            out = (
-                df.groupby(["subj", "pred", "obj"], sort=False)
-                .agg(support=("support_p", "sum"), score=("score_p", "sum"))
-                .reset_index()
+        def combine(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
+                [("support_p", "sum"), ("score_p", "sum")]
             )
-            out["score"] = out["score"] / 1e6  # back from fixed-point
-            return out
+            score = pc.divide(
+                pc.cast(g.column("score_p_sum"), pa.float64()), 1e6
+            )  # back from fixed-point; same int64-sum -> float64 divide as before
+            g = g.rename_columns(
+                ["support" if c == "support_p_sum" else c for c in g.column_names]
+            )
+            return g.drop_columns(["score_p_sum"]).append_column("score", score)
 
         return (
             joined.map_batches(partials, batch_format="pyarrow")
             .groupby("bucket")
-            .map_groups(combine, batch_format="pandas")
+            .map_groups(combine, batch_format="pyarrow")
         )
 
     def edge_features(self) -> Dataset:
