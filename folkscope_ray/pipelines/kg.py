@@ -571,6 +571,19 @@ class KGPipeline:
             # ``use_threads=False``: each map_groups task is already one
             # CPU slot; letting Arrow fan out threads oversubscribes.
             # lineage is ASCII, so Arrow's binary min == Python str min.
+            if t.num_rows == 0:
+                # typed empty: an empty group block would otherwise emit a
+                # column-less table and diverge the stream schema
+                return pa.table(
+                    {"subj": pa.array([], pa.string()),
+                     "pred": pa.array([], pa.string()),
+                     "obj": pa.array([], pa.string()),
+                     "support": pa.array([], pa.int64()),
+                     "frequency": pa.array([], pa.float64()),
+                     "plausibility": pa.array([], pa.float64()),
+                     "typicality": pa.array([], pa.float64()),
+                     "lineage": pa.array([], pa.string())}
+                )
             g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
                 [("support_p", "sum"), ("frequency_p", "sum"),
                  ("plausibility_p", "max"), ("typicality_p", "max"),
@@ -733,6 +746,14 @@ class KGPipeline:
         def combine(t: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            if t.num_rows == 0:
+                return pa.table(
+                    {"subj": pa.array([], pa.string()),
+                     "pred": pa.array([], pa.string()),
+                     "obj": pa.array([], pa.string()),
+                     "support": pa.array([], pa.int64()),
+                     "score": pa.array([], pa.float64())}
+                )
             g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
                 [("support_p", "sum"), ("score_p", "sum")]
             )

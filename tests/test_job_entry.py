@@ -1,0 +1,62 @@
+"""``python -m folkscope_ray.job`` — the ray-job-submit entrypoint — smoke
+test: runs the module in a subprocess (its own local Ray session, like a
+submitted job driver), checks the JSON summary line, the partitioned output,
+and that a resubmit with the same --run-dir resumes from checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_job(source: str, out: str, run_dir: str) -> dict:
+    proc = subprocess.run(
+        [sys.executable, "-m", "folkscope_ray.job",
+         "--source", source, "--out", out, "--run-dir", run_dir,
+         "--address", "local", "--num-cpus", "4"],
+        cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def test_job_entry_runs_and_resumes(tmp_path):
+    from folkscope_ray.synth import corpus_path
+
+    source = corpus_path(200)
+    out1 = str(tmp_path / "out1")
+    out2 = str(tmp_path / "out2")
+    run_dir = str(tmp_path / "run")
+
+    s1 = _run_job(source, out1, run_dir)
+    assert s1["counts"]["triples"] > 0
+    # output is partitioned by predicate (resumable layout: one dir per key)
+    parts = [d for d in os.listdir(os.path.join(out1, "triples"))
+             if d.startswith("pred=")]
+    assert len(parts) > 1
+    tbl = pq.read_table(os.path.join(out1, "triples"))
+    assert tbl.num_rows == s1["counts"]["triples"]
+
+    # resubmit with the same run-dir: resumes from stage checkpoints —
+    # manifests must NOT be rewritten (mtime evidence; wall-clock compares
+    # are meaningless on this shared VM, the subprocess+ray.init overhead
+    # dominates a 200-file corpus)
+    manifests = {
+        f: os.path.getmtime(os.path.join(run_dir, f))
+        for f in os.listdir(run_dir) if f.endswith(".manifest.json")
+    }
+    assert manifests, "first job wrote no stage manifests"
+    s2 = _run_job(source, out2, run_dir)
+    assert s2["counts"] == s1["counts"]
+    for f, mtime in manifests.items():
+        assert os.path.getmtime(os.path.join(run_dir, f)) == mtime, f
+    tbl2 = pq.read_table(os.path.join(out2, "triples"))
+    assert tbl2.num_rows == tbl.num_rows
