@@ -584,11 +584,15 @@ def _q_ann_lsh_topk(sf_dir: str):
 
 
 def _q_session_windows_events(sf_dir: str):
+    """Two-phase (chunked) sessionization — the 100-TB shape: a hot key's
+    events never land in one group; chunk-boundary sessions stitch in a
+    second, much smaller per-key pass (pytest-gated identical to the
+    single-group path)."""
     from folkscope_ray.ops.relational import session_windows
 
     return session_windows(
         _rp(sf_dir, "events"), ts_col="ts", key_col="user_id",
-        id_col="event_id", gap_s=1800,
+        id_col="event_id", gap_s=1800, chunk_s=6 * 3600,
     )
 
 

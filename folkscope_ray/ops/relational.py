@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
@@ -172,33 +173,85 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
 
 
 def session_windows(events: Dataset, ts_col: str, key_col: str, id_col: str,
-                    gap_s: int) -> Dataset:
+                    gap_s: int, chunk_s: int | None = None) -> Dataset:
     """Per-key session windows (gap-based): rows more than ``gap_s`` apart
-    start a new session.  Shuffle keyed on ``key_col``; the per-group pandas
-    body sorts by (ts, id) and runs the vectorized gaps-and-islands
-    computation.  Ordering assumption: each key's full history fits one group
-    (the same assumption the reference's batch jobs make — SURVEY.md §2.10).
+    start a new session.  Returns (key, session_id, n_events, start_epoch,
+    end_epoch); session_id numbers sessions 1..n per key in time order.
 
-    Returns (key, session_id, n_events, start_epoch, end_epoch)."""
+    ``chunk_s=None`` (small-data path): one shuffle keyed on ``key_col``;
+    the per-group pandas body sorts by (ts, id) and runs the vectorized
+    gaps-and-islands computation.  Assumes each key's full EVENT history
+    fits one group — a hot-key hazard at scale.
+
+    ``chunk_s=<seconds>`` (scale path, two-phase): events first sessionize
+    within (key, secs // chunk_s) time chunks — the hot key's history is
+    spread across chunks, so no group ever holds more than one chunk of one
+    key — then a second, much smaller shuffle stitches chunk-boundary
+    sessions per key (two adjacent sessions merge iff next.start - prev.end
+    <= gap, which is exactly the event-level gap rule, so the output is
+    IDENTICAL to the single-phase path — pytest-gated).  The stitch pass
+    groups per-key SESSION summaries, smaller than the event stream by the
+    average session size; a key whose events are all isolated singletons
+    degenerates to the event count again (documented bound)."""
     import pandas as pd
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([ts_col, id_col])
-        # normalize to epoch seconds regardless of datetime64 resolution
-        secs = g[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+    def _sessionize(g: pd.DataFrame, secs: pd.Series) -> pd.DataFrame:
         new_session = (secs - secs.shift(1)).fillna(gap_s + 1) > gap_s
         sid = new_session.cumsum()
-        out = (
+        return (
             pd.DataFrame({key_col: g[key_col], "session_id": sid, "secs": secs})
             .groupby([key_col, "session_id"], sort=False)
             .agg(n_events=("secs", "size"), start_epoch=("secs", "min"),
                  end_epoch=("secs", "max"))
             .reset_index()
         )
-        return out
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        # normalize to epoch seconds regardless of datetime64 resolution
+        secs = g[ts_col].astype("datetime64[us]").astype("int64") // 1_000_000
+        return _sessionize(g, secs)
+
+    slim = events.select_columns([ts_col, key_col, id_col])
+    if chunk_s is None:
+        return slim.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+    def assign_chunk(batch: pa.Table) -> pa.Table:
+        secs = pc.floor(
+            pc.divide(
+                pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                        pa.int64()),
+                1_000_000,
+            )
+        )
+        chunk = pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()),
+                                           float(chunk_s))), pa.int64())
+        out = batch.append_column("secs", pc.cast(secs, pa.int64()))
+        return out.append_column("chunk", chunk)
+
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["secs", id_col])
+        out = _sessionize(g, g["secs"].astype("int64"))
+        return out.drop(columns=["session_id"])
+
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["start_epoch", "end_epoch"])
+        new_session = (
+            g["start_epoch"] - g["end_epoch"].shift(1)
+        ).fillna(gap_s + 1) > gap_s
+        sid = new_session.cumsum()
+        return (
+            g.assign(session_id=sid)
+            .groupby([key_col, "session_id"], sort=False)
+            .agg(n_events=("n_events", "sum"), start_epoch=("start_epoch", "min"),
+                 end_epoch=("end_epoch", "max"))
+            .reset_index()
+        )
 
     return (
-        events.select_columns([ts_col, key_col, id_col])
+        slim.map_batches(assign_chunk, batch_format="pyarrow")
+        .groupby([key_col, "chunk"])
+        .map_groups(local_sessions, batch_format="pandas")
         .groupby(key_col)
-        .map_groups(per_key, batch_format="pandas")
+        .map_groups(stitch, batch_format="pandas")
     )

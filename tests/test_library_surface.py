@@ -99,6 +99,41 @@ def test_session_windows_gap_logic():
     assert out.loc[0, "n_events"] == 3 and out.loc[1, "n_events"] == 2
 
 
+def test_session_windows_chunked_scale_path_identical():
+    """Two-phase (chunked) sessionization must equal the single-group path
+    exactly — including for a hot key spanning many chunks and sessions that
+    straddle chunk boundaries."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import session_windows
+    from folkscope_ray.util import stable_u64
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    eid = 0
+    # hot key 0: deterministic pseudo-random offsets over ~3 days, dense
+    t = 0
+    for i in range(600):
+        t += stable_u64("gap", i) % 2400  # gaps 0..2399s around the 1800 split
+        rows.append({"event_id": eid, "user_id": 0,
+                     "ts": base + pd.Timedelta(seconds=t)})
+        eid += 1
+    # sparse keys, including a session crossing a chunk boundary exactly
+    for u in (1, 2):
+        for off in (3595, 3600, 3605, 99999, 3600 * 12 - 1, 3600 * 12 + 1):
+            rows.append({"event_id": eid, "user_id": u,
+                         "ts": base + pd.Timedelta(seconds=off)})
+            eid += 1
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(7)
+    kw = dict(ts_col="ts", key_col="user_id", id_col="event_id", gap_s=1800)
+    single = session_windows(ds, **kw).to_pandas()
+    chunked = session_windows(ds, **kw, chunk_s=3600).to_pandas()
+    cols = ["user_id", "session_id", "n_events", "start_epoch", "end_epoch"]
+    a = single[cols].sort_values(cols).reset_index(drop=True)
+    b = chunked[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
+
+
 def test_mean_vector_by_key():
     import ray.data as rd
 
