@@ -596,6 +596,47 @@ def _q_session_windows_events(sf_dir: str):
     )
 
 
+def _q_asof_join_events(sf_dir: str):
+    """As-of join (custom operator — Ray Data has none): every purchase
+    event matched to the same user's latest preceding click.  Hash-bucketed
+    co-partition of both sides + per-bucket vectorized merge_asof; no global
+    sort."""
+    import pyarrow.compute as pc
+
+    from folkscope_ray.ops.relational import asof_join
+
+    def typed(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), t)).select(
+                ["event_id", "user_id", "ts"])
+        return fn
+
+    ev = _rp(sf_dir, "events")
+    joined = asof_join(
+        ev.map_batches(typed("purchase"), batch_format="pyarrow"),
+        ev.map_batches(typed("click"), batch_format="pyarrow"),
+        key_col="user_id", on_col="ts",
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        secs = pc.cast(pc.floor(pc.divide(pc.cast(
+            pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()), 1e6)),
+            pa.int64())
+        prev = pc.cast(pc.floor(pc.divide(pc.cast(
+            pc.cast(b.column("ts_asof"), pa.timestamp("us")), pa.int64()), 1e6)),
+            pa.int64())
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "secs": secs,
+                "prev_secs": pc.fill_null(prev, -1),
+            }
+        )
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def _q_topk_per_group_orders(sf_dir: str):
     """Top-3 orders per o_orderpriority by totalprice (per-group top-k)."""
     import pandas as pd
@@ -707,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "embedding_neardup_components": _q_embedding_neardup_components,
         "session_windows_events": _q_session_windows_events,
+        "asof_join_events": _q_asof_join_events,
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "mean_vector_by_label": _q_mean_vector_by_label,
@@ -832,6 +874,14 @@ def oracle_sql() -> dict[str, str]:
         "avg_doc_len_by_lang": """
             SELECT lang, (round((avg(n_chars)) * 1e6)::BIGINT / 1e6) AS avg_chars, count(*) AS n
             FROM documents GROUP BY lang
+        """,
+        "asof_join_events": """
+            SELECT p.event_id, p.user_id,
+                   floor(epoch(p.ts))::BIGINT AS secs,
+                   COALESCE(floor(epoch(c.ts))::BIGINT, -1) AS prev_secs
+            FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND c.ts <= p.ts
         """,
         "session_windows_events": """
             WITH t0 AS (

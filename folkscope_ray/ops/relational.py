@@ -14,6 +14,9 @@ code runs on a 256-node cluster:
                         partitioned hash join);
 - anti_join           : broadcast key set + vectorized filter (J2 resume
                         anti-joins);
+- asof_join           : hash co-partition both sides, per-bucket vectorized
+                        ``merge_asof`` (backward, exact allowed) — no global
+                        sort;
 - salted_aggregate    : two-phase groupby for skewed keys — (key, salt)
                         partial then key final;
 - tumbling_window     : event-time windows via groupby(key, window) —
@@ -99,6 +102,68 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
         if lg.empty or rg.empty:
             return lg.merge(rg, on=on, how=how) if how != "inner" else lg.head(0).merge(rg.head(0), on=on)
         return lg.merge(rg, on=on, how=how)
+
+    return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
+
+
+def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
+              n_buckets: int | None = None, right_cols: list[str] | None = None,
+              suffix: str = "_asof") -> Dataset:
+    """Distributed as-of join: for every left row, the right row with the
+    greatest ``on_col`` <= left's ``on_col`` within the same ``key_col``
+    (backward direction, exact matches allowed — DuckDB ``ASOF LEFT JOIN``
+    semantics).  Ray Data ships no as-of join; the portable shape is the
+    same one hash_join uses: hash-bucket BOTH sides on key (co-location by
+    construction), then one vectorized ``pandas.merge_asof`` per bucket —
+    no sort shuffle of the full stream, per-bucket sort only.  Hot keys land
+    in one bucket (documented hash_join caveat); left-join semantics produce
+    nulls for unmatched rows.
+
+    ``right_cols``: right-side columns to carry (default: ``on_col`` only,
+    renamed ``{on_col}{suffix}``)."""
+    import zlib
+
+    if n_buckets is None:
+        try:
+            n_buckets = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+        except Exception:
+            n_buckets = 8
+    right_cols = right_cols or []
+
+    def bucketize(side: str, keep: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            batch = batch.select(keep)
+            keys = batch.column(key_col).to_pylist()
+            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
+            out = batch.append_column("__bucket", pa.array(b, pa.int32()))
+            return out.append_column(
+                "__side", pa.array([side] * len(keys), pa.string()))
+        return fn
+
+    left_keep = [c for c in left.schema().names]
+    right_keep = [key_col, on_col] + right_cols
+    lb = left.map_batches(bucketize("L", left_keep), batch_format="pyarrow")
+    rb = right.select_columns(right_keep).map_batches(
+        bucketize("R", right_keep), batch_format="pyarrow")
+    both = lb.union(rb)
+    rename = {on_col: on_col + suffix, **{c: c + suffix for c in right_cols}}
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lg = (g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
+              .dropna(axis=1, how="all"))
+        rg = (g[g["__side"] == "R"][right_keep]
+              .rename(columns=rename))
+        lg = lg.sort_values([on_col, *([c for c in ("event_id",) if c in lg])],
+                            kind="mergesort")
+        rg = rg.sort_values(on_col + suffix, kind="mergesort")
+        if lg.empty or rg.empty:
+            # typed no-match result: every rename column present, all-null
+            return lg.assign(**{c: pd.Series([pd.NA] * len(lg), index=lg.index)
+                                for c in rename.values()})
+        return pd.merge_asof(
+            lg, rg, left_on=on_col, right_on=on_col + suffix, by=key_col,
+            direction="backward", allow_exact_matches=True,
+        )
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 

@@ -134,6 +134,41 @@ def test_session_windows_chunked_scale_path_identical():
     pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()))
 
 
+def test_asof_join_semantics():
+    """Backward as-of with exact matches: latest right ts <= left ts per
+    key; unmatched left rows survive with nulls; output invariant to input
+    partitioning (hash co-partition, per-bucket merge_asof)."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import asof_join
+
+    base = pd.Timestamp("2024-01-01")
+    left = pd.DataFrame(
+        {"event_id": [1, 2, 3, 4],
+         "user_id": [1, 1, 2, 3],
+         "ts": [base + pd.Timedelta(seconds=s) for s in (100, 50, 10, 9)]})
+    right = pd.DataFrame(
+        {"event_id": [10, 11, 12, 13],
+         "user_id": [1, 1, 1, 2],
+         "ts": [base + pd.Timedelta(seconds=s) for s in (40, 100, 200, 10)]})
+
+    def run(lb, rb):
+        out = asof_join(rd.from_pandas(left).repartition(lb),
+                        rd.from_pandas(right).repartition(rb),
+                        key_col="user_id", on_col="ts").to_pandas()
+        return out.sort_values("event_id").reset_index(drop=True)
+
+    out = run(1, 1)
+    got = {int(r.event_id): (None if pd.isna(r.ts_asof)
+                             else int((r.ts_asof - base).total_seconds()))
+           for r in out.itertuples()}
+    # exact match allowed (100 -> 100); backward pick (50 -> 40);
+    # exact (10 -> 10); no match for user 3
+    assert got == {1: 100, 2: 40, 3: 10, 4: None}
+    out2 = run(3, 2)
+    pd.testing.assert_frame_equal(out, out2.astype(out.dtypes.to_dict()))
+
+
 def test_mean_vector_by_key():
     import ray.data as rd
 
