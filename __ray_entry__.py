@@ -637,6 +637,40 @@ def _q_asof_join_events(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+_PRICE_BANDS = [("b0", 0.0, 920.0), ("b1", 920.0, 940.0),
+                ("b2", 940.0, 960.0), ("b3", 960.0, 980.0),
+                ("b4", 980.0, 10_000_000.0)]
+
+
+def _q_range_join_parts(sf_dir: str):
+    """Range (interval) join: parts banded by retail price — the small
+    interval table broadcasts, each batch does one vectorized searchsorted
+    (no shuffle); per-band aggregate in integer cents (order-exact)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    from folkscope_ray.ops.relational import range_join
+
+    bands = pd.DataFrame(_PRICE_BANDS, columns=["band", "lo", "hi"])
+    joined = range_join(
+        _rp(sf_dir, "part").select_columns(["p_partkey", "p_retailprice"]),
+        bands, value_col="p_retailprice",
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"band": b.column("band"), "cents_each": c})
+
+    return (
+        joined.map_batches(cents, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(Count(alias_name="n_parts"),
+                   Sum("cents_each", alias_name="cents"))
+    )
+
+
 def _q_topk_per_group_orders(sf_dir: str):
     """Top-3 orders per o_orderpriority by totalprice (per-group top-k)."""
     import pandas as pd
@@ -749,6 +783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_components": _q_embedding_neardup_components,
         "session_windows_events": _q_session_windows_events,
         "asof_join_events": _q_asof_join_events,
+        "range_join_parts": _q_range_join_parts,
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "mean_vector_by_label": _q_mean_vector_by_label,
@@ -874,6 +909,17 @@ def oracle_sql() -> dict[str, str]:
         "avg_doc_len_by_lang": """
             SELECT lang, (round((avg(n_chars)) * 1e6)::BIGINT / 1e6) AS avg_chars, count(*) AS n
             FROM documents GROUP BY lang
+        """,
+        "range_join_parts": """
+            WITH bands(band, lo, hi) AS (VALUES
+                ('b0', 0.0, 920.0), ('b1', 920.0, 940.0),
+                ('b2', 940.0, 960.0), ('b3', 960.0, 980.0),
+                ('b4', 980.0, 10000000.0))
+            SELECT band, count(*) AS n_parts,
+                   sum(round(p_retailprice * 100)::BIGINT) AS cents
+            FROM part p JOIN bands b
+              ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+            GROUP BY band
         """,
         "asof_join_events": """
             SELECT p.event_id, p.user_id,

@@ -168,6 +168,39 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def range_join(large: Dataset, intervals: pd.DataFrame, value_col: str,
+               lo_col: str = "lo", hi_col: str = "hi") -> Dataset:
+    """Interval join: each row of ``large`` matched to the interval row with
+    ``lo <= value < hi`` (half-open, non-overlapping intervals).  The
+    interval table is small by construction (bands/buckets), so the
+    scale-correct shape is broadcast + per-batch vectorized ``searchsorted``
+    — no shuffle at all; rows outside every interval are dropped (inner
+    join).  For overlapping intervals use hash/sort strategies instead —
+    this operator asserts non-overlap."""
+    iv = intervals.sort_values(lo_col).reset_index(drop=True)
+    lows = iv[lo_col].to_numpy()
+    his = iv[hi_col].to_numpy()
+    if (lows[1:] < his[:-1]).any():
+        raise ValueError("range_join requires non-overlapping intervals")
+    ref = ray.put((lows, his, pa.Table.from_pandas(iv, preserve_index=False)))
+
+    class _Range:
+        def __init__(self):
+            self.lows, self.his, self.iv = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            v = batch.column(value_col).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.lows, v, side="right") - 1
+            ok = (idx >= 0) & (v < self.his[np.clip(idx, 0, None)])
+            kept = batch.filter(pa.array(ok))
+            matched = self.iv.take(pa.array(idx[ok], pa.int64()))
+            for name in matched.column_names:
+                kept = kept.append_column(name, matched.column(name))
+            return kept
+
+    return large.map_batches(_Range, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def anti_join(large: Dataset, keys, on: str) -> Dataset:
     """Rows of ``large`` whose ``on`` value is NOT in ``keys`` (broadcast set)."""
     key_ref = ray.put(pa.array(list(keys)))

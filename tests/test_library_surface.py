@@ -169,6 +169,35 @@ def test_asof_join_semantics():
     pd.testing.assert_frame_equal(out, out2.astype(out.dtypes.to_dict()))
 
 
+def test_range_join_semantics():
+    """Broadcast interval join: half-open [lo, hi) banding, rows outside all
+    intervals dropped, partition-invariant; overlap rejected."""
+    import pytest
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import range_join
+
+    bands = pd.DataFrame(
+        {"band": ["a", "b"], "lo": [0.0, 10.0], "hi": [10.0, 20.0]})
+    df = pd.DataFrame({"id": [1, 2, 3, 4, 5],
+                       "v": [0.0, 9.999, 10.0, 19.999, 20.0]})
+
+    def run(nb):
+        out = range_join(rd.from_pandas(df).repartition(nb), bands,
+                         value_col="v").to_pandas()
+        return out.sort_values("id").reset_index(drop=True)
+
+    out = run(1)
+    assert dict(zip(out["id"], out["band"])) == {1: "a", 2: "a", 3: "b", 4: "b"}
+    pd.testing.assert_frame_equal(out, run(4).astype(out.dtypes.to_dict()))
+
+    with pytest.raises(ValueError):
+        range_join(rd.from_pandas(df),
+                   pd.DataFrame({"band": ["a", "b"],
+                                 "lo": [0.0, 5.0], "hi": [10.0, 20.0]}),
+                   value_col="v")
+
+
 def test_mean_vector_by_key():
     import ray.data as rd
 
