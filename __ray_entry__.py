@@ -727,6 +727,23 @@ def _q_sample_mod_docs(sf_dir: str):
     )
 
 
+def _q_word_jaccard_docs(sf_dir: str):
+    """Exact word-set Jaccard of every document vs doc_id=0 (the
+    verification kernel of the near-dup family, fully vectorized)."""
+    from folkscope_ray.ops.dedup import word_jaccard_vs_query
+
+    docs = _rp(sf_dir, "documents")
+    q_text = (
+        docs.map_batches(lambda b: b.filter(pc.equal(b["doc_id"], 0)),
+                         batch_format="pyarrow")
+        .to_pandas()["text"].iloc[0]
+    )
+    rest = docs.map_batches(
+        lambda b: b.filter(pc.not_equal(b["doc_id"], 0)), batch_format="pyarrow"
+    )
+    return word_jaccard_vs_query(rest, q_text)
+
+
 def _q_union_name_counts(sf_dir: str):
     """Dataset.union coverage (D7): region names ∪ nation names, counted."""
     from ray.data.aggregate import Count
@@ -789,6 +806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_vector_by_label": _q_mean_vector_by_label,
         "sample_mod_docs": _q_sample_mod_docs,
         "union_name_counts": _q_union_name_counts,
+        "word_jaccard_docs": _q_word_jaccard_docs,
     }
 
 
@@ -969,6 +987,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT r_name AS name FROM region
               UNION ALL SELECT n_name AS name FROM nation)
             GROUP BY name
+        """,
+        "word_jaccard_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     list_distinct(regexp_extract_all(lower(text), '\\S+')) AS ws
+              FROM documents
+            ), q AS (SELECT ws FROM w WHERE doc_id = 0)
+            SELECT a.doc_id,
+                   (floor((len(list_intersect(a.ws, q.ws))::DOUBLE /
+                           (len(a.ws) + len(q.ws) - len(list_intersect(a.ws, q.ws))))
+                          * 1e6 + 0.5)::BIGINT / 1e6) AS jaccard
+            FROM w a, q WHERE a.doc_id <> 0
         """,
         "mean_vector_by_label": """
             SELECT label, dim,

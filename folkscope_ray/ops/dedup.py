@@ -216,6 +216,66 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("simhash", pa.array(sims, pa.uint64()))
 
 
+def word_jaccard_vs_query(ds: Dataset, query_text: str, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          quantize_digits: int = 6) -> Dataset:
+    """Word-set Jaccard similarity of every row against one broadcast query
+    document: (id_col, jaccard).  The per-batch kernel is fully vectorized —
+    Arrow regex split, one ``pd.factorize`` over the flattened token column,
+    distinct (row, token) pairs via ``np.unique`` on a composite key, and
+    ``np.bincount`` row reductions — no per-row Python set construction, so
+    cost is O(total tokens in batch) with numpy constants.
+
+    Tokens are non-whitespace runs of ``lower(text)`` (matching DuckDB
+    ``regexp_extract_all(lower(text), '\\S+')``); jaccard is quantized to
+    ``quantize_digits`` with half-up rounding so the result hash-matches the
+    SQL oracle bit-exactly.  This is the exact-verification half of the
+    near-dup family (minhash-LSH generates candidates; this scores them) —
+    reference analogue: assertion-text overlap filtering, pattern_match.py."""
+    q_tokens = np.unique([t for t in query_text.lower().split()])
+    q_ref = ray.put(q_tokens)
+    scale = float(10 ** quantize_digits)
+
+    class _Jaccard:
+        def __init__(self):
+            self.q = ray.get(q_ref)
+            self.n_q = len(self.q)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            n = batch.num_rows
+            ids = batch.column(id_col)
+            if n == 0:
+                return pa.table({id_col: ids,
+                                 "jaccard": pa.array([], pa.float64())})
+            toks = pc.split_pattern_regex(
+                pc.utf8_lower(batch.column(text_col)), pattern=r"\s+")
+            toks = toks.combine_chunks()
+            lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+            flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+            row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+            nonempty = flat != ""  # split emits '' at whitespace boundaries
+            codes, uniques = pd.factorize(flat[nonempty])
+            rid = row_ids[nonempty]
+            n_codes = max(len(uniques), 1)
+            # distinct (row, token) pairs in one vectorized pass
+            key = np.unique(rid * n_codes + codes)
+            pair_rid = key // n_codes
+            pair_code = (key % n_codes).astype(np.int64)
+            len_a = np.bincount(pair_rid, minlength=n)
+            in_q = np.isin(np.asarray(uniques, dtype=object), self.q)
+            hit = in_q[pair_code]
+            n_int = np.bincount(pair_rid[hit], minlength=n)
+            denom = (len_a + self.n_q - n_int).astype(np.float64)
+            denom[denom == 0] = 1.0  # empty doc vs empty query -> 0.0
+            j = n_int / denom
+            j = np.floor(j * scale + 0.5) / scale  # half-up, mirrors SQL round()
+            return pa.table({id_col: ids, "jaccard": pa.array(j, pa.float64())})
+
+    return ds.map_batches(_Jaccard, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     """Word n-gram Jaccard similarity."""
     ta, tb = a.lower().split(), b.lower().split()

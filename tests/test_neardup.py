@@ -101,3 +101,55 @@ def test_components_group_transitively():
         roots[r] = min(roots.get(r, r), i)
     want = {i: roots[find(i)] for i in lab}
     assert lab == want
+
+
+def test_word_jaccard_vs_query_matches_python_oracle():
+    """Vectorized factorize/bincount kernel == naive per-row set oracle."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.dedup import word_jaccard_vs_query
+
+    docs = rd.read_parquet(f"{SF}/documents.parquet")
+    q_text = (
+        docs.filter(lambda r: r["doc_id"] == 0).to_pandas()["text"].iloc[0]
+    )
+    got = (
+        word_jaccard_vs_query(
+            docs.filter(lambda r: r["doc_id"] != 0), q_text
+        )
+        .to_pandas().set_index("doc_id")["jaccard"].to_dict()
+    )
+    df = docs.to_pandas()
+    qset = set(q_text.lower().split())
+    for _, row in df.iterrows():
+        if row["doc_id"] == 0:
+            continue
+        ws = set(str(row["text"]).lower().split())
+        inter = len(ws & qset)
+        denom = len(ws) + len(qset) - inter
+        want = np.floor((inter / denom if denom else 0.0) * 1e6 + 0.5) / 1e6
+        assert got[row["doc_id"]] == want, row["doc_id"]
+
+
+def test_word_jaccard_edge_cases():
+    """Empty text, text identical to the query, disjoint text."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.dedup import word_jaccard_vs_query
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": ""},
+            {"doc_id": 2, "text": "alpha  beta\tgamma\n"},
+            {"doc_id": 3, "text": "zeta eta theta"},
+            {"doc_id": 4, "text": "ALPHA beta"},
+        ]
+    )
+    out = (
+        word_jaccard_vs_query(ds, "alpha beta gamma")
+        .to_pandas().set_index("doc_id")["jaccard"].to_dict()
+    )
+    assert out[1] == 0.0
+    assert out[2] == 1.0
+    assert out[3] == 0.0
+    assert out[4] == np.floor(2 / 3 * 1e6 + 0.5) / 1e6
