@@ -583,6 +583,24 @@ def _q_ann_lsh_topk(sf_dir: str):
     return out.drop(columns=["query_id"]).reset_index(drop=True)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF ANN: deterministic k-means coarse quantizer + 4-of-16 probe."""
+    from folkscope_ray.ops.similarity import ivf_topk
+
+    emb = _rp(sf_dir, "embeddings")
+    q = (
+        emb.map_batches(lambda b: b.filter(pc.equal(b["vec_id"], 0)),
+                        batch_format="pyarrow")
+        .to_pandas()["embedding"].iloc[0]
+    )
+    rest = emb.map_batches(
+        lambda b: b.filter(pc.not_equal(b["vec_id"], 0)), batch_format="pyarrow"
+    )
+    out = ivf_topk(rest, np.asarray([q], dtype=np.float64), k=10,
+                   n_centroids=16, n_probe=4, quantize_digits=6)
+    return out.drop(columns=["query_id"])
+
+
 def _q_session_windows_events(sf_dir: str):
     """Two-phase (chunked) sessionization — the 100-TB shape: a hot key's
     events never land in one group; chunk-boundary sessions stitch in a
@@ -796,6 +814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image_features,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "embedding_neardup_pairs": _q_embedding_neardup_pairs,
         "embedding_neardup_components": _q_embedding_neardup_components,
         "session_windows_events": _q_session_windows_events,
@@ -1036,6 +1055,7 @@ def oracle_sql() -> dict[str, str]:
                 "multimodal_image_features",
                 "multimodal_frame_sample",
                 "ann_lsh_topk",
+                "ann_ivf_topk",
             )
         },
     }

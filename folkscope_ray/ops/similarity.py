@@ -7,6 +7,10 @@
 - lsh_bucketed_topk : random-hyperplane LSH variant — candidates restricted to
   query-colliding buckets, so at corpus scale only a fraction of batches do
   real work.  Same output contract; approximate.
+- ivf_topk : IVF variant — a deterministic distributed spherical-k-means
+  coarse quantizer (fixed-point partial sums, bit-identical at any
+  parallelism), probe the n_probe nearest inverted lists, exact GEMM within;
+  n_probe == n_centroids degrades gracefully to the exact result.
 """
 
 from __future__ import annotations
@@ -257,6 +261,121 @@ def embedding_neardup_components(ds: Dataset, tau: float = 0.4,
     edges = embedding_neardup_pairs(ds, tau, vec_col, id_col, quantize_digits)
     labels = connected_components(edges)
     return attach_components(ds.select_columns([id_col]), labels, id_col)
+
+
+# ------------------------------------------------------------ IVF ANN
+
+def ivf_centroids(ds: Dataset, vec_col: str = "embedding",
+                  id_col: str = "vec_id", n_centroids: int = 16,
+                  n_iters: int = 3,
+                  fixed_point_digits: int = 9) -> np.ndarray:
+    """Deterministic distributed spherical k-means for the IVF coarse
+    quantizer.  Init = the ``n_centroids`` vectors with the smallest ids
+    (distributed ``sort().limit()``, no full materialization); each Lloyd
+    iteration is ONE ``map_batches`` pass emitting per-centroid fixed-point
+    int64 partial sums + counts — integer addition commutes, so the trained
+    centroids are bit-identical at any parallelism / block order — combined
+    on the driver (``n_centroids × dim`` values, tiny by construction).
+    Empty clusters keep their previous centroid."""
+    scale = float(10 ** fixed_point_digits)
+    init = ds.sort(id_col).limit(n_centroids).to_pandas()
+    cents = _normalize(np.asarray(list(init[vec_col]), dtype=np.float64))
+    n_c, dim = cents.shape
+
+    for _ in range(n_iters):
+        cref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            m = _normalize(_as_matrix(batch.column(vec_col)))
+            assign = np.argmax(m @ c.T, axis=1)  # tie -> lowest centroid id
+            sums = np.zeros((n_c, m.shape[1]), dtype=np.int64)
+            np.add.at(sums, assign, np.round(m * scale).astype(np.int64))
+            counts = np.bincount(assign, minlength=n_c).astype(np.int64)
+            return pa.table(
+                {
+                    "cid": pa.array(np.arange(n_c, dtype=np.int32)),
+                    "vsum": pa.array(list(sums), pa.list_(pa.int64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        agg = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+        new = cents.copy()
+        for cid, grp in agg.groupby("cid"):
+            n = int(grp["n"].sum())
+            if n == 0:
+                continue
+            vsum = np.sum(np.asarray(list(grp["vsum"]), dtype=np.int64), axis=0)
+            new[cid] = vsum / scale / n
+        cents = _normalize(new)
+    return cents
+
+
+class IvfTopK(BruteForceTopK):
+    """IVF probe stage: score only vectors assigned to one of the query's
+    ``n_probe`` nearest centroids.  At corpus scale the posting lists would
+    be partitioned by centroid id; here assignment is recomputed per batch
+    (one extra (B × d) @ (d × C) GEMM), keeping the operator shuffle-free."""
+
+    def __init__(self, queries_ref, centroids_ref, n_probe: int = 4,
+                 k: int = 10, vec_col: str = "embedding",
+                 id_col: str = "vec_id",
+                 quantize_digits: int | None = None):
+        super().__init__(queries_ref, k, vec_col, id_col, quantize_digits)
+        c = ray.get(centroids_ref) if isinstance(centroids_ref, ray.ObjectRef) else centroids_ref
+        self.cents = _normalize(np.asarray(c, dtype=np.float64))
+        n_probe = min(n_probe, len(self.cents))
+        # union of every query's n_probe nearest centroids
+        qc = self.q @ self.cents.T  # (Q, C)
+        probe: set[int] = set()
+        for qi in range(qc.shape[0]):
+            probe.update(np.argsort(-qc[qi], kind="stable")[:n_probe].tolist())
+        self.probe = np.asarray(sorted(probe), dtype=np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        m = _normalize(_as_matrix(batch.column(self.vec_col)))
+        assign = np.argmax(m @ self.cents.T, axis=1)
+        mask = np.isin(assign, self.probe)
+        if not mask.any():
+            return pa.table(
+                {"query_id": pa.array([], pa.int32()),
+                 "vec_id": pa.array([], pa.int64()),
+                 "cosine": pa.array([], pa.float64())}
+            )
+        return super().__call__(batch.filter(pa.array(mask)))
+
+
+def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
+             n_centroids: int = 16, n_probe: int = 4, n_iters: int = 3,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             quantize_digits: int | None = 6):
+    """IVF approximate cosine top-k: train the coarse quantizer, probe the
+    ``n_probe`` closest inverted lists, exact GEMM within.  With
+    ``n_probe == n_centroids`` the result equals :func:`brute_force_topk`
+    exactly (pytest-gated).  Returns (query_id, vec_id, cosine) pandas, k
+    rows per query, ordered cosine desc / vec_id asc."""
+    import heapq as _heapq
+
+    import pandas as pd
+
+    cents = ivf_centroids(ds, vec_col, id_col, n_centroids, n_iters)
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = ds.map_batches(
+        IvfTopK,
+        batch_format="pyarrow",
+        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": ray.put(cents),
+                               "n_probe": n_probe, "k": k, "vec_col": vec_col,
+                               "id_col": id_col, "quantize_digits": quantize_digits},
+        concurrency=(1, 8),
+    ).to_pandas()
+    out = []
+    for qi, grp in partials.groupby("query_id"):
+        top = _heapq.nlargest(k, grp.itertuples(), key=lambda r: (r.cosine, -r.vec_id))
+        out.extend({"query_id": qi, "vec_id": r.vec_id, "cosine": r.cosine} for r in top)
+    return pd.DataFrame(out).sort_values(
+        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
+    ).reset_index(drop=True)
 
 
 class LshTopK(BruteForceTopK):

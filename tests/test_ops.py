@@ -118,6 +118,44 @@ def test_lsh_topk_subset_of_exact():
     assert 0 in out["vec_id"].tolist()
 
 
+def test_ivf_topk_exact_when_probing_all_centroids():
+    """n_probe == n_centroids must reproduce brute_force_topk bit-exactly."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.standard_normal((240, 12))
+    df = pd.DataFrame({"vec_id": np.arange(240), "embedding": list(vecs)})
+    ds = rd.from_pandas(df)
+    q = np.asarray([rng.standard_normal(12)])
+    exact = brute_force_topk(ds, q, k=8, quantize_digits=6)
+    ivf = ivf_topk(ds, q, k=8, n_centroids=8, n_probe=8, quantize_digits=6)
+    pd.testing.assert_frame_equal(ivf, exact)
+
+
+def test_ivf_topk_partition_invariant_and_recall():
+    """Centroids train on fixed-point partials -> result identical across
+    block counts; probing 4/8 lists still finds a planted near-copy."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import ivf_topk
+
+    rng = np.random.RandomState(11)
+    vecs = rng.standard_normal((300, 10))
+    vecs[250] = vecs[0] + 0.01 * rng.standard_normal(10)  # planted near-dup
+    df = pd.DataFrame({"vec_id": np.arange(300), "embedding": list(vecs)})
+    q = np.asarray([vecs[0]])
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(ivf_topk(ds, q, k=5, n_centroids=8, n_probe=4,
+                             quantize_digits=6))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = outs[0]["vec_id"].tolist()
+    assert 0 in got and 250 in got  # query vector + its near-copy found
+
+
 def test_token_count_matches_python_split():
     from folkscope_ray.ops.text import token_count_batch
 

@@ -48,6 +48,7 @@ FIXTURE_QUERIES = [
     "multimodal_image_features",
     "multimodal_frame_sample",
     "ann_lsh_topk",
+    "ann_ivf_topk",
 ]
 
 
