@@ -195,19 +195,38 @@ def minhash_lsh_components(ds: Dataset, text_col: str = "text",
 
 # ------------------------------------------------------------------ simhash
 
-def simhash64(text: str) -> int:
-    """Classic 64-bit simhash over whitespace tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.lower().split():
+_FNV_CACHE: dict[str, int] = {}
+
+
+def _fnv64(tok: str) -> int:
+    """FNV-1 64-bit of the token's UTF-8 bytes, memoized per worker process —
+    token vocabularies are Zipfian, so the cache turns the per-byte Python
+    loop into a dict hit for almost every occurrence."""
+    h = _FNV_CACHE.get(tok)
+    if h is None:
         h = 0xCBF29CE484222325
         for byt in tok.encode("utf-8"):
             h = ((h ^ byt) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        bits = np.unpackbits(np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits.astype(bool), 1, -1)
+        if len(_FNV_CACHE) < 4_000_000:  # bound worker memory
+            _FNV_CACHE[tok] = h
+    return h
+
+
+def simhash64(text: str) -> int:
+    """Classic 64-bit simhash over whitespace tokens.  Token hashes are
+    memoized; the ±1 bit accumulation is one vectorized unpackbits +
+    count-weighted sum over the UNIQUE tokens (occurrences weight the vote,
+    identical to per-occurrence accumulation)."""
+    toks = text.lower().split()
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+    hs = np.fromiter((_fnv64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
+    bits = np.unpackbits(hs.astype(">u8").view(np.uint8).reshape(-1, 8), axis=1)
+    acc = ((2 * bits.astype(np.int64) - 1) * counts[:, None]).sum(axis=0)
     out = 0
-    for i, v in enumerate(acc):
-        if v > 0:
-            out |= 1 << (63 - i)
+    for i in np.nonzero(acc > 0)[0]:
+        out |= 1 << (63 - int(i))
     return out
 
 
