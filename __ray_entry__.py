@@ -60,7 +60,11 @@ def entry() -> Any:
 def _q_tpch_q1(sf_dir: str):
     from ray.data.aggregate import Count, Mean, Sum
 
-    ds = _rp(sf_dir, "lineitem")
+    # projection pushdown: 5 of 11 lineitem columns leave the parquet reader
+    ds = _rp(sf_dir, "lineitem").select_columns(
+        ["l_returnflag", "l_linestatus", "l_quantity",
+         "l_extendedprice", "l_discount"]
+    )
 
     def revenue(b: pa.Table) -> pa.Table:
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
@@ -85,13 +89,15 @@ def _q_groupby_count_docs(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["lang", "source"])  # don't shuffle the text column
         .groupby(["lang", "source"])
         .aggregate(Count(alias_name="n"))
     )
 
 
 def _q_filter_project_events(sf_dir: str):
-    ds = _rp(sf_dir, "events")
+    ds = _rp(sf_dir, "events").select_columns(
+        ["event_id", "user_id", "value", "event_type"])
     return ds.map_batches(
         lambda b: b.filter(
             pc.and_(pc.equal(b["event_type"], "click"), pc.greater(b["value"], 50.0))
@@ -103,9 +109,9 @@ def _q_filter_project_events(sf_dir: str):
 def _q_topk_orders(sf_dir: str):
     return (
         _rp(sf_dir, "orders")
+        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
         .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
         .limit(10)
-        .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
     )
 
 
@@ -120,6 +126,7 @@ def _q_first_wins_by_source(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["source", "doc_id"])
         .groupby("source")
         .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
     )
@@ -203,6 +210,7 @@ def _q_token_count_docs(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
         .map_batches(token_count_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "n_words"])
     )
@@ -217,6 +225,7 @@ def _q_doc_length_cdf(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["n_chars"])
         .map_batches(bucket, batch_format="pyarrow")
         .groupby("len_bucket")
         .aggregate(Count(alias_name="n"))
@@ -226,16 +235,21 @@ def _q_doc_length_cdf(sf_dir: str):
 def _q_sort_limit_parts(sf_dir: str):
     return (
         _rp(sf_dir, "part")
+        .select_columns(["p_partkey", "p_name", "p_retailprice"])
         .sort(["p_retailprice", "p_partkey"], descending=[True, False])
         .limit(5)
-        .select_columns(["p_partkey", "p_name", "p_retailprice"])
     )
 
 
 def _q_distinct_event_types(sf_dir: str):
     from ray.data.aggregate import Count
 
-    return _rp(sf_dir, "events").groupby("event_type").aggregate(Count(alias_name="n"))
+    return (
+        _rp(sf_dir, "events")
+        .select_columns(["event_type"])
+        .groupby("event_type")
+        .aggregate(Count(alias_name="n"))
+    )
 
 
 def _q_ann_cosine_topk(sf_dir: str):
@@ -270,6 +284,7 @@ def _q_events_per_day(sf_dir: str):
 
     return (
         _rp(sf_dir, "events")
+        .select_columns(["ts"])
         .map_batches(day, batch_format="pyarrow")
         .groupby("day_idx")
         .aggregate(Count(alias_name="n"))
@@ -291,6 +306,7 @@ def _q_acctbal_stats_by_nation(sf_dir: str):
 
     out = (
         _rp(sf_dir, "customer")
+        .select_columns(["c_nationkey", "c_acctbal"])
         .groupby("c_nationkey")
         .aggregate(
             Min("c_acctbal", alias_name="min_bal"),
@@ -307,6 +323,7 @@ def _q_avg_doc_len_by_lang(sf_dir: str):
 
     out = (
         _rp(sf_dir, "documents")
+        .select_columns(["lang", "n_chars"])
         .groupby("lang")
         .aggregate(Mean("n_chars", alias_name="avg_chars"), Count(alias_name="n"))
     )
@@ -477,6 +494,7 @@ def _q_simhash_docs(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
         .map_batches(simhash_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "simhash"])
     )
@@ -487,6 +505,7 @@ def _q_fingerprint_docs(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
         .map_batches(fingerprint_batch, batch_format="pyarrow")
         .select_columns(["doc_id", "fingerprint"])
     )
@@ -497,6 +516,7 @@ def _q_langid_quality_docs(sf_dir: str):
 
     return (
         _rp(sf_dir, "documents")
+        .select_columns(["doc_id", "text"])
         .map_batches(quality_batch, batch_format="pyarrow")
         .map_batches(LangId, batch_format="pyarrow", concurrency=(1, 4))
         .select_columns(["doc_id", "quality_score", "stop_ratio", "lang_guess"])
@@ -738,9 +758,10 @@ def _q_mean_vector_by_label(sf_dir: str):
 def _q_sample_mod_docs(sf_dir: str):
     """Deterministic key-mod sample (the reproducible analogue of the
     reference's seeded random pair sample, generation.py:24-30,178)."""
-    return _rp(sf_dir, "documents").map_batches(
-        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0))
-                   .select(["doc_id", "lang", "n_chars"]),
+    return _rp(sf_dir, "documents").select_columns(
+        ["doc_id", "lang", "n_chars"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(pc.bit_wise_and(b["doc_id"], 7), 0)),
         batch_format="pyarrow",
     )
 
@@ -750,7 +771,7 @@ def _q_word_jaccard_docs(sf_dir: str):
     verification kernel of the near-dup family, fully vectorized)."""
     from folkscope_ray.ops.dedup import word_jaccard_vs_query
 
-    docs = _rp(sf_dir, "documents")
+    docs = _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
     q_text = (
         docs.map_batches(lambda b: b.filter(pc.equal(b["doc_id"], 0)),
                          batch_format="pyarrow")
