@@ -766,6 +766,35 @@ def _q_sample_mod_docs(sf_dir: str):
     )
 
 
+_QUANTILES = [0.0, 0.25, 0.5, 0.75, 1.0]
+
+
+def _q_price_quantiles_parts(sf_dir: str):
+    """Exact discrete quantiles WITHOUT a global sort: only (value, count)
+    histogram pairs shuffle (bounded by the integer-cents domain, not row
+    count) — DuckDB quantile_disc semantics."""
+    from folkscope_ray.ops.sketch import exact_quantiles_by_counting
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"cents": c})
+
+    ds = (_rp(sf_dir, "part").select_columns(["p_retailprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return exact_quantiles_by_counting(ds, "cents", _QUANTILES)
+
+
+def _q_hll_distinct_users(sf_dir: str):
+    """Mergeable HyperLogLog distinct-user sketch per event_type — partials
+    merge by register max, so the estimate is bit-identical at any
+    parallelism (golden-fixture gated)."""
+    from folkscope_ray.ops.sketch import hll_distinct_by_key
+
+    return hll_distinct_by_key(_rp(sf_dir, "events"),
+                               key_col="event_type", value_col="user_id")
+
+
 def _q_word_jaccard_docs(sf_dir: str):
     """Exact word-set Jaccard of every document vs doc_id=0 (the
     verification kernel of the near-dup family, fully vectorized)."""
@@ -847,6 +876,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_mod_docs": _q_sample_mod_docs,
         "union_name_counts": _q_union_name_counts,
         "word_jaccard_docs": _q_word_jaccard_docs,
+        "price_quantiles_parts": _q_price_quantiles_parts,
+        "hll_distinct_users": _q_hll_distinct_users,
     }
 
 
@@ -1028,6 +1059,15 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT n_name AS name FROM nation)
             GROUP BY name
         """,
+        "price_quantiles_parts": """
+            WITH qd AS (
+              SELECT quantile_disc(cents, [0.0, 0.25, 0.5, 0.75, 1.0]) AS vs
+              FROM (SELECT round(p_retailprice * 100)::BIGINT AS cents FROM part)
+            )
+            SELECT unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS q,
+                   unnest(vs) AS value
+            FROM qd
+        """,
         "word_jaccard_docs": """
             WITH w AS (
               SELECT doc_id,
@@ -1077,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
                 "multimodal_frame_sample",
                 "ann_lsh_topk",
                 "ann_ivf_topk",
+                "hll_distinct_users",
             )
         },
     }

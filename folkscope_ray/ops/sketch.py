@@ -1,0 +1,186 @@
+"""Distributed sketch / order-statistic operators.
+
+Two shapes a 100-TB pipeline needs that Ray Data doesn't ship:
+
+- exact_quantiles_by_counting : exact discrete quantiles without a global
+  sort.  Shuffle only (value, count) pairs via groupby(value) — for bounded
+  integer domains (prices in cents, lengths, scores) the histogram is tiny
+  regardless of row count, so no all-to-all over the data and no driver
+  materialization beyond the histogram.  For unbounded/continuous domains,
+  quantize to a fixed grid first (the same trade every exact-at-scale
+  quantile makes).  Matches DuckDB ``quantile_disc`` bit-exactly: the
+  selected element is the smallest value whose cumulative count ≥ n·q
+  (q = 0 → the minimum).
+
+- HyperLogLog : mergeable distinct-count sketch.  Each batch folds its
+  values into 2^p max registers (one ``np.maximum.at`` pass); partials merge
+  by elementwise max — commutative and idempotent, so the estimate is
+  bit-identical at ANY parallelism / block order, which is what lets the
+  committed golden fixture gate it.  4 KB per partial at p=12 (±1.6% rel
+  error) — the operator that counts distinct surfaces across 100 TB without
+  a distinct shuffle.
+
+Reference analogue: the corpus-level distinct-surface statistics pass
+(pattern mining min-frequency calibration, pattern_filter.py:120-153)
+counts distincts by materializing them; these are the scale-correct forms.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+from ray.data.aggregate import Sum
+
+
+# ----------------------------------------------------- exact quantiles
+
+def exact_quantiles_by_counting(ds: Dataset, value_col: str,
+                                qs: list[float]) -> pd.DataFrame:
+    """Exact discrete quantiles of an integer-valued column.
+
+    Phase 1 (distributed): per-batch ``value_counts`` partials →
+    ``groupby(value).sum`` — the only shuffle moves (value, count) pairs,
+    bounded by the value domain, not the row count.
+    Phase 2 (driver): sort the histogram (len = n_distinct, small by
+    assumption — assert it) and walk the cumulative counts.
+
+    Returns (q, value) with DuckDB ``quantile_disc`` semantics."""
+
+    def partial_counts(b: pa.Table) -> pa.Table:
+        v = b.column(value_col)
+        vc = pc.value_counts(v.combine_chunks())
+        return pa.table({
+            "value": vc.field("values"),
+            "__n": pc.cast(vc.field("counts"), pa.int64()),
+        })
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("__n", alias_name="n"))
+        .to_pandas()
+        .sort_values("value")
+        .reset_index(drop=True)
+    )
+    total = int(hist["n"].sum())
+    cum = hist["n"].cumsum().to_numpy()
+    values = hist["value"].to_numpy()
+    out = []
+    for q in qs:
+        if total == 0:
+            out.append({"q": float(q), "value": None})
+            continue
+        thresh = total * float(q)
+        idx = int(np.searchsorted(cum, thresh, side="left"))
+        # cum[idx] >= thresh by construction; q=0 -> idx 0 (the minimum)
+        if idx < len(cum) and cum[idx] < thresh:  # float guard
+            idx += 1
+        out.append({"q": float(q), "value": values[min(idx, len(values) - 1)]})
+    return pd.DataFrame(out)
+
+
+# --------------------------------------------------------- HyperLogLog
+
+_HLL_P = 12  # 4096 registers, ~1.04/sqrt(m) = 1.6% std error
+
+
+def _hll_alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def _hash_u64(arr: np.ndarray) -> np.ndarray:
+    """Deterministic vectorized 64-bit hash of any value array (pandas
+    siphash with a fixed key — stable across processes and runs)."""
+    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+
+
+# per-byte leading-zero-count LUT for the exact vectorized clz
+_CLZ8 = np.array([8] + [7 - int(np.floor(np.log2(i))) for i in range(1, 256)],
+                 dtype=np.int64)
+
+
+def _clz64(x: np.ndarray) -> np.ndarray:
+    """Exact vectorized count-leading-zeros of nonzero uint64 values:
+    big-endian byte view, first nonzero byte via argmax, per-byte LUT."""
+    b = x.astype(">u8").view(np.uint8).reshape(-1, 8)
+    first = np.argmax(b != 0, axis=1)
+    lead = b[np.arange(len(b)), first].astype(np.int64)
+    return first * 8 + _CLZ8[lead]
+
+
+def hll_partial(values: np.ndarray, p: int = _HLL_P) -> np.ndarray:
+    """Fold a value array into a fresh 2^p uint8 register vector."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if len(values) == 0:
+        return regs
+    h = _hash_u64(values)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | np.uint64((1 << p) - 1)  # sentinel low bits
+    rho = np.clip(_clz64(rest) + 1, 1, 64 - p + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rho)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard bias-corrected HLL estimate with the small-range
+    linear-counting correction (both branches deterministic)."""
+    m = len(regs)
+    est = _hll_alpha(m) * m * m / np.sum(np.exp2(-regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_distinct_by_key(ds: Dataset, key_col: str, value_col: str,
+                        p: int = _HLL_P) -> pd.DataFrame:
+    """Approximate distinct ``value_col`` per ``key_col``:
+    per-batch (key, registers) partials, groupby(key) elementwise-max merge,
+    deterministic estimate.  Only key×4KB partials ever shuffle.  Returns
+    (key, approx_distinct:int64) — the estimate is rounded so the result is
+    integer-stable for hash comparison."""
+    m = 1 << p
+
+    def partials(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(value_col).to_numpy(zero_copy_only=False)
+        # one stable sort, then contiguous per-key segments (no O(keys·rows)
+        # boolean rescans when the key cardinality grows)
+        order = np.argsort(keys, kind="stable")
+        uniq, starts = np.unique(keys[order], return_index=True)
+        bounds = np.append(starts, len(keys))
+        regs = [hll_partial(vals[order[bounds[i]:bounds[i + 1]]], p)
+                for i in range(len(uniq))]
+        return pa.table({
+            key_col: pa.array(uniq),
+            "regs": pa.array([r.tolist() for r in regs],
+                             pa.list_(pa.uint8(), m)),
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        regs = np.max(np.asarray(list(g["regs"]), dtype=np.uint8), axis=0)
+        return pd.DataFrame({
+            key_col: [g[key_col].iloc[0]],
+            "approx_distinct": [int(np.floor(hll_estimate(regs) + 0.5))],
+        })
+
+    return (
+        ds.select_columns([key_col, value_col])
+        .map_batches(partials, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(merge, batch_format="pandas")
+        .to_pandas()
+        .sort_values(key_col)
+        .reset_index(drop=True)
+    )

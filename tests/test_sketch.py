@@ -1,0 +1,71 @@
+"""Sketch / order-statistic operators: exact counting quantiles + HLL."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_exact_quantiles_match_duckdb_quantile_disc():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import exact_quantiles_by_counting
+
+    rng = np.random.RandomState(2)
+    vals_df = pd.DataFrame({"v": rng.randint(0, 500, size=3000)})
+    ds = rd.from_pandas(vals_df).repartition(7)
+    qs = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 1.0]
+    got = exact_quantiles_by_counting(ds, "v", qs)
+    want = duckdb.sql(
+        "WITH qd AS (SELECT quantile_disc(v, [0.0,0.1,0.25,0.5,0.75,0.9,1.0])"
+        " AS vs FROM vals_df) "
+        "SELECT unnest([0.0,0.1,0.25,0.5,0.75,0.9,1.0]) AS q,"
+        " unnest(vs) AS value FROM qd"
+    ).df().sort_values("q").reset_index(drop=True)
+    got = got.sort_values("q").reset_index(drop=True)
+    assert got["q"].tolist() == want["q"].tolist()
+    assert got["value"].astype(int).tolist() == want["value"].astype(int).tolist()
+
+
+def test_hll_estimate_within_tolerance_and_partition_invariant():
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import hll_distinct_by_key
+
+    rng = np.random.RandomState(9)
+    n = 20_000
+    keys = rng.choice(["a", "b", "c"], size=n)
+    # distinct cardinalities differ by key: a ~ 5000, b ~ 500, c ~ 50
+    vals = np.where(
+        keys == "a", rng.randint(0, 5000, n),
+        np.where(keys == "b", rng.randint(100_000, 100_500, n),
+                 rng.randint(900_000, 900_050, n)),
+    )
+    df = pd.DataFrame({"k": keys, "v": vals})
+    outs = []
+    for blocks in (1, 9):
+        ds = rd.from_pandas(df).repartition(blocks)
+        outs.append(hll_distinct_by_key(ds, "k", "v"))
+    # merge-by-max is order-independent -> bit-identical across partitioning
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    exact = df.groupby("k")["v"].nunique()
+    for _, row in outs[0].iterrows():
+        want = exact[row["k"]]
+        assert abs(row["approx_distinct"] - want) / want < 0.05, (
+            row["k"], row["approx_distinct"], want)
+
+
+def test_hll_partial_merge_equals_single_pass():
+    from folkscope_ray.ops.sketch import hll_estimate, hll_partial
+
+    rng = np.random.RandomState(4)
+    vals = rng.randint(0, 10_000, size=8_000)
+    whole = hll_partial(vals)
+    merged = np.maximum(hll_partial(vals[:3000]), hll_partial(vals[3000:]))
+    assert (whole == merged).all()
+    est = hll_estimate(whole)
+    exact = len(np.unique(vals))
+    assert abs(est - exact) / exact < 0.05

@@ -49,6 +49,7 @@ FIXTURE_QUERIES = [
     "multimodal_frame_sample",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "hll_distinct_users",
 ]
 
 
