@@ -205,6 +205,18 @@ def _q_tumbling_window_events(sf_dir: str):
     return _round_cols(out, {"sum_value": 2, "mean_value": 6})
 
 
+def _q_sliding_window_events(sf_dir: str):
+    """1h windows hopping every 15min: each event fans out to exactly 4
+    windows (vectorized repeat), then one (key, window) aggregate."""
+    from folkscope_ray.ops.relational import sliding_window
+
+    out = sliding_window(
+        _rp(sf_dir, "events"), ts_col="ts", key_col="user_id",
+        value_col="value", window_s=3600, slide_s=900,
+    )
+    return _round_cols(out, {"sum_value": 2})
+
+
 def _q_token_count_docs(sf_dir: str):
     from folkscope_ray.ops.text import token_count_batch
 
@@ -839,6 +851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join_customers": _q_anti_join_customers,
         "salted_agg_events": _q_salted_agg_events,
         "tumbling_window_events": _q_tumbling_window_events,
+        "sliding_window_events": _q_sliding_window_events,
         "token_count_docs": _q_token_count_docs,
         "doc_length_cdf": _q_doc_length_cdf,
         "sort_limit_parts": _q_sort_limit_parts,
@@ -934,6 +947,19 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, (round((sum(value)) * 1e2)::BIGINT / 1e2) AS sum_value,
                    (round((avg(value)) * 1e6)::BIGINT / 1e6) AS mean_value
             FROM events GROUP BY user_id, window_start
+        """,
+        "sliding_window_events": """
+            WITH e AS (
+              SELECT user_id, floor(epoch(ts))::BIGINT AS secs, value FROM events
+            ), x AS (
+              SELECT user_id, value,
+                     unnest(generate_series(
+                         ((secs - 3600) // 900 + 1) * 900,
+                         (secs // 900) * 900, 900)) AS window_start
+              FROM e)
+            SELECT user_id, window_start, count(*) AS n_events,
+                   (round((sum(value)) * 1e2)::BIGINT / 1e2) AS sum_value
+            FROM x GROUP BY user_id, window_start
         """,
         "token_count_docs": """
             SELECT doc_id,

@@ -253,7 +253,9 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
     def assign(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ts = batch.column(ts_col)
+        # normalize to us first: pandas-native ns timestamps would otherwise
+        # yield millisecond-granularity "seconds" and per-event windows
+        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
         secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
         win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
         return batch.append_column("window_start", pc.cast(win, pa.int64()))
@@ -266,6 +268,41 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
             Count(alias_name="n_events"),
             Sum(value_col, alias_name=f"sum_{value_col}"),
             Mean(value_col, alias_name=f"mean_{value_col}"),
+        )
+    )
+
+
+def sliding_window(events: Dataset, ts_col: str, key_col: str,
+                   value_col: str, window_s: int, slide_s: int) -> Dataset:
+    """Per-key sliding (hopping) event-time windows of width ``window_s``
+    advancing every ``slide_s`` (must divide ``window_s``): each event lands
+    in exactly ``window_s // slide_s`` windows — the expansion is one
+    vectorized repeat per batch (no per-row loop, no flat_map), then the
+    same groupby((key, window_start)) aggregate as tumbling windows.  Fan-out
+    is the constant w/s factor, so the shuffle stays data-proportional."""
+    if window_s % slide_s:
+        raise ValueError("slide_s must divide window_s")
+    fan = window_s // slide_s
+
+    def assign(batch: pa.Table) -> pa.Table:
+        secs = pc.divide(pc.cast(pc.cast(batch.column(ts_col),
+                                         pa.timestamp("us")), pa.int64()),
+                         1_000_000).to_numpy(zero_copy_only=False)
+        base = (secs // slide_s) * slide_s
+        n = len(secs)
+        idx = np.repeat(np.arange(n, dtype=np.int64), fan)
+        starts = np.repeat(base, fan) - np.tile(
+            np.arange(fan, dtype=np.int64) * slide_s, n)
+        rep = batch.select([key_col, value_col]).take(pa.array(idx))
+        return rep.append_column("window_start", pa.array(starts, pa.int64()))
+
+    return (
+        events.select_columns([ts_col, key_col, value_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum(value_col, alias_name=f"sum_{value_col}"),
         )
     )
 

@@ -302,3 +302,30 @@ def test_read_csv_source(tmp_path):
     )
     ds = rd.read_csv(str(csv))
     assert ds.count() == 5 and "r_name" in ds.schema().names
+
+
+def test_sliding_window_fanout_and_tumbling_degeneracy():
+    import numpy as np
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import sliding_window, tumbling_window
+
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rng = np.random.RandomState(6)
+    rows = [
+        {"user_id": int(i % 3), "value": float(i),
+         "ts": base + pd.Timedelta(seconds=int(rng.randint(0, 7200)))}
+        for i in range(200)
+    ]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(5)
+    # w == s degenerates to tumbling: same (key, window, count, sum)
+    slid = (sliding_window(ds, "ts", "user_id", "value", 900, 900)
+            .to_pandas()[["user_id", "window_start", "n_events", "sum_value"]]
+            .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    tumb = (tumbling_window(ds, "ts", "user_id", "value", 900)
+            .to_pandas()[["user_id", "window_start", "n_events", "sum_value"]]
+            .sort_values(["user_id", "window_start"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(slid, tumb)
+    # w = 4s: total (event, window) memberships = 4x the event count
+    slid4 = sliding_window(ds, "ts", "user_id", "value", 3600, 900).to_pandas()
+    assert int(slid4["n_events"].sum()) == 4 * 200
