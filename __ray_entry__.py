@@ -58,7 +58,7 @@ def entry() -> Any:
 # --------------------------------------------------------------- queries
 
 def _q_tpch_q1(sf_dir: str):
-    from ray.data.aggregate import Count, Mean, Sum
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
     # projection pushdown: 5 of 11 lineitem columns leave the parquet reader
     ds = _rp(sf_dir, "lineitem").select_columns(
@@ -70,17 +70,21 @@ def _q_tpch_q1(sf_dir: str):
         disc = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
         return b.append_column("disc_price", disc)
 
-    out = (
-        ds.map_batches(revenue, batch_format="pyarrow")
-        .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity", alias_name="sum_qty"),
-            Sum("l_extendedprice", alias_name="sum_base_price"),
-            Sum("disc_price", alias_name="sum_disc_price"),
-            Mean("l_quantity", alias_name="avg_qty"),
-            Count(alias_name="count_order"),
-        )
+    # map-side combine: each block shuffles 6 partial rows, not 600k rows
+    agg = map_combine_aggregate(
+        ds.map_batches(revenue, batch_format="pyarrow"),
+        keys=["l_returnflag", "l_linestatus"],
+        sums={"l_quantity": "sum_qty", "l_extendedprice": "sum_base_price",
+              "disc_price": "sum_disc_price"},
+        count_alias="count_order",
     )
+
+    def avg(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "avg_qty", pc.divide(b["sum_qty"],
+                                 pc.cast(b["count_order"], pa.float64())))
+
+    out = agg.map_batches(avg, batch_format="pyarrow")
     return _round_cols(out, {"sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 6})
 
 
@@ -133,25 +137,22 @@ def _q_first_wins_by_source(sf_dir: str):
 
 
 def _q_broadcast_join_orders(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    from folkscope_ray.ops.relational import broadcast_join
+    from folkscope_ray.ops.relational import broadcast_join, map_combine_aggregate
 
     cust = _rp(sf_dir, "customer").select_columns(["c_custkey", "c_mktsegment"]).to_pandas()
     cust = cust.rename(columns={"c_custkey": "o_custkey"})
     joined = broadcast_join(
         _rp(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]), cust, on="o_custkey"
     )
-    out = joined.groupby("c_mktsegment").aggregate(
-        Count(alias_name="n_orders"), Sum("o_totalprice", alias_name="total")
+    out = map_combine_aggregate(
+        joined, keys=["c_mktsegment"],
+        sums={"o_totalprice": "total"}, count_alias="n_orders",
     )
     return _round_cols(out, {"total": 2})
 
 
 def _q_hash_join_lineitem_orders(sf_dir: str):
-    from ray.data.aggregate import Count, Sum
-
-    from folkscope_ray.ops.relational import hash_join
+    from folkscope_ray.ops.relational import hash_join, map_combine_aggregate
 
     li = _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_extendedprice"])
 
@@ -161,8 +162,9 @@ def _q_hash_join_lineitem_orders(sf_dir: str):
     li = li.map_batches(ren, batch_format="pyarrow")
     od = _rp(sf_dir, "orders").select_columns(["o_orderkey", "o_orderpriority"])
     joined = hash_join(li, od, on="o_orderkey")
-    out = joined.groupby("o_orderpriority").aggregate(
-        Count(alias_name="n_items"), Sum("l_extendedprice", alias_name="sum_price")
+    out = map_combine_aggregate(
+        joined, keys=["o_orderpriority"],
+        sums={"l_extendedprice": "sum_price"}, count_alias="n_items",
     )
     return _round_cols(out, {"sum_price": 2})
 

@@ -220,6 +220,44 @@ def anti_join(large: Dataset, keys, on: str) -> Dataset:
     return large.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def map_combine_aggregate(ds: Dataset, keys: list[str],
+                          sums: dict[str, str],
+                          count_alias: str = "n") -> Dataset:
+    """Sum/count groupby with MAP-SIDE COMBINE: each block first collapses to
+    one partial row per in-block key group (zero-copy Arrow ``group_by`` —
+    C++ hash aggregation), so the all-to-all shuffle moves O(blocks × groups)
+    partial rows instead of the full stream.  For low-cardinality keys over
+    wide streams (the TPC-H-Q1 shape: 600k rows → 6 groups) this removes the
+    sort-shuffle of the data entirely — the 100-TB groupby discipline from
+    SURVEY.md §2.5 applied generically.
+
+    ``sums`` maps source column → output alias; count of input rows lands in
+    ``count_alias``."""
+    from ray.data.aggregate import Sum as _Sum
+
+    src_cols = list(sums)
+    aliases = [sums[c] for c in src_cols]
+
+    ren = {f"{c}_sum": sums[c] for c in src_cols}
+    ren["count_all"] = "__pn"
+
+    def partial(b: pa.Table) -> pa.Table:
+        g = b.group_by(keys).aggregate(
+            [(c, "sum") for c in src_cols] + [([], "count_all")])
+        # rename by NAME, not position — group_by column order is not part
+        # of the pyarrow API contract
+        return g.rename_columns([ren.get(n, n) for n in g.column_names])
+
+    final = (
+        ds.select_columns(keys + src_cols)
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(keys if len(keys) > 1 else keys[0])
+        .aggregate(*[_Sum(a, alias_name=a) for a in aliases],
+                   _Sum("__pn", alias_name=count_alias))
+    )
+    return final
+
+
 def salted_aggregate(ds: Dataset, key: str, value: str, n_salts: int = 16) -> Dataset:
     """Skew-safe sum/count: groupby((key, salt)) partials, then groupby(key).
 

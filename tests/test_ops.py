@@ -294,3 +294,32 @@ def test_quality_batch_unicode_parity():
             for t in texts
         ]
         assert got == want
+
+
+def test_map_combine_aggregate_matches_plain_groupby():
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "k1": rng.choice(["x", "y", "z"], 5000),
+        "k2": rng.choice(["p", "q"], 5000),
+        "v": rng.standard_normal(5000),
+        "w": rng.standard_normal(5000),
+    })
+    ds = rd.from_pandas(df).repartition(9)
+    got = (map_combine_aggregate(ds, ["k1", "k2"], {"v": "sv", "w": "sw"},
+                                 count_alias="n")
+           .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    want = (ds.groupby(["k1", "k2"])
+            .aggregate(Sum("v", alias_name="sv"), Sum("w", alias_name="sw"),
+                       Count(alias_name="n"))
+            .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
+    assert got["n"].tolist() == want["n"].tolist()
+    assert np.allclose(got["sv"], want["sv"]) and np.allclose(got["sw"], want["sw"])
+    # single-key path
+    got1 = (map_combine_aggregate(ds, ["k1"], {"v": "sv"})
+            .to_pandas().sort_values("k1").reset_index(drop=True))
+    assert got1["n"].sum() == 5000
