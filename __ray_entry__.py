@@ -89,13 +89,12 @@ def _q_tpch_q1(sf_dir: str):
 
 
 def _q_groupby_count_docs(sf_dir: str):
-    from ray.data.aggregate import Count
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
-    return (
-        _rp(sf_dir, "documents")
-        .select_columns(["lang", "source"])  # don't shuffle the text column
-        .groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n"))
+    # pruned read + map-side combine: only (lang, source, n) partials shuffle
+    return map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["lang", "source"]),
+        keys=["lang", "source"], count_alias="n",
     )
 
 
@@ -126,13 +125,11 @@ def _q_exact_dedup_docs(sf_dir: str):
 
 
 def _q_first_wins_by_source(sf_dir: str):
-    from ray.data.aggregate import Count, Min
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
-    return (
-        _rp(sf_dir, "documents")
-        .select_columns(["source", "doc_id"])
-        .groupby("source")
-        .aggregate(Min("doc_id", alias_name="keep_id"), Count(alias_name="n"))
+    return map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["source", "doc_id"]),
+        keys=["source"], mins={"doc_id": "keep_id"}, count_alias="n",
     )
 
 
@@ -237,12 +234,13 @@ def _q_doc_length_cdf(sf_dir: str):
         buck = pc.cast(pc.floor(pc.divide(pc.cast(b["n_chars"], pa.float64()), 100.0)), pa.int64())
         return b.append_column("len_bucket", buck)
 
-    return (
-        _rp(sf_dir, "documents")
-        .select_columns(["n_chars"])
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    return map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["n_chars"])
         .map_batches(bucket, batch_format="pyarrow")
-        .groupby("len_bucket")
-        .aggregate(Count(alias_name="n"))
+        .select_columns(["len_bucket"]),
+        keys=["len_bucket"], count_alias="n",
     )
 
 
@@ -256,13 +254,11 @@ def _q_sort_limit_parts(sf_dir: str):
 
 
 def _q_distinct_event_types(sf_dir: str):
-    from ray.data.aggregate import Count
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
-    return (
-        _rp(sf_dir, "events")
-        .select_columns(["event_type"])
-        .groupby("event_type")
-        .aggregate(Count(alias_name="n"))
+    return map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["event_type"]),
+        keys=["event_type"], count_alias="n",
     )
 
 
@@ -296,12 +292,12 @@ def _q_events_per_day(sf_dir: str):
         d = pc.cast(pc.floor(pc.divide(pc.cast(b["ts"], pa.int64()), 86_400_000_000.0)), pa.int64())
         return b.append_column("day_idx", d)
 
-    return (
-        _rp(sf_dir, "events")
-        .select_columns(["ts"])
-        .map_batches(day, batch_format="pyarrow")
-        .groupby("day_idx")
-        .aggregate(Count(alias_name="n"))
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    return map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["ts"])
+        .map_batches(day, batch_format="pyarrow"),
+        keys=["day_idx"], count_alias="n",
     )
 
 
@@ -316,32 +312,39 @@ def _q_region_nation_join(sf_dir: str):
 
 
 def _q_acctbal_stats_by_nation(sf_dir: str):
-    from ray.data.aggregate import Count, Max, Mean, Min
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
-    out = (
-        _rp(sf_dir, "customer")
-        .select_columns(["c_nationkey", "c_acctbal"])
-        .groupby("c_nationkey")
-        .aggregate(
-            Min("c_acctbal", alias_name="min_bal"),
-            Max("c_acctbal", alias_name="max_bal"),
-            Mean("c_acctbal", alias_name="avg_bal"),
-            Count(alias_name="n"),
-        )
+    agg = map_combine_aggregate(
+        _rp(sf_dir, "customer").select_columns(["c_nationkey", "c_acctbal"]),
+        keys=["c_nationkey"],
+        sums={"c_acctbal": "__sum_bal"},
+        mins={"c_acctbal": "min_bal"}, maxs={"c_acctbal": "max_bal"},
+        count_alias="n",
     )
-    return _round_cols(out, {"avg_bal": 6})
+
+    def mean(b: pa.Table) -> pa.Table:
+        avg = pc.divide(b["__sum_bal"], pc.cast(b["n"], pa.float64()))
+        return b.append_column("avg_bal", avg).drop_columns(["__sum_bal"])
+
+    return _round_cols(agg.map_batches(mean, batch_format="pyarrow"),
+                       {"avg_bal": 6})
 
 
 def _q_avg_doc_len_by_lang(sf_dir: str):
-    from ray.data.aggregate import Count, Mean
+    from folkscope_ray.ops.relational import map_combine_aggregate
 
-    out = (
-        _rp(sf_dir, "documents")
-        .select_columns(["lang", "n_chars"])
-        .groupby("lang")
-        .aggregate(Mean("n_chars", alias_name="avg_chars"), Count(alias_name="n"))
+    agg = map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["lang", "n_chars"]),
+        keys=["lang"], sums={"n_chars": "__s"}, count_alias="n",
     )
-    return _round_cols(out, {"avg_chars": 6})
+
+    def mean(b: pa.Table) -> pa.Table:
+        avg = pc.divide(pc.cast(b["__s"], pa.float64()),
+                        pc.cast(b["n"], pa.float64()))
+        return b.append_column("avg_chars", avg).drop_columns(["__s"])
+
+    return _round_cols(agg.map_batches(mean, batch_format="pyarrow"),
+                       {"avg_chars": 6})
 
 
 # ---------------------------------------------- non-SQL-expressible queries

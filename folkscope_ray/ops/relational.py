@@ -221,8 +221,10 @@ def anti_join(large: Dataset, keys, on: str) -> Dataset:
 
 
 def map_combine_aggregate(ds: Dataset, keys: list[str],
-                          sums: dict[str, str],
-                          count_alias: str = "n") -> Dataset:
+                          sums: dict[str, str] | None = None,
+                          count_alias: str = "n",
+                          mins: dict[str, str] | None = None,
+                          maxs: dict[str, str] | None = None) -> Dataset:
     """Sum/count groupby with MAP-SIDE COMBINE: each block first collapses to
     one partial row per in-block key group (zero-copy Arrow ``group_by`` —
     C++ hash aggregation), so the all-to-all shuffle moves O(blocks × groups)
@@ -231,31 +233,39 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
     sort-shuffle of the data entirely — the 100-TB groupby discipline from
     SURVEY.md §2.5 applied generically.
 
-    ``sums`` maps source column → output alias; count of input rows lands in
-    ``count_alias``."""
+    ``sums`` / ``mins`` / ``maxs`` map source column → output alias (sum of
+    partial sums, min of partial mins, max of partial maxes — all three
+    commute, which is what makes two-phase exact); count of input rows lands
+    in ``count_alias``.  Means are sums/count in the caller."""
+    from ray.data.aggregate import Max as _Max
+    from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
 
-    src_cols = list(sums)
-    aliases = [sums[c] for c in src_cols]
+    sums, mins, maxs = sums or {}, mins or {}, maxs or {}
+    specs = ([(c, "sum", a) for c, a in sums.items()]
+             + [(c, "min", a) for c, a in mins.items()]
+             + [(c, "max", a) for c, a in maxs.items()])
+    src_cols = sorted({c for c, _f, _a in specs})
 
-    ren = {f"{c}_sum": sums[c] for c in src_cols}
+    ren = {f"{c}_{f}": a for c, f, a in specs}
     ren["count_all"] = "__pn"
 
     def partial(b: pa.Table) -> pa.Table:
         g = b.group_by(keys).aggregate(
-            [(c, "sum") for c in src_cols] + [([], "count_all")])
+            [(c, f) for c, f, _a in specs] + [([], "count_all")])
         # rename by NAME, not position — group_by column order is not part
         # of the pyarrow API contract
         return g.rename_columns([ren.get(n, n) for n in g.column_names])
 
-    final = (
+    final_aggs = ([_Sum(a, alias_name=a) for _c, f, a in specs if f == "sum"]
+                  + [_Min(a, alias_name=a) for _c, f, a in specs if f == "min"]
+                  + [_Max(a, alias_name=a) for _c, f, a in specs if f == "max"])
+    return (
         ds.select_columns(keys + src_cols)
         .map_batches(partial, batch_format="pyarrow")
         .groupby(keys if len(keys) > 1 else keys[0])
-        .aggregate(*[_Sum(a, alias_name=a) for a in aliases],
-                   _Sum("__pn", alias_name=count_alias))
+        .aggregate(*final_aggs, _Sum("__pn", alias_name=count_alias))
     )
-    return final
 
 
 def salted_aggregate(ds: Dataset, key: str, value: str, n_salts: int = 16) -> Dataset:

@@ -319,7 +319,10 @@ def test_map_combine_aggregate_matches_plain_groupby():
             .to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True))
     assert got["n"].tolist() == want["n"].tolist()
     assert np.allclose(got["sv"], want["sv"]) and np.allclose(got["sw"], want["sw"])
-    # single-key path
-    got1 = (map_combine_aggregate(ds, ["k1"], {"v": "sv"})
+    # single-key path + min/max two-phase exactness
+    got1 = (map_combine_aggregate(ds, ["k1"], {"v": "sv"},
+                                  mins={"w": "wmin"}, maxs={"w": "wmax"})
             .to_pandas().sort_values("k1").reset_index(drop=True))
     assert got1["n"].sum() == 5000
+    ref = df.groupby("k1")["w"].agg(["min", "max"]).sort_index()
+    assert np.allclose(got1["wmin"], ref["min"]) and np.allclose(got1["wmax"], ref["max"])
