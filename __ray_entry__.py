@@ -842,6 +842,124 @@ def _q_union_name_counts(sf_dir: str):
     return r.union(n).groupby("name").aggregate(Count(alias_name="n"))
 
 
+def _cents_col(ds, src: str, alias: str = "cents"):
+    """Exact integer cents from a 2-decimal price column (both engines round
+    the same near-integer, so downstream integer math is hash-exact)."""
+
+    def cents(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            alias, pc.cast(pc.round(pc.multiply(b.column(src), 100.0)), pa.int64()))
+
+    return ds.map_batches(cents, batch_format="pyarrow")
+
+
+def _q_lag_gap_events(sf_dir: str):
+    """LAG(value) + inter-event gap per user (ordered window functions)."""
+    from folkscope_ray.ops.window import lag_gap
+
+    out = lag_gap(
+        _rp(sf_dir, "events").select_columns(["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="value", ts_us_col="ts",
+    )
+    return out.select_columns(["event_id", "user_id", "value", "prev_value", "gap_us"])
+
+
+def _q_cumsum_orders(sf_dir: str):
+    """Per-customer running spend, via the TWO-PHASE chunked cumulative sum
+    (exercises the scale path: local cumsum per 30-day chunk + per-chunk
+    offset stitch — identical to the single-phase result by construction)."""
+    from folkscope_ray.ops.window import cumulative_sum
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "o_totalprice",
+    ).select_columns(["o_orderkey", "o_custkey", "o_orderdate", "cents"])
+    out = cumulative_sum(
+        ds, key_col="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        int_value_col="cents", alias="running_cents",
+        chunk=30 * 86_400 * 1_000_000, order_int_col="o_orderdate",
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "running_cents"])
+
+
+def _q_moving_avg_orders(sf_dir: str):
+    """3-row moving sum/average of order price per customer (ROWS BETWEEN
+    2 PRECEDING AND CURRENT ROW) — integer window sums, one shared division."""
+    from folkscope_ray.ops.window import moving_sum_avg
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]),
+        "o_totalprice",
+    ).select_columns(["o_orderkey", "o_custkey", "o_orderdate", "cents"])
+    out = moving_sum_avg(
+        ds, key_col="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        int_value_col="cents", k=3, sum_alias="win_cents",
+        avg_alias="avg3_price", avg_scale=100.0,
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "win_cents", "avg3_price"])
+
+
+def _q_left_join_customer_orders(sf_dir: str):
+    """Customers LEFT OUTER JOIN their order aggregate (customers with no
+    orders survive with zeros) — native hash-partitioned left_outer join."""
+    from folkscope_ray.ops.relational import hash_join, map_combine_aggregate
+
+    agg = map_combine_aggregate(
+        _cents_col(_rp(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_totalprice"]), "o_totalprice")
+        .select_columns(["o_custkey", "cents"]),
+        keys=["o_custkey"], sums={"cents": "total_cents"},
+        count_alias="n_orders",
+    ).map_batches(
+        lambda b: b.rename_columns(
+            ["c_custkey" if n == "o_custkey" else n for n in b.column_names]),
+        batch_format="pyarrow",
+    )
+    joined = hash_join(
+        _rp(sf_dir, "customer").select_columns(["c_custkey", "c_name"]),
+        agg, on="c_custkey", how="left_outer",
+    )
+
+    def fill(b: pa.Table) -> pa.Table:
+        for col in ("n_orders", "total_cents"):
+            i = b.column_names.index(col)
+            b = b.set_column(
+                i, col, pc.fill_null(pc.cast(b.column(col), pa.int64()), 0))
+        return b
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+def _q_rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP(status, priority) — all prefix aggregation levels
+    from one map-side-combined pass; 'ALL' sentinel for rolled-up keys."""
+    from folkscope_ray.ops.window import rollup_counts
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        "o_totalprice",
+    ).select_columns(["o_orderstatus", "o_orderpriority", "cents"])
+    return rollup_counts(
+        ds, keys=["o_orderstatus", "o_orderpriority"],
+        int_value_col="cents", sum_alias="total_cents",
+    )
+
+
+def _q_pivot_events_by_type(sf_dir: str):
+    """Pivot event_type into per-type count columns per user (conditional
+    aggregation, map-side combined)."""
+    from folkscope_ray.ops.window import pivot_counts
+
+    return pivot_counts(
+        _rp(sf_dir, "events"), key_col="user_id", cat_col="event_type",
+        categories=["click", "error", "purchase", "signup", "view"],
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
@@ -896,6 +1014,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_docs": _q_word_jaccard_docs,
         "price_quantiles_parts": _q_price_quantiles_parts,
         "hll_distinct_users": _q_hll_distinct_users,
+        # ordered window functions / analytic SQL (§2.10 extension)
+        "lag_gap_events": _q_lag_gap_events,
+        "cumsum_orders": _q_cumsum_orders,
+        "moving_avg_orders": _q_moving_avg_orders,
+        "left_join_customer_orders": _q_left_join_customer_orders,
+        "rollup_orders": _q_rollup_orders,
+        "pivot_events_by_type": _q_pivot_events_by_type,
     }
 
 
@@ -1119,6 +1244,59 @@ def oracle_sql() -> dict[str, str]:
                          unnest(embedding::DOUBLE[]) AS v
                   FROM embeddings)
             GROUP BY label, dim
+        """,
+        "lag_gap_events": """
+            SELECT event_id, user_id, value,
+                   COALESCE(LAG(value) OVER w, -1.0) AS prev_value,
+                   COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, -1)::BIGINT AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "cumsum_orders": """
+            SELECT o_orderkey, o_custkey,
+                   (SUM(round(o_totalprice * 100)::BIGINT) OVER (
+                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING))::BIGINT AS running_cents
+            FROM orders
+        """,
+        "moving_avg_orders": """
+            WITH c AS (
+              SELECT o_orderkey, o_custkey, o_orderdate,
+                     round(o_totalprice * 100)::BIGINT AS cents
+              FROM orders)
+            SELECT o_orderkey, o_custkey,
+                   (SUM(cents) OVER w)::BIGINT AS win_cents,
+                   (SUM(cents) OVER w)::BIGINT / (100.0 * (COUNT(*) OVER w)) AS avg3_price
+            FROM c
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        """,
+        "left_join_customer_orders": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(o.n_orders, 0)::BIGINT AS n_orders,
+                   COALESCE(o.total_cents, 0)::BIGINT AS total_cents
+            FROM customer c LEFT JOIN (
+              SELECT o_custkey, count(*) AS n_orders,
+                     SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+              FROM orders GROUP BY o_custkey) o
+            ON c.c_custkey = o.o_custkey
+        """,
+        "rollup_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+                   count(*) AS n
+            FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        """,
+        "pivot_events_by_type": """
+            SELECT user_id,
+                   SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS n_click,
+                   SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                   SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS n_purchase,
+                   SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS n_signup,
+                   SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
+                   count(*) AS n_events
+            FROM events GROUP BY user_id
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline

@@ -96,12 +96,16 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
     rb = right.map_batches(bucketize("R"), batch_format="pyarrow")
     both = lb.union(rb)
 
+    # native join_type names ("left_outer") -> pandas merge names ("left")
+    pd_how = {"left_outer": "left", "right_outer": "right",
+              "full_outer": "outer"}.get(how, how)
+
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         lg = g[g["__side"] == "L"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
         rg = g[g["__side"] == "R"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
         if lg.empty or rg.empty:
-            return lg.merge(rg, on=on, how=how) if how != "inner" else lg.head(0).merge(rg.head(0), on=on)
-        return lg.merge(rg, on=on, how=how)
+            return lg.merge(rg, on=on, how=pd_how) if pd_how != "inner" else lg.head(0).merge(rg.head(0), on=on)
+        return lg.merge(rg, on=on, how=pd_how)
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 

@@ -1,0 +1,209 @@
+"""Per-key ordered window functions (lag/lead, running totals, moving
+aggregates) — the analytic-window family Ray Data does not ship.
+
+The reference's only ordered-scan analogue is its PR-curve sweep
+(`src/evaluation/metrics.py`) — these operators generalize that shape for
+the data-pipeline surface the engine exposes (SURVEY.md §2.10).
+
+Execution shape and the 100-TB contract:
+
+- ``lag_gap`` / ``moving_sum_avg`` (single-phase): one shuffle keyed on
+  ``key_col``; the per-group body sorts by ``order_cols`` and runs a
+  vectorized pandas shift/rolling — no Python row loop.  Assumes one key's
+  full history fits one group (the session-window assumption; hot keys want
+  the chunked variants or a pre-filter).
+- ``cumulative_sum(chunk=...)`` (two-phase scale path): rows first compute
+  LOCAL running sums inside (key, order//chunk) time chunks — a hot key's
+  history spreads across chunks so no group holds more than one chunk —
+  then per-chunk totals (one tiny row per (key, chunk)) are prefix-summed
+  per key and broadcast back as additive offsets.  Output is bit-identical
+  to the single-phase path for integer values (pytest-gated); use integer
+  values (e.g. cents) when exactness across phase layouts matters.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+def lag_gap(events: Dataset, key_col: str, order_cols: list[str],
+            value_col: str, ts_us_col: str | None = None,
+            prev_alias: str = "prev_value", gap_alias: str = "gap_us",
+            fill_value: float = -1.0, fill_gap: int = -1) -> Dataset:
+    """LAG(value) and the inter-row time gap per key, in ``order_cols``
+    order.  First row of each key gets ``fill_value`` / ``fill_gap``
+    (sentinels rather than NULLs: exact cross-engine hash compare).
+
+    ``ts_us_col``: integer microsecond column the gap is computed on
+    (defaults to ``order_cols[0]`` cast to int64)."""
+    ts_col = ts_us_col or order_cols[0]
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        ts = g[ts_col].astype("datetime64[us]").astype("int64") \
+            if str(g[ts_col].dtype).startswith("datetime") else g[ts_col].astype("int64")
+        prev = g[value_col].shift(1)
+        gap = ts - ts.shift(1)
+        out = g.copy()
+        out[prev_alias] = prev.fillna(fill_value)
+        out[gap_alias] = gap.fillna(fill_gap).astype("int64")
+        return out
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def moving_sum_avg(ds: Dataset, key_col: str, order_cols: list[str],
+                   int_value_col: str, k: int,
+                   sum_alias: str = "win_sum", avg_alias: str | None = None,
+                   avg_scale: float = 1.0) -> Dataset:
+    """Rolling ``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW`` sum (and
+    optional average) per key over an INTEGER value column — integer window
+    sums are order-insensitive and exactly representable, so the result
+    hash-matches any engine computing the same frame.
+
+    ``avg_alias``: also emit ``win_sum / (avg_scale * frame_count)`` — a
+    single IEEE division of identical operands on every engine."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        vals = g[int_value_col].astype("int64")
+        s = vals.rolling(k, min_periods=1).sum().astype("int64")
+        out = g.copy()
+        out[sum_alias] = s
+        if avg_alias is not None:
+            cnt = np.minimum(np.arange(len(g), dtype=np.int64) + 1, k)
+            out[avg_alias] = s.to_numpy() / (avg_scale * cnt)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def cumulative_sum(ds: Dataset, key_col: str, order_cols: list[str],
+                   int_value_col: str, alias: str = "running",
+                   chunk: int | None = None,
+                   order_int_col: str | None = None) -> Dataset:
+    """Per-key running total of an INTEGER value column in ``order_cols``
+    order (``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS UNBOUNDED
+    PRECEDING)``).
+
+    ``chunk=None``: single shuffle on ``key_col``, vectorized cumsum per
+    group (whole-key-history-in-one-group assumption).
+
+    ``chunk=<span>``: two-phase scale path — local cumsum inside
+    (key, ``order_int_col`` // span) chunks, then per-chunk totals are
+    prefix-summed per key on the driver (n_keys × n_chunks rows — tiny by
+    construction; above broadcast size this table would be hash-joined
+    back instead) and added as offsets.  Identical output (pytest-gated)."""
+
+    def local(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        out = g.copy()
+        out[alias] = g[int_value_col].astype("int64").cumsum()
+        return out
+
+    if chunk is None:
+        return ds.groupby(key_col).map_groups(local, batch_format="pandas")
+
+    oc = order_int_col or order_cols[0]
+
+    def assign_chunk(b: pa.Table) -> pa.Table:
+        ov = b.column(oc)
+        if pa.types.is_timestamp(ov.type):
+            ov = pc.cast(pc.cast(ov, pa.timestamp("us")), pa.int64())
+        ck = pc.cast(
+            pc.floor(pc.divide(pc.cast(ov, pa.float64()), float(chunk))),
+            pa.int64())
+        return b.append_column("__chunk", ck)
+
+    chunked = (ds.map_batches(assign_chunk, batch_format="pyarrow")
+               .groupby([key_col, "__chunk"])
+               .map_groups(local, batch_format="pandas"))
+    # per-(key, chunk) totals: one tiny row per chunk (the value shuffled is
+    # O(keys x chunks), not O(rows))
+    from .relational import map_combine_aggregate
+
+    totals = map_combine_aggregate(
+        chunked.select_columns([key_col, "__chunk", int_value_col]),
+        keys=[key_col, "__chunk"], sums={int_value_col: "__ct"},
+    ).to_pandas().sort_values([key_col, "__chunk"])
+    totals["__offset"] = (
+        totals.groupby(key_col)["__ct"].cumsum() - totals["__ct"])
+    off = {(k, c): int(o) for k, c, o in
+           zip(totals[key_col], totals["__chunk"], totals["__offset"])}
+    off_ref = ray.put(off)
+
+    def add_offset(b: pa.Table) -> pa.Table:
+        o = ray.get(off_ref)
+        keys = b.column(key_col).to_pylist()
+        chunks = b.column("__chunk").to_pylist()
+        offs = np.fromiter((o[(k, c)] for k, c in zip(keys, chunks)),
+                           dtype=np.int64, count=len(keys))
+        run = b.column(alias).to_numpy(zero_copy_only=False) + offs
+        i = b.column_names.index(alias)
+        return b.set_column(i, alias, pa.array(run, pa.int64())) \
+                .drop_columns(["__chunk"])
+
+    return chunked.map_batches(add_offset, batch_format="pyarrow")
+
+
+def pivot_counts(ds: Dataset, key_col: str, cat_col: str,
+                 categories: list[str], prefix: str = "n_") -> Dataset:
+    """Pivot a categorical column into per-category count columns per key
+    (``SUM(CASE WHEN cat = c THEN 1 ELSE 0 END)``): indicator columns are
+    built vectorized per batch, then one map-side-combined groupby — the
+    shuffle moves O(blocks × keys) partial rows of small ints."""
+    from .relational import map_combine_aggregate
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cat = b.column(cat_col)
+        out = b.select([key_col])
+        for c in categories:
+            out = out.append_column(
+                prefix + c, pc.cast(pc.equal(cat, c), pa.int64()))
+        return out
+
+    return map_combine_aggregate(
+        ds.select_columns([key_col, cat_col])
+        .map_batches(indicators, batch_format="pyarrow"),
+        keys=[key_col],
+        sums={prefix + c: prefix + c for c in categories},
+        count_alias="n_events",
+    )
+
+
+def rollup_counts(ds: Dataset, keys: list[str], int_value_col: str,
+                  sum_alias: str, all_sentinel: str = "ALL") -> Dataset:
+    """GROUP BY ROLLUP(k1, k2, ...): aggregates at every key prefix level,
+    coarser levels derived from the FINEST aggregate (one pass over the
+    data, map-side combined; the rollup itself runs over the tiny finest
+    table).  Rolled-up key columns carry ``all_sentinel`` instead of SQL
+    NULL so cross-engine hash comparison is exact."""
+    from .relational import map_combine_aggregate
+
+    finest = map_combine_aggregate(
+        ds.select_columns(keys + [int_value_col]),
+        keys=keys, sums={int_value_col: sum_alias}, count_alias="n",
+    ).to_pandas()
+
+    levels = [finest]
+    for lvl in range(len(keys) - 1, -1, -1):
+        kept = keys[:lvl]
+        if kept:
+            g = (finest.groupby(kept, as_index=False)
+                 .agg(**{sum_alias: (sum_alias, "sum"), "n": ("n", "sum")}))
+        else:
+            g = pd.DataFrame({sum_alias: [finest[sum_alias].sum()],
+                              "n": [finest["n"].sum()]})
+        for c in keys[lvl:]:
+            g[c] = all_sentinel
+        levels.append(g[keys + [sum_alias, "n"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)

@@ -1,0 +1,124 @@
+"""Ordered window functions (ops/window.py): lag/gap, running totals
+(single-phase vs chunked two-phase), moving aggregates, pivot, rollup."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from folkscope_ray.ops.window import (
+    cumulative_sum,
+    lag_gap,
+    moving_sum_avg,
+    pivot_counts,
+    rollup_counts,
+)
+
+
+@pytest.fixture()
+def orders_df():
+    rng = np.random.RandomState(7)
+    n = 400
+    return pd.DataFrame({
+        "k": rng.randint(0, 5, n),
+        "oid": np.arange(n, dtype=np.int64),
+        "t": rng.randint(0, 1000, n).astype(np.int64),
+        "v": rng.randint(1, 500, n).astype(np.int64),
+    })
+
+
+def test_cumsum_single_phase_matches_pandas(orders_df):
+    out = cumulative_sum(
+        rd.from_pandas(orders_df, override_num_blocks=7),
+        key_col="k", order_cols=["t", "oid"], int_value_col="v",
+        alias="running",
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    exp = orders_df.sort_values(["k", "t", "oid"]).copy()
+    exp["running"] = exp.groupby("k")["v"].cumsum()
+    exp = exp.sort_values("oid").reset_index(drop=True)
+    assert (out["running"].to_numpy() == exp["running"].to_numpy()).all()
+
+
+def test_cumsum_chunked_matches_single_phase(orders_df):
+    base = cumulative_sum(
+        rd.from_pandas(orders_df, override_num_blocks=5),
+        key_col="k", order_cols=["t", "oid"], int_value_col="v",
+        alias="running",
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    for chunk in (50, 100, 5000):  # 5000 > max(t): degenerate single chunk
+        two = cumulative_sum(
+            rd.from_pandas(orders_df, override_num_blocks=5),
+            key_col="k", order_cols=["t", "oid"], int_value_col="v",
+            alias="running", chunk=chunk, order_int_col="t",
+        ).to_pandas().sort_values("oid").reset_index(drop=True)
+        assert (two["running"].to_numpy() == base["running"].to_numpy()).all(), chunk
+
+
+def test_lag_gap_matches_pandas(orders_df):
+    df = orders_df.rename(columns={"t": "ts_us"}).assign(
+        val=lambda d: d["v"].astype(float))
+    out = lag_gap(
+        rd.from_pandas(df, override_num_blocks=4),
+        key_col="k", order_cols=["ts_us", "oid"], value_col="val",
+        ts_us_col="ts_us",
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    exp = df.sort_values(["k", "ts_us", "oid"]).copy()
+    exp["prev_value"] = exp.groupby("k")["val"].shift(1).fillna(-1.0)
+    exp["gap_us"] = (
+        exp["ts_us"] - exp.groupby("k")["ts_us"].shift(1)).fillna(-1).astype("int64")
+    exp = exp.sort_values("oid").reset_index(drop=True)
+    assert (out["prev_value"].to_numpy() == exp["prev_value"].to_numpy()).all()
+    assert (out["gap_us"].to_numpy() == exp["gap_us"].to_numpy()).all()
+
+
+def test_moving_sum_avg_matches_pandas(orders_df):
+    out = moving_sum_avg(
+        rd.from_pandas(orders_df, override_num_blocks=4),
+        key_col="k", order_cols=["t", "oid"], int_value_col="v", k=3,
+        sum_alias="s3", avg_alias="a3", avg_scale=100.0,
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    exp = orders_df.sort_values(["k", "t", "oid"]).copy()
+    exp["s3"] = (exp.groupby("k")["v"]
+                 .rolling(3, min_periods=1).sum().reset_index(0, drop=True)
+                 .astype("int64"))
+    cnt = exp.groupby("k").cumcount().clip(upper=2) + 1
+    exp["a3"] = exp["s3"] / (100.0 * cnt)
+    exp = exp.sort_values("oid").reset_index(drop=True)
+    assert (out["s3"].to_numpy() == exp["s3"].to_numpy()).all()
+    assert (out["a3"].to_numpy() == exp["a3"].to_numpy()).all()  # bit-exact
+
+
+def test_pivot_counts(orders_df):
+    df = orders_df.assign(cat=np.where(orders_df["v"] % 2 == 0, "even", "odd"))
+    out = pivot_counts(
+        rd.from_pandas(df, override_num_blocks=4),
+        key_col="k", cat_col="cat", categories=["even", "odd"],
+    ).to_pandas().sort_values("k").reset_index(drop=True)
+    exp = (df.assign(n_even=(df["v"] % 2 == 0).astype(int),
+                     n_odd=(df["v"] % 2 == 1).astype(int))
+           .groupby("k", as_index=False)
+           .agg(n_even=("n_even", "sum"), n_odd=("n_odd", "sum"),
+                n_events=("v", "size")))
+    assert (out["n_even"].to_numpy() == exp["n_even"].to_numpy()).all()
+    assert (out["n_odd"].to_numpy() == exp["n_odd"].to_numpy()).all()
+    assert (out["n_events"].to_numpy() == exp["n_events"].to_numpy()).all()
+
+
+def test_rollup_counts(orders_df):
+    df = orders_df.assign(a=np.where(orders_df["k"] < 2, "x", "y"),
+                          b=orders_df["k"].astype(str))
+    out = rollup_counts(
+        rd.from_pandas(df, override_num_blocks=4),
+        keys=["a", "b"], int_value_col="v", sum_alias="tv",
+    ).to_pandas()
+    # grand total row
+    g = out[(out["a"] == "ALL") & (out["b"] == "ALL")]
+    assert len(g) == 1 and g["tv"].iloc[0] == df["v"].sum() and g["n"].iloc[0] == len(df)
+    # one-level rollup matches a direct groupby
+    lvl1 = (out[(out["a"] != "ALL") & (out["b"] == "ALL")]
+            .sort_values("a").reset_index(drop=True))
+    exp1 = (df.groupby("a", as_index=False).agg(tv=("v", "sum"), n=("v", "size")))
+    assert (lvl1["tv"].to_numpy() == exp1["tv"].to_numpy()).all()
+    # finest level count = distinct (a,b) combos
+    finest = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
+    assert len(finest) == df.groupby(["a", "b"]).ngroups
