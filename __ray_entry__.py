@@ -960,6 +960,73 @@ def _q_pivot_events_by_type(sf_dir: str):
     )
 
 
+def _q_row_number_orders(sf_dir: str):
+    """ROW_NUMBER per customer in (date, key) order."""
+    from folkscope_ray.ops.window import row_number
+
+    out = row_number(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_custkey", "o_orderdate"]),
+        key_col="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+    )
+    return out.select_columns(["o_orderkey", "o_custkey", "rn"])
+
+
+def _q_top_bigrams_per_lang(sf_dir: str):
+    """Corpus n-gram statistics: top-5 word bigrams per language.  Each
+    block pre-combines its token stream to (lang, bigram) partial counts
+    (shuffle moves vocabulary rows, not occurrences), then a final sum and
+    a per-lang top-k."""
+    import pandas as pd
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.text import bigram_partials
+
+    counts = map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["lang", "text"])
+        .map_batches(bigram_partials, batch_format="pyarrow"),
+        keys=["lang", "bigram"], sums={"n": "n"}, count_alias="__nb",
+    ).drop_columns(["__nb"])
+
+    def top5(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["n", "bigram"], ascending=[False, True],
+                             kind="mergesort").head(5)
+
+    return counts.groupby("lang").map_groups(top5, batch_format="pandas")
+
+
+def _q_repetition_docs(sf_dir: str):
+    """Intra-doc duplicate-line ratio (boilerplate/log-spam quality signal)."""
+    from folkscope_ray.ops.text import repetition_batch
+
+    return (
+        _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+        .map_batches(repetition_batch, batch_format="pyarrow")
+        .select_columns(["doc_id", "n_lines", "n_distinct_lines", "rep_ratio"])
+    )
+
+
+def _q_bloom_semi_join_lineitem(sf_dir: str):
+    """Lineitems of high-value orders via Bloom-prefiltered exact semi-join,
+    then a map-side-combined aggregate per returnflag."""
+    from folkscope_ray.ops.bloom import bloom_semi_join
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    hot = _rp(sf_dir, "orders").filter(
+        lambda r: r["o_totalprice"] > 449_000.0)
+    survivors = bloom_semi_join(
+        _rp(sf_dir, "lineitem").select_columns(
+            ["l_orderkey", "l_returnflag", "l_extendedprice"]),
+        hot, on="l_orderkey", right_key="o_orderkey",
+    )
+    return map_combine_aggregate(
+        _cents_col(survivors, "l_extendedprice")
+        .select_columns(["l_returnflag", "cents"]),
+        keys=["l_returnflag"], sums={"cents": "total_cents"},
+        count_alias="n_items",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
@@ -1021,6 +1088,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "left_join_customer_orders": _q_left_join_customer_orders,
         "rollup_orders": _q_rollup_orders,
         "pivot_events_by_type": _q_pivot_events_by_type,
+        "row_number_orders": _q_row_number_orders,
+        # corpus text statistics / scale-path joins
+        "top_bigrams_per_lang": _q_top_bigrams_per_lang,
+        "repetition_docs": _q_repetition_docs,
+        "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
     }
 
 
@@ -1297,6 +1369,48 @@ def oracle_sql() -> dict[str, str]:
                    SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS n_view,
                    count(*) AS n_events
             FROM events GROUP BY user_id
+        """,
+        "row_number_orders": """
+            SELECT o_orderkey, o_custkey,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS rn
+            FROM orders
+        """,
+        "top_bigrams_per_lang": """
+            WITH w AS (
+              SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ), b AS (
+              SELECT lang,
+                     unnest(list_transform(generate_series(1, len(ws) - 1),
+                                           i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+              FROM w
+            ), c AS (
+              SELECT lang, bigram, count(*) AS n FROM b GROUP BY lang, bigram
+            ), r AS (
+              SELECT lang, bigram, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, bigram) AS rk
+              FROM c)
+            SELECT lang, bigram, n FROM r WHERE rk <= 5
+        """,
+        "repetition_docs": """
+            WITH l AS (
+              SELECT doc_id,
+                     len(string_split(text, chr(10))) AS n_lines,
+                     len(list_distinct(string_split(text, chr(10)))) AS n_distinct_lines
+              FROM documents)
+            SELECT doc_id, n_lines, n_distinct_lines,
+                   1.0 - (n_distinct_lines::DOUBLE / n_lines) AS rep_ratio
+            FROM l
+        """,
+        "bloom_semi_join_lineitem": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   SUM(round(l_extendedprice * 100)::BIGINT)::BIGINT AS total_cents
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 449000.0)
+            GROUP BY l_returnflag
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline

@@ -207,3 +207,50 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
             h ^= int(rolls[n_full:].min())
         fps.append(h & 0xFFFFFFFFFFFFFFFF)
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
+
+
+_BIGRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
+
+
+def bigram_partials(batch: pa.Table, text_col: str = "text",
+                    lang_col: str = "lang") -> pa.Table:
+    """Per-block (lang, bigram) counts — the MAP-SIDE COMBINER for corpus
+    n-gram statistics: each block collapses its documents to one partial row
+    per distinct (lang, bigram), so the downstream shuffle moves vocabulary
+    rows, not token occurrences (the 100-TB n-gram-counting discipline)."""
+    from collections import Counter
+
+    c: Counter = Counter()
+    langs = batch.column(lang_col).to_pylist()
+    for lang, t in zip(langs, batch.column(text_col).to_pylist()):
+        ws = _BIGRAM_TOKEN_RE.findall(t.lower())
+        for i in range(len(ws) - 1):
+            c[(lang, ws[i] + " " + ws[i + 1])] += 1
+    if not c:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "bigram": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    keys, vals = zip(*c.items())
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "bigram": pa.array([k[1] for k in keys], pa.string()),
+        "n": pa.array(list(vals), pa.int64()),
+    })
+
+
+def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Intra-document repetition quality signal: line counts, distinct line
+    counts and the duplicate-line ratio ``1 - distinct/total`` (boilerplate /
+    log-spam detector for training-data filtering).  Pure per-doc map — the
+    division is a single IEEE op of identical operands on any engine."""
+    texts = batch.column(text_col).to_pylist()
+    n_lines = np.empty(len(texts), dtype=np.int64)
+    n_distinct = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        n_lines[i] = len(lines)
+        n_distinct[i] = len(set(lines))
+    ratio = 1.0 - (n_distinct / n_lines)
+    out = batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
+    out = out.append_column("n_distinct_lines", pa.array(n_distinct, pa.int64()))
+    return out.append_column("rep_ratio", pa.array(ratio, pa.float64()))

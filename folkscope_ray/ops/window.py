@@ -151,6 +151,24 @@ def cumulative_sum(ds: Dataset, key_col: str, order_cols: list[str],
     return chunked.map_batches(add_offset, batch_format="pyarrow")
 
 
+def row_number(ds: Dataset, key_col: str, order_cols: list[str],
+               ascending: list[bool] | None = None,
+               alias: str = "rn") -> Dataset:
+    """ROW_NUMBER() OVER (PARTITION BY key ORDER BY ...): 1-based position
+    per key.  Deterministic when ``order_cols`` is a total order (include a
+    unique tiebreak column)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, ascending=ascending
+                          if ascending is not None else True,
+                          kind="mergesort")
+        out = g.copy()
+        out[alias] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return out
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
 def pivot_counts(ds: Dataset, key_col: str, cat_col: str,
                  categories: list[str], prefix: str = "n_") -> Dataset:
     """Pivot a categorical column into per-category count columns per key

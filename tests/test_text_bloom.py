@@ -1,0 +1,84 @@
+"""Corpus text statistics (bigram combiner, repetition ratio) and the
+Bloom-prefiltered exact semi-join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from folkscope_ray.ops.bloom import _positions, bloom_semi_join, build_bloom
+from folkscope_ray.ops.text import bigram_partials, repetition_batch
+
+
+def test_bigram_partials_counts():
+    b = pa.table({
+        "lang": ["en", "en", "de"],
+        "text": ["the cat sat", "the cat ran", "der Hund"],
+    })
+    out = bigram_partials(b).to_pandas()
+    c = dict(zip(zip(out["lang"], out["bigram"]), out["n"]))
+    assert c[("en", "the cat")] == 2
+    assert c[("en", "cat sat")] == 1
+    assert c[("de", "der hund")] == 1
+    # single-token and empty docs emit nothing
+    empty = bigram_partials(pa.table({"lang": ["en"], "text": ["word"]}))
+    assert empty.num_rows == 0
+
+
+def test_repetition_batch():
+    b = pa.table({"doc_id": [1, 2, 3],
+                  "text": ["a\na\na", "x\ny\nz", ""]})
+    out = repetition_batch(b).to_pandas()
+    assert out["n_lines"].tolist() == [3, 3, 1]
+    assert out["n_distinct_lines"].tolist() == [1, 3, 1]
+    assert out["rep_ratio"].tolist() == [1.0 - 1 / 3, 0.0, 0.0]
+
+
+def test_bloom_no_false_negatives():
+    keys = np.arange(0, 100_000, 7, dtype=np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"k": keys}), override_num_blocks=5)
+    bits = build_bloom(ds, "k", m_bits=1 << 18, k=3)
+    pos = _positions(keys, 1 << 18, 3)
+    for i in range(3):
+        byte = bits[(pos[i] // 8).astype(np.int64)]
+        assert ((byte >> (pos[i] % 8).astype(np.uint8)) & 1).all()
+
+
+def test_bloom_semi_join_exact():
+    rng = np.random.RandomState(3)
+    large = pd.DataFrame({"k": rng.randint(0, 1000, 5000).astype(np.int64),
+                          "v": np.arange(5000, dtype=np.int64)})
+    member = pd.DataFrame({"rk": np.arange(0, 1000, 13, dtype=np.int64)})
+    out = bloom_semi_join(
+        rd.from_pandas(large, override_num_blocks=6),
+        rd.from_pandas(member, override_num_blocks=2),
+        on="k", right_key="rk",
+        m_bits=1 << 12, k=2,  # deliberately small bitmap: force false
+                              # positives so the exact verify pass matters
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    exp = (large[large["k"].isin(set(member["rk"]))]
+           .sort_values("v").reset_index(drop=True))
+    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
+    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+
+
+def test_bloom_prefilter_reduces_stream():
+    """The bitmap must actually prune: with a selective member set, the
+    prefiltered survivor count sits near the true match count, far below
+    the input size."""
+    rng = np.random.RandomState(4)
+    large = pd.DataFrame({"k": rng.randint(0, 100_000, 20_000).astype(np.int64)})
+    member = pd.DataFrame({"k": np.arange(0, 100_000, 97, dtype=np.int64)})
+    from folkscope_ray.ops.bloom import _positions as _p  # noqa: F401
+
+    bits = build_bloom(rd.from_pandas(member), "k", m_bits=1 << 20, k=3)
+    keys = large["k"].to_numpy()
+    pos = _positions(keys, 1 << 20, 3)
+    hit = np.ones(len(keys), dtype=bool)
+    for i in range(3):
+        byte = bits[(pos[i] // 8).astype(np.int64)]
+        hit &= ((byte >> (pos[i] % 8).astype(np.uint8)) & 1).astype(bool)
+    true_matches = large["k"].isin(set(member["k"])).sum()
+    assert hit.sum() < true_matches * 1.5 + 50  # tight prefilter
+    assert hit.sum() >= true_matches            # no false negatives
