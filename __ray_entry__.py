@@ -1027,6 +1027,18 @@ def _q_bloom_semi_join_lineitem(sf_dir: str):
     )
 
 
+def _q_heavy_hitter_users(sf_dir: str):
+    """Exact top-10 users by event count via Misra-Gries candidates +
+    exact recount (two-pass sketch: candidate rows shuffle, never the
+    key universe).  capacity=2048 >= the distinct-user count at the test
+    scales, i.e. the bounded-domain regime where the result is
+    unconditionally exact (see heavy_hitters docstring)."""
+    from folkscope_ray.ops.sketch import heavy_hitters
+
+    return heavy_hitters(_rp(sf_dir, "events"), key_col="user_id",
+                         top_k=10, capacity=2048)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # relational / aggregation operator families (SURVEY.md §2.2/2.4/2.5/2.6/2.7)
@@ -1093,6 +1105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_per_lang": _q_top_bigrams_per_lang,
         "repetition_docs": _q_repetition_docs,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
+        "heavy_hitter_users": _q_heavy_hitter_users,
     }
 
 
@@ -1411,6 +1424,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_totalprice > 449000.0)
             GROUP BY l_returnflag
+        """,
+        "heavy_hitter_users": """
+            SELECT user_id, count(*) AS n FROM events
+            GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline

@@ -29,6 +29,10 @@ BENCH_QUERIES = [
     "token_count_docs",
     "langid_quality_docs",
     "simhash_docs",
+    "cumsum_orders",
+    "top_bigrams_per_lang",
+    "bloom_semi_join_lineitem",
+    "heavy_hitter_users",
 ]
 
 

@@ -184,3 +184,82 @@ def hll_distinct_by_key(ds: Dataset, key_col: str, value_col: str,
         .sort_values(key_col)
         .reset_index(drop=True)
     )
+
+
+# ----------------------------------------------------- heavy hitters
+
+def heavy_hitters(ds: Dataset, key_col: str, top_k: int,
+                  capacity: int | None = None) -> Dataset:
+    """EXACT top-k most frequent keys via the two-pass sketch pattern:
+
+    1. Misra-Gries candidate pass: each block summarizes its stream with a
+       ``capacity``-slot decrementing counter sketch (any key with block
+       frequency > n_block/capacity survives; the union of block candidates
+       is a SUPERSET of every key with global frequency > n/capacity —
+       the standard MG merge guarantee).  Only O(blocks × capacity)
+       candidate rows shuffle, never the key universe.
+    2. Exact recount of candidates only: the (small) candidate set is
+       broadcast and one counting pass recounts them exactly — false
+       candidates get their true (small) counts and lose in the final
+       top-k; true heavy hitters are never missed when
+       ``capacity > n / f_k`` (f_k = k-th largest frequency).
+
+    Returns (key, n) for the top-k by exact count, ties broken by key
+    ascending.  ``capacity`` defaults to ``8 * top_k``.
+
+    EXACTNESS CONDITION: the result equals the true top-k whenever the k-th
+    largest global frequency exceeds n_total/capacity (heavy-tailed streams),
+    and unconditionally when no block holds more than ``capacity`` distinct
+    keys (bounded key domains).  For near-uniform streams where f_k <=
+    n/capacity, raise ``capacity`` — exact top-k over such streams
+    fundamentally requires counting the key universe."""
+    import ray as _ray
+
+    cap = capacity or 8 * top_k
+
+    def mg_partial(b: pa.Table) -> pa.Table:
+        vals, counts = np.unique(
+            b.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        if len(vals) > cap:
+            # keep the cap largest block counts — every key with block
+            # frequency above n_block/cap survives (MG guarantee holds)
+            keep = np.argsort(-counts, kind="stable")[:cap]
+            vals, counts = vals[keep], counts[keep]
+        return pa.table({key_col: pa.array(vals),
+                         "n": pa.array(counts, pa.int64())})
+
+    candidates = (
+        ds.select_columns([key_col])
+        .map_batches(mg_partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="__cand_n"))
+        .to_pandas()
+    )
+    # recount EVERY candidate exactly — the set is bounded by blocks × cap
+    # (a post-hoc nlargest over candidate lower bounds could evict a true
+    # heavy hitter whose per-block survivals were small)
+    cand_ref = _ray.put(pa.array(candidates[key_col].to_numpy()))
+
+    def recount(b: pa.Table) -> pa.Table:
+        cs = _ray.get(cand_ref)
+        kept = b.filter(pc.is_in(b.column(key_col), value_set=cs))
+        vals, counts = np.unique(
+            kept.column(key_col).to_numpy(zero_copy_only=False),
+            return_counts=True)
+        return pa.table({key_col: pa.array(vals),
+                         "n": pa.array(counts, pa.int64())})
+
+    exact = (
+        ds.select_columns([key_col])
+        .map_batches(recount, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", key_col], ascending=[False, True], kind="mergesort")
+        .head(top_k)
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(exact)

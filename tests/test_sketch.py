@@ -69,3 +69,54 @@ def test_hll_partial_merge_equals_single_pass():
     est = hll_estimate(whole)
     exact = len(np.unique(vals))
     assert abs(est - exact) / exact < 0.05
+
+
+def test_heavy_hitters_exact_on_skewed_stream():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.RandomState(11)
+    # heavy-tailed regime: 10 hot keys each far above n/capacity, plus a
+    # uniform tail (guarantee: f_k > n/cap -> exact)
+    hot_counts = [4000, 2500, 1500, 900, 600, 500, 480, 460, 440, 420]
+    hot = np.repeat(np.arange(10, dtype=np.int64), hot_counts)
+    tail = rng.randint(100, 5000, 3700).astype(np.int64)
+    keys = rng.permutation(np.concatenate([hot, tail]))
+    df = pd.DataFrame({"user_id": keys})
+    n = len(df)
+    assert min(hot_counts) > n / 64  # the regime the guarantee needs
+    exp = (df.groupby("user_id").size().rename("n").reset_index()
+           .sort_values(["n", "user_id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    for blocks in (3, 17):
+        out = heavy_hitters(
+            rd.from_pandas(df, override_num_blocks=blocks),
+            key_col="user_id", top_k=10, capacity=64,
+        ).to_pandas()
+        assert out["user_id"].tolist() == exp["user_id"].tolist(), blocks
+        assert out["n"].tolist() == exp["n"].tolist(), blocks
+
+
+def test_heavy_hitters_exact_on_bounded_domain():
+    """No block ever truncates when distinct-per-block <= capacity ->
+    unconditionally exact, even on a uniform stream."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import heavy_hitters
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({"user_id": rng.randint(0, 150, 10_000).astype(np.int64)})
+    exp = (df.groupby("user_id").size().rename("n").reset_index()
+           .sort_values(["n", "user_id"], ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    out = heavy_hitters(
+        rd.from_pandas(df, override_num_blocks=9),
+        key_col="user_id", top_k=10, capacity=2048,
+    ).to_pandas()
+    assert out["user_id"].tolist() == exp["user_id"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
