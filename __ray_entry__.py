@@ -1027,6 +1027,19 @@ def _q_bloom_semi_join_lineitem(sf_dir: str):
     )
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Entity importance over the KG triple graph (subj -> obj edges):
+    10-iteration fixed-point PageRank, bit-deterministic across parallelism
+    (integer rank units), so a committed golden fixture gates it."""
+    from folkscope_ray.ops.graph import pagerank
+
+    edges = _kg_for(sf_dir).triples().map_batches(
+        lambda b: pa.table({"src": b.column("subj"), "dst": b.column("obj")}),
+        batch_format="pyarrow",
+    )
+    return pagerank(edges, iterations=10)
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1106,6 +1119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
+        "kg_pagerank": _q_kg_pagerank,
     }
 
 
@@ -1458,6 +1472,7 @@ def oracle_sql() -> dict[str, str]:
                 "ann_lsh_topk",
                 "ann_ivf_topk",
                 "hll_distinct_users",
+                "kg_pagerank",
             )
         },
     }

@@ -50,6 +50,7 @@ FIXTURE_QUERIES = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "hll_distinct_users",
+    "kg_pagerank",
 ]
 
 
