@@ -1040,6 +1040,107 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, iterations=10)
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    """Distinctive vocabulary per language: top-10 terms by within-language
+    TF-IDF, score = n_occ * (N_lang / n_docs_containing).  The rational
+    idf (no transcendental log) keeps the float bit-identical to the SQL
+    oracle: one IEEE division + one multiplication, same order both sides.
+    Shuffle discipline: term_stats_partials collapses each block to one row
+    per distinct (lang, term), so the groupby moves vocabulary rows."""
+    import pandas as pd
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.text import term_stats_partials
+
+    stats = map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["lang", "text"])
+        .map_batches(term_stats_partials, batch_format="pyarrow"),
+        keys=["lang", "term"],
+        sums={"n_occ": "n_occ", "n_docs": "n_docs"}, count_alias="__nb",
+    ).drop_columns(["__nb"])
+
+    n_by_lang = (
+        map_combine_aggregate(
+            _rp(sf_dir, "documents").select_columns(["lang"]),
+            keys=["lang"], count_alias="n_lang",
+        ).to_pandas().set_index("lang")["n_lang"].to_dict()
+    )  # tiny (one row per language) — broadcast into the score map
+
+    def score(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        n_lang = np.array([n_by_lang[l] for l in langs], dtype=np.float64)
+        n_occ = b.column("n_occ").to_numpy().astype(np.float64)
+        n_docs = b.column("n_docs").to_numpy().astype(np.float64)
+        return b.append_column("score", pa.array(n_occ * (n_lang / n_docs),
+                                                 pa.float64()))
+
+    def top10(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["score", "term"], ascending=[False, True],
+                             kind="mergesort").head(10)
+
+    return (
+        stats.map_batches(score, batch_format="pyarrow")
+        .groupby("lang").map_groups(top10, batch_format="pandas")
+    )
+
+
+def _q_stratified_split_docs(sf_dir: str):
+    """Reproducible train/val/test assignment (~80/10/10 by first md5 byte
+    of doc_id) with per-(lang, split) doc counts and char budgets — the
+    standard curation step in front of LM training.  Stateless, shuffle-free
+    assignment; only (lang, split) partials move."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import hash_split_batch
+
+    return map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "lang", "n_chars"])
+        .map_batches(lambda b: hash_split_batch(b, "doc_id"),
+                     batch_format="pyarrow")
+        .select_columns(["lang", "split", "n_chars"]),
+        keys=["lang", "split"], sums={"n_chars": "sum_chars"},
+        count_alias="n_docs",
+    )
+
+
+def _q_quantile_band_docs(sf_dir: str):
+    """Per-language length-band filter (keep docs with p05 <= n_chars <=
+    p95) and the surviving char budget — outlier trimming for training
+    corpora.  Exact per-key quantiles via a (lang, n_chars) histogram
+    shuffle (bounded by the value domain); thresholds broadcast into a
+    stateless filter map."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import quantiles_by_key
+
+    docs = _rp(sf_dir, "documents").select_columns(["lang", "n_chars"])
+    q = quantiles_by_key(docs, "lang", "n_chars", [0.05, 0.95])
+    lo = q[q["q"] == 0.05].set_index("lang")["value"].to_dict()
+    hi = q[q["q"] == 0.95].set_index("lang")["value"].to_dict()
+
+    def band(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        n = b.column("n_chars").to_numpy()
+        lov = np.array([lo[l] for l in langs], dtype=np.int64)
+        hiv = np.array([hi[l] for l in langs], dtype=np.int64)
+        return b.filter(pa.array((n >= lov) & (n <= hiv)))
+
+    return map_combine_aggregate(
+        docs.map_batches(band, batch_format="pyarrow"),
+        keys=["lang"], sums={"n_chars": "sum_chars"}, count_alias="n_docs",
+    )
+
+
+def _q_sample_per_lang_docs(sf_dir: str):
+    """Balanced deterministic subsample: 5 docs per language by md5(doc_id)
+    order (uniform without-replacement with a fixed seed; bit-stable across
+    runs / parallelism / the SQL oracle)."""
+    from folkscope_ray.ops.split import sample_per_key
+
+    return sample_per_key(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "lang", "n_chars"]),
+        key_col="lang", id_col="doc_id", n=5, keep_cols=["n_chars"],
+    ).drop_columns(["__md5"])
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1120,6 +1221,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
+        # training-data curation: split / sample / trim / vocabulary
+        "tfidf_top_terms": _q_tfidf_top_terms,
+        "stratified_split_docs": _q_stratified_split_docs,
+        "quantile_band_docs": _q_quantile_band_docs,
+        "sample_per_lang_docs": _q_sample_per_lang_docs,
     }
 
 
@@ -1442,6 +1548,64 @@ def oracle_sql() -> dict[str, str]:
         "heavy_hitter_users": """
             SELECT user_id, count(*) AS n FROM events
             GROUP BY user_id ORDER BY n DESC, user_id LIMIT 10
+        """,
+        "tfidf_top_terms": """
+            WITH w AS (
+              SELECT lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+              FROM documents
+            ), occ0 AS (
+              SELECT lang, unnest(ws) AS term FROM w
+            ), occ AS (
+              SELECT lang, term, count(*) AS n_occ FROM occ0
+              GROUP BY lang, term
+            ), df0 AS (
+              SELECT lang, unnest(list_distinct(ws)) AS term FROM w
+            ), df AS (
+              SELECT lang, term, count(*) AS n_docs FROM df0
+              GROUP BY lang, term
+            ), nl AS (
+              SELECT lang, count(*) AS n_lang FROM documents GROUP BY lang
+            ), s AS (
+              SELECT occ.lang, occ.term, occ.n_occ, df.n_docs,
+                     occ.n_occ * (nl.n_lang::DOUBLE / df.n_docs) AS score
+              FROM occ
+              JOIN df ON occ.lang = df.lang AND occ.term = df.term
+              JOIN nl ON occ.lang = nl.lang
+            ), r AS (
+              SELECT *, row_number() OVER (PARTITION BY lang
+                                           ORDER BY score DESC, term) AS rk
+              FROM s)
+            SELECT lang, term, n_occ, n_docs, score FROM r WHERE rk <= 10
+        """,
+        "stratified_split_docs": """
+            WITH s AS (
+              SELECT lang, n_chars,
+                     CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                          THEN 'train'
+                          WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                          THEN 'val' ELSE 'test' END AS split
+              FROM documents)
+            SELECT lang, split, sum(n_chars)::BIGINT AS sum_chars,
+                   count(*) AS n_docs
+            FROM s GROUP BY lang, split
+        """,
+        "quantile_band_docs": """
+            WITH q AS (
+              SELECT lang, quantile_disc(n_chars, 0.05) AS lo,
+                     quantile_disc(n_chars, 0.95) AS hi
+              FROM documents GROUP BY lang)
+            SELECT d.lang, sum(d.n_chars)::BIGINT AS sum_chars,
+                   count(*) AS n_docs
+            FROM documents d JOIN q ON d.lang = q.lang
+            WHERE d.n_chars BETWEEN q.lo AND q.hi
+            GROUP BY d.lang
+        """,
+        "sample_per_lang_docs": """
+            SELECT lang, doc_id, n_chars FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+              FROM documents) WHERE rn <= 5
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline

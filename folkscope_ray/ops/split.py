@@ -1,0 +1,129 @@
+"""Deterministic dataset splitting / sampling for training-data curation.
+
+Capabilities the reference never had machinery for (its sampling is the
+ad-hoc ``random.sample`` in ``src/generator/sample_pairs.py``): reproducible
+train/val/test assignment, balanced per-key subsampling, and per-key
+quantile-band filtering — the standard curation steps in front of a
+large-scale LM training pipeline.
+
+Everything here is keyed on **md5 of the row key**, not RNG state, so the
+assignment is (a) bit-identical at any parallelism / block layout, (b)
+stable under re-runs and resume, and (c) exactly reproducible by the DuckDB
+oracle (`md5(key)` is the same function on both sides).  No shuffle is ever
+needed to split: assignment is a stateless map over each block.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+from ray.data import Dataset
+
+__all__ = [
+    "md5_bucket_batch",
+    "hash_split_batch",
+    "quantiles_by_key",
+    "sample_per_key",
+]
+
+
+def _md5_hex(values: list) -> list[str]:
+    # hashlib.md5 is C-speed (~1 us/row); the per-row loop is bounded by
+    # block size and is the same cost class as any string kernel.
+    return [hashlib.md5(str(v).encode()).hexdigest() for v in values]
+
+
+def md5_bucket_batch(batch: pa.Table, key_col: str,
+                     out_col: str = "__md5") -> pa.Table:
+    """Append the md5 hex digest of ``key_col`` (stringified) to the block."""
+    return batch.append_column(
+        out_col, pa.array(_md5_hex(batch.column(key_col).to_pylist()),
+                          pa.string()))
+
+
+def hash_split_batch(batch: pa.Table, key_col: str,
+                     boundaries: tuple[int, ...] = (204, 230),
+                     names: tuple[str, ...] = ("train", "val", "test"),
+                     out_col: str = "split") -> pa.Table:
+    """Assign each row to a split by the first md5 byte of its key.
+
+    ``boundaries`` are upper-exclusive cut points in 0..256 over
+    ``int(md5(key)[:2], 16)``; defaults give ~79.7% / ~10.2% / ~10.1%.
+    Stateless and shuffle-free: the oracle-side equivalent is a lexical
+    compare of ``substr(md5(key), 1, 2)`` against the boundary bytes' hex.
+    """
+    if len(names) != len(boundaries) + 1:
+        raise ValueError("need len(names) == len(boundaries) + 1")
+    digests = _md5_hex(batch.column(key_col).to_pylist())
+    b = np.array([int(d[:2], 16) for d in digests], dtype=np.int64)
+    out = np.full(len(b), names[-1], dtype=object)
+    for name, bound in zip(reversed(names[:-1]), reversed(boundaries)):
+        out[b < bound] = name
+    return batch.append_column(out_col, pa.array(out.tolist(), pa.string()))
+
+
+def quantiles_by_key(ds: Dataset, key_col: str, value_col: str,
+                     qs: list[float]) -> pd.DataFrame:
+    """Exact per-key discrete quantiles of an integer column.
+
+    Distributed phase: per-block ``(key, value) -> count`` partials (the
+    map-side combiner), summed by a ``groupby`` whose shuffle moves one row
+    per distinct (key, value) — bounded by domain size, not row count.
+    Driver phase: per-key cumulative walk over its (small) histogram.
+    DuckDB ``quantile_disc`` semantics.  Returns (key, q, value)."""
+    from .relational import map_combine_aggregate
+
+    hist = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col, value_col], count_alias="__n",
+    ).to_pandas().sort_values([key_col, value_col]).reset_index(drop=True)
+
+    out = []
+    for key, g in hist.groupby(key_col, sort=True):
+        cum = g["__n"].cumsum().to_numpy()
+        values = g[value_col].to_numpy()
+        total = int(cum[-1]) if len(cum) else 0
+        for q in qs:
+            thresh = total * float(q)
+            idx = int(np.searchsorted(cum, thresh, side="left"))
+            if idx < len(cum) and cum[idx] < thresh:
+                idx += 1
+            out.append({key_col: key, "q": float(q),
+                        "value": values[min(idx, len(values) - 1)]})
+    return pd.DataFrame(out)
+
+
+def sample_per_key(ds: Dataset, key_col: str, id_col: str, n: int,
+                   keep_cols: list[str] | None = None) -> Dataset:
+    """Deterministic uniform sample of ``n`` rows per key: rank rows within
+    each key by ``(md5(id), id)`` and keep the first ``n``.  md5 order is
+    uniform over the id space, so this is sampling-without-replacement with
+    a fixed seed — reproducible across runs, parallelism, and the SQL
+    oracle (``row_number() OVER (PARTITION BY key ORDER BY md5(id), id)``).
+
+    Scale shape: the md5-rank column is added in a stateless map; only the
+    (small) per-key winners survive the per-group head — the groupby
+    shuffle moves candidate rows, and a block-local pre-prune keeps at most
+    ``n`` candidates per key per block, so shuffle volume is
+    O(n_keys x n x n_blocks) independent of total rows."""
+    cols = [key_col, id_col] + [c for c in (keep_cols or []) if c not in (key_col, id_col)]
+
+    def annotate_prune(b: pa.Table) -> pa.Table:
+        t = md5_bucket_batch(b.select(cols), id_col)
+        df = t.to_pandas()
+        pruned = (df.sort_values(["__md5", id_col], kind="mergesort")
+                    .groupby(key_col, sort=False).head(n))
+        return pa.Table.from_pandas(pruned, preserve_index=False)
+
+    def head_n(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["__md5", id_col], kind="mergesort").head(n)
+
+    return (
+        ds.map_batches(annotate_prune, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(head_n, batch_format="pandas")
+    )

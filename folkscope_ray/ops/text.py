@@ -254,3 +254,34 @@ def repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = batch.append_column("n_lines", pa.array(n_lines, pa.int64()))
     out = out.append_column("n_distinct_lines", pa.array(n_distinct, pa.int64()))
     return out.append_column("rep_ratio", pa.array(ratio, pa.float64()))
+
+
+def term_stats_partials(batch: pa.Table, text_col: str = "text",
+                        lang_col: str = "lang") -> pa.Table:
+    """Per-block (lang, term) -> (occurrence count, containing-doc count)
+    partials — the map-side combiner for corpus TF-IDF: one output row per
+    distinct (lang, term) per block, so the shuffle moves vocabulary rows
+    (bounded by vocab x langs x blocks), never token occurrences."""
+    from collections import Counter
+
+    occ: Counter = Counter()
+    df: Counter = Counter()
+    langs = batch.column(lang_col).to_pylist()
+    for lang, t in zip(langs, batch.column(text_col).to_pylist()):
+        ws = _BIGRAM_TOKEN_RE.findall(t.lower())
+        for w in ws:
+            occ[(lang, w)] += 1
+        for w in set(ws):
+            df[(lang, w)] += 1
+    if not occ:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "term": pa.array([], pa.string()),
+                         "n_occ": pa.array([], pa.int64()),
+                         "n_docs": pa.array([], pa.int64())})
+    keys = sorted(occ)
+    return pa.table({
+        "lang": pa.array([k[0] for k in keys], pa.string()),
+        "term": pa.array([k[1] for k in keys], pa.string()),
+        "n_occ": pa.array([occ[k] for k in keys], pa.int64()),
+        "n_docs": pa.array([df[k] for k in keys], pa.int64()),
+    })

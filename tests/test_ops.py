@@ -326,3 +326,74 @@ def test_map_combine_aggregate_matches_plain_groupby():
     assert got1["n"].sum() == 5000
     ref = df.groupby("k1")["w"].agg(["min", "max"]).sort_index()
     assert np.allclose(got1["wmin"], ref["min"]) and np.allclose(got1["wmax"], ref["max"])
+
+
+# --------------------------------------------------------- split / sample
+
+
+def test_hash_split_deterministic_and_proportional():
+    import hashlib
+
+    from folkscope_ray.ops.split import hash_split_batch
+
+    ids = list(range(5000))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    out = hash_split_batch(t, "doc_id")
+    splits = out.column("split").to_pylist()
+    # deterministic: re-running and row order both irrelevant
+    out2 = hash_split_batch(t.take(pa.array(list(reversed(range(5000))))), "doc_id")
+    assert dict(zip(reversed(ids), out2.column("split").to_pylist())) == dict(zip(ids, splits))
+    # matches the md5 definition row by row
+    for i in (0, 1, 17, 4999):
+        b = int(hashlib.md5(str(ids[i]).encode()).hexdigest()[:2], 16)
+        want = "train" if b < 204 else ("val" if b < 230 else "test")
+        assert splits[i] == want
+    # proportions near 80/10/10 (md5 uniformity)
+    from collections import Counter
+
+    c = Counter(splits)
+    assert 0.75 < c["train"] / 5000 < 0.85
+    assert 0.07 < c["val"] / 5000 < 0.14
+    assert 0.07 < c["test"] / 5000 < 0.14
+
+
+def test_quantiles_by_key_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.split import quantiles_by_key
+
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 3, 400),
+        "v": rng.integers(0, 50, 400),
+    })
+    got = quantiles_by_key(rd.from_pandas(df), "k", "v", [0.0, 0.5, 0.95])
+    want = duckdb.sql(
+        "SELECT k, unnest([0.0, 0.5, 0.95]) AS q, "
+        "unnest(quantile_disc(v, [0.0, 0.5, 0.95])) AS value "
+        "FROM df GROUP BY k").df()
+    g = got.sort_values(["k", "q"]).reset_index(drop=True)
+    w = want.sort_values(["k", "q"]).reset_index(drop=True)
+    assert (g["value"].to_numpy() == w["value"].to_numpy()).all()
+
+
+def test_sample_per_key_block_invariant():
+    import ray.data as rd
+
+    from folkscope_ray.ops.split import sample_per_key
+
+    df = pd.DataFrame({
+        "k": [f"k{i % 4}" for i in range(200)],
+        "i": range(200),
+        "x": range(200),
+    })
+    a = sample_per_key(rd.from_pandas(df), "k", "i", 3,
+                       keep_cols=["x"]).to_pandas()
+    b = sample_per_key(
+        rd.from_pandas(df).repartition(17), "k", "i", 3,
+        keep_cols=["x"]).to_pandas()
+    ka = a.sort_values(["k", "i"]).reset_index(drop=True)
+    kb = b.sort_values(["k", "i"]).reset_index(drop=True)
+    assert ka[["k", "i", "x"]].equals(kb[["k", "i", "x"]])
+    assert (ka.groupby("k").size() == 3).all()
