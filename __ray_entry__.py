@@ -1141,6 +1141,39 @@ def _q_sample_per_lang_docs(sf_dir: str):
     ).drop_columns(["__md5"])
 
 
+def _q_pack_sequences_docs(sf_dir: str):
+    """Cut the corpus into fixed 2000-char training sequences (offset
+    packing in doc_id order, two-phase chunked scan) and report per-sequence
+    doc counts + char budgets."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import pack_sequences
+
+    packed = pack_sequences(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "n_chars"]),
+        id_col="doc_id", size_col="n_chars", budget=2000, chunk_span=64,
+    )
+    return map_combine_aggregate(
+        packed.select_columns(["seq_id", "n_chars"]),
+        keys=["seq_id"], sums={"n_chars": "sum_chars"}, count_alias="n_docs",
+    )
+
+
+def _q_kg_degree_dist(sf_dir: str):
+    """Out-degree distribution of the KG triple graph — two cascaded
+    map-combine groupbys (subj -> out_deg, out_deg -> n_nodes); the oracle
+    is real SQL over the committed kg_triples fixture (itself hash-gated)."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    deg = map_combine_aggregate(
+        _kg_for(sf_dir).triples().select_columns(["subj"]),
+        keys=["subj"], count_alias="out_deg",
+    )
+    return map_combine_aggregate(
+        deg.select_columns(["out_deg"]), keys=["out_deg"],
+        count_alias="n_nodes",
+    )
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1226,6 +1259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_split_docs": _q_stratified_split_docs,
         "quantile_band_docs": _q_quantile_band_docs,
         "sample_per_lang_docs": _q_sample_per_lang_docs,
+        "pack_sequences_docs": _q_pack_sequences_docs,
+        "kg_degree_dist": _q_kg_degree_dist,
     }
 
 
@@ -1606,6 +1641,25 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY lang
                                         ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
               FROM documents) WHERE rn <= 5
+        """,
+        "pack_sequences_docs": """
+            WITH c AS (
+              SELECT doc_id, n_chars,
+                     COALESCE(SUM(n_chars) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS before
+              FROM documents)
+            SELECT (before // 2000)::BIGINT AS seq_id,
+                   sum(n_chars)::BIGINT AS sum_chars, count(*) AS n_docs
+            FROM c GROUP BY seq_id
+        """,
+        "kg_degree_dist": """
+            SELECT out_deg, count(*) AS n_nodes FROM (
+              SELECT subj, count(*) AS out_deg
+              FROM read_parquet('/root/repo/fixtures/sf0.01/kg_triples.parquet')
+              GROUP BY subj)
+            GROUP BY out_deg
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline

@@ -28,6 +28,7 @@ __all__ = [
     "hash_split_batch",
     "quantiles_by_key",
     "sample_per_key",
+    "pack_sequences",
 ]
 
 
@@ -127,3 +128,37 @@ def sample_per_key(ds: Dataset, key_col: str, id_col: str, n: int,
         .groupby(key_col)
         .map_groups(head_n, batch_format="pandas")
     )
+
+
+def pack_sequences(ds: Dataset, id_col: str, size_col: str, budget: int,
+                   chunk_span: int, seq_col: str = "seq_id") -> Dataset:
+    """Deterministic contiguous sequence packing: rows in ``id_col`` order
+    are concatenated into fixed-``budget`` sequences, row r landing in
+    ``seq = cum_size_before_r // budget`` (offset packing — the streaming
+    shard-assignment rule used to cut training corpora into fixed token
+    budgets; a row may start a new sequence exactly when the running total
+    crosses a budget boundary).
+
+    Scale shape: reuses the two-phase chunked ``cumulative_sum`` scan —
+    local cumsums inside ``id // chunk_span`` chunks plus a tiny per-chunk
+    offset stitch — so no single group ever holds the full corpus."""
+    from .window import cumulative_sum
+
+    def const_key(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", pa.array(np.zeros(b.num_rows, np.int8)))
+
+    run = cumulative_sum(
+        ds.select_columns([id_col, size_col])
+        .map_batches(const_key, batch_format="pyarrow"),
+        key_col="__g", order_cols=[id_col], int_value_col=size_col,
+        alias="__run", chunk=chunk_span, order_int_col=id_col,
+    )
+
+    def assign(b: pa.Table) -> pa.Table:
+        before = (b.column("__run").to_numpy(zero_copy_only=False)
+                  - b.column(size_col).to_numpy(zero_copy_only=False))
+        seq = before // budget
+        return (b.append_column(seq_col, pa.array(seq, pa.int64()))
+                 .drop_columns(["__g", "__run"]))
+
+    return run.map_batches(assign, batch_format="pyarrow")

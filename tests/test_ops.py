@@ -397,3 +397,19 @@ def test_sample_per_key_block_invariant():
     kb = b.sort_values(["k", "i"]).reset_index(drop=True)
     assert ka[["k", "i", "x"]].equals(kb[["k", "i", "x"]])
     assert (ka.groupby("k").size() == 3).all()
+
+
+def test_pack_sequences_matches_serial_reference():
+    import ray.data as rd
+
+    from folkscope_ray.ops.split import pack_sequences
+
+    rng = np.random.default_rng(3)
+    sizes = rng.integers(10, 400, 300)
+    df = pd.DataFrame({"i": range(300), "sz": sizes})
+    got = (pack_sequences(rd.from_pandas(df).repartition(13), "i", "sz",
+                          budget=1000, chunk_span=37)
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    before = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    want = before // 1000
+    assert (got["seq_id"].to_numpy() == want).all()
