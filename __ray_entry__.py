@@ -1141,6 +1141,43 @@ def _q_sample_per_lang_docs(sf_dir: str):
     ).drop_columns(["__md5"])
 
 
+def _q_full_outer_join_orders(sf_dir: str):
+    """FULL OUTER join with unmatched rows on BOTH sides: high-value orders
+    vs many-item orders (aggregated lineitem side), nulls filled to keep the
+    hash compare exact."""
+    from folkscope_ray.ops.relational import hash_join, map_combine_aggregate
+
+    def prep(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.greater(b["o_totalprice"], 300_000.0))
+        cents = pc.cast(pc.round(pc.multiply(f["o_totalprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"o_orderkey": f["o_orderkey"], "cents": cents})
+
+    left = (
+        _rp(sf_dir, "orders").select_columns(["o_orderkey", "o_totalprice"])
+        .map_batches(prep, batch_format="pyarrow")
+    )
+    right = (
+        map_combine_aggregate(
+            _rp(sf_dir, "lineitem").select_columns(["l_orderkey"])
+            .map_batches(lambda b: b.rename_columns(["o_orderkey"]),
+                         batch_format="pyarrow"),
+            keys=["o_orderkey"], count_alias="n_items",
+        )
+        .map_batches(lambda b: b.filter(pc.greater_equal(b["n_items"], 6)),
+                     batch_format="pyarrow")
+    )
+    j = hash_join(left, right, on="o_orderkey", how="full_outer")
+
+    def fill(b: pa.Table) -> pa.Table:
+        cents = pc.fill_null(pc.cast(b["cents"], pa.int64()), 0)
+        n_items = pc.fill_null(pc.cast(b["n_items"], pa.int64()), 0)
+        return pa.table({"o_orderkey": b["o_orderkey"],
+                         "cents": cents, "n_items": n_items})
+
+    return j.map_batches(fill, batch_format="pyarrow")
+
+
 def _q_pack_sequences_docs(sf_dir: str):
     """Cut the corpus into fixed 2000-char training sequences (offset
     packing in doc_id order, two-phase chunked scan) and report per-sequence
@@ -1261,6 +1298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_per_lang_docs": _q_sample_per_lang_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "kg_degree_dist": _q_kg_degree_dist,
+        "full_outer_join_orders": _q_full_outer_join_orders,
     }
 
 
@@ -1660,6 +1698,18 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('/root/repo/fixtures/sf0.01/kg_triples.parquet')
               GROUP BY subj)
             GROUP BY out_deg
+        """,
+        "full_outer_join_orders": """
+            WITH l AS (
+              SELECT o_orderkey, round(o_totalprice * 100)::BIGINT AS cents
+              FROM orders WHERE o_totalprice > 300000.0
+            ), r AS (
+              SELECT l_orderkey AS o_orderkey, count(*) AS n_items
+              FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 6)
+            SELECT COALESCE(l.o_orderkey, r.o_orderkey) AS o_orderkey,
+                   COALESCE(l.cents, 0) AS cents,
+                   COALESCE(r.n_items, 0) AS n_items
+            FROM l FULL OUTER JOIN r ON l.o_orderkey = r.o_orderkey
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline
