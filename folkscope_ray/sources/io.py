@@ -50,6 +50,29 @@ def read_taxonomy(path: str) -> list[tuple[str, str, int]]:
     )
 
 
+def read_jsonl(path: str, *, columns: list[str] | None = None,
+               override_num_blocks: int | None = None) -> Dataset:
+    """JSON-Lines reader (the reference's interchange format for generated
+    assertions and parsed files, e.g. ``src/generator/generation.py``'s
+    per-shard ``.jsonl`` outputs).  JSON has no column pruning at the read —
+    projection happens immediately after parse so downstream operators never
+    see unused fields; prefer parquet (``read_source_files``) for anything
+    written by this engine."""
+    kwargs: dict = {}
+    if override_num_blocks:
+        kwargs["override_num_blocks"] = override_num_blocks
+    ds = rd.read_json(path, **kwargs)
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_jsonl(ds: Dataset, path: str) -> None:
+    """Partitioned JSON-Lines sink (one file per block — resumable layout,
+    never one giant file) for interop with reference-style tooling."""
+    ds.write_json(path)
+
+
 def write_triples(ds: Dataset, run_dir: str, *, source_path: str) -> dict:
     """Write triples hive-partitioned by ``pred`` with a lineage manifest;
     a rerun with the same inputs is a no-op (resume semantics)."""
@@ -57,7 +80,9 @@ def write_triples(ds: Dataset, run_dir: str, *, source_path: str) -> dict:
 
     from ..state import manifest as mf
 
-    fp = mf.fingerprint("triples", source_path)
+    # chain from the CONTENT fingerprint (size+mtime of every data file),
+    # not the path string — rewriting the source in place must invalidate
+    fp = mf.fingerprint("triples", mf.source_fingerprint(source_path))
     if not mf.stage_complete(run_dir, "triples", fp):
         tmp_out = tempfile.mkdtemp(dir=run_dir, prefix=".triples-tmp-")
         ds.write_parquet(tmp_out, partition_cols=["pred"])

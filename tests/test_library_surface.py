@@ -329,3 +329,50 @@ def test_sliding_window_fanout_and_tumbling_degeneracy():
     # w = 4s: total (event, window) memberships = 4x the event count
     slid4 = sliding_window(ds, "ts", "user_id", "value", 3600, 900).to_pandas()
     assert int(slid4["n_events"].sum()) == 4 * 200
+
+
+def test_jsonl_roundtrip(tmp_path):
+    import ray.data as rd
+
+    from folkscope_ray.sources.io import read_jsonl, write_jsonl
+
+    df = pd.DataFrame({
+        "pair_id": [f"p{i}" for i in range(50)],
+        "relation": ["open", "use"] * 25,
+        "assertion": [f"assertion text {i}" for i in range(50)],
+        "score": np.linspace(0.0, 1.0, 50),
+    })
+    out = tmp_path / "gen"
+    write_jsonl(rd.from_pandas(df).repartition(4), str(out))
+    assert len(list(out.glob("*.json"))) >= 1  # partitioned, one per block
+    back = read_jsonl(str(out), columns=["pair_id", "relation", "score"])
+    got = back.to_pandas().sort_values("pair_id").reset_index(drop=True)
+    want = (df[["pair_id", "relation", "score"]]
+            .sort_values("pair_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_write_triples_invalidated_by_content_rewrite(tmp_path):
+    """Rewriting the source parquet IN PLACE (same path, new bytes) must
+    invalidate the triples sink checkpoint (ADVICE round 1)."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from folkscope_ray.sources.io import write_triples
+
+    src = tmp_path / "src.parquet"
+    run = tmp_path / "run"
+    os.makedirs(run)
+    t = pa.table({"pred": ["a", "b"], "subj": ["s1", "s2"], "obj": ["o1", "o2"]})
+    pq.write_table(t, src)
+    m1 = write_triples(rd.from_arrow(t), str(run), source_path=str(src))
+    m_again = write_triples(rd.from_arrow(t), str(run), source_path=str(src))
+    assert m_again["fingerprint"] == m1["fingerprint"]  # resume hit
+    time.sleep(0.05)
+    pq.write_table(pa.table({"pred": ["a"], "subj": ["s9"], "obj": ["o9"]}), src)
+    m2 = write_triples(rd.from_arrow(t), str(run), source_path=str(src))
+    assert m2["fingerprint"] != m1["fingerprint"]  # content change invalidates
