@@ -33,6 +33,9 @@ BENCH_QUERIES = [
     "top_bigrams_per_lang",
     "bloom_semi_join_lineitem",
     "heavy_hitter_users",
+    "stratified_split_docs",
+    "pack_sequences_docs",
+    "tfidf_top_terms",
 ]
 
 
