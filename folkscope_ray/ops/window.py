@@ -29,8 +29,6 @@ Execution shape and the 100-TB contract:
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -48,19 +46,21 @@ def _default_buckets() -> int:
 
 def _bucketed_groups(ds: Dataset, key_col: str, body, *,
                      n_buckets: int | None = None) -> Dataset:
-    """Shuffle rows by ``crc32(key) % n_buckets`` and apply ``body`` (a
+    """Shuffle rows by ``hash(key) % n_buckets`` and apply ``body`` (a
     pandas DataFrame -> DataFrame fn that must itself be per-key correct,
     i.e. vectorized over every key it sees) once per bucket.
 
     This is the window-op execution primitive: same co-location guarantee
     as ``groupby(key).map_groups`` (all rows of a key share a bucket), but
     the Python/pandas per-call overhead is paid n_buckets times, not
-    n_keys times."""
+    n_keys times.  Bucket assignment is ``pd.util.hash_array`` — vectorized
+    and process-stable (fixed siphash key), so every map task sends a given
+    key to the same bucket."""
     nb = n_buckets or _default_buckets()
 
     def assign(b: pa.Table) -> pa.Table:
-        keys = b.column(key_col).to_pylist()
-        buck = [zlib.crc32(str(k).encode()) % nb for k in keys]
+        keys = b.column(key_col).to_pandas().to_numpy()
+        buck = (pd.util.hash_array(keys, categorize=False) % nb).astype(np.int32)
         return b.append_column("__wb", pa.array(buck, pa.int32()))
 
     def run(g: pd.DataFrame) -> pd.DataFrame:
