@@ -1713,7 +1713,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # ------------------------------------------------ golden fixtures
         # The remaining queries are not ANSI-SQL-expressible (KG pipeline
-        # products, LSH/connected-components, stub multimodal kernels), so
+        # products, LSH/connected-components, raw-media multimodal kernels), so
         # their oracle is a committed golden fixture: the expected output at
         # sf0.01, generated by `python tools/fixtures.py make`, verified
         # bit-identical across parallelism levels (fixed-point float
