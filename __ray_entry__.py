@@ -1006,6 +1006,17 @@ def _q_repetition_docs(sf_dir: str):
     )
 
 
+def _q_inverted_index_docs(sf_dir: str):
+    """Distributed inverted index over the corpus: term -> df + doc_id-sorted
+    posting list (min_df=5 to keep the result the retrieval-relevant tail)."""
+    from folkscope_ray.ops.index import inverted_index
+
+    return inverted_index(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        min_df=5,
+    )
+
+
 def _q_bloom_semi_join_lineitem(sf_dir: str):
     """Lineitems of high-value orders via Bloom-prefiltered exact semi-join,
     then a map-side-combined aggregate per returnflag."""
@@ -1288,6 +1299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # corpus text statistics / scale-path joins
         "top_bigrams_per_lang": _q_top_bigrams_per_lang,
         "repetition_docs": _q_repetition_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
@@ -1609,6 +1621,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_lines, n_distinct_lines,
                    1.0 - (n_distinct_lines::DOUBLE / n_lines) AS rep_ratio
             FROM l
+        """,
+        "inverted_index_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ), d AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+            SELECT term, COUNT(*)::BIGINT AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM d GROUP BY term HAVING COUNT(*) >= 5
         """,
         "bloom_semi_join_lineitem": """
             SELECT l_returnflag, count(*) AS n_items,

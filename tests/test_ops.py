@@ -469,3 +469,41 @@ def test_pack_sequences_matches_serial_reference():
     before = np.concatenate([[0], np.cumsum(sizes)[:-1]])
     want = before // 1000
     assert (got["seq_id"].to_numpy() == want).all()
+
+
+def test_inverted_index_matches_duckdb_and_df_guards():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.index import inverted_index
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 30))) + " CASE-Fold.42"
+             for _ in range(200)]
+    df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
+    got = (inverted_index(rd.from_pandas(df).repartition(7), min_df=3)
+           .to_pandas().sort_values("term").reset_index(drop=True))
+    duckdb.register("docs", df)
+    want = duckdb.sql("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+          FROM docs
+        ), d AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> '')
+        SELECT term, COUNT(*)::BIGINT AS df,
+               string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+        FROM d GROUP BY term HAVING COUNT(*) >= 3 ORDER BY term
+    """).df().reset_index(drop=True)
+    assert got[["term", "df", "postings"]].equals(want)
+    # case-folding + punctuation splitting: the suffix token appears in all docs
+    assert int(got.set_index("term").loc["fold", "df"]) == 200
+    # max_df drops the stopword-grade terms (here: every term in >150 docs)
+    capped = (inverted_index(rd.from_pandas(df), min_df=3, max_df=150)
+              .to_pandas())
+    assert (capped["df"] <= 150).all()
+    assert set(capped["term"]) == set(got[got["df"] <= 150]["term"])
+    # partition invariance: same output at a different block count
+    again = (inverted_index(rd.from_pandas(df).repartition(2), min_df=3)
+             .to_pandas().sort_values("term").reset_index(drop=True))
+    assert again[["term", "df", "postings"]].equals(got[["term", "df", "postings"]])
