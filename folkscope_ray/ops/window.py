@@ -169,15 +169,18 @@ def cumulative_sum(ds: Dataset, key_col: str, order_cols: list[str],
                       .cumsum().astype("int64"))
         return out
 
-    chunked = _bucketed_groups(
-        ds.map_batches(assign_chunk, batch_format="pyarrow"),
-        key_col, local_body)
+    chunk_src = ds.map_batches(assign_chunk, batch_format="pyarrow")
+    chunked = _bucketed_groups(chunk_src, key_col, local_body)
     # per-(key, chunk) totals: one tiny row per chunk (the value shuffled is
-    # O(keys x chunks), not O(rows))
+    # O(keys x chunks), not O(rows)).  Computed from the PRE-shuffle chunk
+    # assignment, not from ``chunked`` — consuming the lazy ``chunked`` here
+    # AND in the offset pass below would execute its whole bucketed shuffle
+    # twice (measured 2x wall time on the bench query); re-scanning the cheap
+    # pruned read + chunk map is far cheaper than a second shuffle.
     from .relational import map_combine_aggregate
 
     totals = map_combine_aggregate(
-        chunked.select_columns([key_col, "__chunk", int_value_col]),
+        chunk_src.select_columns([key_col, "__chunk", int_value_col]),
         keys=[key_col, "__chunk"], sums={int_value_col: "__ct"},
     ).to_pandas().sort_values([key_col, "__chunk"])
     totals["__offset"] = (
