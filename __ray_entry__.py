@@ -1017,6 +1017,25 @@ def _q_inverted_index_docs(sf_dir: str):
     )
 
 
+def _q_decontam_docs(sf_dir: str):
+    """Benchmark decontamination: contamination ratio of every corpus doc vs
+    a deterministic 'benchmark' subset (doc_id % 50 == 0), 8-token n-grams,
+    threshold 0.5.  Benchmark n-grams broadcast once; corpus side is one
+    shuffle-free scan."""
+    import numpy as _np
+
+    from folkscope_ray.ops.decontam import ngram_contamination
+
+    docs = _rp(sf_dir, "documents")
+
+    def bench_only(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 50 == 0))
+
+    bench = _rp(sf_dir, "documents").map_batches(bench_only, batch_format="pyarrow")
+    return ngram_contamination(docs, bench, n=8, threshold=0.5)
+
+
 def _q_bloom_semi_join_lineitem(sf_dir: str):
     """Lineitems of high-value orders via Bloom-prefiltered exact semi-join,
     then a map-side-combined aggregate per returnflag."""
@@ -1300,6 +1319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_bigrams_per_lang": _q_top_bigrams_per_lang,
         "repetition_docs": _q_repetition_docs,
         "inverted_index_docs": _q_inverted_index_docs,
+        "decontam_docs": _q_decontam_docs,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
@@ -1631,6 +1651,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*)::BIGINT AS df,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
             FROM d GROUP BY term HAVING COUNT(*) >= 5
+        """,
+        "decontam_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            ), ng AS (
+              SELECT doc_id, array_to_string(ts[i:i+7], ' ') AS ng
+              FROM tok, UNNEST(generate_series(1, len(ts) - 7)) AS t(i)
+              WHERE len(ts) >= 8
+            ), bset AS (
+              SELECT DISTINCT ng FROM ng WHERE doc_id % 50 = 0
+            ), scored AS (
+              SELECT n.doc_id, COUNT(*)::BIGINT AS n_ngrams,
+                     SUM(CASE WHEN b.ng IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits
+              FROM ng n LEFT JOIN bset b USING (ng)
+              GROUP BY n.doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(s.n_ngrams, 0)::BIGINT AS n_ngrams,
+                   COALESCE(s.n_hits, 0)::BIGINT AS n_hits,
+                   CASE WHEN s.n_ngrams > 0
+                        THEN s.n_hits::DOUBLE / s.n_ngrams ELSE 0.0
+                   END AS contamination,
+                   CASE WHEN s.n_ngrams > 0
+                        AND s.n_hits::DOUBLE / s.n_ngrams >= 0.5
+                        THEN TRUE ELSE FALSE
+                   END AS contaminated
+            FROM documents d LEFT JOIN scored s USING (doc_id)
         """,
         "bloom_semi_join_lineitem": """
             SELECT l_returnflag, count(*) AS n_items,

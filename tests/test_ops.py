@@ -507,3 +507,28 @@ def test_inverted_index_matches_duckdb_and_df_guards():
     again = (inverted_index(rd.from_pandas(df).repartition(2), min_df=3)
              .to_pandas().sort_values("term").reset_index(drop=True))
     assert again[["term", "df", "postings"]].equals(got[["term", "df", "postings"]])
+
+
+def test_ngram_contamination_planted():
+    import ray.data as rd
+
+    from folkscope_ray.ops.decontam import ngram_contamination
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        {"doc_id": 0, "text": bench_text},                       # the benchmark doc
+        {"doc_id": 1, "text": bench_text + " extra tail words here"},  # mostly contaminated
+        {"doc_id": 2, "text": "totally unrelated content " * 5},       # clean
+        {"doc_id": 3, "text": "short doc"},                            # < n tokens
+    ]
+    docs = rd.from_pandas(pd.DataFrame(rows))
+    bench = rd.from_pandas(pd.DataFrame([rows[0]]))
+    out = (ngram_contamination(docs, bench, n=8, threshold=0.5)
+           .to_pandas().set_index("doc_id").sort_index())
+    assert out.loc[0, "contamination"] == 1.0 and bool(out.loc[0, "contaminated"])
+    assert 0.0 < out.loc[1, "contamination"] < 1.0
+    # doc 1 = bench 10 tokens + 4 extra: 7 of 7 8-grams... compute: 14 tokens -> 7 ngrams,
+    # hits = positions 0..2 (windows fully inside the original 10 tokens) = 3
+    assert out.loc[1, "n_ngrams"] == 7 and out.loc[1, "n_hits"] == 3
+    assert out.loc[2, "contamination"] == 0.0 and not bool(out.loc[2, "contaminated"])
+    assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "contamination"] == 0.0
