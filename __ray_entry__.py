@@ -1017,6 +1017,40 @@ def _q_inverted_index_docs(sf_dir: str):
     )
 
 
+def _q_skew_join_events(sf_dir: str):
+    """Skewed fact x dim join under the hot-key plan: events (zipf-hot
+    user_id) join their per-user first-event time; the heavy-hitter users'
+    dim rows broadcast (never enter the shuffle), cold users hash-join.
+    Output: per event_type row count + total seconds-since-first (integer
+    sums — hash-exact)."""
+    from folkscope_ray.ops.relational import map_combine_aggregate, skew_join
+
+    def secs_col(b: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64())
+        return b.append_column(
+            "secs", pc.cast(pc.divide(us, 1_000_000), pa.int64()))
+
+    ev = (
+        _rp(sf_dir, "events").select_columns(["ts", "user_id", "event_type"])
+        .map_batches(secs_col, batch_format="pyarrow")
+        .select_columns(["user_id", "event_type", "secs"])
+    )
+    first = (
+        map_combine_aggregate(ev, keys=["user_id"], mins={"secs": "first_secs"})
+        .select_columns(["user_id", "first_secs"])
+    )
+    joined = skew_join(ev, first, on="user_id", top_k=5)
+
+    def since(b: pa.Table) -> pa.Table:
+        d = pc.subtract(b.column("secs"), b.column("first_secs"))
+        return b.append_column("since", pc.cast(d, pa.int64()))
+
+    return map_combine_aggregate(
+        joined.map_batches(since, batch_format="pyarrow"),
+        keys=["event_type"], sums={"since": "total_since"},
+    )
+
+
 def _q_decontam_docs(sf_dir: str):
     """Benchmark decontamination: contamination ratio of every corpus doc vs
     a deterministic 'benchmark' subset (doc_id % 50 == 0), 8-token n-grams,
@@ -1320,6 +1354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_docs": _q_repetition_docs,
         "inverted_index_docs": _q_inverted_index_docs,
         "decontam_docs": _q_decontam_docs,
+        "skew_join_events": _q_skew_join_events,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
@@ -1651,6 +1686,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*)::BIGINT AS df,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
             FROM d GROUP BY term HAVING COUNT(*) >= 5
+        """,
+        "skew_join_events": """
+            WITH e AS (
+              SELECT user_id, event_type, floor(epoch(ts))::BIGINT AS secs
+              FROM events
+            ), f AS (
+              SELECT user_id, MIN(secs) AS first_secs FROM e GROUP BY user_id
+            )
+            SELECT e.event_type,
+                   SUM(e.secs - f.first_secs)::BIGINT AS total_since,
+                   COUNT(*)::BIGINT AS n
+            FROM e JOIN f USING (user_id)
+            GROUP BY e.event_type
         """,
         "decontam_docs": """
             WITH tok AS (

@@ -172,6 +172,62 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
 
+def skew_join(left: Dataset, right: Dataset, on: str,
+              top_k: int = 8, hot_keys: list | None = None,
+              n_buckets: int | None = None) -> Dataset:
+    """Skew-safe large-large INNER join: the hot keys never enter the shuffle.
+
+    A partitioned hash join sends every row of a key to ONE partition — a
+    zipf-hot key (the north rule's 'popular entities/repos' case) turns that
+    partition into the straggler.  This operator splits the plan:
+
+    1. **Detect** the hot keys with the exact two-pass Misra-Gries
+       heavy-hitter sketch over the left side (or take ``hot_keys``
+       explicitly — e.g. from a previous run's metrics).
+    2. **Hot path, shuffle-free**: the RIGHT side's hot-key rows are
+       collected and broadcast (``ray.put`` once), and the left's hot rows
+       join against them map-side.  Assumes dim-like right multiplicity on
+       the hot keys (rows_right(hot) bounded) — the standard fact x dim
+       skew shape; a hot key heavy on BOTH sides has a quadratic output and
+       no join strategy saves it.
+    3. **Cold path**: both sides filtered to NOT-hot take the normal
+       hash-partitioned join; with the hot keys gone the partitions are
+       balanced.
+
+    The union of the two paths is exactly the inner join."""
+    if hot_keys is None:
+        from .sketch import heavy_hitters
+
+        hot_keys = heavy_hitters(left, on, top_k).to_pandas()[on].tolist()
+    hot_arr = pa.array(hot_keys)
+    hot_ref = ray.put(hot_arr)
+
+    def side_filter(keep_hot: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            hot = ray.get(hot_ref)
+            mask = pc.is_in(batch.column(on), value_set=hot)
+            return batch.filter(mask if keep_hot else pc.invert(mask))
+        return fn
+
+    cold_joined = hash_join(
+        left.map_batches(side_filter(False), batch_format="pyarrow"),
+        right.map_batches(side_filter(False), batch_format="pyarrow"),
+        on=on, n_buckets=n_buckets)
+    if not hot_keys:
+        return cold_joined
+    # broadcast side: ONLY the right rows of hot keys (bounded by dim shape)
+    refs = (right.map_batches(side_filter(True), batch_format="pyarrow")
+            .to_arrow_refs())
+    tables = [t for t in (ray.get(r) for r in refs) if t.num_rows]
+    if not tables:  # hot keys absent from the right side: inner join drops them
+        return cold_joined
+    hot_right = pa.concat_tables(tables, promote_options="default")
+    hot_joined = broadcast_join(
+        left.map_batches(side_filter(True), batch_format="pyarrow"),
+        hot_right, on=on)
+    return cold_joined.union(hot_joined)
+
+
 def range_join(large: Dataset, intervals: pd.DataFrame, value_col: str,
                lo_col: str = "lo", hi_col: str = "hi") -> Dataset:
     """Interval join: each row of ``large`` matched to the interval row with

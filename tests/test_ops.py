@@ -532,3 +532,36 @@ def test_ngram_contamination_planted():
     assert out.loc[1, "n_ngrams"] == 7 and out.loc[1, "n_hits"] == 3
     assert out.loc[2, "contamination"] == 0.0 and not bool(out.loc[2, "contaminated"])
     assert out.loc[3, "n_ngrams"] == 0 and out.loc[3, "contamination"] == 0.0
+
+
+def test_skew_join_matches_plain_join():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import skew_join
+
+    rng = np.random.RandomState(9)
+    # zipf-hot fact side: key 1 carries ~60% of rows
+    keys = np.where(rng.rand(5000) < 0.6, 1, rng.randint(2, 200, 5000)).astype(np.int64)
+    fact = pd.DataFrame({"k": keys, "v": np.arange(5000, dtype=np.int64)})
+    dim = pd.DataFrame({"k": np.arange(0, 200, dtype=np.int64),
+                        "attr": np.arange(0, 200, dtype=np.int64) * 10})
+    got = (skew_join(rd.from_pandas(fact).repartition(8),
+                     rd.from_pandas(dim).repartition(3), on="k", top_k=3)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    duckdb.register("fact", fact); duckdb.register("dim", dim)
+    want = duckdb.sql("""
+        SELECT f.k, f.v, d.attr FROM fact f JOIN dim d USING (k)
+        ORDER BY k, v
+    """).df().reset_index(drop=True)
+    assert len(got) == len(want)
+    assert got[["k", "v", "attr"]].astype("int64").equals(want.astype("int64"))
+    # explicit hot_keys path and empty-hot fallback agree
+    exp = (skew_join(rd.from_pandas(fact), rd.from_pandas(dim), on="k",
+                     hot_keys=[1]).to_pandas()
+           .sort_values(["k", "v"]).reset_index(drop=True))
+    assert exp[["k", "v", "attr"]].astype("int64").equals(want.astype("int64"))
+    none_hot = (skew_join(rd.from_pandas(fact), rd.from_pandas(dim), on="k",
+                          hot_keys=[]).to_pandas()
+                .sort_values(["k", "v"]).reset_index(drop=True))
+    assert none_hot[["k", "v", "attr"]].astype("int64").equals(want.astype("int64"))
