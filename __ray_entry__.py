@@ -1017,6 +1017,16 @@ def _q_inverted_index_docs(sf_dir: str):
     )
 
 
+def _q_bm25_topk_docs(sf_dir: str):
+    """Top-20 documents for the query {merge, hash, scan} under BM25-style
+    scoring (rational idf — see ops/index.bm25_topk): two shuffle-free
+    passes, block top-k partials, quantize-before-top-k."""
+    from folkscope_ray.ops.index import bm25_topk
+
+    return bm25_topk(_rp(sf_dir, "documents").select_columns(["doc_id", "text"]),
+                     ["merge", "hash", "scan"], k=20)
+
+
 def _q_skew_join_events(sf_dir: str):
     """Skewed fact x dim join under the hot-key plan: events (zipf-hot
     user_id) join their per-user first-event time; the heavy-hitter users'
@@ -1355,6 +1365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_index_docs": _q_inverted_index_docs,
         "decontam_docs": _q_decontam_docs,
         "skew_join_events": _q_skew_join_events,
+        "bm25_topk_docs": _q_bm25_topk_docs,
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
@@ -1686,6 +1697,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT term, COUNT(*)::BIGINT AS df,
                    string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
             FROM d GROUP BY term HAVING COUNT(*) >= 5
+        """,
+        "bm25_topk_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            ), stat AS (
+              SELECT COUNT(*)::DOUBLE AS n,
+                     (SUM(len(ts))::DOUBLE / COUNT(*)::DOUBLE) AS avgdl,
+                     SUM(CASE WHEN list_contains(ts, 'merge') THEN 1 ELSE 0 END)::DOUBLE AS df0,
+                     SUM(CASE WHEN list_contains(ts, 'hash') THEN 1 ELSE 0 END)::DOUBLE AS df1,
+                     SUM(CASE WHEN list_contains(ts, 'scan') THEN 1 ELSE 0 END)::DOUBLE AS df2
+              FROM tok
+            ), f AS (
+              SELECT doc_id, len(ts)::DOUBLE AS dl,
+                     len(list_filter(ts, x -> x = 'merge'))::DOUBLE AS tf0,
+                     len(list_filter(ts, x -> x = 'hash'))::DOUBLE AS tf1,
+                     len(list_filter(ts, x -> x = 'scan'))::DOUBLE AS tf2
+              FROM tok
+            )
+            SELECT f.doc_id,
+                   round((
+                     ((s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * (f.tf0 * (1.2 + 1.0))
+                       / (f.tf0 + 1.2 * ((1.0 - 0.75) + (0.75 * f.dl / s.avgdl)))
+                   + ((s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * (f.tf1 * (1.2 + 1.0))
+                       / (f.tf1 + 1.2 * ((1.0 - 0.75) + (0.75 * f.dl / s.avgdl)))
+                   + ((s.n - s.df2 + 0.5) / (s.df2 + 0.5)) * (f.tf2 * (1.2 + 1.0))
+                       / (f.tf2 + 1.2 * ((1.0 - 0.75) + (0.75 * f.dl / s.avgdl)))
+                   ) * 1e6)::BIGINT / 1e6 AS score
+            FROM f, stat s
+            ORDER BY score DESC, f.doc_id
+            LIMIT 20
         """,
         "skew_join_events": """
             WITH e AS (

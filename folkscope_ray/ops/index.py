@@ -110,3 +110,94 @@ def inverted_index(
         bucketed.groupby("bucket")
         .map_groups(combine, batch_format="pandas")
     )
+
+
+def bm25_topk(
+    docs: Dataset,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    quantize_digits: int = 6,
+) -> pd.DataFrame:
+    """Top-k documents for a term query under BM25-style scoring.
+
+    Two shuffle-free passes:
+
+    1. **Corpus stats**: each block emits ONE partial row (n_docs, sum_dl,
+       per-term df); the driver folds them into N, avgdl and the idf
+       vector (a handful of doubles, broadcast into pass 2's closure).
+    2. **Score + block top-k**: per block, per-doc tf/dl drive the BM25
+       sum; scores are quantized to 1e-``quantize_digits`` BEFORE top-k
+       selection (ties then break by id ascending) and only k rows per
+       block travel to the driver merge — k × n_blocks, never the corpus.
+
+    The idf is the RATIONAL variant ``(N - df + 0.5) / (df + 0.5)`` — no
+    transcendental log, so every float op is one IEEE division /
+    multiplication / addition evaluated in the same order as the SQL
+    oracle's expression tree and the quantized score hash-compares exactly
+    (same discipline as ``tfidf_top_terms`` / ``ann_cosine_topk``)."""
+    terms = list(query_terms)
+    ncols = [f"__df{i}" for i in range(len(terms))]
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).to_pylist()
+        dfs = [0] * len(terms)
+        sum_dl = 0
+        for t in texts:
+            toks = TERM_RE.findall(t.lower())
+            sum_dl += len(toks)
+            s = set(toks)
+            for i, term in enumerate(terms):
+                if term in s:
+                    dfs[i] += 1
+        cols = {"__nd": pa.array([len(texts)], pa.int64()),
+                "__dl": pa.array([sum_dl], pa.int64())}
+        for c, v in zip(ncols, dfs):
+            cols[c] = pa.array([v], pa.int64())
+        return pa.table(cols)
+
+    parts = (docs.select_columns([text_col])
+             .map_batches(stats, batch_format="pyarrow").to_pandas())
+    n_total = float(parts["__nd"].sum())
+    avgdl = float(parts["__dl"].sum()) / n_total
+    idf = [(n_total - float(parts[c].sum()) + 0.5)
+           / (float(parts[c].sum()) + 0.5) for c in ncols]
+    scale = float(10 ** quantize_digits)
+
+    import numpy as np
+    import ray as _ray
+
+    idf_ref = _ray.put((idf, avgdl))
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        idf_v, avg = _ray.get(idf_ref)
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        n = len(ids)
+        dl = np.empty(n, dtype=np.float64)
+        tf = np.zeros((len(terms), n), dtype=np.float64)
+        for j, t in enumerate(texts):
+            toks = TERM_RE.findall(t.lower())
+            dl[j] = float(len(toks))
+            for i, term in enumerate(terms):
+                tf[i, j] = float(toks.count(term))
+        total = np.zeros(n, dtype=np.float64)
+        for i in range(len(terms)):
+            # expression tree mirrors the SQL oracle exactly (same order)
+            total = total + idf_v[i] * (tf[i] * (k1 + 1.0)) / (
+                tf[i] + k1 * ((1.0 - b) + (b * dl / avg)))
+        q = np.round(total * scale).astype(np.int64) / scale
+        order = np.lexsort((np.asarray(ids), -q))[:k]
+        return pa.table({
+            id_col: pa.array([ids[i] for i in order]),
+            "score": pa.array(q[order], pa.float64()),
+        })
+
+    merged = (docs.select_columns([id_col, text_col])
+              .map_batches(score_block, batch_format="pyarrow").to_pandas())
+    merged = merged.sort_values(["score", id_col], ascending=[False, True],
+                                kind="mergesort").head(k)
+    return merged.reset_index(drop=True)

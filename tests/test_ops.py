@@ -565,3 +565,27 @@ def test_skew_join_matches_plain_join():
                           hot_keys=[]).to_pandas()
                 .sort_values(["k", "v"]).reset_index(drop=True))
     assert none_hot[["k", "v", "attr"]].astype("int64").equals(want.astype("int64"))
+
+
+def test_bm25_topk_partition_invariant_and_sane():
+    import ray.data as rd
+
+    from folkscope_ray.ops.index import bm25_topk
+
+    rng = np.random.RandomState(21)
+    vocab = ["merge", "hash", "scan", "table", "row", "agg", "fast", "slow"]
+    texts = [" ".join(rng.choice(vocab, rng.randint(5, 60)))
+             for _ in range(300)]
+    texts[7] = "merge hash scan " * 10          # planted top hit
+    df = pd.DataFrame({"doc_id": np.arange(300, dtype=np.int64), "text": texts})
+    outs = []
+    for blocks in (1, 9):
+        outs.append(bm25_topk(rd.from_pandas(df).repartition(blocks),
+                              ["merge", "hash", "scan"], k=10))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-stable across blocks
+    got = outs[0]
+    assert got.loc[0, "doc_id"] == 7                 # planted doc ranks first
+    assert (got["score"].to_numpy()[:-1] >= got["score"].to_numpy()[1:]).all()
+    # absent query terms score zero everywhere
+    z = bm25_topk(rd.from_pandas(df), ["zzzz"], k=5)
+    assert (z["score"] == 0.0).all()
