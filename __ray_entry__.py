@@ -1114,6 +1114,24 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(edges, iterations=10)
 
 
+def _q_kg_components(sf_dir: str):
+    """Weakly-connected-component size distribution of the KG triple graph:
+    distributed iterative min-label propagation (ops/components — the same
+    kernel behind the web-scale canonicalization/minhash paths) followed by
+    two map-combined groupbys (label -> size, size -> n_components).
+    Deterministic (min-label convergence is order-free), fixture-gated."""
+    from folkscope_ray.ops.components import connected_components
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    edges = _kg_for(sf_dir).triples().select_columns(["subj", "obj"])
+    labels = connected_components(edges, a_col="subj", b_col="obj")
+    sizes = map_combine_aggregate(
+        labels.select_columns(["label"]), keys=["label"], count_alias="size")
+    return map_combine_aggregate(
+        sizes.select_columns(["size"]), keys=["size"],
+        count_alias="n_components")
+
+
 def _q_tfidf_top_terms(sf_dir: str):
     """Distinctive vocabulary per language: top-10 terms by within-language
     TF-IDF, score = n_occ * (N_lang / n_docs_containing).  The rational
@@ -1369,6 +1387,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semi_join_lineitem": _q_bloom_semi_join_lineitem,
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_components": _q_kg_components,
         # training-data curation: split / sample / trim / vocabulary
         "tfidf_top_terms": _q_tfidf_top_terms,
         "stratified_split_docs": _q_stratified_split_docs,
@@ -1901,6 +1920,7 @@ def oracle_sql() -> dict[str, str]:
                 "ann_ivf_topk",
                 "hll_distinct_users",
                 "kg_pagerank",
+                "kg_components",
             )
         },
     }

@@ -589,3 +589,25 @@ def test_bm25_topk_partition_invariant_and_sane():
     # absent query terms score zero everywhere
     z = bm25_topk(rd.from_pandas(df), ["zzzz"], k=5)
     assert (z["score"] == 0.0).all()
+
+
+def test_component_size_distribution_planted():
+    """The kg_components query shape (labels -> sizes -> distribution) on a
+    graph with planted components of sizes 4, 3, 2."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.components import connected_components
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    edges = pd.DataFrame(
+        {"a": ["a1", "a2", "a3", "b1", "b2", "c1"],
+         "b": ["a2", "a3", "a4", "b2", "b3", "c2"]})
+    labels = connected_components(rd.from_pandas(edges).repartition(3),
+                                  a_col="a", b_col="b")
+    sizes = map_combine_aggregate(labels.select_columns(["label"]),
+                                  keys=["label"], count_alias="size")
+    dist = (map_combine_aggregate(sizes.select_columns(["size"]),
+                                  keys=["size"], count_alias="n_components")
+            .to_pandas().sort_values("size").reset_index(drop=True))
+    assert dist[["size", "n_components"]].astype(int).values.tolist() == [
+        [2, 1], [3, 1], [4, 1]]

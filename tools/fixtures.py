@@ -51,6 +51,7 @@ FIXTURE_QUERIES = [
     "ann_ivf_topk",
     "hll_distinct_users",
     "kg_pagerank",
+    "kg_components",
 ]
 
 
