@@ -972,6 +972,57 @@ def _q_row_number_orders(sf_dir: str):
     return out.select_columns(["o_orderkey", "o_custkey", "rn"])
 
 
+def _q_dense_rank_orders(sf_dir: str):
+    """DENSE_RANK per order priority over price cents (desc): ties share a
+    rank, no gaps."""
+    from folkscope_ray.ops.window import dense_rank
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        "o_totalprice",
+    ).select_columns(["o_orderkey", "o_orderpriority", "cents"])
+    return (dense_rank(ds, key_col="o_orderpriority", value_col="cents",
+                       ascending=False)
+            .select_columns(["o_orderkey", "o_orderpriority", "rnk"]))
+
+
+def _q_ntile_orders(sf_dir: str):
+    """NTILE(4) price-quartile assignment per order priority (standard-SQL
+    uneven-split rule)."""
+    from folkscope_ray.ops.window import ntile
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        "o_totalprice",
+    ).select_columns(["o_orderkey", "o_orderpriority", "cents"])
+    return (ntile(ds, key_col="o_orderpriority",
+                  order_cols=["cents", "o_orderkey"], n=4)
+            .select_columns(["o_orderkey", "o_orderpriority", "tile"]))
+
+
+def _q_json_extract_events(sf_dir: str):
+    """Semi-structured column handling: parse the JSON ``props`` payload per
+    event and aggregate the extracted integer per event_type (map-combined:
+    only per-block partials shuffle)."""
+    import json as _json
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    def extract(b: pa.Table) -> pa.Table:
+        ks = [int(_json.loads(p)["k"]) for p in b.column("props").to_pylist()]
+        return pa.table({"event_type": b.column("event_type"),
+                         "k": pa.array(ks, pa.int64())})
+
+    return map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["event_type", "props"])
+        .map_batches(extract, batch_format="pyarrow"),
+        keys=["event_type"], sums={"k": "sum_k"},
+        mins={"k": "min_k"}, maxs={"k": "max_k"},
+    )
+
+
 def _q_top_bigrams_per_lang(sf_dir: str):
     """Corpus n-gram statistics: top-5 word bigrams per language.  Each
     block pre-combines its token stream to (lang, bigram) partial counts
@@ -1377,6 +1428,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_orders": _q_rollup_orders,
         "pivot_events_by_type": _q_pivot_events_by_type,
         "row_number_orders": _q_row_number_orders,
+        "dense_rank_orders": _q_dense_rank_orders,
+        "ntile_orders": _q_ntile_orders,
+        "json_extract_events": _q_json_extract_events,
         # corpus text statistics / scale-path joins
         "top_bigrams_per_lang": _q_top_bigrams_per_lang,
         "repetition_docs": _q_repetition_docs,
@@ -1678,6 +1732,26 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY o_custkey
                                       ORDER BY o_orderdate, o_orderkey) AS rn
             FROM orders
+        """,
+        "dense_rank_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY round(o_totalprice * 100)::BIGINT DESC) AS rnk
+            FROM orders
+        """,
+        "ntile_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   NTILE(4) OVER (PARTITION BY o_orderpriority
+                                  ORDER BY round(o_totalprice * 100)::BIGINT,
+                                           o_orderkey) AS tile
+            FROM orders
+        """,
+        "json_extract_events": """
+            SELECT event_type, COUNT(*)::BIGINT AS n,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS sum_k,
+                   MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS min_k,
+                   MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))::BIGINT AS max_k
+            FROM events GROUP BY event_type
         """,
         "top_bigrams_per_lang": """
             WITH w AS (

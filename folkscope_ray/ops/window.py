@@ -203,6 +203,54 @@ def cumulative_sum(ds: Dataset, key_col: str, order_cols: list[str],
     return chunked.map_batches(add_offset, batch_format="pyarrow")
 
 
+def dense_rank(ds: Dataset, key_col: str, value_col: str,
+               ascending: bool = False, alias: str = "rnk") -> Dataset:
+    """DENSE_RANK() OVER (PARTITION BY key ORDER BY value): ties share a
+    rank, no gaps.  Vectorized per bucket: sort + pandas ``factorize`` of the
+    ordered distinct values per key."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col],
+                          ascending=[True, ascending], kind="mergesort")
+        # rank = running count of value-change flags within the key
+        # (first row of each key flags too, so the cumsum restarts at 1) —
+        # one vectorized pass, no per-key dispatch
+        flag = ((g[value_col] != g[value_col].shift(1))
+                | (g[key_col] != g[key_col].shift(1))).astype("int64")
+        out = g.copy()
+        out[alias] = flag.groupby(g[key_col].to_numpy(), sort=False).cumsum()
+        return out
+
+    return _bucketed_groups(ds, key_col, body)
+
+
+def ntile(ds: Dataset, key_col: str, order_cols: list[str], n: int,
+          alias: str = "tile") -> Dataset:
+    """NTILE(n) OVER (PARTITION BY key ORDER BY ...): rows of each key are
+    split into ``n`` buckets as evenly as possible (the first ``size % n``
+    tiles get one extra row — the SQL-standard rule).  Deterministic when
+    ``order_cols`` is a total order."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        grp = g.groupby(key_col, sort=False)
+        pos = grp.cumcount().to_numpy()
+        size = grp[order_cols[0]].transform("size").to_numpy()
+        base, rem = size // n, size % n
+        # first rem tiles have (base+1) rows; position p maps accordingly
+        cut = rem * (base + 1)
+        tile = np.where(
+            pos < cut,
+            pos // np.maximum(base + 1, 1),
+            np.where(base > 0, rem + (pos - cut) // np.maximum(base, 1), pos),
+        )
+        out = g.copy()
+        out[alias] = (tile + 1).astype("int64")
+        return out
+
+    return _bucketed_groups(ds, key_col, body)
+
+
 def row_number(ds: Dataset, key_col: str, order_cols: list[str],
                ascending: list[bool] | None = None,
                alias: str = "rn") -> Dataset:

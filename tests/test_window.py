@@ -122,3 +122,46 @@ def test_rollup_counts(orders_df):
     # finest level count = distinct (a,b) combos
     finest = out[(out["a"] != "ALL") & (out["b"] != "ALL")]
     assert len(finest) == df.groupby(["a", "b"]).ngroups
+
+
+def test_dense_rank_and_ntile_match_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import dense_rank, ntile
+
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "i": np.arange(2000, dtype=np.int64),
+        "k": rng.randint(0, 7, 2000),
+        # coarse values force plenty of ties for the dense-rank semantics
+        "v": rng.randint(0, 25, 2000).astype(np.int64),
+    })
+    duckdb.register("t", df)
+    got_dr = (dense_rank(rd.from_pandas(df).repartition(5), key_col="k",
+                         value_col="v", ascending=False)
+              .to_pandas().sort_values("i").reset_index(drop=True))
+    want_dr = duckdb.sql("""
+        SELECT i, k, v,
+               DENSE_RANK() OVER (PARTITION BY k ORDER BY v DESC) AS rnk
+        FROM t ORDER BY i
+    """).df().reset_index(drop=True)
+    assert got_dr["rnk"].astype(int).tolist() == want_dr["rnk"].astype(int).tolist()
+
+    got_nt = (ntile(rd.from_pandas(df).repartition(5), key_col="k",
+                    order_cols=["v", "i"], n=4)
+              .to_pandas().sort_values("i").reset_index(drop=True))
+    want_nt = duckdb.sql("""
+        SELECT i, k, v,
+               NTILE(4) OVER (PARTITION BY k ORDER BY v, i) AS tile
+        FROM t ORDER BY i
+    """).df().reset_index(drop=True)
+    assert got_nt["tile"].astype(int).tolist() == want_nt["tile"].astype(int).tolist()
+    # degenerate keys smaller than n: each row its own tile
+    tiny = pd.DataFrame({"i": [0, 1], "k": [99, 99], "v": [5, 3]})
+    got_tiny = (ntile(rd.from_pandas(tiny), key_col="k",
+                      order_cols=["v", "i"], n=4)
+                .to_pandas().sort_values("v").reset_index(drop=True))
+    assert got_tiny["tile"].tolist() == [1, 2]
