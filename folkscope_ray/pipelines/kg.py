@@ -66,6 +66,10 @@ class KGPipeline:
     source_path: str
     run_dir: str | None = None
     _cache: dict = field(default_factory=dict)
+    # incremental/sharded mode: read the scored stage from these ALREADY
+    # CHECKPOINTED shard directories instead of generating it (see
+    # build_kg_incremental) — generation/critic cost is paid once per shard
+    scored_sources: tuple[str, ...] | None = None
 
     # ------------------------------------------------- lineage fingerprints
 
@@ -81,7 +85,14 @@ class KGPipeline:
             from ..stages.generate import MAX_PROMPT_WORDS, N_GENS
             from ..stages.mine import MIN_SUPPORT, SUPPORT_FLOOR_FRAC
 
-            src = mf.source_fingerprint(self.source_path)
+            if self.scored_sources:
+                # union identity = the shard checkpoints' content identity:
+                # a recomputed/added shard invalidates everything downstream
+                src = mf.fingerprint(
+                    "union",
+                    *[mf.source_fingerprint(p) for p in self.scored_sources])
+            else:
+                src = mf.source_fingerprint(self.source_path)
             fps = {}
             fps["scored"] = mf.fingerprint(
                 "scored", src, PLAUSIBILITY_THRESHOLD, N_GENS, MAX_PROMPT_WORDS
@@ -160,6 +171,17 @@ class KGPipeline:
         instead of shipping ~2.5x the bytes through the object store."""
         if "scored" in self._cache:
             return self._cache["scored"]
+        if self.scored_sources:
+            # sharded mode: the expensive generate+critic work already lives
+            # in the shard checkpoints; the union is just a multi-dir read
+            # (expanded to files — read_parquet takes dirs only singly)
+            import glob as _glob
+
+            paths = [f for d in self.scored_sources
+                     for f in sorted(_glob.glob(os.path.join(d, "*.parquet")))]
+            ds = rd.read_parquet(paths)
+            self._cache["scored"] = ds
+            return ds
         ds = self.assertions()
         if self.run_dir:
             fp = self._fp("scored")
@@ -818,3 +840,38 @@ def build_kg(source_path: str, run_dir: str | None = None) -> KGPipeline:
     if run_dir:
         os.makedirs(run_dir, exist_ok=True)
     return KGPipeline(source_path, run_dir)
+
+
+def build_kg_incremental(shard_sources: list[str], run_dir: str) -> KGPipeline:
+    """Incremental / sharded KG build: new corpus increments pay ONLY their
+    own generation cost; the KG products stay exactly equal to a full
+    rebuild over the union.
+
+    Per shard, a sub-pipeline materializes the ``scored`` checkpoint under
+    ``run_dir/shard{i}`` — an already-checkpointed shard (manifest
+    fingerprint matching its source files) is skipped entirely, so adding
+    shard k+1 to a k-shard run re-runs generation/critic for the NEW shard
+    only.  The returned union pipeline reads the scored checkpoints
+    directly (a multi-directory parquet scan) and computes pattern mining,
+    canonicalization and triple aggregation over the FULL union — those are
+    the corpus-global barriers (mining thresholds and the LSH canonical map
+    depend on union-wide counts/surfaces), so recomputing them from the
+    checkpoints is what EXACT equality with a monolithic rebuild requires;
+    they are scan+shuffle passes, not model work.  The union's own stage
+    fingerprints chain from the shard checkpoints' content identity, so a
+    recomputed or added shard invalidates union products (and nothing else).
+
+    Equality with the monolithic build is pytest-gated
+    (``test_incremental_build_matches_full``)."""
+    os.makedirs(run_dir, exist_ok=True)
+    scored_dirs: list[str] = []
+    for i, src in enumerate(shard_sources):
+        sub = os.path.join(run_dir, f"shard{i:05d}")
+        shard = build_kg(src, run_dir=sub)
+        shard.scored()  # checkpoint if absent; resume-skip if fingerprint matches
+        scored_dirs.append(mf.stage_dir(sub, "scored"))
+    union = KGPipeline("union://" + "|".join(shard_sources),
+                       os.path.join(run_dir, "union"),
+                       scored_sources=tuple(scored_dirs))
+    os.makedirs(union.run_dir, exist_ok=True)
+    return union

@@ -278,3 +278,43 @@ def test_edge_features_embedding_contract(kg_200):
     cos_close = float(x[0] @ x[1])
     cos_far = float(x[0] @ x[2])
     assert cos_close > cos_far
+
+
+def test_incremental_build_matches_full(corpus_200, kg_200, tmp_path):
+    """Sharded/incremental build: shards pay generation once into their own
+    scored checkpoints; the union pipeline's products equal the monolithic
+    rebuild EXACTLY, and re-running skips the shard work."""
+    import pyarrow as pa
+
+    from folkscope_ray.pipelines.kg import build_kg_incremental
+
+    full = kg_200.triples().to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+
+    # split the 200-file corpus into two shard parquet files
+    t = pq.read_table(corpus_200)
+    sh = [str(tmp_path / "shard_a.parquet"), str(tmp_path / "shard_b.parquet")]
+    pq.write_table(t.slice(0, 120), sh[0])
+    pq.write_table(t.slice(120), sh[1])
+
+    run_dir = str(tmp_path / "inc_run")
+    inc = build_kg_incremental(sh, run_dir=run_dir)
+    got = inc.triples().to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    cols = ["subj", "pred", "obj", "support", "frequency",
+            "plausibility", "typicality"]
+    assert got[cols].equals(full[cols])
+
+    # resume: shard scored manifests untouched, union read back identical
+    m0 = {
+        i: os.path.getmtime(os.path.join(run_dir, f"shard{i:05d}",
+                                         "scored.manifest.json"))
+        for i in (0, 1)
+    }
+    inc2 = build_kg_incremental(sh, run_dir=run_dir)
+    got2 = inc2.triples().to_pandas().sort_values(
+        ["subj", "pred", "obj"]).reset_index(drop=True)
+    assert got2[cols].equals(full[cols])
+    for i in (0, 1):
+        assert os.path.getmtime(os.path.join(
+            run_dir, f"shard{i:05d}", "scored.manifest.json")) == m0[i]
