@@ -33,8 +33,12 @@ import time
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="folkscope_ray.job")
-    ap.add_argument("--source", required=True,
+    ap.add_argument("--source", required=False, default=None,
                     help="parquet path/dir of the (repo,path,commit,lang,content) corpus")
+    ap.add_argument("--shards", nargs="*", default=None,
+                    help="incremental mode: corpus shard paths; each shard's "
+                         "generation is checkpointed once under --run-dir and "
+                         "skipped on resubmit (build_kg_incremental)")
     ap.add_argument("--out", required=True,
                     help="output dir for partitioned triple parquet")
     ap.add_argument("--run-dir", default=None,
@@ -64,10 +68,18 @@ def main(argv: list[str] | None = None) -> int:
                 ray.init(address="local", num_cpus=args.num_cpus,
                          include_dashboard=False, logging_level="ERROR")
 
-    from .pipelines.kg import build_kg
+    from .pipelines.kg import build_kg, build_kg_incremental
+
+    if bool(args.source) == bool(args.shards):
+        ap.error("exactly one of --source or --shards is required")
+    if args.shards and not args.run_dir:
+        ap.error("--shards requires --run-dir (shard checkpoints live there)")
 
     t0 = time.time()
-    kg = build_kg(args.source, run_dir=args.run_dir)
+    if args.shards:
+        kg = build_kg_incremental(list(args.shards), run_dir=args.run_dir)
+    else:
+        kg = build_kg(args.source, run_dir=args.run_dir)
     counts: dict[str, int] = {}
     for product in args.products:
         ds = getattr(kg, product)()

@@ -60,3 +60,41 @@ def test_job_entry_runs_and_resumes(tmp_path):
         assert os.path.getmtime(os.path.join(run_dir, f)) == mtime, f
     tbl2 = pq.read_table(os.path.join(out2, "triples"))
     assert tbl2.num_rows == tbl.num_rows
+
+
+def test_job_entry_incremental_shards(tmp_path):
+    """--shards mode: one scored checkpoint per shard, resubmit skips them,
+    triple count matches the monolithic job over the same corpus."""
+    from folkscope_ray.synth import corpus_path
+
+    src = corpus_path(200)
+    t = pq.read_table(src)
+    sh = [str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")]
+    pq.write_table(t.slice(0, 120), sh[0])
+    pq.write_table(t.slice(120), sh[1])
+    out = str(tmp_path / "out")
+    run_dir = str(tmp_path / "run")
+
+    def run(outdir):
+        proc = subprocess.run(
+            [sys.executable, "-m", "folkscope_ray.job",
+             "--shards", *sh, "--out", outdir, "--run-dir", run_dir,
+             "--address", "local", "--num-cpus", "4"],
+            cwd=REPO, capture_output=True, text=True, timeout=300,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        return json.loads(proc.stdout.strip().splitlines()[-1])
+
+    s1 = run(out)
+    mono = _run_job(src, str(tmp_path / "out_mono"), str(tmp_path / "run_mono"))
+    assert s1["counts"]["triples"] == mono["counts"]["triples"]
+    shard_manifests = {
+        p: os.path.getmtime(p) for p in
+        (os.path.join(run_dir, f"shard{i:05d}", "scored.manifest.json")
+         for i in (0, 1))
+    }
+    assert all(os.path.exists(p) for p in shard_manifests)
+    s2 = run(str(tmp_path / "out2"))
+    assert s2["counts"] == s1["counts"]
+    for p, mtime in shard_manifests.items():
+        assert os.path.getmtime(p) == mtime  # shard generation not re-run
