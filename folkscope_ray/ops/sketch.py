@@ -263,3 +263,77 @@ def heavy_hitters(ds: Dataset, key_col: str, top_k: int,
     import ray.data as rd
 
     return rd.from_pandas(exact)
+
+
+# ------------------------------------------- relative-error quantile sketch
+
+def dd_quantiles(ds: Dataset, value_col: str, qs: list[float],
+                 rel_err: float = 0.01) -> pd.DataFrame:
+    """DDSketch-style quantiles for UNBOUNDED / continuous domains, where
+    the exact histogram of :func:`exact_quantiles_by_counting` would be as
+    large as the data.
+
+    Values map to logarithmic buckets ``k = ceil(log(v) / log(gamma))``
+    with ``gamma = (1 + rel_err) / (1 - rel_err)``; the sketch is the
+    (sign, k) -> count histogram, whose size is bounded by the DYNAMIC
+    RANGE of the data (log(vmax/vmin)/log(gamma) buckets — e.g. ~2.3k
+    buckets for 10 orders of magnitude at 1% error), never by the row
+    count.  Counts are integer sums, so partial merge is commutative and
+    associative and the shuffled histogram — and therefore the estimate —
+    is bit-identical at any parallelism.  Zeros get an exact dedicated
+    bucket; negative values mirror into sign=-1 buckets.
+
+    Guarantee: for each q, the returned estimate e satisfies
+    ``|e - x_q| <= rel_err * |x_q|`` where ``x_q`` is the element of rank
+    ``floor(q * (n-1))`` in sorted order (the standard DDSketch bound;
+    exact for zeros).  Returns (q, est)."""
+    if not 0.0 < rel_err < 1.0:
+        raise ValueError("rel_err must be in (0, 1)")
+    gamma = (1.0 + rel_err) / (1.0 - rel_err)
+    lg = np.log(gamma)
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        sgn = np.sign(v).astype(np.int8)
+        k = np.zeros(len(v), dtype=np.int64)
+        pos, neg = v > 0, v < 0
+        k[pos] = np.ceil(np.log(v[pos]) / lg).astype(np.int64)
+        k[neg] = np.ceil(np.log(-v[neg]) / lg).astype(np.int64)
+        df = pd.DataFrame({"sgn": sgn, "k": k})
+        g = df.groupby(["sgn", "k"], sort=False).size().reset_index(name="__n")
+        return pa.table({"sgn": pa.array(g["sgn"], pa.int8()),
+                         "k": pa.array(g["k"], pa.int64()),
+                         "__n": pa.array(g["__n"], pa.int64())})
+
+    hist = (
+        ds.select_columns([value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["sgn", "k"])
+        .aggregate(Sum("__n", alias_name="n"))
+        .to_pandas()
+    )
+    # ascending VALUE order: negatives by k desc (big magnitude first),
+    # zeros, positives by k asc
+    neg = hist[hist["sgn"] < 0].sort_values("k", ascending=False)
+    zero = hist[hist["sgn"] == 0]
+    pos = hist[hist["sgn"] > 0].sort_values("k", ascending=True)
+    ordered = pd.concat([neg, zero, pos], ignore_index=True)
+    counts = ordered["n"].to_numpy(np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def bucket_estimate(row) -> float:
+        if row["sgn"] == 0:
+            return 0.0
+        est = 2.0 * gamma ** int(row["k"]) / (gamma + 1.0)
+        return est if row["sgn"] > 0 else -est
+
+    out = []
+    for q in qs:
+        if n == 0:
+            out.append((q, float("nan")))
+            continue
+        rank = int(np.floor(q * (n - 1)))  # 0-based target rank
+        idx = int(np.searchsorted(cum, rank + 1, side="left"))
+        out.append((q, bucket_estimate(ordered.iloc[idx])))
+    return pd.DataFrame(out, columns=["q", "est"])

@@ -120,3 +120,32 @@ def test_heavy_hitters_exact_on_bounded_domain():
     ).to_pandas()
     assert out["user_id"].tolist() == exp["user_id"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_dd_quantiles_relative_error_and_partition_invariance():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import dd_quantiles
+
+    rng = np.random.RandomState(31)
+    # 5 orders of magnitude + negatives + zeros: the domain the exact
+    # counting histogram cannot handle
+    v = np.concatenate([
+        np.exp(rng.uniform(np.log(1e-2), np.log(1e3), 20_000)),
+        -np.exp(rng.uniform(np.log(1e-1), np.log(1e2), 3_000)),
+        np.zeros(500),
+    ])
+    rng.shuffle(v)
+    df = pd.DataFrame({"x": v})
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    outs = []
+    for blocks in (1, 11):
+        outs.append(dd_quantiles(rd.from_pandas(df).repartition(blocks),
+                                 "x", qs, rel_err=0.01))
+    pd.testing.assert_frame_equal(outs[0], outs[1])  # bit-stable merge
+    s = np.sort(v)
+    for q, est in outs[0].itertuples(index=False):
+        truth = s[int(np.floor(q * (len(s) - 1)))]
+        assert abs(est - truth) <= 0.01 * abs(truth) + 1e-12, (q, est, truth)
