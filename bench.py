@@ -36,6 +36,11 @@ BENCH_QUERIES = [
     "stratified_split_docs",
     "pack_sequences_docs",
     "tfidf_top_terms",
+    "inverted_index_docs",
+    "bm25_topk_docs",
+    "skew_join_events",
+    "decontam_docs",
+    "dense_rank_orders",
 ]
 
 
