@@ -611,3 +611,40 @@ def test_component_size_distribution_planted():
             .to_pandas().sort_values("size").reset_index(drop=True))
     assert dist[["size", "n_components"]].astype(int).values.tolist() == [
         [2, 1], [3, 1], [4, 1]]
+
+
+def test_stream_dedup_shared_index():
+    """Cross-batch stateful dedup via the sharded mutable index: duplicates
+    arriving in LATER micro-batches (or later Dataset executions) are
+    dropped; exactly one representative per key survives overall."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from folkscope_ray.ops.stream import DedupIndex, dedup_stream_batch
+
+    idx = DedupIndex(n_shards=4)
+    rng = np.random.RandomState(3)
+    all_keys = rng.randint(0, 400, 2000)  # heavy duplication
+    kept_keys = []
+    for start in range(0, 2000, 250):  # 8 arriving micro-batches
+        chunk = all_keys[start:start + 250]
+        batch = pa.table({"k": pa.array(chunk, pa.int64()),
+                          "payload": pa.array(np.arange(len(chunk)))})
+        out = dedup_stream_batch(idx, batch, "k")
+        kept_keys.extend(out.column("k").to_pylist())
+    assert sorted(kept_keys) == sorted(set(all_keys.tolist()))
+    assert idx.total_keys() == len(set(all_keys.tolist()))
+    # within-batch first-wins is deterministic
+    b = pa.table({"k": pa.array([9999, 9999], pa.int64()),
+                  "payload": pa.array([1, 2])})
+    out = dedup_stream_batch(idx, b, "k")
+    assert out.column("payload").to_pylist() == [1]
+    # snapshot/restore round-trip: a NEW index resumes the seen-set
+    snap = idx.snapshot()
+    idx2 = DedupIndex(n_shards=4)
+    idx2.restore(snap)
+    again = dedup_stream_batch(
+        idx2, pa.table({"k": pa.array(all_keys[:50], pa.int64()),
+                        "payload": pa.array(np.arange(50))}), "k")
+    assert again.num_rows == 0  # everything already seen pre-restart
