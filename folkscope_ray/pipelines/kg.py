@@ -674,13 +674,17 @@ class KGPipeline:
         )
 
         def unpack(batch: pa.Table) -> pa.Table:
-            lin = batch.column("lineage").to_pylist()
-            repo, path, commit, sha = zip(*(l.split("\t") for l in lin)) if lin else ((), (), (), ())
+            import pyarrow.compute as pc
+
+            # vectorized lineage split (Arrow kernel, no per-row Python):
+            # lineage = repo\tpath\tcommit\tsha, all four tab-free
+            parts = pc.split_pattern(batch.column("lineage"), pattern="\t")
             out = batch.drop_columns(["lineage"])
-            out = out.append_column("repo", pa.array(list(repo), pa.string()))
-            out = out.append_column("path", pa.array(list(path), pa.string()))
-            out = out.append_column("commit", pa.array(list(commit), pa.string()))
-            out = out.append_column("content_sha256", pa.array(list(sha), pa.string()))
+            for i, name in enumerate(("repo", "path", "commit",
+                                      "content_sha256")):
+                out = out.append_column(
+                    name, pc.list_element(parts, i).combine_chunks()
+                    if batch.num_rows else pa.array([], pa.string()))
             return out
 
         ds = agg.map_batches(unpack, batch_format="pyarrow")
