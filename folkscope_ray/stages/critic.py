@@ -63,17 +63,29 @@ class Critic:
         self.threshold = threshold  # a real impl would load weights here
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from hashlib import blake2b
+
         keys = batch.column("pair_key").to_pylist()
         gens = batch.column("gen_idx").to_pylist()
         texts = batch.column("assertion").to_pylist()
-        plaus = np.fromiter(
-            (plausibility_score(k, g, a) for k, g, a in zip(keys, gens, texts)),
-            dtype=np.float64, count=len(keys),
-        )
-        typic = np.fromiter(
-            (typicality_score(k, g, a) for k, g, a in zip(keys, gens, texts)),
-            dtype=np.float64, count=len(keys),
-        )
+        n = len(keys)
+        plaus = np.empty(n, dtype=np.float64)
+        typic = np.empty(n, dtype=np.float64)
+        # inlined plausibility_score / typicality_score (same bytes hashed,
+        # bit-identical outputs — pytest-asserted): the per-row function-call
+        # + *args-join overhead was ~2x the hash itself on this 6M-row stage
+        ib = int.from_bytes
+        for i in range(n):
+            k, g, a = keys[i], gens[i], texts[i]
+            bp = ib(blake2b(f"plaus|{k}|{g}".encode(), digest_size=8).digest(),
+                    "little") / 2**64
+            bt = ib(blake2b(f"typic|{k}|{g}".encode(), digest_size=8).digest(),
+                    "little") / 2**64
+            # single-spaced join: count(' ')+1 == len(split()) for these texts
+            nw = a.count(" ") + 1 if a else 0
+            plaus[i] = round(min(0.999, 0.10 + 0.85 * bp
+                                 + 0.05 * min(nw, 10) / 10.0), 6)
+            typic[i] = round(min(0.999, 0.05 + 0.90 * bt), 6)
         out = batch.append_column("plausibility", pa.array(plaus, pa.float64()))
         out = out.append_column("typicality", pa.array(typic, pa.float64()))
         # threshold filter fused into the scoring batch (avoids a second pass)

@@ -69,10 +69,46 @@ class MockGenerator:
         surf_a = rep.column("surf_a").to_pylist()
         surf_b = rep.column("surf_b").to_pylist()
         rels = rep.column("rel").to_pylist()
-        texts = [
-            assertion_text(r, a, b, int(g))
-            for r, a, b, g in zip(rels, surf_a, surf_b, gen_idx)
-        ]
+        # inlined assertion_text/obj_phrase (same bytes hashed, identical
+        # strings — bit-identity pytest-gated): drops two function frames,
+        # a REL_INDEX lookup and list building per row on this fan-out-heavy
+        # stage (~25% of the whole scored pass)
+        from hashlib import blake2b
+
+        from ..lexicon import REL_INDEX
+        from ..synth import ACT, ADJ, NOUN, VERB
+
+        ib = int.from_bytes
+        la, lc, ln, lv = len(ADJ), len(ACT), len(NOUN), len(VERB)
+        relinfo: dict[str, tuple[str, bool]] = {}
+        for rel in set(rels):
+            r = REL_INDEX[rel]
+            pfx = "" if r.rel == "open" else " ".join(r.tokens) + " "
+            relinfo[rel] = (pfx, r.obj_kind == "verbal")
+        texts = []
+        append = texts.append
+        for rel, a, b, g in zip(rels, surf_a, surf_b, gen_idx):
+            h = ib(blake2b(f"gen|{rel}|{a}|{b}|{g}".encode(),
+                           digest_size=8).digest(), "little")
+            pfx, verbal = relinfo[rel]
+            adj = ADJ[h % la]
+            act = ACT[(h >> 8) % lc]
+            noun = NOUN[(h >> 16) % ln]
+            nns = NOUN[(h >> 24) % ln] + "s"
+            if verbal:
+                verb = VERB[(h >> 32) % lv]
+                shape = (h >> 40) % 3
+                phrase = (f"{verb} {nns}" if shape == 0
+                          else f"{verb} {adj} {nns}" if shape == 1
+                          else f"{verb} {noun} {act}")
+            else:
+                shape = (h >> 40) % 5
+                phrase = (f"{noun} {act}" if shape == 0
+                          else f"{adj} {act}" if shape == 1
+                          else f"{adj} {noun} {act}" if shape == 2
+                          else nns if shape == 3
+                          else f"{adj} {nns}")
+            append(pfx + phrase)
         out = rep.drop_columns(["prompt"])
         out = out.append_column("gen_idx", pa.array(gen_idx, pa.int8()))
         out = out.append_column("assertion", pa.array(texts, pa.string()))

@@ -301,3 +301,58 @@ def test_exclusive_support_attribution_reference_semantics():
     # case 3: child alone below floor even with released lines -> nothing kept
     kept = attribute_exclusive_support({big: 3, small: 4}, cands, floor=10)
     assert kept == []
+
+
+def test_critic_inlined_scores_match_reference_functions():
+    """The Critic's inlined hot loop must stay bit-identical to the public
+    scoring functions (which the single-process oracle uses)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from folkscope_ray.lexicon import assertion_text
+    from folkscope_ray.relations import RELATIONS
+    from folkscope_ray.stages.critic import (Critic, plausibility_score,
+                                             typicality_score)
+    from folkscope_ray.util import pair_key
+
+    rows = []
+    for i, r in enumerate(RELATIONS[:7]):
+        for g in range(3):
+            a, b = f"alpha{i}", f"beta{i}"
+            rows.append({"pair_key": pair_key(a, b, r.rel), "gen_idx": g,
+                         "assertion": assertion_text(r.rel, a, b, g)})
+    batch = pa.Table.from_pylist(rows)
+    out = Critic(threshold=0.0)(batch)
+    got_p = out.column("plausibility").to_pylist()
+    got_t = out.column("typicality").to_pylist()
+    want_p = [plausibility_score(r["pair_key"], r["gen_idx"], r["assertion"])
+              for r in rows]
+    want_t = [typicality_score(r["pair_key"], r["gen_idx"], r["assertion"])
+              for r in rows]
+    assert got_p == want_p and got_t == want_t
+
+
+def test_generator_inlined_texts_match_reference_function():
+    """MockGenerator's inlined text loop must emit byte-identical assertions
+    to lexicon.assertion_text (used by the oracle)."""
+    import pyarrow as pa
+
+    from folkscope_ray.lexicon import assertion_text
+    from folkscope_ray.relations import RELATIONS
+    from folkscope_ray.stages.generate import MockGenerator
+    from folkscope_ray.util import pair_key
+
+    rows = []
+    for i, r in enumerate(RELATIONS):
+        a, b = f"entity alpha{i}", f"entity beta{i}"
+        rows.append({"pair_key": pair_key(a, b, r.rel), "rel": r.rel,
+                     "surf_a": a, "surf_b": b,
+                     "prompt": f"{a} and {b} prompt text"})
+    batch = pa.Table.from_pylist(rows)
+    out = MockGenerator()(batch)
+    got = out.column("assertion").to_pylist()
+    want = [assertion_text(r, a, b, int(g)) for r, a, b, g in zip(
+        out.column("rel").to_pylist(), out.column("surf_a").to_pylist(),
+        out.column("surf_b").to_pylist(), out.column("gen_idx").to_pylist())]
+    assert got == want
+    assert len(got) == len(rows) * 3
