@@ -88,6 +88,13 @@ def run_bench() -> dict:
 
     q_times: dict[str, float] = {}
     if os.environ.get("KG_BENCH_QUERIES", "1") != "0":
+        # fresh session for the query suite: the KG build leaves the object
+        # store full of spilled blocks, which taxes every query measured
+        # after it (same-query times were 2-4x their solo values)
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        DataContext.get_current().enable_progress_bars = False
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
             t0 = time.time()
