@@ -95,6 +95,12 @@ def run_bench() -> dict:
         ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
                  ignore_reinit_error=True, logging_level="ERROR")
         DataContext.get_current().enable_progress_bars = False
+        # warm the worker pool so the first timed query doesn't absorb
+        # Ray worker startup (~5 s of pure process spawn at 32 cpus)
+        import ray.data as _rd
+
+        _rd.range(NCPU * 4, override_num_blocks=NCPU * 4).map_batches(
+            lambda b: b).count()
         qs = entrymod.queries()
         for name in BENCH_QUERIES:
             t0 = time.time()
