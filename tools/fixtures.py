@@ -1,8 +1,9 @@
 """Golden-fixture harness for the non-SQL-expressible queries.
 
 The driver's correctness gate (CORRECTNESS_r{N}.json) compares each
-``queries()`` entry against its ``oracle_sql()`` SQL in DuckDB.  Twelve
-queries (KG products, dedup/similarity kernels, raw-media multimodal) are not
+``queries()`` entry against its ``oracle_sql()`` SQL in DuckDB.  The
+FIXTURE_QUERIES below (KG products, dedup/similarity kernels, raw-media
+multimodal, trained models) are not
 ANSI-SQL-expressible, so their oracle is a **committed golden fixture**: the
 expected output at the driver's scale factor, written once as parquet under
 ``fixtures/sf0.01/`` and read back by DuckDB ``read_parquet`` in
