@@ -300,7 +300,7 @@ def test_multimodal_real_kernels():
             assert bytes(vids.loc[r["media_id"], "payload"]) == r["payload"]
 
 
-def test_audio_features_stub():
+def test_audio_features_real_pcm():
     import ray.data as rd
 
     from folkscope_ray.ops.multimodal import AudioFeatures, synthetic_media_table
