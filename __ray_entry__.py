@@ -1096,11 +1096,17 @@ def _q_skew_join_events(sf_dir: str):
         .map_batches(secs_col, batch_format="pyarrow")
         .select_columns(["user_id", "event_type", "secs"])
     )
-    first = (
-        map_combine_aggregate(ev, keys=["user_id"], mins={"secs": "first_secs"})
-        .select_columns(["user_id", "first_secs"])
-    )
-    joined = skew_join(ev, first, on="user_id", top_k=5)
+    # the dim aggregation already computes EXACT per-user counts — derive
+    # the hot keys from it instead of a separate heavy-hitter detection pass
+    # over the raw events (saves two full scans of the fact table)
+    first_df = map_combine_aggregate(
+        ev, keys=["user_id"], mins={"secs": "first_secs"}).to_pandas()
+    hot = (first_df.sort_values(["n", "user_id"], ascending=[False, True],
+                                kind="mergesort").head(5)["user_id"].tolist())
+    import ray.data as _rd
+
+    first = _rd.from_pandas(first_df[["user_id", "first_secs"]])
+    joined = skew_join(ev, first, on="user_id", hot_keys=hot)
 
     def since(b: pa.Table) -> pa.Table:
         d = pc.subtract(b.column("secs"), b.column("first_secs"))
