@@ -1098,14 +1098,15 @@ def _q_skew_join_events(sf_dir: str):
     )
     # the dim aggregation already computes EXACT per-user counts — derive
     # the hot keys from it instead of a separate heavy-hitter detection pass
-    # over the raw events (saves two full scans of the fact table)
-    first_df = map_combine_aggregate(
-        ev, keys=["user_id"], mins={"secs": "first_secs"}).to_pandas()
-    hot = (first_df.sort_values(["n", "user_id"], ascending=[False, True],
-                                kind="mergesort").head(5)["user_id"].tolist())
-    import ray.data as _rd
-
-    first = _rd.from_pandas(first_df[["user_id", "first_secs"]])
+    # over the raw events (saves two full scans of the fact table).  The dim
+    # stays a Dataset end-to-end: materialize() pins the blocks in the object
+    # store (it is consumed twice), hot keys come off a top-k limit pushdown,
+    # and only those 5 rows ever reach the driver.
+    first_all = map_combine_aggregate(
+        ev, keys=["user_id"], mins={"secs": "first_secs"}).materialize()
+    hot = (first_all.sort(["n", "user_id"], descending=[True, False])
+           .limit(5).to_pandas()["user_id"].tolist())
+    first = first_all.select_columns(["user_id", "first_secs"])
     joined = skew_join(ev, first, on="user_id", hot_keys=hot)
 
     def since(b: pa.Table) -> pa.Table:
@@ -1596,7 +1597,7 @@ def oracle_sql() -> dict[str, str]:
                 ('b2', 940.0, 960.0), ('b3', 960.0, 980.0),
                 ('b4', 980.0, 10000000.0))
             SELECT band, count(*) AS n_parts,
-                   sum(round(p_retailprice * 100)::BIGINT) AS cents
+                   sum(round(p_retailprice * 100)::BIGINT)::BIGINT AS cents
             FROM part p JOIN bands b
               ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
             GROUP BY band

@@ -38,6 +38,41 @@ from ray.data.aggregate import Count, Mean, Sum
 _ARROW_JOIN_HOW = {"inner": "inner", "left": "left outer", "right": "right outer"}
 
 
+def _bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
+    """Vectorized, process-stable bucket assignment (pd.util.hash_array uses a
+    fixed siphash key, so every map task sends a given key to the same bucket).
+    Replaces the per-row ``zlib.crc32(str(k))`` loop — same co-location
+    guarantee, no Python iteration over the stream."""
+    keys = col.to_pandas().to_numpy()
+    b = (pd.util.hash_array(keys, categorize=False) % n_buckets).astype(np.int32)
+    return pa.array(b, pa.int32())
+
+
+def _int_dtype_map(schema) -> dict[str, np.dtype]:
+    """Columns whose original type is integer/boolean → target numpy dtype.
+
+    The union-then-map_groups join shape null-fills one side's exclusive
+    columns, which makes pandas promote int64 → float64 inside the group
+    frame.  Values are unchanged; only the dtype must be restored on the
+    side whose rows are all non-null."""
+    out: dict[str, np.dtype] = {}
+    for name, typ in zip(schema.names, schema.types):
+        if isinstance(typ, pa.DataType):
+            if pa.types.is_integer(typ) or pa.types.is_boolean(typ):
+                out[name] = np.dtype(typ.to_pandas_dtype())
+        elif isinstance(typ, np.dtype) and (
+                np.issubdtype(typ, np.integer) or typ == np.bool_):
+            out[name] = typ
+    return out
+
+
+def _restore_dtypes(df: pd.DataFrame, dtmap: dict[str, np.dtype]) -> pd.DataFrame:
+    for name, dt in dtmap.items():
+        if name in df.columns and df[name].dtype != dt and not df[name].isna().any():
+            df[name] = df[name].astype(dt)
+    return df
+
+
 def broadcast_join(large: Dataset, small_df: pd.DataFrame | pa.Table,
                    on: str | list[str], how: str = "inner") -> Dataset:
     """Join a big Dataset against a small table without a shuffle.
@@ -83,15 +118,14 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
 
     def bucketize(side: str):
         def fn(batch: pa.Table) -> pa.Table:
-            keys = batch.column(on).to_pylist()
-            # deterministic bucket hash (never Python's salted str hash)
-            import zlib
-
-            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
-            out = batch.append_column("__bucket", pa.array(b, pa.int32()))
-            return out.append_column("__side", pa.array([side] * len(keys), pa.string()))
+            out = batch.append_column(
+                "__bucket", _bucket_ids(batch.column(on), n_buckets))
+            return out.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string()))
         return fn
 
+    left_dtypes = _int_dtype_map(left.schema())
+    right_dtypes = _int_dtype_map(right.schema())
     lb = left.map_batches(bucketize("L"), batch_format="pyarrow")
     rb = right.map_batches(bucketize("R"), batch_format="pyarrow")
     both = lb.union(rb)
@@ -101,8 +135,12 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
               "full_outer": "outer"}.get(how, how)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "L"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
-        rg = g[g["__side"] == "R"].drop(columns=["__side", "__bucket"]).dropna(axis=1, how="all")
+        lg = _restore_dtypes(
+            g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
+            .dropna(axis=1, how="all"), left_dtypes)
+        rg = _restore_dtypes(
+            g[g["__side"] == "R"].drop(columns=["__side", "__bucket"])
+            .dropna(axis=1, how="all"), right_dtypes)
         if lg.empty or rg.empty:
             return lg.merge(rg, on=on, how=pd_how) if pd_how != "inner" else lg.head(0).merge(rg.head(0), on=on)
         return lg.merge(rg, on=on, how=pd_how)
@@ -125,8 +163,6 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
 
     ``right_cols``: right-side columns to carry (default: ``on_col`` only,
     renamed ``{on_col}{suffix}``)."""
-    import zlib
-
     if n_buckets is None:
         try:
             n_buckets = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
@@ -137,26 +173,34 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
     def bucketize(side: str, keep: list[str]):
         def fn(batch: pa.Table) -> pa.Table:
             batch = batch.select(keep)
-            keys = batch.column(key_col).to_pylist()
-            b = [zlib.crc32(str(k).encode()) % n_buckets for k in keys]
-            out = batch.append_column("__bucket", pa.array(b, pa.int32()))
+            out = batch.append_column(
+                "__bucket", _bucket_ids(batch.column(key_col), n_buckets))
             return out.append_column(
-                "__side", pa.array([side] * len(keys), pa.string()))
+                "__side", pa.array([side] * batch.num_rows, pa.string()))
         return fn
 
+    rename = {on_col: on_col + suffix, **{c: c + suffix for c in right_cols}}
+    left_dtypes = _int_dtype_map(left.schema())
+    right_dtypes = {rename.get(k, k): v
+                    for k, v in _int_dtype_map(right.schema()).items()
+                    if k in (key_col, on_col, *right_cols)}
     left_keep = [c for c in left.schema().names]
     right_keep = [key_col, on_col] + right_cols
     lb = left.map_batches(bucketize("L", left_keep), batch_format="pyarrow")
     rb = right.select_columns(right_keep).map_batches(
         bucketize("R", right_keep), batch_format="pyarrow")
     both = lb.union(rb)
-    rename = {on_col: on_col + suffix, **{c: c + suffix for c in right_cols}}
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        lg = (g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
-              .dropna(axis=1, how="all"))
-        rg = (g[g["__side"] == "R"][right_keep]
-              .rename(columns=rename))
+        # the union null-fills left-only columns on R rows; pandas promotes
+        # int64-with-null to float64 — restore the recorded left dtypes (L
+        # rows are all non-null), else an int left column ships out float
+        lg = _restore_dtypes(
+            g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
+            .dropna(axis=1, how="all"), left_dtypes)
+        rg = _restore_dtypes(
+            g[g["__side"] == "R"][right_keep].rename(columns=rename),
+            right_dtypes)
         lg = lg.sort_values([on_col, *([c for c in ("event_id",) if c in lg])],
                             kind="mergesort")
         rg = rg.sort_values(on_col + suffix, kind="mergesort")

@@ -41,6 +41,14 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
     if len(a) == len(b):
         for col in a.columns:
             av, bv = a[col].to_numpy(), b[col].to_numpy()
+            # the driver's value-hash is dtype-sensitive: int64 5 and
+            # float64 5.0 hash differently even though == passes
+            if (av.dtype.kind != bv.dtype.kind
+                    and {av.dtype.kind, bv.dtype.kind} <= {"i", "u", "f", "b"}):
+                problems.append(
+                    f"col {col}: dtype kind ray={av.dtype} sql={bv.dtype} "
+                    "(hash would fail)")
+                continue
             if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
                 ok = np.allclose(av.astype(float), bv.astype(float), rtol=1e-9, atol=1e-9)
                 exact = (av.astype(float) == bv.astype(float)).all()
