@@ -261,39 +261,103 @@ class KGPipeline:
                 }
             )
 
-        # scan: materialize the partials first so the map runs at full
-        # parallelism, then one vectorized driver merge
+        # scan: materialize the partials ONCE so the map runs at full
+        # parallelism and both consumers (assertion counts, distinct norms)
+        # read the same blocks back from the object store
         partials = self.scored().map_batches(
             stats_batch, batch_format="pyarrow", batch_size=None
         ).materialize()
-        pdf = partials.to_pandas()
-        tmask = pdf["kind"] == "t"
-        text_counts = pdf[tmask].groupby("k1", sort=False)["n"].sum().to_dict()
-        norm_arr = pdf.loc[~tmask, "k1"].unique()
-        norms_overflow = len(norm_arr) > DRIVER_BANDING_MAX
-        norms = set() if norms_overflow else set(norm_arr)
-        evs_max = int(os.environ.get("FOLKSCOPE_EVS_BROADCAST_MAX", 3_000_000))
-        evs_overflow = len(text_counts) > evs_max
 
-        # parse each distinct assertion exactly once, cluster-wide
-        items = sorted(text_counts)
-        chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
-        futs = [
-            parse_stats_chunk.remote(items[i:i + chunk])
-            for i in range(0, len(items), chunk)
-        ]
+        def keep(kind: str, cols: list[str]):
+            def fn(b: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                return b.filter(pc.equal(b.column("kind"), kind)).select(cols)
+            return fn
+
+        t_rows = partials.map_batches(keep("t", ["k1", "n"]),
+                                      batch_format="pyarrow")
+        n_rows = partials.map_batches(keep("n", ["k1"]),
+                                      batch_format="pyarrow")
+        evs_max = int(os.environ.get("FOLKSCOPE_EVS_BROADCAST_MAX", 3_000_000))
+
+        # Distinct-assertion vocabulary, driver memory BOUNDED by evs_max:
+        # per-block partial rows upper-bound the distinct count, so a cheap
+        # count() clears the driver merge in the common case without any
+        # shuffle; past the bound we pay one distributed distinct aggregation,
+        # and if THAT still exceeds the gate nothing assertion-sized ever
+        # reaches the driver (the skeleton fold stays on the cluster below).
+        from ..ops.relational import map_combine_aggregate
+
+        text_counts: dict[str, int] | None = None
+        distinct_t: Dataset | None = None
+        if t_rows.count() <= evs_max:
+            pdf = t_rows.to_pandas()
+            text_counts = pdf.groupby("k1", sort=False)["n"].sum().to_dict()
+        else:
+            distinct_t = map_combine_aggregate(
+                t_rows, keys=["k1"], sums={"n": "n"}).materialize()
+            if distinct_t.count() <= evs_max:
+                dtf = distinct_t.to_pandas()
+                text_counts = dict(zip(dtf["k1"], dtf["n"]))
+        evs_overflow = text_counts is None
+
+        # distinct entity surfaces, bounded the same way by the banding gate
+        norms: set[str] = set()
+        norms_overflow = True
+        if n_rows.count() <= DRIVER_BANDING_MAX:
+            norms = set(n_rows.to_pandas()["k1"].unique())
+            norms_overflow = False
+        else:
+            distinct_n = map_combine_aggregate(
+                n_rows, keys=["k1"]).materialize()
+            if distinct_n.count() <= DRIVER_BANDING_MAX:
+                norms = set(distinct_n.to_pandas()["k1"])
+                norms_overflow = False
+
         counts: Counter = Counter()
         length_counts: dict[str, Counter] = {}
         assertions_set: list[str] = []
         total = 0
-        for part in ray.get(futs):
-            for key, skel, n_tokens in part:
-                n = text_counts[key]
-                counts[skel] += n
-                total += n
-                rel = key.split("\x1f", 1)[0]
-                length_counts.setdefault(rel, Counter())[n_tokens] += n
-                assertions_set.append(key)
+        if not evs_overflow:
+            # parse each distinct assertion exactly once, cluster-wide
+            items = sorted(text_counts)
+            chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
+            futs = [
+                parse_stats_chunk.remote(items[i:i + chunk])
+                for i in range(0, len(items), chunk)
+            ]
+            for part in ray.get(futs):
+                for key, skel, n_tokens in part:
+                    n = text_counts[key]
+                    counts[skel] += n
+                    total += n
+                    rel = key.split("\x1f", 1)[0]
+                    length_counts.setdefault(rel, Counter())[n_tokens] += n
+                    assertions_set.append(key)
+        else:
+            # fully distributed: parse the distinct Dataset in place (each
+            # distinct key sits in exactly one block after the aggregation,
+            # so it is parsed exactly once cluster-wide — same guarantee as
+            # the chunked driver path), then map-combine down to
+            # (skeleton, rel, n_tokens) rows.  The driver folds ONLY
+            # skeleton-level aggregates; downstream consumers
+            # (grow_subskeleton_patterns, attribute_exclusive_support) sort
+            # internally, so the two paths are bit-equal.
+            from ..stages.parse import parse_stats_batch
+
+            srows = map_combine_aggregate(
+                distinct_t.map_batches(parse_stats_batch,
+                                       batch_format="pyarrow"),
+                keys=["skel", "rel", "n_tokens"], sums={"n": "n"},
+            ).to_pandas()
+            srows = srows.sort_values(["skel", "rel", "n_tokens"],
+                                      kind="mergesort")
+            for skel, rel, ntok, n in zip(srows["skel"], srows["rel"],
+                                          srows["n_tokens"], srows["n"]):
+                counts[skel] += int(n)
+                total += int(n)
+                length_counts.setdefault(rel, Counter())[int(ntok)] += int(n)
         floor = max(MIN_SUPPORT, _math.ceil(total * SUPPORT_FLOOR_FRAC))
         grown = grow_subskeleton_patterns(dict(counts), length_counts)
         # reference support semantics: priority-ordered exclusive line

@@ -279,3 +279,33 @@ class _LazyRemote:
 #: chunked distributed parse over distinct ``rel\x1ftext`` keys ->
 #: [(key, skeleton_key, n_tokens)] — each distinct parsed ONCE cluster-wide
 parse_stats_chunk = _LazyRemote()
+
+
+def parse_stats_batch(batch):
+    """Dataset analogue of ``_parse_stats_chunk`` for the beyond-broadcast
+    stats path: a block of distinct ``(k1=rel\\x1ftext, n)`` rows ->
+    ``(skel, rel, n_tokens, n)`` rows, unparseable keys dropped.  Each
+    distinct key sits in exactly one block after the distinct aggregation,
+    so the cluster still parses every distinct assertion exactly once."""
+    import pyarrow as pa
+
+    skels: list[str] = []
+    rels: list[str] = []
+    ntoks: list[int] = []
+    ns: list[int] = []
+    for key, n in zip(batch.column("k1").to_pylist(),
+                      batch.column("n").to_pylist()):
+        rel, text = key.split("\x1f", 1)
+        hit = cached_parse(rel, text)
+        if hit[0] is None:
+            continue
+        skels.append(hit[4])
+        rels.append(rel)
+        ntoks.append(len(hit[0]))
+        ns.append(n)
+    return pa.table({
+        "skel": pa.array(skels, pa.string()),
+        "rel": pa.array(rels, pa.string()),
+        "n_tokens": pa.array(ntoks, pa.int32()),
+        "n": pa.array(ns, pa.int64()),
+    })
