@@ -153,3 +153,31 @@ def test_cc_driver_and_distributed_paths_agree(monkeypatch):
                        "b": pa.array(["a", "b"], pa.string())})
     sdist = ccmod.connected_components(rd.from_arrow(sedges)).to_pandas()
     assert dict(zip(sdist["node"], sdist["label"])) == {"a": "a", "b": "a", "c": "a"}
+
+
+def test_distributed_stats_pass_matches_driver_path(corpus_200, monkeypatch):
+    """FOLKSCOPE_EVS_BROADCAST_MAX=0 forces the beyond-broadcast stats path:
+    distributed distinct-assertion aggregation, cluster-side parse of the
+    distinct set, skeleton-level map-combine (nothing assertion-sized on the
+    driver), and evs_ref=None (workers match via private memos).  Patterns
+    and triples must be bit-equal to the driver-merge path."""
+    from folkscope_ray.pipelines.kg import build_kg
+
+    base = build_kg(corpus_200)
+    want_p = sorted(p.key + f"#{p.support}" for p in base.patterns())
+    want_t = base.triples().to_pandas()
+
+    monkeypatch.setenv("FOLKSCOPE_EVS_BROADCAST_MAX", "0")
+    forced = build_kg(corpus_200)
+    got_p = sorted(p.key + f"#{p.support}" for p in forced.patterns())
+    assert want_p == got_p
+    assert forced._cache.get("evs_ref") is None  # overflow path really taken
+    got_t = forced.triples().to_pandas()
+
+    key = ["subj", "pred", "obj"]
+    want_t = want_t.sort_values(key).reset_index(drop=True)
+    got_t = got_t.sort_values(key).reset_index(drop=True)
+    assert len(want_t) == len(got_t)
+    assert list(want_t.columns) == list(got_t.columns)
+    for col in want_t.columns:
+        assert want_t[col].tolist() == got_t[col].tolist(), col
