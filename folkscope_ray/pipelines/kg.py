@@ -480,45 +480,68 @@ class KGPipeline:
 
         Implemented as a pure ``aggregate`` (partial+final combine — no
         map_groups): the eid is a content hash of (deps, words, pos_tags), so
-        every row of a group carries an identical payload; we pack it into one
-        JSON column, take Min (any representative), and unpack after the
-        shuffle.  Only (eid, payload, frequency) rows move."""
+        every row of a group carries an identical payload; we pack it into
+        delimiter-joined string columns (Arrow ``binary_join`` kernels — no
+        per-row serialization on the full occurrence stream), take first
+        (any representative), and unpack with ``split_pattern`` after the
+        shuffle.  Only (eid, packed payload, frequency) rows move."""
         import json
+
+        import pyarrow.compute as pc
 
         nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def pack(batch: pa.Table) -> pa.Table:
-            from ..stages.parse import iter_deps, iter_strlists
-
             eids = batch.column("eid").to_pylist()
-            payloads = [
-                json.dumps([w, p, [list(d) for d in dd], sk, pat, rel])
-                for w, p, dd, sk, pat, rel in zip(
-                    iter_strlists(batch.column("words")),
-                    iter_strlists(batch.column("ev_pos_tags")),
-                    iter_deps(batch.column("ev_deps")),
-                    batch.column("skeleton_indices").to_pylist(),
-                    batch.column("pattern").to_pylist(),
-                    batch.column("rel").to_pylist(),
-                )
-            ]
+            # deps list<struct{gov,rel,dep}> -> "g\x1fl\x1fd" triples joined
+            # on \x1e (parser-internal labels/ints: separators can't collide)
+            dl = batch.column("ev_deps").combine_chunks()
+            trip = pc.binary_join_element_wise(
+                pc.cast(dl.values.field("gov"), pa.string()),
+                dl.values.field("rel"),
+                pc.cast(dl.values.field("dep"), pa.string()), "\x1f")
+            d_p = pc.binary_join(
+                pa.ListArray.from_arrays(dl.offsets, trip), "\x1e")
+            sk_p = pc.binary_join(
+                pc.cast(batch.column("skeleton_indices"),
+                        pa.list_(pa.string())), ",")
             has_ner = "ev_ners" in batch.column_names
-            ners_json = (
-                [json.dumps(x) for x in iter_strlists(batch.column("ev_ners"))]
-                if has_ner else ["[]"] * len(eids)
-            )
-            mentions_json = (
-                [json.dumps(x) for x in batch.column("ev_mentions").to_pylist()]
-                if "ev_mentions" in batch.column_names else ["[]"] * len(eids)
-            )
+            if has_ner:
+                # byte-identical to json.dumps(list[str]) — NER tags are a
+                # closed alphanumeric set (never quotes/escapes), and the
+                # string carries through as the merged output column
+                nl = batch.column("ev_ners").combine_chunks()
+                ners_json = pc.if_else(
+                    pc.equal(pc.list_value_length(nl), 0), "[]",
+                    pc.binary_join_element_wise(
+                        '["', pc.binary_join(nl, '", "'), '"]', ""))
+            else:
+                ners_json = pa.array(["[]"] * len(eids), pa.string())
+            if "ev_mentions" in batch.column_names:
+                ml = batch.column("ev_mentions").combine_chunks()
+                mlens = pc.list_value_length(ml).to_numpy()
+                if (mlens == 0).all():  # common case: no mentions anywhere
+                    mentions_json = pa.array(["[]"] * len(eids), pa.string())
+                else:  # per-row dumps only where a mention list is non-empty
+                    rows = ml.to_pylist()
+                    mentions_json = pa.array(
+                        ["[]" if n == 0 else json.dumps(x)
+                         for n, x in zip(mlens, rows)], pa.string())
+            else:
+                mentions_json = pa.array(["[]"] * len(eids), pa.string())
             buckets = [int(e[:8], 16) % nb for e in eids]
             return pa.table(
                 {
                     "bucket": pa.array(buckets, pa.int32()),
                     "eid": batch.column("eid"),
-                    "payload": pa.array(payloads, pa.string()),
-                    "ners_json": pa.array(ners_json, pa.string()),
-                    "mentions_json": pa.array(mentions_json, pa.string()),
+                    "w_p": pc.binary_join(batch.column("words"), "\x1e"),
+                    "p_p": pc.binary_join(batch.column("ev_pos_tags"), "\x1e"),
+                    "d_p": d_p,
+                    "sk_p": sk_p,
+                    "pattern": batch.column("pattern"),
+                    "rel": batch.column("rel"),
+                    "ners_json": ners_json,
+                    "mentions_json": mentions_json,
                     "frequency": batch.column("frequency"),
                 }
             )
@@ -531,9 +554,11 @@ class KGPipeline:
                                 kind="mergesort")
             out = (
                 df.groupby("eid", sort=False)
-                .agg(payload=("payload", "first"),
+                .agg(w_p=("w_p", "first"), p_p=("p_p", "first"),
+                     d_p=("d_p", "first"), sk_p=("sk_p", "first"),
+                     pattern=("pattern", "first"), rel=("rel", "first"),
                      frequency=("frequency", "sum"),
-                     support=("payload", "size"),
+                     support=("w_p", "size"),
                      ners_json=("ners_json", "first"),
                      n_ner=("ners_json", "nunique"),
                      mentions_json=("mentions_json", "first"),
@@ -563,27 +588,54 @@ class KGPipeline:
 
         from ..stages.parse import DEP_STRUCT, MENTION_STRUCT
 
+        def split_list(col, sep: str) -> pa.ListArray:
+            """split_pattern with the empty-string row fixed to [] (split
+            alone yields [""]); only rows that ARE empty pay any Python."""
+            arr = (col.combine_chunks()
+                   if isinstance(col, pa.ChunkedArray) else col)
+            lst = pc.split_pattern(arr, sep)
+            if isinstance(lst, pa.ChunkedArray):
+                lst = lst.combine_chunks()
+            empty = pc.equal(arr, "")
+            if not pc.any(empty).as_py():
+                return lst
+            import numpy as np
+
+            off = lst.offsets.to_numpy()
+            emp = empty.to_numpy(zero_copy_only=False).astype(bool)
+            lens = np.diff(off)
+            lens[emp] = 0
+            new_off = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
+            keep = np.ones(len(lst.values), dtype=bool)
+            for i in np.nonzero(emp)[0]:
+                keep[off[i]:off[i + 1]] = False
+            return pa.ListArray.from_arrays(
+                pa.array(new_off, pa.int32()),
+                lst.values.filter(pa.array(keep)))
+
         def unpack(batch: pa.Table) -> pa.Table:
-            words, ptags, deps, skels, pats, rels = [], [], [], [], [], []
-            for p in batch.column("payload").to_pylist():
-                w, pt, dd, sk, pat, rel = json.loads(p)
-                words.append(w)
-                ptags.append(pt)
-                deps.append([{"gov": g, "rel": l, "dep": d} for g, l, d in dd])
-                skels.append(sk)
-                pats.append(pat)
-                rels.append(rel)
-            mentions = [json.loads(m) for m in
-                        batch.column("mentions_json").to_pylist()]
+            trip = split_list(batch.column("d_p"), "\x1e")
+            fields = pc.split_pattern(trip.values, "\x1f")
+            dep_struct = pa.StructArray.from_arrays(
+                [pc.cast(pc.list_element(fields, 0), pa.int32()),
+                 pc.list_element(fields, 1),
+                 pc.cast(pc.list_element(fields, 2), pa.int32())],
+                names=["gov", "rel", "dep"],
+            ) if len(trip.values) else pa.array([], DEP_STRUCT)
+            deps = pa.ListArray.from_arrays(trip.offsets, dep_struct)
+            mj = batch.column("mentions_json").to_pylist()
+            mentions = [[] if m == "[]" else json.loads(m) for m in mj]
             return pa.table(
                 {
                     "eid": batch.column("eid"),
-                    "words": pa.array(words, pa.list_(pa.string())),
-                    "ev_pos_tags": pa.array(ptags, pa.list_(pa.string())),
-                    "ev_deps": pa.array(deps, pa.list_(DEP_STRUCT)),
-                    "skeleton_indices": pa.array(skels, pa.list_(pa.int32())),
-                    "pattern": pa.array(pats, pa.string()),
-                    "rel": pa.array(rels, pa.string()),
+                    "words": split_list(batch.column("w_p"), "\x1e"),
+                    "ev_pos_tags": split_list(batch.column("p_p"), "\x1e"),
+                    "ev_deps": pc.cast(deps, pa.list_(DEP_STRUCT)),
+                    "skeleton_indices": pc.cast(
+                        split_list(batch.column("sk_p"), ","),
+                        pa.list_(pa.int32())),
+                    "pattern": batch.column("pattern"),
+                    "rel": batch.column("rel"),
                     # per-position tag or frequency-weighted tag-Counter dict
                     # (heterogeneous after a disagreeing merge -> JSON column)
                     "ners": batch.column("ners_json"),
