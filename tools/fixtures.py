@@ -53,6 +53,8 @@ FIXTURE_QUERIES = [
     "hll_distinct_users",
     "kg_pagerank",
     "kg_components",
+    "ddsketch_price_quantiles",
+    "embedding_neardup_pairs_lsh",
 ]
 
 
