@@ -75,7 +75,10 @@ def inverted_index(
     )
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        # stable cross-process bucket: md5 of the term (hash() is salted)
+        # stable cross-process bucket: pd.util.hash_array (siphash with
+        # pandas' fixed key — process-stable, unlike salted builtin hash();
+        # bucket assignment is an internal co-location detail, not part of
+        # the output contract, so pandas-version stability is not required)
         buckets = pd.util.hash_array(
             batch.column("term").to_pandas().to_numpy(dtype=object)
         ).astype("int64") % nb
@@ -161,8 +164,13 @@ def bm25_topk(
 
     parts = (docs.select_columns([text_col])
              .map_batches(stats, batch_format="pyarrow").to_pandas())
-    n_total = float(parts["__nd"].sum())
-    avgdl = float(parts["__dl"].sum()) / n_total
+    n_total = float(parts["__nd"].sum()) if len(parts) else 0.0
+    sum_dl = float(parts["__dl"].sum()) if len(parts) else 0.0
+    if n_total == 0.0 or sum_dl == 0.0:
+        # empty corpus (or all-empty texts): no doc can score
+        return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+    avgdl = sum_dl / n_total
     idf = [(n_total - float(parts[c].sum()) + 0.5)
            / (float(parts[c].sum()) + 0.5) for c in ncols]
     scale = float(10 ** quantize_digits)

@@ -274,7 +274,10 @@ class FrameSampler:
                 frame = frames[src]
                 ids.append(row["media_id"])
                 idxs.append(j)
-                tss.append(int(dur * j / self.k))
+                # timestamp of the frame actually emitted (src), not of the
+                # nominal sample slot j — keeps ts_ms and frame consistent
+                # when n_frames % k != 0 rounds src down
+                tss.append(int(src * dur / n_frames))
                 fps.append(int.from_bytes(
                     hashlib.sha256(frame.tobytes()).digest()[:8], "little"))
                 lum = (0.299 * frame[..., 0] + 0.587 * frame[..., 1]

@@ -962,6 +962,18 @@ def build_kg(source_path: str, run_dir: str | None = None) -> KGPipeline:
     return KGPipeline(source_path, run_dir)
 
 
+def shard_dir_name(src: str) -> str:
+    """Checkpoint dir for one incremental shard, keyed by a content hash of
+    the shard's source path — NOT its list position.  Inserting or
+    reordering shards must not shift other shards' checkpoint dirs
+    (positional keys would fingerprint-miss and rebuild every later shard —
+    correct but defeats the incremental point)."""
+    import hashlib
+
+    tag = hashlib.sha256(os.path.abspath(src).encode()).hexdigest()[:16]
+    return f"shard-{tag}"
+
+
 def build_kg_incremental(shard_sources: list[str], run_dir: str) -> KGPipeline:
     """Incremental / sharded KG build: new corpus increments pay ONLY their
     own generation cost; the KG products stay exactly equal to a full
@@ -985,13 +997,17 @@ def build_kg_incremental(shard_sources: list[str], run_dir: str) -> KGPipeline:
     (``test_incremental_build_matches_full``)."""
     os.makedirs(run_dir, exist_ok=True)
     scored_dirs: list[str] = []
-    for i, src in enumerate(shard_sources):
-        sub = os.path.join(run_dir, f"shard{i:05d}")
+    for src in shard_sources:
+        sub = os.path.join(run_dir, shard_dir_name(src))
         shard = build_kg(src, run_dir=sub)
         shard.scored()  # checkpoint if absent; resume-skip if fingerprint matches
         scored_dirs.append(mf.stage_dir(sub, "scored"))
-    union = KGPipeline("union://" + "|".join(shard_sources),
+    # canonical (sorted) shard order: the union's identity, fingerprint and
+    # read order must not depend on the caller's list order — downstream
+    # stages are partition-order invariant (pytest-gated), so a reordered
+    # shard list resumes every union product instead of rebuilding it
+    union = KGPipeline("union://" + "|".join(sorted(shard_sources)),
                        os.path.join(run_dir, "union"),
-                       scored_sources=tuple(scored_dirs))
+                       scored_sources=tuple(sorted(scored_dirs)))
     os.makedirs(union.run_dir, exist_ok=True)
     return union

@@ -81,8 +81,11 @@ class Critic:
                     "little") / 2**64
             bt = ib(blake2b(f"typic|{k}|{g}".encode(), digest_size=8).digest(),
                     "little") / 2**64
-            # single-spaced join: count(' ')+1 == len(split()) for these texts
-            nw = a.count(" ") + 1 if a else 0
+            # len(a.split()) with the work capped at 11 tokens: only
+            # min(nw, 10) feeds the bonus, and maxsplit bounds the per-row
+            # cost on long assertions (equivalence vs plausibility_score is
+            # pinned by an irregular-whitespace pytest)
+            nw = len(a.split(None, 10))
             plaus[i] = round(min(0.999, 0.10 + 0.85 * bp
                                  + 0.05 * min(nw, 10) / 10.0), 6)
             typic[i] = round(min(0.999, 0.05 + 0.90 * bt), 6)

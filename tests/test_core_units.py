@@ -321,6 +321,12 @@ def test_critic_inlined_scores_match_reference_functions():
             a, b = f"alpha{i}", f"beta{i}"
             rows.append({"pair_key": pair_key(a, b, r.rel), "gen_idx": g,
                          "assertion": assertion_text(r.rel, a, b, g)})
+    # irregular whitespace pins the word-count equivalence boundary: the
+    # inlined loop must agree with plausibility_score (len(split())) on
+    # leading/trailing/double spaces, tabs/newlines, empties and long texts
+    for j, a in enumerate(["", " ", "  a  b  ", "\tx\ny z ", "a " * 40,
+                           " lead", "trail ", "one", "a  b\t\tc"]):
+        rows.append({"pair_key": f"ws{j}", "gen_idx": 0, "assertion": a})
     batch = pa.Table.from_pylist(rows)
     out = Critic(threshold=0.0)(batch)
     got_p = out.column("plausibility").to_pylist()

@@ -305,16 +305,18 @@ def test_incremental_build_matches_full(corpus_200, kg_200, tmp_path):
             "plausibility", "typicality"]
     assert got[cols].equals(full[cols])
 
-    # resume: shard scored manifests untouched, union read back identical
-    m0 = {
-        i: os.path.getmtime(os.path.join(run_dir, f"shard{i:05d}",
-                                         "scored.manifest.json"))
-        for i in (0, 1)
-    }
-    inc2 = build_kg_incremental(sh, run_dir=run_dir)
+    # resume: shard scored manifests untouched, union read back identical —
+    # and the rerun REVERSES the shard list: checkpoint dirs are keyed by
+    # source-path hash (not list position) and the union identity is
+    # canonicalized, so reordering must resume everything, rebuild nothing
+    from folkscope_ray.pipelines.kg import shard_dir_name
+
+    manifests = [os.path.join(run_dir, shard_dir_name(s),
+                              "scored.manifest.json") for s in sh]
+    union_manifest = os.path.join(run_dir, "union", "triples.manifest.json")
+    m0 = [os.path.getmtime(p) for p in manifests + [union_manifest]]
+    inc2 = build_kg_incremental(list(reversed(sh)), run_dir=run_dir)
     got2 = inc2.triples().to_pandas().sort_values(
         ["subj", "pred", "obj"]).reset_index(drop=True)
     assert got2[cols].equals(full[cols])
-    for i in (0, 1):
-        assert os.path.getmtime(os.path.join(
-            run_dir, f"shard{i:05d}", "scored.manifest.json")) == m0[i]
+    assert [os.path.getmtime(p) for p in manifests + [union_manifest]] == m0

@@ -242,6 +242,17 @@ def test_multimodal_plumbing():
                                concurrency=1).to_pandas()
     assert len(frames) == 10 * 4  # every 3rd row is a video, k=4 frames each
     assert frames.groupby("media_id")["frame_idx"].count().eq(4).all()
+    # ts_ms must timestamp the frame actually emitted (source index src),
+    # not the nominal sample slot j — they disagree when n_frames % k != 0
+    from folkscope_ray.ops.multimodal import iter_video_frames
+
+    meta = media.to_pandas().set_index("media_id")
+    for _, r in frames.iterrows():
+        m = meta.loc[r["media_id"]]
+        n_frames = len(iter_video_frames(m["payload"], m["mime"],
+                                         m["width"], m["height"]))
+        src = min(n_frames - 1, n_frames * int(r["frame_idx"]) // 4)
+        assert int(r["ts_ms"]) == int(src * max(1, m["duration_ms"]) / n_frames)
 
 
 def test_multimodal_real_kernels():
@@ -589,6 +600,12 @@ def test_bm25_topk_partition_invariant_and_sane():
     # absent query terms score zero everywhere
     z = bm25_topk(rd.from_pandas(df), ["zzzz"], k=5)
     assert (z["score"] == 0.0).all()
+    # degenerate corpora: empty, and all-empty texts (avgdl would be 0) —
+    # must return an empty typed frame, not raise ZeroDivisionError
+    for degenerate in (df.head(0), pd.DataFrame(
+            {"doc_id": np.arange(4, dtype=np.int64), "text": ["", "", "", ""]})):
+        e = bm25_topk(rd.from_pandas(degenerate), ["merge"], k=5)
+        assert len(e) == 0 and list(e.columns) == ["doc_id", "score"]
 
 
 def test_component_size_distribution_planted():
