@@ -402,6 +402,18 @@ def _q_kg_eventualities(sf_dir: str):
     return ds.map_batches(flatten, batch_format="pyarrow")
 
 
+def _q_kg_parse_strings(sf_dir: str):
+    """Constituency ``parse`` column parity (reference parsed dicts carry a
+    whitespace-normalized bracketing, src/pattern/utils.py:296-297): distinct
+    (rel, parse) shapes with row counts over the fully parsed corpus.
+    Map-side combine — the shuffle moves the bracketing VOCABULARY (closed
+    template grammar), never the row stream."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    parsed = _kg_for(sf_dir).parsed().select_columns(["rel", "parse"])
+    return map_combine_aggregate(parsed, ["rel", "parse"], count_alias="n")
+
+
 def _q_kg_concept_agg(sf_dir: str):
     return _kg_for(sf_dir).concept_agg()
 
@@ -1488,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_pairs_lsh": _q_embedding_neardup_pairs_lsh,
         "stream_dedup_docs": _q_stream_dedup_docs,
         "kg_incremental_triples": _q_kg_incremental_triples,
+        "kg_parse_strings": _q_kg_parse_strings,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -2101,6 +2114,7 @@ def oracle_sql() -> dict[str, str]:
                 "kg_components",
                 "ddsketch_price_quantiles",
                 "embedding_neardup_pairs_lsh",
+                "kg_parse_strings",
             )
         },
     }

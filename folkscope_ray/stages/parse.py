@@ -10,7 +10,9 @@ object phrase is tagged from the lexicon.  Dependency triples use the same
 
 Output contract (FIXTURES.md §5 ``parsed``):
     sid, tokens:list<str>, lemmas:list<str>, pos_tags:list<str>,
-    deps:list<struct<gov:int32, rel:string, dep:int32>> + lineage columns.
+    deps:list<struct<gov:int32, rel:string, dep:int32>>,
+    parse:string (constituency bracketing, utils.py:296-297 parity)
+    + lineage columns.
 
 ``sid`` format "{a}-{rel}-{b}|{row}" follows generation_parser.py:137.
 """
@@ -167,7 +169,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
     texts = batch.column("assertion").to_pylist()
     surfs_a = batch.column("surf_a").to_pylist()
     surfs_b = batch.column("surf_b").to_pylist()
-    keep, sids, skels = [], [], []
+    keep, sids, skels, cparses = [], [], [], []
     tok_off, tok_flat = [0], []
     lem_flat, pos_flat, ner_flat = [], [], []
     dep_off, dep_gov, dep_lab, dep_dep = [0], [], [], []
@@ -180,6 +182,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         keep.append(i)
         sids.append(f"{surfs_a[i]}-{rel}-{surfs_b[i]}|{i}")
         skels.append(skel)
+        cparses.append(cached_constituency(rel, text, t, p))
         tok_flat.extend(t)
         lem_flat.extend(l)
         pos_flat.extend(p)
@@ -213,13 +216,96 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         "mentions",
         pa.ListArray.from_arrays(pa.array(men_off, pa.int32()), mention_struct),
     )
+    # constituency bracketing string (reference parsed-dict parity,
+    # utils.py:296-297); mining never consumes it, matching drops it
+    out = out.append_column("parse", pa.array(cparses, pa.string()))
     # canonical skeleton-pattern key (mining consumes this column with a
     # vectorized value_counts instead of a second Python pass)
     out = out.append_column("skeleton_key", pa.array(skels, pa.string()))
     return out
 
 
+_NP_TAGS = {"DT", "PRP$", "JJ", "NN", "NNS", "NNP", "NNPS", "CD", "PRP"}
+_NOM_TAGS = {"NN", "NNS", "NNP", "NNPS", "PRP", "CD"}
+
+
+def _is_verb(tag: str) -> bool:
+    return tag.startswith("VB") or tag == "MD"
+
+
+def constituency_parse(tokens: list[str], pos: list[str]) -> str:
+    """Deterministic constituency bracketing from the template grammar.
+
+    The reference carries CoreNLP's whitespace-normalized ``parse`` string in
+    every parsed dict (src/pattern/utils.py:296-297: ``re.sub(r"\\s+", " ",
+    sent["parse"])``); its mining/matching never consumes it (deps only), so
+    this is format parity: a shallow right-branching bracketing derived
+    purely from the POS sequence — NP chunks over determiner/adjective/
+    nominal runs (ADJP when the run has no nominal head), PP = IN/TO + NP,
+    nested VPs for auxiliary chains, everything under (ROOT (S ...)).
+    Pure function of (tokens, pos) — bit-identical at any parallelism."""
+    n = len(tokens)
+    if n == 0:
+        return "(ROOT)"
+    chunks: list[tuple[str, str]] = []  # (label, bracket string)
+    i = 0
+    while i < n:
+        if pos[i] in _NP_TAGS:
+            j = i
+            while j + 1 < n and pos[j + 1] in _NP_TAGS:
+                j += 1
+            body = " ".join(f"({pos[x]} {tokens[x]})" for x in range(i, j + 1))
+            lab = ("NP" if any(pos[x] in _NOM_TAGS for x in range(i, j + 1))
+                   else "ADJP")
+            chunks.append((lab, f"({lab} {body})"))
+            i = j + 1
+        else:
+            chunks.append((pos[i], f"({pos[i]} {tokens[i]})"))
+            i += 1
+    merged: list[tuple[str, str]] = []
+    i = 0
+    while i < len(chunks):
+        lab, s = chunks[i]
+        if lab in ("IN", "TO") and i + 1 < len(chunks) and chunks[i + 1][0] == "NP":
+            merged.append(("PP", f"(PP {s} {chunks[i + 1][1]})"))
+            i += 2
+        else:
+            merged.append((lab, s))
+            i += 1
+    chunks = merged
+
+    def vp(k: int) -> str:  # chunks[k] is a verb leaf; right-branching body
+        parts = [chunks[k][1]]
+        m = k + 1
+        while m < len(chunks) and not _is_verb(chunks[m][0]):
+            parts.append(chunks[m][1])
+            m += 1
+        if m < len(chunks):
+            parts.append(vp(m))
+        return "(VP " + " ".join(parts) + ")"
+
+    vi = next((k for k, (lab, _) in enumerate(chunks) if _is_verb(lab)), None)
+    if vi is None:
+        return "(ROOT (S " + " ".join(s for _, s in chunks) + "))"
+    pre = " ".join(s for _, s in chunks[:vi])
+    body = (pre + " " if pre else "") + vp(vi)
+    return f"(ROOT (S {body}))"
+
+
 _PARSE_CACHE: dict = {}
+_CPARSE_CACHE: dict = {}
+
+
+def cached_constituency(rel: str, text: str, tokens, pos) -> str:
+    """Memoized bracketing per distinct (rel, assertion) — same discipline
+    as ``cached_parse`` (distinct texts repeat heavily)."""
+    ck = (rel, text)
+    hit = _CPARSE_CACHE.get(ck)
+    if hit is None:
+        hit = constituency_parse(tokens, pos)
+        if len(_CPARSE_CACHE) < 1_000_000:
+            _CPARSE_CACHE[ck] = hit
+    return hit
 
 
 def cached_parse(rel: str, text: str):

@@ -362,3 +362,41 @@ def test_generator_inlined_texts_match_reference_function():
         out.column("surf_b").to_pylist(), out.column("gen_idx").to_pylist())]
     assert got == want
     assert len(got) == len(rows) * 3
+
+
+def test_constituency_parse_bracketing():
+    """The parsed-dict `parse` string (reference utils.py:296-297 parity):
+    balanced brackets, leaves reproduce the token stream in order, single
+    normalized whitespace, deterministic, and phrase labels follow the
+    documented shallow grammar (NP/ADJP/PP/VP under ROOT/S)."""
+    import re
+
+    from folkscope_ray.lexicon import assertion_text
+    from folkscope_ray.relations import RELATIONS
+    from folkscope_ray.stages.parse import constituency_parse, parse_assertion
+
+    seen_labels = set()
+    n_checked = 0
+    for r in RELATIONS:
+        if not r.tokens:
+            continue
+        for g in range(3):
+            text = assertion_text(r.rel, "alpha widget", "beta gizmo", g)
+            hit = parse_assertion(r.rel, text)
+            if hit is None:
+                continue
+            toks, _lems, pos, _deps = hit
+            s = constituency_parse(toks, pos)
+            assert s == constituency_parse(toks, pos)          # deterministic
+            assert s.count("(") == s.count(")")                # balanced
+            assert "  " not in s and s.startswith("(ROOT (S ")
+            leaves = re.findall(r"\(([A-Z$:.,]+) ([^()]+)\)", s)
+            assert [w for _t, w in leaves] == toks             # token order
+            assert [t for t, _w in leaves] == pos              # tag parity
+            seen_labels.update(re.findall(r"\((NP|ADJP|PP|VP)[ (]", s))
+            n_checked += 1
+    assert n_checked >= 20
+    assert {"NP", "VP"} <= seen_labels                          # grammar used
+    # degenerate inputs
+    assert constituency_parse([], []) == "(ROOT)"
+    assert constituency_parse(["good"], ["JJ"]) == "(ROOT (S (ADJP (JJ good))))"

@@ -320,3 +320,53 @@ def test_incremental_build_matches_full(corpus_200, kg_200, tmp_path):
         ["subj", "pred", "obj"]).reset_index(drop=True)
     assert got2[cols].equals(full[cols])
     assert [os.path.getmtime(p) for p in manifests + [union_manifest]] == m0
+
+
+def test_generator_stage_accepts_production_actor_signature(corpus_200):
+    """T1 real-LM seam contract (BASELINE.md: OPT-30B actor, weights loaded
+    once per actor in __init__, fixed internal inference batches): the
+    generator stage must accept a GPU-shaped actor class — constructor
+    kwargs (model path / device / n_gens), actor-pool ``concurrency``,
+    per-actor resource knobs — with NO other pipeline change, and produce
+    byte-identical output to the stateless MockGenerator task path."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from folkscope_ray.stages.generate import GEN_BATCH_SIZE, MockGenerator
+    from folkscope_ray.stages.ingest import ingest_batch, pairs_batch
+    from folkscope_ray.stages.prompts import expand_prompts
+
+    class RealGeneratorStub:
+        """Production actor signature: heavyweight __init__ (model load),
+        __call__ slicing into fixed inference batches — delegates to the
+        deterministic template LM so outputs stay comparable."""
+
+        def __init__(self, model_path: str, device: str, n_gens: int = 3,
+                     max_memory_gb: int = 32):
+            assert model_path and device and max_memory_gb > 0
+            self._inner = MockGenerator(n_gens=n_gens)  # "weights" load once
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            return self._inner(batch)
+
+    prompts = (rd.read_parquet(corpus_200, override_num_blocks=8)
+               .map_batches(ingest_batch, batch_format="pyarrow")
+               .map_batches(pairs_batch, batch_format="pyarrow")
+               .map_batches(expand_prompts, batch_format="pyarrow"))
+    task_path = prompts.map_batches(MockGenerator(), batch_format="pyarrow",
+                                    batch_size=None).to_pandas()
+    actor_path = prompts.map_batches(
+        RealGeneratorStub,
+        batch_format="pyarrow",
+        batch_size=None,                 # fixed batching is INTERNAL
+        concurrency=2,                   # actor pool, as a GPU deploy would
+        num_cpus=1,                      # num_gpus=1 in a real deployment
+        fn_constructor_kwargs={"model_path": "facebook/opt-30b",
+                               "device": "cpu", "n_gens": 3},
+    ).to_pandas()
+    cols = sorted(task_path.columns)
+    assert sorted(actor_path.columns) == cols
+    a = task_path[cols].sort_values(cols).reset_index(drop=True)
+    b = actor_path[cols].sort_values(cols).reset_index(drop=True)
+    assert a.equals(b)
+    assert len(a) > 0 and GEN_BATCH_SIZE > 0

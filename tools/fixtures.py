@@ -55,6 +55,7 @@ FIXTURE_QUERIES = [
     "kg_components",
     "ddsketch_price_quantiles",
     "embedding_neardup_pairs_lsh",
+    "kg_parse_strings",
 ]
 
 
