@@ -1230,8 +1230,12 @@ def _q_bloom_semi_join_lineitem(sf_dir: str):
     from folkscope_ray.ops.bloom import bloom_semi_join
     from folkscope_ray.ops.relational import map_combine_aggregate
 
-    hot = _rp(sf_dir, "orders").filter(
-        lambda r: r["o_totalprice"] > 449_000.0)
+    hot = (_rp(sf_dir, "orders")
+           .select_columns(["o_orderkey", "o_totalprice"])
+           .map_batches(
+               lambda b: b.filter(pc.greater(b.column("o_totalprice"),
+                                             449_000.0)),
+               batch_format="pyarrow"))
     survivors = bloom_semi_join(
         _rp(sf_dir, "lineitem").select_columns(
             ["l_orderkey", "l_returnflag", "l_extendedprice"]),

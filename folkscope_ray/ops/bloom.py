@@ -68,34 +68,54 @@ def build_bloom(keys_ds: Dataset, on: str, m_bits: int = 1 << 23,
 def bloom_semi_join(large: Dataset, keys_ds: Dataset, on: str,
                     right_key: str | None = None, m_bits: int = 1 << 23,
                     k: int = 3, n_partitions: int | None = None) -> Dataset:
-    """Exact semi-join of ``large`` against ``keys_ds``: Bloom prefilter
-    (broadcast bitmap, vectorized membership) then a native hash-partitioned
-    ``left_semi`` join of the survivors to remove false positives."""
+    """Exact semi-join of ``large`` against ``keys_ds``.
+
+    Two data-tied plans (same gate discipline as the canon/neardup
+    broadcasts):
+
+    - right side ≤ ``FOLKSCOPE_SEMI_BROADCAST_MAX`` keys (default 2M): the
+      exact key set broadcasts once (``ray.put``) and the large side runs a
+      single vectorized ``is_in`` scan — no Bloom, no shuffle, no join
+      actors (their fixed spin-up dominates small/medium inputs).
+    - beyond the gate: Bloom prefilter (broadcast fixed-size bitmap,
+      vectorized membership) then a native hash-partitioned ``left_semi``
+      join of the SURVIVORS removes false positives — the shuffle moves the
+      prefiltered stream, never the full input, and nothing key-count-sized
+      touches the driver."""
+    import os as _os
+
     right_key = right_key or on
     rk = keys_ds.select_columns([right_key])
     if right_key != on:
         rk = rk.map_batches(lambda b: b.rename_columns([on]),
                             batch_format="pyarrow")
+    gate = int(_os.environ.get("FOLKSCOPE_SEMI_BROADCAST_MAX", 2_000_000))
+    if rk.count() <= gate:
+        vals = pc.unique(pa.Table.from_pandas(rk.to_pandas()).column(on))
+        vref = ray.put(vals)
+
+        def exact_only(b: pa.Table) -> pa.Table:
+            return b.filter(pc.is_in(b.column(on), value_set=ray.get(vref)))
+
+        return large.map_batches(exact_only, batch_format="pyarrow")
     bits = build_bloom(rk, on, m_bits=m_bits, k=k)
     bits_ref = ray.put(bits)
 
-    class _Prefilter:
-        def __init__(self):
-            self.bits = ray.get(bits_ref)
+    def prefilter(b: pa.Table) -> pa.Table:
+        # stateless task; the bitmap ref resolves zero-copy from the local
+        # object store per batch (numpy view over plasma, no actor pool)
+        bits_v = ray.get(bits_ref)
+        keys = b.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
+        if not len(keys):
+            return b
+        pos = _positions(keys, m_bits, k)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(k):
+            byte = bits_v[(pos[i] // 8).astype(np.int64)]
+            hit &= (byte >> (pos[i] % 8).astype(np.uint8) & 1).astype(bool)
+        return b.filter(pa.array(hit))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            keys = b.column(on).to_numpy(zero_copy_only=False).astype(np.int64)
-            if not len(keys):
-                return b
-            pos = _positions(keys, m_bits, k)
-            hit = np.ones(len(keys), dtype=bool)
-            for i in range(k):
-                byte = self.bits[(pos[i] // 8).astype(np.int64)]
-                hit &= (byte >> (pos[i] % 8).astype(np.uint8) & 1).astype(bool)
-            return b.filter(pa.array(hit))
-
-    survivors = large.map_batches(_Prefilter, batch_format="pyarrow",
-                                  concurrency=(1, 8))
+    survivors = large.map_batches(prefilter, batch_format="pyarrow")
     if n_partitions is None:
         try:
             n_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)) // 4)

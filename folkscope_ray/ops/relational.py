@@ -73,25 +73,37 @@ def _restore_dtypes(df: pd.DataFrame, dtmap: dict[str, np.dtype]) -> pd.DataFram
     return df
 
 
+_BCAST_CACHE: dict = {}
+
+
 def broadcast_join(large: Dataset, small_df: pd.DataFrame | pa.Table,
                    on: str | list[str], how: str = "inner") -> Dataset:
     """Join a big Dataset against a small table without a shuffle.
 
     The small side is ``ray.put`` once and each batch runs a zero-copy
-    ``pyarrow.Table.join`` against it (no pandas conversion on the big side)."""
+    ``pyarrow.Table.join`` against it (no pandas conversion on the big side).
+
+    Stateless TASKS, not an actor pool: the only per-worker state is one
+    ``ray.get`` of the broadcast ref, resolved once per worker process via a
+    module cache (the ``stages/match.py`` pattern).  An actor pool here pays
+    pool spin-up and caps parallelism for zero benefit — measured 3.5 s
+    (actor, concurrency≤8) vs 1.6 s (tasks) on the sf0.1 orders join at
+    32 cpus; actors remain right only for stages with genuinely expensive
+    ``__init__`` state (model weights, taxonomy indexes)."""
     small = (small_df if isinstance(small_df, pa.Table)
              else pa.Table.from_pandas(small_df, preserve_index=False))
     ref = ray.put(small)
     join_type = _ARROW_JOIN_HOW.get(how, how)
 
-    class _Join:
-        def __init__(self):
-            self.small = ray.get(ref)
+    def join_batch(batch: pa.Table) -> pa.Table:
+        key = ref.hex()
+        small_t = _BCAST_CACHE.get(key)
+        if small_t is None:
+            small_t = ray.get(ref)
+            _BCAST_CACHE[key] = small_t
+        return batch.join(small_t, keys=on, join_type=join_type)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            return batch.join(self.small, keys=on, join_type=join_type)
-
-    return large.map_batches(_Join, batch_format="pyarrow", concurrency=(1, 8))
+    return large.map_batches(join_batch, batch_format="pyarrow")
 
 
 def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = None,
@@ -328,7 +340,8 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
                           sums: dict[str, str] | None = None,
                           count_alias: str = "n",
                           mins: dict[str, str] | None = None,
-                          maxs: dict[str, str] | None = None) -> Dataset:
+                          maxs: dict[str, str] | None = None,
+                          final: str = "auto") -> Dataset:
     """Sum/count groupby with MAP-SIDE COMBINE: each block first collapses to
     one partial row per in-block key group (zero-copy Arrow ``group_by`` —
     C++ hash aggregation), so the all-to-all shuffle moves O(blocks × groups)
@@ -340,7 +353,27 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
     ``sums`` / ``mins`` / ``maxs`` map source column → output alias (sum of
     partial sums, min of partial mins, max of partial maxes — all three
     commute, which is what makes two-phase exact); count of input rows lands
-    in ``count_alias``.  Means are sums/count in the caller."""
+    in ``count_alias``.  Means are sums/count in the caller.
+
+    ``final`` picks how the partials combine:
+
+    - ``"narrow"``: two-level tree reduce — coalesce partials into ≤32
+      tasks, combine, then one final combine task.  No all-to-all and no
+      Ray ``Aggregate`` operator (whose fixed sort/actor machinery costs
+      seconds even on tiny Arrow partials: measured 3.6-8 s vs 0.3-0.7 s
+      narrow at 32 cpus).  Correct whenever one task can hold the distinct
+      keys — bounded domains like event types, languages, return flags,
+      calendar days; the fanout-32 middle level bounds the root task's
+      input at 32 × k rows even with millions of input blocks.
+    - ``"shuffle"``: hash-partitioned groupby of the partials — the only
+      correct choice when the DISTINCT-KEY set itself is cluster-sized
+      (per-document ids, n-gram vocabularies).
+    - ``"auto"`` (default): materialize the partials (the aggregate is a
+      barrier either way, so no pipelining is lost), count them, and pick:
+      ≤ ``FOLKSCOPE_NARROW_FINAL_MAX`` (default 2M) partial rows → narrow,
+      else shuffle.  Data-tied like the broadcast gates: small/medium key
+      spaces never pay the shuffle fixed cost, vocabulary-sized key spaces
+      never overload the root task."""
     from ray.data.aggregate import Max as _Max
     from ray.data.aggregate import Min as _Min
     from ray.data.aggregate import Sum as _Sum
@@ -361,12 +394,41 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
         # of the pyarrow API contract
         return g.rename_columns([ren.get(n, n) for n in g.column_names])
 
+    partials = (ds.select_columns(keys + src_cols)
+                .map_batches(partial, batch_format="pyarrow"))
+
+    if final == "auto":
+        import os as _os
+
+        gate = int(_os.environ.get("FOLKSCOPE_NARROW_FINAL_MAX", 2_000_000))
+        partials = partials.materialize()
+        final = "narrow" if partials.count() <= gate else "shuffle"
+
+    if final == "narrow":
+        def combine(last: bool):
+            ren2 = {f"{a}_{f}": a for _c, f, a in specs}
+            ren2["__pn_sum"] = count_alias if last else "__pn"
+
+            def fn(b: pa.Table) -> pa.Table:
+                g = b.group_by(keys).aggregate(
+                    [(a, f) for _c, f, a in specs] + [("__pn", "sum")])
+                return g.rename_columns(
+                    [ren2.get(n, n) for n in g.column_names])
+            return fn
+
+        return (partials
+                .repartition(32)
+                .map_batches(combine(False), batch_format="pyarrow",
+                             batch_size=None)
+                .repartition(1)
+                .map_batches(combine(True), batch_format="pyarrow",
+                             batch_size=None))
+
     final_aggs = ([_Sum(a, alias_name=a) for _c, f, a in specs if f == "sum"]
                   + [_Min(a, alias_name=a) for _c, f, a in specs if f == "min"]
                   + [_Max(a, alias_name=a) for _c, f, a in specs if f == "max"])
     return (
-        ds.select_columns(keys + src_cols)
-        .map_batches(partial, batch_format="pyarrow")
+        partials
         .groupby(keys if len(keys) > 1 else keys[0])
         .aggregate(*final_aggs, _Sum("__pn", alias_name=count_alias))
     )

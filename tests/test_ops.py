@@ -395,6 +395,45 @@ def test_map_combine_aggregate_matches_plain_groupby():
     assert np.allclose(got1["wmin"], ref["min"]) and np.allclose(got1["wmax"], ref["max"])
 
 
+def test_map_combine_aggregate_final_modes_equivalent(monkeypatch):
+    """The three final-combine plans (narrow tree reduce, hash shuffle,
+    auto's forced-shuffle branch via gate=0) must agree exactly — same
+    values, same dtypes — on an integer workload."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "k1": rng.randint(0, 37, 20000),
+        "k2": rng.choice(list("ab"), 20000),
+        "v": rng.randint(-100, 100, 20000).astype("int64"),
+        "w": rng.randint(0, 10_000, 20000).astype("int64"),
+    })
+    ds = rd.from_pandas(df).repartition(11)
+    kw = dict(keys=["k1", "k2"], sums={"v": "sv"}, mins={"w": "mw"},
+              maxs={"w": "xw"}, count_alias="n")
+    outs = []
+    for mode in ("narrow", "shuffle", "auto", "auto_gate0"):
+        if mode == "auto_gate0":
+            monkeypatch.setenv("FOLKSCOPE_NARROW_FINAL_MAX", "0")
+            mode = "auto"
+        res = map_combine_aggregate(ds, final=mode, **kw).to_pandas()
+        cols = sorted(res.columns)
+        outs.append(res[cols].sort_values(cols).reset_index(drop=True))
+    monkeypatch.delenv("FOLKSCOPE_NARROW_FINAL_MAX", raising=False)
+    for other in outs[1:]:
+        pd.testing.assert_frame_equal(outs[0], other)
+    want = (df.groupby(["k1", "k2"], as_index=False)
+            .agg(sv=("v", "sum"), mw=("w", "min"), xw=("w", "max"),
+                 n=("v", "size")))
+    want["n"] = want["n"].astype("int64")
+    cols = sorted(want.columns)
+    pd.testing.assert_frame_equal(
+        outs[0], want[cols].sort_values(cols).reset_index(drop=True),
+        check_like=True)
+
+
 # --------------------------------------------------------- split / sample
 
 

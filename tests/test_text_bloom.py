@@ -45,22 +45,27 @@ def test_bloom_no_false_negatives():
         assert ((byte >> (pos[i] % 8).astype(np.uint8)) & 1).all()
 
 
-def test_bloom_semi_join_exact():
+def test_bloom_semi_join_exact(monkeypatch):
+    """Both data-tied plans — broadcast exact set (right under the gate) and
+    Bloom-prefilter + partitioned left_semi (gate forced to 0) — must produce
+    the identical exact semi-join."""
     rng = np.random.RandomState(3)
     large = pd.DataFrame({"k": rng.randint(0, 1000, 5000).astype(np.int64),
                           "v": np.arange(5000, dtype=np.int64)})
     member = pd.DataFrame({"rk": np.arange(0, 1000, 13, dtype=np.int64)})
-    out = bloom_semi_join(
-        rd.from_pandas(large, override_num_blocks=6),
-        rd.from_pandas(member, override_num_blocks=2),
-        on="k", right_key="rk",
-        m_bits=1 << 12, k=2,  # deliberately small bitmap: force false
-                              # positives so the exact verify pass matters
-    ).to_pandas().sort_values("v").reset_index(drop=True)
     exp = (large[large["k"].isin(set(member["rk"]))]
            .sort_values("v").reset_index(drop=True))
-    assert (out["v"].to_numpy() == exp["v"].to_numpy()).all()
-    assert (out["k"].to_numpy() == exp["k"].to_numpy()).all()
+    for gate in ("2000000", "0"):
+        monkeypatch.setenv("FOLKSCOPE_SEMI_BROADCAST_MAX", gate)
+        out = bloom_semi_join(
+            rd.from_pandas(large, override_num_blocks=6),
+            rd.from_pandas(member, override_num_blocks=2),
+            on="k", right_key="rk",
+            m_bits=1 << 12, k=2,  # deliberately small bitmap: force false
+                                  # positives so the exact verify pass matters
+        ).to_pandas().sort_values("v").reset_index(drop=True)
+        assert (out["v"].to_numpy() == exp["v"].to_numpy()).all(), gate
+        assert (out["k"].to_numpy() == exp["k"].to_numpy()).all(), gate
 
 
 def test_bloom_prefilter_reduces_stream():
