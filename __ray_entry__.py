@@ -1224,6 +1224,32 @@ def _q_decontam_docs(sf_dir: str):
     return ngram_contamination(docs, bench, n=8, threshold=0.5)
 
 
+def _q_pii_scrub_docs(sf_dir: str):
+    """PII detection + redaction (C4/Dolma hygiene pass): the corpus text is
+    augmented with deterministic doc_id-derived PII spans (email, IPv4,
+    phone), then scrubbed in ONE stateless RE2 map_batches scan — per-doc
+    span counts + the redacted text.  DuckDB (also RE2) reproduces the
+    sequential count/replace bit-for-bit."""
+    from folkscope_ray.ops.pii import pii_scrub
+
+    def add_pii(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id")
+        ids = did.to_numpy(zero_copy_only=False)
+        s = pc.cast(did, pa.string())
+        ip3 = pa.array(((ids // 256) % 256).astype(str), pa.string())
+        ip4 = pa.array((ids % 256).astype(str), pa.string())
+        ph1 = pc.utf8_lpad(pa.array((ids % 1000).astype(str)), 3, "0")
+        ph2 = pc.utf8_lpad(pa.array((ids % 10000).astype(str)), 4, "0")
+        t = pc.binary_join_element_wise(
+            b.column("text"), " contact user", s, "@example.com from 10.0.",
+            ip3, ".", ip4, " tel 555-", ph1, "-", ph2, "")
+        return pa.table({"doc_id": did, "text": t})
+
+    aug = (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+           .map_batches(add_pii, batch_format="pyarrow"))
+    return pii_scrub(aug, text_col="text")
+
+
 def _q_bloom_semi_join_lineitem(sf_dir: str):
     """Lineitems of high-value orders via Bloom-prefiltered exact semi-join,
     then a map-side-combined aggregate per returnflag."""
@@ -1505,6 +1531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_dedup_docs": _q_stream_dedup_docs,
         "kg_incremental_triples": _q_kg_incremental_triples,
         "kg_parse_strings": _q_kg_parse_strings,
+        "pii_scrub_docs": _q_pii_scrub_docs,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -1944,6 +1971,43 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM e JOIN f USING (user_id)
             GROUP BY e.event_type
+        """,
+        "pii_scrub_docs": """
+            WITH aug AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR
+                          || '@example.com from 10.0.'
+                          || ((doc_id // 256) % 256)::VARCHAR || '.'
+                          || (doc_id % 256)::VARCHAR
+                          || ' tel 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+                          || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t
+              FROM documents
+            ), s1 AS (
+              SELECT doc_id, t,
+                     len(regexp_extract_all(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                     regexp_replace(t,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g') AS t1
+              FROM aug
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                     len(regexp_extract_all(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ipv4,
+                     regexp_replace(t1,
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   len(regexp_extract_all(t2,
+                       '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b'))::BIGINT AS n_phone,
+                   (n_email + n_ipv4
+                    + len(regexp_extract_all(t2,
+                          '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')))::BIGINT AS n_pii,
+                   regexp_replace(t2, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b',
+                                  '<PHONE>', 'g') AS redacted
+            FROM s2
         """,
         "decontam_docs": """
             WITH tok AS (

@@ -383,6 +383,10 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
              + [(c, "min", a) for c, a in mins.items()]
              + [(c, "max", a) for c, a in maxs.items()])
     src_cols = sorted({c for c, _f, _a in specs})
+    # a count_alias colliding with a named aggregate means the caller wants
+    # only the named column — suppress the row count instead of emitting a
+    # duplicate field (both final plans honor this identically)
+    emit_count = count_alias not in {a for _c, _f, a in specs}
 
     ren = {f"{c}_{f}": a for c, f, a in specs}
     ren["count_all"] = "__pn"
@@ -407,13 +411,17 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
     if final == "narrow":
         def combine(last: bool):
             ren2 = {f"{a}_{f}": a for _c, f, a in specs}
-            ren2["__pn_sum"] = count_alias if last else "__pn"
+            ren2["__pn_sum"] = (
+                (count_alias if emit_count else "__pn") if last else "__pn")
 
             def fn(b: pa.Table) -> pa.Table:
                 g = b.group_by(keys).aggregate(
                     [(a, f) for _c, f, a in specs] + [("__pn", "sum")])
-                return g.rename_columns(
+                g = g.rename_columns(
                     [ren2.get(n, n) for n in g.column_names])
+                if last and not emit_count:
+                    g = g.drop_columns(["__pn"])
+                return g
             return fn
 
         return (partials
@@ -427,10 +435,12 @@ def map_combine_aggregate(ds: Dataset, keys: list[str],
     final_aggs = ([_Sum(a, alias_name=a) for _c, f, a in specs if f == "sum"]
                   + [_Min(a, alias_name=a) for _c, f, a in specs if f == "min"]
                   + [_Max(a, alias_name=a) for _c, f, a in specs if f == "max"])
+    if emit_count:
+        final_aggs.append(_Sum("__pn", alias_name=count_alias))
     return (
         partials
         .groupby(keys if len(keys) > 1 else keys[0])
-        .aggregate(*final_aggs, _Sum("__pn", alias_name=count_alias))
+        .aggregate(*final_aggs)
     )
 
 

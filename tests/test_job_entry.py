@@ -88,10 +88,14 @@ def test_job_entry_incremental_shards(tmp_path):
     s1 = run(out)
     mono = _run_job(src, str(tmp_path / "out_mono"), str(tmp_path / "run_mono"))
     assert s1["counts"]["triples"] == mono["counts"]["triples"]
+    # shard checkpoint dirs are keyed by a content hash of the shard source
+    # (order/insert-stable), not list position — discover them
+    from folkscope_ray.pipelines.kg import shard_dir_name
+
     shard_manifests = {
         p: os.path.getmtime(p) for p in
-        (os.path.join(run_dir, f"shard{i:05d}", "scored.manifest.json")
-         for i in (0, 1))
+        (os.path.join(run_dir, shard_dir_name(s), "scored.manifest.json")
+         for s in sh)
     }
     assert all(os.path.exists(p) for p in shard_manifests)
     s2 = run(str(tmp_path / "out2"))

@@ -434,6 +434,26 @@ def test_map_combine_aggregate_final_modes_equivalent(monkeypatch):
         check_like=True)
 
 
+def test_map_combine_aggregate_count_alias_collision():
+    """count_alias colliding with a named sum alias (the _stats_pass shape:
+    sums={'n': 'n'}, count_alias='n') must yield ONE column holding the SUM
+    in every final plan — not a duplicate field or the row count."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    df = pd.DataFrame({"k": ["a", "a", "b", "b", "b"],
+                       "n": np.array([1, 2, 3, 4, 5], dtype="int64")})
+    want = {"a": 3, "b": 12}
+    for mode in ("narrow", "shuffle"):
+        out = map_combine_aggregate(
+            rd.from_pandas(df).repartition(3), keys=["k"],
+            sums={"n": "n"}, count_alias="n", final=mode).to_pandas()
+        assert sorted(out.columns) == ["k", "n"], (mode, out.columns)
+        got = dict(zip(out["k"], out["n"]))
+        assert got == want, (mode, got)
+
+
 # --------------------------------------------------------- split / sample
 
 
