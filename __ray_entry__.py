@@ -1224,6 +1224,17 @@ def _q_decontam_docs(sf_dir: str):
     return ngram_contamination(docs, bench, n=8, threshold=0.5)
 
 
+def _q_chunk_dedup_docs(sf_dir: str):
+    """Sub-document exact dedup (chunked ExactSubstr, Lee et al. 2022):
+    3-token chunks, first global occurrence wins, docs reassembled from
+    surviving chunks.  Map-side-combined MIN over a composite
+    (doc_id<<20|chunk_idx) key — the shuffle moves distinct chunks per
+    block, not occurrences."""
+    from folkscope_ray.ops.dedup import chunk_dedup
+
+    return chunk_dedup(_rp(sf_dir, "documents"), chunk_tokens=3)
+
+
 def _q_pii_scrub_docs(sf_dir: str):
     """PII detection + redaction (C4/Dolma hygiene pass): the corpus text is
     augmented with deterministic doc_id-derived PII spans (email, IPv4,
@@ -1532,6 +1543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_incremental_triples": _q_kg_incremental_triples,
         "kg_parse_strings": _q_kg_parse_strings,
         "pii_scrub_docs": _q_pii_scrub_docs,
+        "chunk_dedup_docs": _q_chunk_dedup_docs,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -1971,6 +1983,27 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM e JOIN f USING (user_id)
             GROUP BY e.event_type
+        """,
+        "chunk_dedup_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            ), ch AS (
+              SELECT doc_id, ((i - 1) // 3)::BIGINT AS chunk_idx,
+                     array_to_string(ts[i:i+2], ' ') AS chunk
+              FROM tok, UNNEST(generate_series(1, len(ts), 3)) AS t(i)
+            ), win AS (
+              SELECT chunk,
+                     min(doc_id * 1048576 + chunk_idx)::BIGINT AS ck
+              FROM ch GROUP BY chunk
+            ), keepers AS (
+              SELECT (ck // 1048576)::BIGINT AS doc_id,
+                     (ck % 1048576)::BIGINT AS chunk_idx, chunk
+              FROM win
+            )
+            SELECT doc_id, count(*)::BIGINT AS n_kept,
+                   string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
+            FROM keepers GROUP BY doc_id
         """,
         "pii_scrub_docs": """
             WITH aug AS (

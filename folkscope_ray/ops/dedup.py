@@ -307,3 +307,78 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     ga, gb = grams(ta), grams(tb)
     inter = len(ga & gb)
     return inter / (len(ga) + len(gb) - inter) if inter else 0.0
+
+
+# ------------------------------------------------------- chunk-level exact
+
+CHUNK_IDX_BITS = 20  # composite key (doc_id << 20 | chunk_idx): ≤1M chunks/doc
+
+
+def chunk_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
+                chunk_tokens: int = 20) -> Dataset:
+    """Sub-document exact dedup: the chunked variant of ExactSubstr (Lee et
+    al. 2022, "Deduplicating Training Data Makes Language Models Better") —
+    repeated passages are removed EVERYWHERE except their first occurrence,
+    not just whole-document duplicates.
+
+    Semantics: tokenize ``[a-z0-9]+`` on the lowercased text, split into
+    consecutive non-overlapping ``chunk_tokens``-token chunks (tail kept),
+    keep each distinct chunk only at its globally first occurrence (min
+    (doc_id, chunk_idx)), reassemble each doc from its surviving chunks in
+    order.  A fully-duplicated document drops out entirely (zero surviving
+    chunks) — that IS the dedup semantic.
+
+    Execution shape (100-TB contract):
+
+    - chunking is one stateless ``map_batches`` scan;
+    - first-occurrence-wins is a MIN aggregate over a composite int64
+      ``(doc_id << 20) | chunk_idx`` — map-side combined per block
+      (``map_combine_aggregate``), so the all-to-all shuffle moves one row
+      per DISTINCT chunk per block, never per occurrence;
+    - reassembly is a per-doc ``groupby.map_groups`` (bounded groups: one
+      doc's chunks).
+
+    The reference suffix-array approach finds arbitrary-offset repeats;
+    chunking trades that recall for a shuffle-only plan with no global
+    suffix sort — the standard large-scale compromise.  Output:
+    ``(doc_id, n_kept, text_dedup)``."""
+    from .index import TERM_RE
+    from .relational import map_combine_aggregate
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        out_ck, out_chunk = [], []
+        for i, t in zip(ids, batch.column(text_col).to_pylist()):
+            toks = TERM_RE.findall(t.lower())
+            for j in range(0, len(toks), chunk_tokens):
+                out_ck.append((int(i) << CHUNK_IDX_BITS) | (j // chunk_tokens))
+                out_chunk.append(" ".join(toks[j:j + chunk_tokens]))
+        return pa.table({"ck": pa.array(out_ck, pa.int64()),
+                         "chunk": pa.array(out_chunk, pa.string())})
+
+    survivors = map_combine_aggregate(
+        ds.select_columns([id_col, text_col])
+        .map_batches(chunks, batch_format="pyarrow"),
+        keys=["chunk"], mins={"ck": "ck"},
+    )
+
+    def decompose(b: pa.Table) -> pa.Table:
+        ck = b.column("ck").to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: pa.array(ck >> CHUNK_IDX_BITS, pa.int64()),
+            "chunk_idx": pa.array(ck & ((1 << CHUNK_IDX_BITS) - 1), pa.int64()),
+            "chunk": b.column("chunk"),
+        })
+
+    import pandas as pd
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("chunk_idx", kind="mergesort")
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            "n_kept": np.array([len(g)], dtype=np.int64),
+            "text_dedup": [" ".join(g["chunk"])],
+        })
+
+    return (survivors.map_batches(decompose, batch_format="pyarrow")
+            .groupby(id_col).map_groups(reassemble, batch_format="pandas"))

@@ -1,4 +1,5 @@
 """PII detection/redaction (ops/pii.py): sequential RE2 count+replace."""
+import numpy as np
 import pandas as pd
 import ray.data as rd
 
@@ -40,3 +41,55 @@ def test_pii_scrub_sequential_no_double_count():
     assert out["n_email"].tolist() == [1]
     assert out["n_ipv4"].tolist() == [0]
     assert out["redacted"].tolist() == ["x <EMAIL> y"]
+
+
+# ------------------------------------------------------- chunk-level dedup
+
+
+def test_chunk_dedup_first_occurrence_wins():
+    """Planted repeated passage: the 4-token chunk 'x y z w' appears in three
+    docs; only doc 0 (first occurrence) keeps it.  A fully-duplicated doc
+    drops out entirely."""
+    from folkscope_ray.ops.dedup import chunk_dedup
+
+    df = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            "x y z w alpha beta gamma delta",      # owns both its chunks
+            "x y z w epsilon zeta eta theta",      # chunk 0 is a dupe
+            "x y z w",                             # fully duplicated -> gone
+            "unique words only here right now ok", # untouched
+        ],
+    })
+    out = (chunk_dedup(rd.from_pandas(df, override_num_blocks=2),
+                       chunk_tokens=4)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 3]
+    got = dict(zip(out["doc_id"], out["text_dedup"]))
+    assert got[0] == "x y z w alpha beta gamma delta"
+    assert got[1] == "epsilon zeta eta theta"
+    assert got[3] == "unique words only here right now ok"
+    assert dict(zip(out["doc_id"], out["n_kept"])) == {0: 2, 1: 1, 3: 2}
+
+
+def test_chunk_dedup_partition_invariant():
+    """Same output at 1 block and 7 blocks (map-side combine + min agg are
+    partition-independent)."""
+    from folkscope_ray.ops.dedup import chunk_dedup
+
+    rng = np.random.RandomState(11)
+    vocab = list("abcdefgh")
+    texts = [" ".join(rng.choice(vocab, 30)) for _ in range(40)]
+    df = pd.DataFrame({"doc_id": range(40), "text": texts})
+    outs = []
+    for nb in (1, 7):
+        out = (chunk_dedup(rd.from_pandas(df, override_num_blocks=nb),
+                           chunk_tokens=2)
+               .to_pandas().sort_values("doc_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    # every chunk string survives exactly once corpus-wide
+    all_chunks = [c for t in outs[0]["text_dedup"]
+                  for c in [" ".join(t.split()[i:i+2])
+                            for i in range(0, len(t.split()), 2)]]
+    assert len(all_chunks) == len(set(all_chunks))
