@@ -378,6 +378,10 @@ class KGPipeline:
             )
         self._cache["patterns"] = pats
         self._cache["canon"] = canon
+        # distinct keys kept for the eventualities-path full-ev memo (same
+        # broadcast gate: None past the ceiling -> per-row fallback)
+        self._cache["assertions_set"] = (
+            None if evs_overflow else assertions_set)
         self._cache["evs_ref"] = (
             None if evs_overflow
             else self._build_evs_ref(pats, assertions_set)  # already sorted
@@ -404,6 +408,38 @@ class KGPipeline:
         for d in ray.get(futs):
             evs.update(d)
         return ray.put(evs)
+
+    def _full_evs_ref(self):
+        """Broadcast full-eventuality memo for the eventualities path:
+        ``{rel\\x1ftext: [compact ev payload, ...]}``, each DISTINCT
+        assertion parsed + matched exactly once cluster-wide
+        (``match_events_chunk``).  None when the distinct set overflowed its
+        broadcast ceiling (or ``FOLKSCOPE_EV_MEMO_MAX=0`` forces the
+        per-row path) — consumers fall back to ``PatternMatcher`` over the
+        parsed stream."""
+        if "full_evs_ref" in self._cache:
+            return self._cache["full_evs_ref"]
+        self.patterns()  # ensures _stats_pass ran
+        items = self._cache.get("assertions_set")
+        limit = int(os.environ.get(
+            "FOLKSCOPE_EV_MEMO_MAX",
+            os.environ.get("FOLKSCOPE_EVS_BROADCAST_MAX", 3_000_000)))
+        ref = None
+        if items and len(items) <= limit:
+            from ..stages.match import match_events_chunk
+
+            pat_ref = ray.put(self.patterns())
+            chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
+            futs = [
+                match_events_chunk.remote(pat_ref, items[i:i + chunk])
+                for i in range(0, len(items), chunk)
+            ]
+            memo: dict = {}
+            for d in ray.get(futs):
+                memo.update(d)
+            ref = ray.put(memo)
+        self._cache["full_evs_ref"] = ref
+        return ref
 
     def patterns(self) -> list:
         if "patterns" in self._cache:
@@ -453,16 +489,30 @@ class KGPipeline:
         if "events" in self._cache:
             return self._cache["events"]
         from ..stages.canonicalize import apply_canonical_join
-        from ..stages.match import make_match_fn
+        from ..stages.match import make_match_from_memo_fn, make_match_fn
 
-        pat_ref = ray.put(self.patterns())
         kind, canon = self._resolved_canon()
-        if kind == "dict":
+        ev_ref = self._full_evs_ref()
+        if ev_ref is not None:
+            # distinct-level memo path: each distinct assertion parsed +
+            # matched ONCE cluster-wide; the per-occurrence stage over the
+            # SLIM scored table is dict lookups (bit-equal to the parsed
+            # path, pytest-gated) — removes the O(workers × distinct)
+            # duplicated VF2 AND the per-occurrence parse
+            mk = make_match_from_memo_fn(
+                ev_ref, ray.put(canon) if kind == "dict" else None)
+            matched = self.scored().map_batches(
+                mk, batch_format="pyarrow", batch_size=None)
+            ds = (matched if kind == "dict"
+                  else apply_canonical_join(matched, canon))
+        elif kind == "dict":
+            pat_ref = ray.put(self.patterns())
             ds = self.parsed().map_batches(
                 make_match_fn(pat_ref, ray.put(canon)), batch_format="pyarrow",
                 batch_size=None,
             )
         else:  # canonical map exceeds broadcast size: apply via hash join
+            pat_ref = ray.put(self.patterns())
             matched = self.parsed().map_batches(
                 make_match_fn(pat_ref, None), batch_format="pyarrow",
                 batch_size=None,

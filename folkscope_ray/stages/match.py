@@ -58,6 +58,142 @@ def match_objs_chunk(pats: list, items: list[str]) -> dict:
     return out
 
 
+@ray.remote
+def match_events_chunk(pats: list, items: list[str]) -> dict:
+    """Parse + VF2-match one chunk of DISTINCT ``rel\\x1ftext`` keys and
+    return the FULL eventuality payloads:
+    ``{key: [(eid, pattern, frequency, words, pos_tags, deps,
+    skeleton_indices, ners, mentions), ...]}`` (all tuples).
+
+    The eventualities-path analogue of :func:`match_objs_chunk`: every ev
+    field is a pure function of (rel, text), so matching each distinct
+    assertion ONCE cluster-wide and broadcasting the payload turns the
+    per-occurrence stage into dict lookups — the same O(workers × distinct)
+    duplicated-compute elimination the triples path got in round 2."""
+    from .parse import cached_parse, extract_mentions, ner_tags
+
+    by_rel: dict[str, list] = {}
+    for p in sorted(pats, key=Pattern.priority):  # PatternMatcher order
+        by_rel.setdefault(p.rel, []).append(p)
+    out: dict[str, list] = {}
+    for key in items:
+        rel, text = key.split("\x1f", 1)
+        pats_r = by_rel.get(rel)
+        if not pats_r:
+            out[key] = []
+            continue
+        hit = cached_parse(rel, text)
+        if hit[0] is None:
+            out[key] = []
+            continue
+        t, l, p, d, _skel = hit
+        ners = ner_tags(t, p)
+        mentions = extract_mentions(t, ners)
+        out[key] = [
+            (ev["eid"], ev["pattern"], ev["frequency"], tuple(ev["words"]),
+             tuple(ev["pos_tags"]), tuple(tuple(x) for x in ev["deps"]),
+             tuple(ev["skeleton_indices"]), tuple(ev["ners"]),
+             tuple((m["start"], m["end"], m["text"], m["ner"])
+                   for m in ev["mentions"]))
+            for ev in match_row(pats_r, rel, t, l, p, d,
+                                ners=ners, mentions=mentions)
+        ]
+    return out
+
+
+def make_match_from_memo_fn(memo_ref, canon_ref):
+    """Memo-lookup matcher over the SCORED table: per-occurrence work is one
+    dict lookup + columnar assembly — no parse, no VF2.  Output is
+    bit-identical to ``PatternMatcher`` over the parsed table (pytest-gated);
+    ``canon_ref`` semantics mirror :func:`make_match_fn`."""
+    from .canonicalize import apply_canonical
+    from .parse import MENTION_STRUCT, deps_array, list_string_array
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mkey = "F" + memo_ref.hex()
+        memo = _WORKER_CACHE.get(mkey)
+        if memo is None:
+            memo = ray.get(memo_ref)
+            _WORKER_CACHE[mkey] = memo
+        rels = batch.column("rel").to_pylist()
+        texts = batch.column("assertion").to_pylist()
+        surfs_a = batch.column("surf_a").to_pylist()
+        surfs_b = batch.column("surf_b").to_pylist()
+        src_idx: list[int] = []
+        sids: list[str] = []
+        eids, pats_out, freqs = [], [], []
+        w_off, w_flat = [0], []
+        p_flat: list[str] = []
+        ner_flat: list[str] = []
+        d_off, d_gov, d_lab, d_dep = [0], [], [], []
+        sk_off, sk_flat = [0], []
+        men_off, men_s, men_e, men_t, men_n = [0], [], [], [], []
+        for i, rel in enumerate(rels):
+            evs = memo.get(rel + "\x1f" + texts[i])
+            if not evs:
+                continue
+            # parse_batch's sid formula (generation_parser.py:137 parity):
+            # i is the row index within the scored block — identical blocks
+            # feed both paths (batch_size=None), so sids are bit-equal
+            sid = f"{surfs_a[i]}-{rel}-{surfs_b[i]}|{i}"
+            for (eid, pat, freq, words, pos, deps, skel, ners, mens) in evs:
+                src_idx.append(i)
+                sids.append(sid)
+                eids.append(eid)
+                pats_out.append(pat)
+                freqs.append(freq)
+                w_flat.extend(words)
+                p_flat.extend(pos)
+                ner_flat.extend(ners)
+                w_off.append(len(w_flat))
+                for g, lab, dp in deps:
+                    d_gov.append(g)
+                    d_lab.append(lab)
+                    d_dep.append(dp)
+                d_off.append(len(d_gov))
+                sk_flat.extend(skel)
+                sk_off.append(len(sk_flat))
+                for (ms, me, mt, mn) in mens:
+                    men_s.append(ms)
+                    men_e.append(me)
+                    men_t.append(mt)
+                    men_n.append(mn)
+                men_off.append(len(men_s))
+        out = batch.select(EVENT_COLS[:-1]).take(pa.array(src_idx, pa.int64()))
+        out = out.append_column("sid", pa.array(sids, pa.string()))
+        out = out.append_column("eid", pa.array(eids, pa.string()))
+        out = out.append_column("pattern", pa.array(pats_out, pa.string()))
+        out = out.append_column("words", list_string_array(w_off, w_flat))
+        out = out.append_column("ev_pos_tags", list_string_array(w_off, p_flat))
+        out = out.append_column("ev_deps", deps_array(d_off, d_gov, d_lab, d_dep))
+        out = out.append_column(
+            "skeleton_indices",
+            pa.ListArray.from_arrays(pa.array(sk_off, pa.int32()),
+                                     pa.array(sk_flat, pa.int32())),
+        )
+        out = out.append_column("ev_ners", list_string_array(w_off, ner_flat))
+        mention_struct = pa.StructArray.from_arrays(
+            [pa.array(men_s, pa.int32()), pa.array(men_e, pa.int32()),
+             pa.array(men_t, pa.string()), pa.array(men_n, pa.string())],
+            fields=list(MENTION_STRUCT),
+        )
+        out = out.append_column(
+            "ev_mentions",
+            pa.ListArray.from_arrays(pa.array(men_off, pa.int32()), mention_struct),
+        )
+        out = out.append_column("frequency", pa.array(freqs, pa.float64()))
+        if canon_ref is None:
+            return out
+        ckey = canon_ref.hex()
+        canon = _WORKER_CACHE.get(ckey)
+        if canon is None:
+            canon = ray.get(canon_ref)
+            _WORKER_CACHE[ckey] = canon
+        return apply_canonical(out, canon)
+
+    return fn
+
+
 def make_match_fn(pat_ref, canon_ref):
     """Stateless-task matcher with broadcast pattern set + canonical map.
 

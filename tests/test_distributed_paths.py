@@ -181,3 +181,33 @@ def test_distributed_stats_pass_matches_driver_path(corpus_200, monkeypatch):
     assert list(want_t.columns) == list(got_t.columns)
     for col in want_t.columns:
         assert want_t[col].tolist() == got_t[col].tolist(), col
+
+
+def test_event_memo_path_matches_per_row_path(corpus_200, monkeypatch):
+    """FOLKSCOPE_EV_MEMO_MAX=0 forces eventualities back onto the per-row
+    PatternMatcher-over-parsed path; the default distinct-level broadcast
+    memo path must produce bit-equal merged eventualities (every payload
+    column: words, pos, deps, skeleton, ners, mentions, frequency,
+    support)."""
+    from folkscope_ray.pipelines.kg import build_kg
+
+    memo = build_kg(corpus_200)
+    assert memo._full_evs_ref() is not None  # memo path really taken
+    want = memo.eventualities_merged().to_pandas()
+
+    monkeypatch.setenv("FOLKSCOPE_EV_MEMO_MAX", "0")
+    forced = build_kg(corpus_200)
+    assert forced._full_evs_ref() is None
+    got = forced.eventualities_merged().to_pandas()
+
+    cols = sorted(want.columns)
+    assert cols == sorted(got.columns)
+    want = want.sort_values("eid").reset_index(drop=True)
+    got = got.sort_values("eid").reset_index(drop=True)
+    assert len(want) == len(got)
+    for col in cols:
+        a, b = want[col], got[col]
+        if a.dtype == object:
+            assert [str(x) for x in a] == [str(x) for x in b], col
+        else:
+            assert a.tolist() == b.tolist(), col
