@@ -35,7 +35,9 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Mean, Sum
 
 
-_ARROW_JOIN_HOW = {"inner": "inner", "left": "left outer", "right": "right outer"}
+_ARROW_JOIN_HOW = {"inner": "inner", "left": "left outer",
+                   "left_outer": "left outer", "right": "right outer",
+                   "right_outer": "right outer"}
 
 
 def _bucket_ids(col: pa.ChunkedArray | pa.Array, n_buckets: int) -> pa.Array:
@@ -116,6 +118,25 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
     cluster parallelism; salt hot keys by raising B (buckets are hash-spread,
     so one hot *key* still lands in one bucket — for that case pre-aggregate
     or use broadcast_join on the deduplicated hot side)."""
+    import os as _os
+
+    # data-tied broadcast escape (inner/left only — the per-batch Arrow join
+    # sees the WHOLE small side, so left rows are complete; right/full outer
+    # would emit unmatched right rows once per batch): when the right side is
+    # under the gate, ship it once via ray.put and skip the all-to-all
+    # entirely.  The right side is materialized to learn its size — object
+    # store only (spillable), never the driver; the shuffle plan reuses the
+    # pinned blocks.  The gate is lower than the key-set gates (the FULL
+    # right table broadcasts, and every batch re-probes it — profitable only
+    # while the hash table stays cache-friendly); 0 disables both the probe
+    # and the materialize for known-huge right sides.
+    gate = int(_os.environ.get("FOLKSCOPE_JOIN_BROADCAST_MAX", 500_000))
+    if gate and how in ("inner", "left", "left_outer"):
+        right = right.materialize()
+        if right.count() <= gate:
+            small = pa.concat_tables(
+                ray.get(list(right.to_arrow_refs())), promote_options="default")
+            return broadcast_join(left, small, on=on, how=how)
     if n_buckets is None:
         # each partition spins up join-aggregator state; too many partitions
         # at small scale costs more than the join (measured 4x at sf0.1)

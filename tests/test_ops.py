@@ -724,3 +724,35 @@ def test_stream_dedup_shared_index():
         idx2, pa.table({"k": pa.array(all_keys[:50], pa.int64()),
                         "payload": pa.array(np.arange(50))}), "k")
     assert again.num_rows == 0  # everything already seen pre-restart
+
+
+def test_hash_join_broadcast_gate_equivalent(monkeypatch):
+    """hash_join's data-tied broadcast escape (small right side) must agree
+    with the partitioned shuffle plan (gate=0) for inner and left_outer —
+    same rows, same dtypes, null-fill included."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import hash_join
+
+    rng = np.random.RandomState(9)
+    left = pd.DataFrame({"k": rng.randint(0, 50, 3000).astype("int64"),
+                         "v": np.arange(3000, dtype="int64")})
+    right = pd.DataFrame({"k": np.arange(0, 40, dtype="int64"),
+                          "w": np.arange(40, dtype="int64") * 10})
+    for how in ("inner", "left_outer"):
+        outs = []
+        for gate in ("500000", "0"):
+            monkeypatch.setenv("FOLKSCOPE_JOIN_BROADCAST_MAX", gate)
+            out = hash_join(rd.from_pandas(left, override_num_blocks=5),
+                            rd.from_pandas(right, override_num_blocks=2),
+                            on="k", how=how).to_pandas()
+            cols = sorted(out.columns)
+            outs.append(out[cols].sort_values(cols).reset_index(drop=True))
+        pd.testing.assert_frame_equal(outs[0], outs[1], check_dtype=False)
+        want = left.merge(right, on="k",
+                          how=("inner" if how == "inner" else "left"))
+        cols = sorted(want.columns)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        got = outs[0].astype({c: want[c].dtype for c in cols
+                              if want[c].dtype != object})
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
