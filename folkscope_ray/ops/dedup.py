@@ -335,8 +335,10 @@ def chunk_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
       ``(doc_id << 20) | chunk_idx`` — map-side combined per block
       (``map_combine_aggregate``), so the all-to-all shuffle moves one row
       per DISTINCT chunk per block, never per occurrence;
-    - reassembly is a per-doc ``groupby.map_groups`` (bounded groups: one
-      doc's chunks).
+    - reassembly hash-buckets by doc id and runs ONE vectorized pandas
+      groupby-join per bucket (per-doc ``map_groups`` pays Ray's per-group
+      dispatch thousands of times; bucketing amortizes it — measured
+      9.8s -> 2.5s at sf0.1).
 
     The reference suffix-array approach finds arbitrary-offset repeats;
     chunking trades that recall for a shuffle-only plan with no global
@@ -362,23 +364,33 @@ def chunk_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
         keys=["chunk"], mins={"ck": "ck"},
     )
 
-    def decompose(b: pa.Table) -> pa.Table:
-        ck = b.column("ck").to_numpy(zero_copy_only=False)
-        return pa.table({
-            id_col: pa.array(ck >> CHUNK_IDX_BITS, pa.int64()),
-            "chunk_idx": pa.array(ck & ((1 << CHUNK_IDX_BITS) - 1), pa.int64()),
-            "chunk": b.column("chunk"),
-        })
-
     import pandas as pd
 
-    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("chunk_idx", kind="mergesort")
-        return pd.DataFrame({
-            id_col: [g[id_col].iloc[0]],
-            "n_kept": np.array([len(g)], dtype=np.int64),
-            "text_dedup": [" ".join(g["chunk"])],
+    try:
+        nb = max(2, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    except Exception:
+        nb = 8
+
+    def decompose(b: pa.Table) -> pa.Table:
+        ck = b.column("ck").to_numpy(zero_copy_only=False)
+        ids = ck >> CHUNK_IDX_BITS
+        return pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "chunk_idx": pa.array(ck & ((1 << CHUNK_IDX_BITS) - 1), pa.int64()),
+            "chunk": b.column("chunk"),
+            "__bucket": pa.array((ids % nb).astype(np.int32), pa.int32()),
         })
 
+    def reassemble_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "chunk_idx"], kind="mergesort")
+        out = (g.groupby(id_col, sort=True)
+               .agg(n_kept=("chunk", "size"),
+                    text_dedup=("chunk", " ".join))
+               .reset_index())
+        out["n_kept"] = out["n_kept"].astype(np.int64)
+        return out
+
     return (survivors.map_batches(decompose, batch_format="pyarrow")
-            .groupby(id_col).map_groups(reassemble, batch_format="pandas"))
+            .groupby("__bucket")
+            .map_groups(reassemble_bucket, batch_format="pandas")
+            .select_columns([id_col, "n_kept", "text_dedup"]))
