@@ -848,6 +848,16 @@ def _q_embedding_neardup_pairs_lsh(sf_dir: str):
                                        n_planes=2)
 
 
+def _q_embedding_kmeans_clusters(sf_dir: str):
+    """Semantic clustering (the SemDeDup / cluster-then-curate shape):
+    deterministic fixed-point spherical k-means trained distributively, then
+    one shuffle-free assignment GEMM per block against the broadcast
+    centroid matrix.  Bit-identical across parallelism (fixture-gated)."""
+    from folkscope_ray.ops.similarity import kmeans_assign
+
+    return kmeans_assign(_rp(sf_dir, "embeddings"), n_centroids=8, n_iters=3)
+
+
 def _q_stream_dedup_docs(sf_dir: str):
     """Streaming dedup against the sharded mutable actor index (the
     documented raw-actor escape hatch, SURVEY.md §2.10): batches replay in
@@ -1544,6 +1554,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_parse_strings": _q_kg_parse_strings,
         "pii_scrub_docs": _q_pii_scrub_docs,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -2216,6 +2227,7 @@ def oracle_sql() -> dict[str, str]:
                 "ddsketch_price_quantiles",
                 "embedding_neardup_pairs_lsh",
                 "kg_parse_strings",
+                "embedding_kmeans_clusters",
             )
         },
     }

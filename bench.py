@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "skew_join_events",
     "decontam_docs",
     "dense_rank_orders",
+    "chunk_dedup_docs",
+    "pii_scrub_docs",
 ]
 
 

@@ -407,3 +407,36 @@ class LshTopK(BruteForceTopK):
             )
         sub = batch.filter(pa.array(mask))
         return super().__call__(sub)
+
+
+def kmeans_assign(ds: Dataset, vec_col: str = "embedding",
+                  id_col: str = "vec_id", n_centroids: int = 16,
+                  n_iters: int = 3, quantize_digits: int = 6) -> Dataset:
+    """Semantic clustering: assign every vector to its nearest spherical
+    k-means centroid (the SemDeDup / cluster-then-curate shape — cluster
+    ids feed per-cluster dedup, balanced sampling, or pruning).
+
+    Training reuses :func:`ivf_centroids` (deterministic fixed-point Lloyd
+    iterations, bit-identical at any parallelism); assignment is ONE
+    stateless ``map_batches`` GEMM per block against the broadcast
+    ``n_centroids × dim`` matrix — no shuffle at all.  Output:
+    ``(id_col, cluster_id, cosine)`` with the cosine quantized for stable
+    cross-engine hash comparison."""
+    cents = ivf_centroids(ds, vec_col, id_col, n_centroids, n_iters)
+    cref = ray.put(cents)
+    q = float(10 ** quantize_digits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_as_matrix(batch.column(vec_col)))
+        sims = m @ c.T
+        a = np.argmax(sims, axis=1)
+        best = np.round(sims[np.arange(len(a)), a] * q) / q
+        return pa.table({
+            id_col: batch.column(id_col),
+            "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            "cosine": pa.array(best, pa.float64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        assign, batch_format="pyarrow")

@@ -153,3 +153,29 @@ def test_word_jaccard_edge_cases():
     assert out[2] == 1.0
     assert out[3] == 0.0
     assert out[4] == np.floor(2 / 3 * 1e6 + 0.5) / 1e6
+
+
+def test_kmeans_assign_partition_invariant_and_clusters():
+    """kmeans_assign is bit-identical across block counts (fixed-point
+    training) and separates two planted blobs."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import kmeans_assign
+
+    rng = np.random.RandomState(4)
+    a = rng.standard_normal((60, 8)) * 0.05 + np.array([1, 0, 0, 0, 0, 0, 0, 0])
+    b = rng.standard_normal((60, 8)) * 0.05 + np.array([0, 1, 0, 0, 0, 0, 0, 0])
+    df = pd.DataFrame({"vec_id": np.arange(120),
+                       "embedding": list(np.vstack([a, b]))})
+    outs = []
+    for nb in (1, 6):
+        out = (kmeans_assign(rd.from_pandas(df, override_num_blocks=nb),
+                             n_centroids=2, n_iters=4)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    ca = set(outs[0]["cluster_id"][:60])
+    cb = set(outs[0]["cluster_id"][60:])
+    assert len(ca) == 1 and len(cb) == 1 and ca != cb

@@ -56,6 +56,7 @@ FIXTURE_QUERIES = [
     "ddsketch_price_quantiles",
     "embedding_neardup_pairs_lsh",
     "kg_parse_strings",
+    "embedding_kmeans_clusters",
 ]
 
 
