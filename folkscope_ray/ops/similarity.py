@@ -34,6 +34,11 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+# per-worker-process cache for broadcast-state task closures (the
+# stages/match.py pattern: ray.get once per worker, not per batch)
+_TASK_CACHE: dict[str, object] = {}
+
+
 class BruteForceTopK:
     """map_batches callable: emits per-batch partial top-k (query_id, vec_id, cosine)."""
 
@@ -79,15 +84,22 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
                      quantize_digits: int | None = None):
     """Exact cosine top-k for each query row; returns a pandas DataFrame
     (query_id, vec_id, cosine) with exactly k rows per query."""
+    # stateless tasks, not an actor pool: the only per-worker state is one
+    # ray.get of the query matrix, resolved once per worker process via a
+    # module cache — pool spin-up dominated this stage (same measurement as
+    # broadcast_join: ~3.5s actor vs ~1.6s tasks on tiny state)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        BruteForceTopK,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"queries_ref": qref, "k": k,
-                               "vec_col": vec_col, "id_col": id_col,
-                               "quantize_digits": quantize_digits},
-        concurrency=(1, 8),
-    ).to_pandas()
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        key = "bf" + qref.hex() + f"|{k}|{quantize_digits}"
+        fn = _TASK_CACHE.get(key)
+        if fn is None:
+            fn = BruteForceTopK(ray.get(qref), k=k, vec_col=vec_col,
+                                id_col=id_col, quantize_digits=quantize_digits)
+            _TASK_CACHE[key] = fn
+        return fn(batch)
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
     out = []
     for qi, grp in partials.groupby("query_id"):
         top = heapq.nlargest(k, grp.itertuples(), key=lambda r: (r.cosine, -r.vec_id))
@@ -192,14 +204,17 @@ def embedding_neardup_pairs(ds: Dataset, tau: float = 0.4,
     make it SQL-checkable.  Real near-dup corpora use tau ≈ 0.9–0.97; the
     synthetic test embeddings are near-orthogonal so tests use lower tau."""
     corpus_ref = _broadcast_corpus(ds, vec_col, id_col)
-    return ds.map_batches(
-        NearDupPairs,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"corpus_ref": corpus_ref, "tau": tau,
-                               "vec_col": vec_col, "id_col": id_col,
-                               "quantize_digits": quantize_digits},
-        concurrency=(1, 8),
-    )
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        key = "nd" + corpus_ref.hex() + f"|{tau}|{quantize_digits}"
+        fn = _TASK_CACHE.get(key)
+        if fn is None:
+            fn = NearDupPairs(corpus_ref=corpus_ref, tau=tau, vec_col=vec_col,
+                              id_col=id_col, quantize_digits=quantize_digits)
+            _TASK_CACHE[key] = fn
+        return fn(batch)
+
+    return ds.map_batches(pairs_batch, batch_format="pyarrow")
 
 
 def embedding_neardup_pairs_lsh(ds: Dataset, tau: float = 0.4,
@@ -361,14 +376,19 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
 
     cents = ivf_centroids(ds, vec_col, id_col, n_centroids, n_iters)
     qref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = ds.map_batches(
-        IvfTopK,
-        batch_format="pyarrow",
-        fn_constructor_kwargs={"queries_ref": qref, "centroids_ref": ray.put(cents),
-                               "n_probe": n_probe, "k": k, "vec_col": vec_col,
-                               "id_col": id_col, "quantize_digits": quantize_digits},
-        concurrency=(1, 8),
-    ).to_pandas()
+    cref = ray.put(cents)
+
+    def ivf_batch(batch: pa.Table) -> pa.Table:
+        key = "ivf" + qref.hex() + cref.hex() + f"|{n_probe}|{k}|{quantize_digits}"
+        fn = _TASK_CACHE.get(key)
+        if fn is None:
+            fn = IvfTopK(queries_ref=qref, centroids_ref=cref,
+                         n_probe=n_probe, k=k, vec_col=vec_col,
+                         id_col=id_col, quantize_digits=quantize_digits)
+            _TASK_CACHE[key] = fn
+        return fn(batch)
+
+    partials = ds.map_batches(ivf_batch, batch_format="pyarrow").to_pandas()
     out = []
     for qi, grp in partials.groupby("query_id"):
         top = _heapq.nlargest(k, grp.itertuples(), key=lambda r: (r.cosine, -r.vec_id))
