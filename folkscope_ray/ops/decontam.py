@@ -30,6 +30,10 @@ from ray.data import Dataset
 
 from .index import TERM_RE
 
+# per-worker-process cache for broadcast-state task closures (the
+# stages/match.py pattern: ray.get once per worker process, not per batch)
+_WORKER_CACHE: dict[str, object] = {}
+
 
 def _ngrams(text: str, n: int) -> list[str]:
     toks = TERM_RE.findall(text.lower())
@@ -73,32 +77,33 @@ def ngram_contamination(
     grams = benchmark_ngram_set(bench, bench_text_col or text_col, n)
     grams_ref = ray.put(grams)
 
-    class _Scan:
-        def __init__(self):
-            self.grams: set[str] = ray.get(grams_ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = batch.column(id_col).to_pylist()
-            texts = batch.column(text_col).to_pylist()
-            totals, hits, ratios = [], [], []
-            g = self.grams
-            for t in texts:
-                ngs = _ngrams(t, n)
-                h = sum(1 for x in ngs if x in g)
-                totals.append(len(ngs))
-                hits.append(h)
-                ratios.append(h / len(ngs) if ngs else 0.0)
-            return pa.table(
-                {
-                    id_col: batch.column(id_col),
-                    "n_ngrams": pa.array(totals, pa.int64()),
-                    "n_hits": pa.array(hits, pa.int64()),
-                    "contamination": pa.array(ratios, pa.float64()),
-                    "contaminated": pa.array(
-                        [r >= threshold for r in ratios], pa.bool_()),
-                }
-            )
+    def scan_batch(batch: pa.Table) -> pa.Table:
+        # stateless task; the broadcast n-gram set resolves once per worker
+        # process via the module cache (no actor-pool spin-up)
+        ck = "dc" + grams_ref.hex()
+        g = _WORKER_CACHE.get(ck)
+        if g is None:
+            g = ray.get(grams_ref)
+            _WORKER_CACHE[ck] = g
+        texts = batch.column(text_col).to_pylist()
+        totals, hits, ratios = [], [], []
+        for t in texts:
+            ngs = _ngrams(t, n)
+            h = sum(1 for x in ngs if x in g)
+            totals.append(len(ngs))
+            hits.append(h)
+            ratios.append(h / len(ngs) if ngs else 0.0)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_ngrams": pa.array(totals, pa.int64()),
+                "n_hits": pa.array(hits, pa.int64()),
+                "contamination": pa.array(ratios, pa.float64()),
+                "contaminated": pa.array(
+                    [r >= threshold for r in ratios], pa.bool_()),
+            }
+        )
 
     return docs.select_columns([id_col, text_col]).map_batches(
-        _Scan, batch_format="pyarrow", concurrency=(1, 8)
+        scan_batch, batch_format="pyarrow"
     )

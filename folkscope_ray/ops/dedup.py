@@ -27,6 +27,11 @@ from ray.data import Dataset
 from ray.data.aggregate import Count, Min
 
 
+# per-worker-process cache for broadcast-state task closures (the
+# stages/match.py pattern: ray.get once per worker process, not per batch)
+_WORKER_CACHE: dict[str, object] = {}
+
+
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch.column(text_col).to_pylist()
     hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
@@ -255,44 +260,48 @@ def word_jaccard_vs_query(ds: Dataset, query_text: str, text_col: str = "text",
     q_ref = ray.put(q_tokens)
     scale = float(10 ** quantize_digits)
 
-    class _Jaccard:
-        def __init__(self):
-            self.q = ray.get(q_ref)
-            self.n_q = len(self.q)
+    def jaccard_batch(batch: pa.Table) -> pa.Table:
+        # stateless task; the broadcast query-token array resolves once per
+        # worker process via the module cache (no actor-pool spin-up for one
+        # ray.get of state)
+        import pandas as pd
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pandas as pd
+        ck = "wj" + q_ref.hex()
+        q = _WORKER_CACHE.get(ck)
+        if q is None:
+            q = ray.get(q_ref)
+            _WORKER_CACHE[ck] = q
+        n_q = len(q)
+        n = batch.num_rows
+        ids = batch.column(id_col)
+        if n == 0:
+            return pa.table({id_col: ids,
+                             "jaccard": pa.array([], pa.float64())})
+        toks = pc.split_pattern_regex(
+            pc.utf8_lower(batch.column(text_col)), pattern=r"\s+")
+        toks = toks.combine_chunks()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
+        row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        nonempty = flat != ""  # split emits '' at whitespace boundaries
+        codes, uniques = pd.factorize(flat[nonempty])
+        rid = row_ids[nonempty]
+        n_codes = max(len(uniques), 1)
+        # distinct (row, token) pairs in one vectorized pass
+        key = np.unique(rid * n_codes + codes)
+        pair_rid = key // n_codes
+        pair_code = (key % n_codes).astype(np.int64)
+        len_a = np.bincount(pair_rid, minlength=n)
+        in_q = np.isin(np.asarray(uniques, dtype=object), q)
+        hit = in_q[pair_code]
+        n_int = np.bincount(pair_rid[hit], minlength=n)
+        denom = (len_a + n_q - n_int).astype(np.float64)
+        denom[denom == 0] = 1.0  # empty doc vs empty query -> 0.0
+        j = n_int / denom
+        j = np.floor(j * scale + 0.5) / scale  # half-up, mirrors SQL round()
+        return pa.table({id_col: ids, "jaccard": pa.array(j, pa.float64())})
 
-            n = batch.num_rows
-            ids = batch.column(id_col)
-            if n == 0:
-                return pa.table({id_col: ids,
-                                 "jaccard": pa.array([], pa.float64())})
-            toks = pc.split_pattern_regex(
-                pc.utf8_lower(batch.column(text_col)), pattern=r"\s+")
-            toks = toks.combine_chunks()
-            lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
-            flat = pc.list_flatten(toks).to_numpy(zero_copy_only=False)
-            row_ids = np.repeat(np.arange(n, dtype=np.int64), lengths)
-            nonempty = flat != ""  # split emits '' at whitespace boundaries
-            codes, uniques = pd.factorize(flat[nonempty])
-            rid = row_ids[nonempty]
-            n_codes = max(len(uniques), 1)
-            # distinct (row, token) pairs in one vectorized pass
-            key = np.unique(rid * n_codes + codes)
-            pair_rid = key // n_codes
-            pair_code = (key % n_codes).astype(np.int64)
-            len_a = np.bincount(pair_rid, minlength=n)
-            in_q = np.isin(np.asarray(uniques, dtype=object), self.q)
-            hit = in_q[pair_code]
-            n_int = np.bincount(pair_rid[hit], minlength=n)
-            denom = (len_a + self.n_q - n_int).astype(np.float64)
-            denom[denom == 0] = 1.0  # empty doc vs empty query -> 0.0
-            j = n_int / denom
-            j = np.floor(j * scale + 0.5) / scale  # half-up, mirrors SQL round()
-            return pa.table({id_col: ids, "jaccard": pa.array(j, pa.float64())})
-
-    return ds.map_batches(_Jaccard, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(jaccard_batch, batch_format="pyarrow")
 
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:

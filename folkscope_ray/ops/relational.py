@@ -321,40 +321,43 @@ def range_join(large: Dataset, intervals: pd.DataFrame, value_col: str,
         raise ValueError("range_join requires non-overlapping intervals")
     ref = ray.put((lows, his, pa.Table.from_pandas(iv, preserve_index=False)))
 
-    class _Range:
-        def __init__(self):
-            self.lows, self.his, self.iv = ray.get(ref)
+    def range_batch(batch: pa.Table) -> pa.Table:
+        # stateless task; the broadcast intervals resolve once per worker
+        # process via the module cache (no actor-pool spin-up)
+        key = "rj" + ref.hex()
+        state = _BCAST_CACHE.get(key)
+        if state is None:
+            state = ray.get(ref)
+            _BCAST_CACHE[key] = state
+        lows_v, his_v, iv_t = state
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(lows_v, v, side="right") - 1
+        ok = (idx >= 0) & (v < his_v[np.clip(idx, 0, None)])
+        kept = batch.filter(pa.array(ok))
+        matched = iv_t.take(pa.array(idx[ok], pa.int64()))
+        for name in matched.column_names:
+            kept = kept.append_column(name, matched.column(name))
+        return kept
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            v = batch.column(value_col).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.lows, v, side="right") - 1
-            ok = (idx >= 0) & (v < self.his[np.clip(idx, 0, None)])
-            kept = batch.filter(pa.array(ok))
-            matched = self.iv.take(pa.array(idx[ok], pa.int64()))
-            for name in matched.column_names:
-                kept = kept.append_column(name, matched.column(name))
-            return kept
-
-    return large.map_batches(_Range, batch_format="pyarrow", concurrency=(1, 8))
+    return large.map_batches(range_batch, batch_format="pyarrow")
 
 
 def anti_join(large: Dataset, keys, on: str) -> Dataset:
     """Rows of ``large`` whose ``on`` value is NOT in ``keys`` (broadcast set)."""
     key_ref = ray.put(pa.array(list(keys)))
 
-    class _Anti:
-        def __init__(self):
-            import pyarrow.compute as pc
+    def anti_batch(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-            self.keys = pc.unique(ray.get(key_ref))
+        key = "aj" + key_ref.hex()
+        vals = _BCAST_CACHE.get(key)
+        if vals is None:
+            vals = pc.unique(ray.get(key_ref))
+            _BCAST_CACHE[key] = vals
+        mask = pc.invert(pc.is_in(batch.column(on), value_set=vals))
+        return batch.filter(mask)
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            mask = pc.invert(pc.is_in(batch.column(on), value_set=self.keys))
-            return batch.filter(mask)
-
-    return large.map_batches(_Anti, batch_format="pyarrow", concurrency=(1, 8))
+    return large.map_batches(anti_batch, batch_format="pyarrow")
 
 
 def map_combine_aggregate(ds: Dataset, keys: list[str],
