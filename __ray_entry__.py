@@ -848,6 +848,39 @@ def _q_embedding_neardup_pairs_lsh(sf_dir: str):
                                        n_planes=2)
 
 
+def _q_curation_pipeline_docs(sf_dir: str):
+    """End-to-end curation COMPOSITION as one streaming pipeline (the
+    pre-training front door): exact dedup (keep the min-doc_id row per
+    distinct text, broadcast winner set) -> whitespace token count ->
+    reproducible md5 train/val/test split -> per-(split, lang) doc count +
+    token budget via map-side-combined aggregate.  Each stage is an already-
+    verified operator; this query pins their composition end-to-end."""
+    import pyarrow as _pa
+    import ray as _ray
+
+    from folkscope_ray.ops.dedup import exact_dedup
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import hash_split_batch
+    from folkscope_ray.ops.text import token_count_batch
+
+    docs = _rp(sf_dir, "documents").select_columns(["doc_id", "lang", "text"])
+    winners = exact_dedup(docs, text_col="text").to_pandas()["keep_id"]
+    wref = _ray.put(_pa.array(winners, _pa.int64()))
+
+    def keep(batch: _pa.Table) -> _pa.Table:
+        return batch.filter(pc.is_in(batch.column("doc_id"),
+                                     value_set=_ray.get(wref)))
+
+    kept = (docs.map_batches(keep, batch_format="pyarrow")
+            .map_batches(token_count_batch, batch_format="pyarrow")
+            .map_batches(lambda b: hash_split_batch(b, "doc_id"),
+                         batch_format="pyarrow")
+            .select_columns(["lang", "split", "n_words"]))
+    return map_combine_aggregate(kept, keys=["lang", "split"],
+                                 sums={"n_words": "sum_tokens"},
+                                 count_alias="n_docs")
+
+
 def _q_embedding_kmeans_clusters(sf_dir: str):
     """Semantic clustering (the SemDeDup / cluster-then-curate shape):
     deterministic fixed-point spherical k-means trained distributively, then
@@ -1555,6 +1588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub_docs": _q_pii_scrub_docs,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
+        "curation_pipeline_docs": _q_curation_pipeline_docs,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -1994,6 +2028,25 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM e JOIN f USING (user_id)
             GROUP BY e.event_type
+        """,
+        "curation_pipeline_docs": """
+            WITH kept AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id IN (
+                SELECT min(doc_id) FROM documents GROUP BY md5(text))
+            ), tok AS (
+              SELECT doc_id, lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+'))
+                     END AS n_words,
+                     CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                          THEN 'train'
+                          WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                          THEN 'val' ELSE 'test' END AS split
+              FROM kept)
+            SELECT lang, split, sum(n_words)::BIGINT AS sum_tokens,
+                   count(*) AS n_docs
+            FROM tok GROUP BY lang, split
         """,
         "chunk_dedup_docs": """
             WITH tok AS (
