@@ -270,16 +270,9 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
                 surf_cache[surface] = c
             return c
 
-        rels = batch.column("rel").to_pylist()
-        texts = batch.column("assertion").to_pylist()
-        surfs_a = batch.column("surf_a").to_pylist()
-        surfs_b = batch.column("surf_b").to_pylist()
-        plaus = batch.column("plausibility").to_pylist()
-        typic = batch.column("typicality").to_pylist()
-        repos = batch.column("repo").to_pylist()
-        paths = batch.column("path").to_pylist()
-        commits = batch.column("commit").to_pylist()
-        shas = batch.column("content_sha256").to_pylist()
+        import numpy as np
+        import pandas as pd
+        import pyarrow.compute as pc
 
         # global match memo: computed ONCE over the distinct assertions and
         # broadcast (match_objs_chunk) — workers just ray.get it (once per
@@ -295,69 +288,151 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
         else:
             evsmap = None
         mcache: dict = _WORKER_CACHE.setdefault("mc" + pat_ref.hex(), {})
-        acc: dict[tuple, list] = {}
-        for i, rel in enumerate(rels):
+
+        # VECTORIZED interior (bit-equal to the per-row dict loop it
+        # replaced, fixture-gated): Python touches only the DISTINCT
+        # assertions / surfaces per block; the 58×-repeated occurrence
+        # stream stays in numpy/Arrow.  np.add.at accumulates the float
+        # frequency in exploded-row order — the identical summation order to
+        # the old `slot[1] += freq` — and pd.factorize's first-occurrence
+        # unique order mirrors dict insertion order, so output row order,
+        # values, and bits all match.
+        n = batch.num_rows
+        mk_np = pc.binary_join_element_wise(
+            batch.column("rel"), batch.column("assertion"), "\x1f"
+        ).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(mk_np)
+        flat_obj: list[str] = []
+        flat_freq: list[float] = []
+        offs = np.empty(len(uniq) + 1, dtype=np.int64)
+        offs[0] = 0
+        for ui, mkey in enumerate(uniq):
+            rel, text = mkey.split("\x1f", 1)
             pats = matcher.by_rel.get(rel)
             if not pats:
-                continue
-            mk = rel + "\x1f" + texts[i]
-            evs = evsmap.get(mk) if evsmap is not None else None
-            if evs is None:
-                evs = mcache.get(mk)
-            if evs is None:
-                hit = cached_parse(rel, texts[i])
-                if hit[0] is None:
-                    evs = []
-                else:
-                    t, l, p, d, _skel = hit
-                    evs = [(" ".join(ev["words"]), ev["frequency"])
-                           for ev in match_row(pats, rel, t, l, p, d)]
-                if len(mcache) < 1_000_000:
-                    mcache[mk] = evs
-            if not evs:
-                continue
-            ca, cb = cid(surfs_a[i]), cid(surfs_b[i])
-            lin = f"{repos[i]}\t{paths[i]}\t{commits[i]}\t{shas[i]}"
-            for obj, freq in evs:
-                k = (ca, cb, rel, obj)
-                slot = acc.get(k)
-                if slot is None:
-                    acc[k] = [1, freq, plaus[i], typic[i], lin]
-                else:
-                    slot[0] += 1
-                    slot[1] += freq
-                    slot[2] = max(slot[2], plaus[i])
-                    slot[3] = max(slot[3], typic[i])
-                    slot[4] = min(slot[4], lin)
-        keys = list(acc.keys())
-        vals = [acc[k] for k in keys]
+                evs = []
+            else:
+                evs = evsmap.get(mkey) if evsmap is not None else None
+                if evs is None:
+                    evs = mcache.get(mkey)
+                if evs is None:
+                    hit = cached_parse(rel, text)
+                    if hit[0] is None:
+                        evs = []
+                    else:
+                        t, l, p, d, _skel = hit
+                        evs = [(" ".join(ev["words"]), ev["frequency"])
+                               for ev in match_row(pats, rel, t, l, p, d)]
+                    if len(mcache) < 1_000_000:
+                        mcache[mkey] = evs
+            for o, f in evs:
+                flat_obj.append(o)
+                flat_freq.append(f)
+            offs[ui + 1] = len(flat_obj)
+        n_evs = np.diff(offs)
+        row_cnt = n_evs[codes]
+        total = int(row_cnt.sum())
+
+        empty = {
+            "support_p": pa.array([], pa.int64()),
+            "frequency_p": pa.array([], pa.float64()),
+            "plausibility_p": pa.array([], pa.float64()),
+            "typicality_p": pa.array([], pa.float64()),
+            "lineage_p": pa.array([], pa.string()),
+        }
+        if total == 0:
+            scols = (("norm_a", "norm_b") if canon is None
+                     else ("subj",))
+            t = {}
+            if canon is not None:
+                t["bucket"] = pa.array([], pa.int32())
+            for c in scols:
+                t[c] = pa.array([], pa.string())
+            t["pred"] = pa.array([], pa.string())
+            t["obj"] = pa.array([], pa.string())
+            return pa.table({**t, **empty})
+
+        # distinct surfaces -> canonical ids (memoized cid, distinct only)
+        sa_codes, sa_uniq = pd.factorize(
+            batch.column("surf_a").to_numpy(zero_copy_only=False))
+        sb_codes, sb_uniq = pd.factorize(
+            batch.column("surf_b").to_numpy(zero_copy_only=False))
+        ca = np.array([cid(s) for s in sa_uniq], dtype=object)[sa_codes]
+        cb = np.array([cid(s) for s in sb_uniq], dtype=object)[sb_codes]
+        lin = pc.binary_join_element_wise(
+            batch.column("repo"), batch.column("path"),
+            batch.column("commit"), batch.column("content_sha256"), "\t"
+        ).to_numpy(zero_copy_only=False)
+        plaus = batch.column("plausibility").to_numpy(zero_copy_only=False)
+        typic = batch.column("typicality").to_numpy(zero_copy_only=False)
+        rels_np = batch.column("rel").to_numpy(zero_copy_only=False)
+
+        # explode each row into its evs (flat_idx points into flat_obj/freq)
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), row_cnt)
+        flat_idx = (np.repeat(offs[:-1][codes], row_cnt)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(row_cnt) - row_cnt, row_cnt))
+        obj_e = np.asarray(flat_obj, dtype=object)[flat_idx]
+        freq_e = np.asarray(flat_freq, dtype=np.float64)[flat_idx]
+        ca_e, cb_e = ca[row_rep], cb[row_rep]
+        rel_e = rels_np[row_rep]
+
+        gkey = pc.binary_join_element_wise(
+            pa.array(ca_e, pa.string()), pa.array(cb_e, pa.string()),
+            pa.array(rel_e, pa.string()), pa.array(obj_e, pa.string()),
+            "\x1f").to_numpy(zero_copy_only=False)
+        gcodes, _guniq = pd.factorize(gkey)
+        g = len(_guniq)
+        first = np.full(g, total, dtype=np.int64)
+        np.minimum.at(first, gcodes, np.arange(total, dtype=np.int64))
+        support = np.bincount(gcodes, minlength=g).astype(np.int64)
+        freq_g = np.zeros(g, dtype=np.float64)
+        np.add.at(freq_g, gcodes, freq_e)
+        plaus_g = np.full(g, -np.inf)
+        np.maximum.at(plaus_g, gcodes, plaus[row_rep])
+        typic_g = np.full(g, -np.inf)
+        np.maximum.at(typic_g, gcodes, typic[row_rep])
+        # lexicographic min lineage per group WITHOUT object-dtype groupby
+        # (pandas falls back to pure Python per group on strings): factorize
+        # the per-row lineages, rank the distinct set by sort order, take the
+        # integer min rank per group, map back — exact and order-free
+        lin_codes, lin_uniq = pd.factorize(lin)
+        order = np.argsort(lin_uniq)
+        rank = np.empty(len(lin_uniq), dtype=np.int64)
+        rank[order] = np.arange(len(lin_uniq), dtype=np.int64)
+        lin_min_rank = np.full(g, len(lin_uniq), dtype=np.int64)
+        np.minimum.at(lin_min_rank, gcodes, rank[lin_codes][row_rep])
+        lin_g = lin_uniq[order][lin_min_rank]
+
+        ca_g, cb_g = ca_e[first], cb_e[first]
+        rel_g, obj_g = rel_e[first], obj_e[first]
         parts = {
-            "support_p": pa.array([v[0] for v in vals], pa.int64()),
-            "frequency_p": pa.array([v[1] for v in vals], pa.float64()),
-            "plausibility_p": pa.array([v[2] for v in vals], pa.float64()),
-            "typicality_p": pa.array([v[3] for v in vals], pa.float64()),
-            "lineage_p": pa.array([v[4] for v in vals], pa.string()),
+            "support_p": pa.array(support, pa.int64()),
+            "frequency_p": pa.array(freq_g, pa.float64()),
+            "plausibility_p": pa.array(plaus_g, pa.float64()),
+            "typicality_p": pa.array(typic_g, pa.float64()),
+            "lineage_p": pa.array(lin_g, pa.string()),
         }
         if canon is None:  # join path: norms stay separate, no bucket yet
             return pa.table(
                 {
-                    "norm_a": pa.array([k[0] for k in keys], pa.string()),
-                    "norm_b": pa.array([k[1] for k in keys], pa.string()),
-                    "pred": pa.array([k[2] for k in keys], pa.string()),
-                    "obj": pa.array([k[3] for k in keys], pa.string()),
+                    "norm_a": pa.array(ca_g, pa.string()),
+                    "norm_b": pa.array(cb_g, pa.string()),
+                    "pred": pa.array(rel_g, pa.string()),
+                    "obj": pa.array(obj_g, pa.string()),
                     **parts,
                 }
             )
-        subjs = [f"{k[0]}-{k[1]}" for k in keys]
+        subjs = [f"{a}-{b}" for a, b in zip(ca_g, cb_g)]
         return pa.table(
             {
                 "bucket": pa.array(
-                    [stable_u64(s, k[2], k[3]) % n_buckets
-                     for s, k in zip(subjs, keys)], pa.int32()
+                    [stable_u64(s, p, o) % n_buckets
+                     for s, p, o in zip(subjs, rel_g, obj_g)], pa.int32()
                 ),
                 "subj": pa.array(subjs, pa.string()),
-                "pred": pa.array([k[2] for k in keys], pa.string()),
-                "obj": pa.array([k[3] for k in keys], pa.string()),
+                "pred": pa.array(rel_g, pa.string()),
+                "obj": pa.array(obj_g, pa.string()),
                 **parts,
             }
         )
