@@ -410,9 +410,10 @@ class KGPipeline:
         return ray.put(evs)
 
     def _full_evs_ref(self):
-        """Broadcast full-eventuality memo for the eventualities path:
-        ``{rel\\x1ftext: [compact ev payload, ...]}``, each DISTINCT
-        assertion parsed + matched exactly once cluster-wide
+        """Broadcast full-eventuality memo for the eventualities path: ONE
+        Arrow table of distinct-level ev payloads (read zero-copy per
+        worker) + a ``rel\\x1ftext -> (row_start, n_evs)`` index, each
+        DISTINCT assertion parsed + matched exactly once cluster-wide
         (``match_events_chunk``).  None when the distinct set overflowed its
         broadcast ceiling (or ``FOLKSCOPE_EV_MEMO_MAX=0`` forces the
         per-row path) — consumers fall back to ``PatternMatcher`` over the
@@ -426,18 +427,21 @@ class KGPipeline:
             os.environ.get("FOLKSCOPE_EVS_BROADCAST_MAX", 3_000_000)))
         ref = None
         if items and len(items) <= limit:
+            import numpy as np
+
             from ..stages.match import match_events_chunk
 
             pat_ref = ray.put(self.patterns())
             chunk = max(2_000, len(items) // (4 * _cpus()) + 1)
-            futs = [
-                match_events_chunk.remote(pat_ref, items[i:i + chunk])
-                for i in range(0, len(items), chunk)
-            ]
-            memo: dict = {}
-            for d in ray.get(futs):
-                memo.update(d)
-            ref = ray.put(memo)
+            chunks = [items[i:i + chunk] for i in range(0, len(items), chunk)]
+            futs = [match_events_chunk.remote(pat_ref, c) for c in chunks]
+            parts = ray.get(futs)  # (table, per-key ev counts), items order
+            tbl = pa.concat_tables([t for t, _c in parts])
+            counts = np.concatenate([c for _t, c in parts])
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            index = {k: (int(s), int(c))
+                     for k, s, c in zip(items, starts, counts)}
+            ref = (ray.put(tbl), ray.put(index))
         self._cache["full_evs_ref"] = ref
         return ref
 
@@ -500,7 +504,8 @@ class KGPipeline:
             # path, pytest-gated) — removes the O(workers × distinct)
             # duplicated VF2 AND the per-occurrence parse
             mk = make_match_from_memo_fn(
-                ev_ref, ray.put(canon) if kind == "dict" else None)
+                ev_ref[0], ev_ref[1],
+                ray.put(canon) if kind == "dict" else None)
             matched = self.scored().map_batches(
                 mk, batch_format="pyarrow", batch_size=None)
             ds = (matched if kind == "dict"

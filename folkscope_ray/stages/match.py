@@ -61,127 +61,150 @@ def match_objs_chunk(pats: list, items: list[str]) -> dict:
 @ray.remote
 def match_events_chunk(pats: list, items: list[str]) -> dict:
     """Parse + VF2-match one chunk of DISTINCT ``rel\\x1ftext`` keys and
-    return the FULL eventuality payloads:
-    ``{key: [(eid, pattern, frequency, words, pos_tags, deps,
-    skeleton_indices, ners, mentions), ...]}`` (all tuples).
+    return the FULL eventuality payloads as ONE Arrow table (one row per
+    eventuality, keys contiguous in ``items`` order, plus a per-key ev
+    count array aligned with ``items``).
 
     The eventualities-path analogue of :func:`match_objs_chunk`: every ev
     field is a pure function of (rel, text), so matching each distinct
     assertion ONCE cluster-wide and broadcasting the payload turns the
-    per-occurrence stage into dict lookups — the same O(workers × distinct)
-    duplicated-compute elimination the triples path got in round 2."""
-    from .parse import cached_parse, extract_mentions, ner_tags
+    per-occurrence stage into one vectorized Arrow ``take`` — the same
+    O(workers × distinct) duplicated-compute elimination the triples path
+    got in round 2, with zero per-occurrence Python."""
+    from .parse import (
+        MENTION_STRUCT,
+        cached_parse,
+        deps_array,
+        extract_mentions,
+        list_string_array,
+        ner_tags,
+    )
 
     by_rel: dict[str, list] = {}
     for p in sorted(pats, key=Pattern.priority):  # PatternMatcher order
         by_rel.setdefault(p.rel, []).append(p)
-    out: dict[str, list] = {}
+    counts = []
+    eids, pats_out, freqs = [], [], []
+    w_off, w_flat = [0], []
+    p_flat: list[str] = []
+    ner_flat: list[str] = []
+    d_off, d_gov, d_lab, d_dep = [0], [], [], []
+    sk_off, sk_flat = [0], []
+    men_off, men_s, men_e, men_t, men_n = [0], [], [], [], []
     for key in items:
         rel, text = key.split("\x1f", 1)
         pats_r = by_rel.get(rel)
-        if not pats_r:
-            out[key] = []
-            continue
-        hit = cached_parse(rel, text)
+        hit = cached_parse(rel, text) if pats_r else (None,)
         if hit[0] is None:
-            out[key] = []
+            counts.append(0)
             continue
         t, l, p, d, _skel = hit
         ners = ner_tags(t, p)
         mentions = extract_mentions(t, ners)
-        out[key] = [
-            (ev["eid"], ev["pattern"], ev["frequency"], tuple(ev["words"]),
-             tuple(ev["pos_tags"]), tuple(tuple(x) for x in ev["deps"]),
-             tuple(ev["skeleton_indices"]), tuple(ev["ners"]),
-             tuple((m["start"], m["end"], m["text"], m["ner"])
-                   for m in ev["mentions"]))
-            for ev in match_row(pats_r, rel, t, l, p, d,
-                                ners=ners, mentions=mentions)
-        ]
-    return out
+        evs = match_row(pats_r, rel, t, l, p, d,
+                        ners=ners, mentions=mentions)
+        counts.append(len(evs))
+        for ev in evs:
+            eids.append(ev["eid"])
+            pats_out.append(ev["pattern"])
+            freqs.append(ev["frequency"])
+            w_flat.extend(ev["words"])
+            p_flat.extend(ev["pos_tags"])
+            ner_flat.extend(ev["ners"])
+            w_off.append(len(w_flat))
+            for g, lab, dp in ev["deps"]:
+                d_gov.append(g)
+                d_lab.append(lab)
+                d_dep.append(dp)
+            d_off.append(len(d_gov))
+            sk_flat.extend(ev["skeleton_indices"])
+            sk_off.append(len(sk_flat))
+            for m in ev["mentions"]:
+                men_s.append(m["start"])
+                men_e.append(m["end"])
+                men_t.append(m["text"])
+                men_n.append(m["ner"])
+            men_off.append(len(men_s))
+    mention_struct = pa.StructArray.from_arrays(
+        [pa.array(men_s, pa.int32()), pa.array(men_e, pa.int32()),
+         pa.array(men_t, pa.string()), pa.array(men_n, pa.string())],
+        fields=list(MENTION_STRUCT),
+    )
+    tbl = pa.table({
+        "eid": pa.array(eids, pa.string()),
+        "pattern": pa.array(pats_out, pa.string()),
+        "words": list_string_array(w_off, w_flat),
+        "ev_pos_tags": list_string_array(w_off, p_flat),
+        "ev_deps": deps_array(d_off, d_gov, d_lab, d_dep),
+        "skeleton_indices": pa.ListArray.from_arrays(
+            pa.array(sk_off, pa.int32()), pa.array(sk_flat, pa.int32())),
+        "ev_ners": list_string_array(w_off, ner_flat),
+        "ev_mentions": pa.ListArray.from_arrays(
+            pa.array(men_off, pa.int32()), mention_struct),
+        "frequency": pa.array(freqs, pa.float64()),
+    })
+    import numpy as np
+
+    return tbl, np.asarray(counts, dtype=np.int64)
 
 
-def make_match_from_memo_fn(memo_ref, canon_ref):
-    """Memo-lookup matcher over the SCORED table: per-occurrence work is one
-    dict lookup + columnar assembly — no parse, no VF2.  Output is
-    bit-identical to ``PatternMatcher`` over the parsed table (pytest-gated);
-    ``canon_ref`` semantics mirror :func:`make_match_fn`."""
+def make_match_from_memo_fn(table_ref, index_ref, canon_ref):
+    """Memo-lookup matcher over the SCORED table: the distinct-level
+    eventuality payloads live in ONE broadcast Arrow table (``table_ref``,
+    read zero-copy from the object store) with ``index_ref`` mapping
+    ``rel\\x1ftext -> (row_start, n_evs)``.  Per block the occurrence stream
+    is exploded with the numpy repeat/arange trick and the ENTIRE nested
+    payload (words/deps/ners/mentions lists) is materialized by one Arrow
+    ``take`` — no per-occurrence Python at all.  Output is bit-identical to
+    ``PatternMatcher`` over the parsed table (pytest-gated); ``canon_ref``
+    semantics mirror :func:`make_match_fn`."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
     from .canonicalize import apply_canonical
-    from .parse import MENTION_STRUCT, deps_array, list_string_array
 
     def fn(batch: pa.Table) -> pa.Table:
-        mkey = "F" + memo_ref.hex()
-        memo = _WORKER_CACHE.get(mkey)
-        if memo is None:
-            memo = ray.get(memo_ref)
-            _WORKER_CACHE[mkey] = memo
-        rels = batch.column("rel").to_pylist()
-        texts = batch.column("assertion").to_pylist()
-        surfs_a = batch.column("surf_a").to_pylist()
-        surfs_b = batch.column("surf_b").to_pylist()
-        src_idx: list[int] = []
-        sids: list[str] = []
-        eids, pats_out, freqs = [], [], []
-        w_off, w_flat = [0], []
-        p_flat: list[str] = []
-        ner_flat: list[str] = []
-        d_off, d_gov, d_lab, d_dep = [0], [], [], []
-        sk_off, sk_flat = [0], []
-        men_off, men_s, men_e, men_t, men_n = [0], [], [], [], []
-        for i, rel in enumerate(rels):
-            evs = memo.get(rel + "\x1f" + texts[i])
-            if not evs:
-                continue
-            # parse_batch's sid formula (generation_parser.py:137 parity):
-            # i is the row index within the scored block — identical blocks
-            # feed both paths (batch_size=None), so sids are bit-equal
-            sid = f"{surfs_a[i]}-{rel}-{surfs_b[i]}|{i}"
-            for (eid, pat, freq, words, pos, deps, skel, ners, mens) in evs:
-                src_idx.append(i)
-                sids.append(sid)
-                eids.append(eid)
-                pats_out.append(pat)
-                freqs.append(freq)
-                w_flat.extend(words)
-                p_flat.extend(pos)
-                ner_flat.extend(ners)
-                w_off.append(len(w_flat))
-                for g, lab, dp in deps:
-                    d_gov.append(g)
-                    d_lab.append(lab)
-                    d_dep.append(dp)
-                d_off.append(len(d_gov))
-                sk_flat.extend(skel)
-                sk_off.append(len(sk_flat))
-                for (ms, me, mt, mn) in mens:
-                    men_s.append(ms)
-                    men_e.append(me)
-                    men_t.append(mt)
-                    men_n.append(mn)
-                men_off.append(len(men_s))
-        out = batch.select(EVENT_COLS[:-1]).take(pa.array(src_idx, pa.int64()))
-        out = out.append_column("sid", pa.array(sids, pa.string()))
-        out = out.append_column("eid", pa.array(eids, pa.string()))
-        out = out.append_column("pattern", pa.array(pats_out, pa.string()))
-        out = out.append_column("words", list_string_array(w_off, w_flat))
-        out = out.append_column("ev_pos_tags", list_string_array(w_off, p_flat))
-        out = out.append_column("ev_deps", deps_array(d_off, d_gov, d_lab, d_dep))
-        out = out.append_column(
-            "skeleton_indices",
-            pa.ListArray.from_arrays(pa.array(sk_off, pa.int32()),
-                                     pa.array(sk_flat, pa.int32())),
-        )
-        out = out.append_column("ev_ners", list_string_array(w_off, ner_flat))
-        mention_struct = pa.StructArray.from_arrays(
-            [pa.array(men_s, pa.int32()), pa.array(men_e, pa.int32()),
-             pa.array(men_t, pa.string()), pa.array(men_n, pa.string())],
-            fields=list(MENTION_STRUCT),
-        )
-        out = out.append_column(
-            "ev_mentions",
-            pa.ListArray.from_arrays(pa.array(men_off, pa.int32()), mention_struct),
-        )
-        out = out.append_column("frequency", pa.array(freqs, pa.float64()))
+        mkey = "F" + table_ref.hex()
+        cached = _WORKER_CACHE.get(mkey)
+        if cached is None:
+            cached = (ray.get(table_ref).combine_chunks(),
+                      ray.get(index_ref))
+            _WORKER_CACHE[mkey] = cached
+        memo_tbl, index = cached
+        n = batch.num_rows
+        mk_np = pc.binary_join_element_wise(
+            batch.column("rel"), batch.column("assertion"), "\x1f"
+        ).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(mk_np)
+        u_start = np.empty(len(uniq), dtype=np.int64)
+        u_cnt = np.empty(len(uniq), dtype=np.int64)
+        for ui, mk in enumerate(uniq):  # distinct keys only
+            s, c = index.get(mk, (0, 0))
+            u_start[ui] = s
+            u_cnt[ui] = c
+        row_cnt = u_cnt[codes] if n else np.zeros(0, dtype=np.int64)
+        total = int(row_cnt.sum())
+        row_rep = np.repeat(np.arange(n, dtype=np.int64), row_cnt)
+        flat_idx = (np.repeat(u_start[codes], row_cnt)
+                    + np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(row_cnt) - row_cnt, row_cnt))
+        # parse_batch's sid formula (generation_parser.py:137 parity): i is
+        # the row index within the scored block — identical blocks feed both
+        # paths (batch_size=None), so sids are bit-equal
+        sid_row = pc.binary_join_element_wise(
+            batch.column("surf_a"), batch.column("rel"),
+            batch.column("surf_b"), "-")
+        sid_row = pc.binary_join_element_wise(
+            sid_row, pa.array(np.arange(n).astype(str), pa.string()), "|")
+        rep_idx = pa.array(row_rep, pa.int64())
+        out = batch.select(EVENT_COLS[:-1]).take(rep_idx)
+        out = out.append_column("sid", sid_row.take(rep_idx))
+        payload = memo_tbl.take(pa.array(flat_idx, pa.int64()))
+        for name in ("eid", "pattern", "words", "ev_pos_tags", "ev_deps",
+                     "skeleton_indices", "ev_ners", "ev_mentions",
+                     "frequency"):
+            out = out.append_column(name, payload.column(name))
         if canon_ref is None:
             return out
         ckey = canon_ref.hex()
