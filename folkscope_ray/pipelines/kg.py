@@ -382,10 +382,6 @@ class KGPipeline:
         # broadcast gate: None past the ceiling -> per-row fallback)
         self._cache["assertions_set"] = (
             None if evs_overflow else assertions_set)
-        self._cache["evs_ref"] = (
-            None if evs_overflow
-            else self._build_evs_ref(pats, assertions_set)  # already sorted
-        )
 
     def _build_evs_ref(self, pats: list, items: list[str]):
         """Global match memo {rel\\x1ftext: [(obj, freq)]}: distributed
@@ -408,6 +404,21 @@ class KGPipeline:
         for d in ray.get(futs):
             evs.update(d)
         return ray.put(evs)
+
+    def _evs_ref(self):
+        """Broadcast {rel\\x1ftext: [(obj, freq)]} match memo for the
+        TRIPLES path — built lazily on first triples() consumption so
+        eventualities-only consumers never pay the distinct match twice
+        (the full-payload memo below is theirs).  None past the broadcast
+        gate (workers fall back to private lazy memos)."""
+        if "evs_ref" in self._cache:
+            return self._cache["evs_ref"]
+        self.patterns()  # ensures _stats_pass ran
+        items = self._cache.get("assertions_set")
+        ref = (None if items is None
+               else self._build_evs_ref(self.patterns(), items))
+        self._cache["evs_ref"] = ref
+        return ref
 
     def _full_evs_ref(self):
         """Broadcast full-eventuality memo for the eventualities path: ONE
@@ -800,7 +811,7 @@ class KGPipeline:
         pat_ref = ray.put(self.patterns())
         kind, canon = self._resolved_canon()
         nb = self._n_buckets()
-        evs_ref = self._cache.get("evs_ref")  # broadcast global match memo
+        evs_ref = self._evs_ref()  # broadcast global match memo (lazy)
         if kind == "dict":
             partial_ds = self.scored().map_batches(
                 make_triple_partials_fn(pat_ref, ray.put(canon), nb,
