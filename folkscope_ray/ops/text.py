@@ -48,8 +48,25 @@ class LangId:
         return best
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        langs = [self.guess(t) for t in batch.column("text").to_pylist()]
-        return batch.append_column("lang_guess", pa.array(langs, pa.string()))
+        """Vectorized interior: one Arrow ``count_substring`` kernel per
+        profile gram over the whole column (40 C++ scans per BATCH instead
+        of 40 Python scans per ROW).  ``np.argmax`` keeps the first max —
+        identical to ``guess``'s strict-greater iteration in profile order
+        (bit-equal, fixture-gated)."""
+        import pyarrow.compute as pc
+
+        tl = pc.utf8_lower(batch.column("text"))
+        langs_list = list(self.profiles)
+        n = batch.num_rows
+        scores = np.zeros((n, len(langs_list)), dtype=np.float64)
+        for li, lang in enumerate(langs_list):
+            for g, w in self.profiles[lang].items():
+                scores[:, li] += w * pc.count_substring(tl, g).to_numpy(
+                    zero_copy_only=False)
+        langs = np.asarray(langs_list, dtype=object)[
+            np.argmax(scores, axis=1)] if n else np.empty(0, dtype=object)
+        return batch.append_column(
+            "lang_guess", pa.array(langs, pa.string()))
 
 
 def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
