@@ -848,6 +848,21 @@ def _q_embedding_neardup_pairs_lsh(sf_dir: str):
                                        n_planes=2)
 
 
+def _q_resample_ffill_events(sf_dir: str):
+    """Per-user hourly resample + forward fill (the feature-engineering
+    gap-fill): one row per hour from each user's first to last active hour,
+    carrying the last observed value.  Key-hash bucketing, one vectorized
+    pandas body per bucket, repeat/arange grid explode — no Python per key;
+    values pass through untouched so DuckDB hash-matches exactly."""
+    from folkscope_ray.ops.window import resample_ffill
+
+    return resample_ffill(
+        _rp(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "value"]),
+        key_col="user_id", ts_col="ts", value_col="value",
+        freq_us=3_600_000_000, order_col="event_id")
+
+
 def _q_curation_pipeline_docs(sf_dir: str):
     """End-to-end curation COMPOSITION as one streaming pipeline (the
     pre-training front door): exact dedup (keep the min-doc_id row per
@@ -1589,6 +1604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
         "curation_pipeline_docs": _q_curation_pipeline_docs,
+        "resample_ffill_events": _q_resample_ffill_events,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -2028,6 +2044,29 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*)::BIGINT AS n
             FROM e JOIN f USING (user_id)
             GROUP BY e.event_type
+        """,
+        "resample_ffill_events": """
+            WITH e AS (
+              SELECT user_id, event_id, epoch_us(ts)::BIGINT AS us,
+                     (epoch_us(ts)::BIGINT // 3600000000) AS g, value
+              FROM events
+            ), lastv AS (
+              SELECT user_id, g, value FROM (
+                SELECT user_id, g, value,
+                       row_number() OVER (PARTITION BY user_id, g
+                                          ORDER BY us DESC, event_id DESC) AS rn
+                FROM e) WHERE rn = 1
+            ), r AS (
+              SELECT user_id, min(g) AS gmin, max(g) AS gmax
+              FROM e GROUP BY user_id
+            ), grid AS (
+              SELECT user_id, UNNEST(generate_series(gmin, gmax)) AS g FROM r
+            )
+            SELECT grid.user_id, grid.g::BIGINT AS bucket,
+                   (last_value(lastv.value IGNORE NULLS)
+                    OVER (PARTITION BY grid.user_id
+                          ORDER BY grid.g))::DOUBLE AS value_f
+            FROM grid LEFT JOIN lastv USING (user_id, g)
         """,
         "curation_pipeline_docs": """
             WITH kept AS (

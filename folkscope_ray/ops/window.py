@@ -326,3 +326,54 @@ def rollup_counts(ds: Dataset, keys: list[str], int_value_col: str,
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def resample_ffill(ds: Dataset, key_col: str, ts_col: str, value_col: str,
+                   freq_us: int, order_col: str,
+                   n_buckets: int | None = None) -> Dataset:
+    """Per-key time-series resample + forward fill: one row per ``freq_us``
+    bucket from each key's first to last observed bucket, carrying the value
+    of the LAST event at-or-before the bucket (ties on identical timestamp
+    broken by ``order_col``, e.g. an event id).  The standard gap-fill in
+    front of feature engineering / windowed training data.
+
+    Execution shape: key-hash bucketing (``_bucketed_groups`` co-location —
+    ONE vectorized pandas body per bucket, not per key): per-(key, bucket)
+    last value via sort+groupby-last, per-key grids built with the
+    repeat/arange explode (no Python per key), forward fill via pandas'
+    C-implemented ``groupby(...).ffill``.  Output rows are bounded by
+    (time span / freq) × keys — choose ``freq_us`` accordingly; values pass
+    through untouched (no float arithmetic), so a SQL oracle hash-matches
+    exactly."""
+
+    def body(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({key_col: pd.Series([], dtype="int64"),
+                                 "bucket": pd.Series([], dtype="int64"),
+                                 "value_f": pd.Series([], dtype="float64")})
+        us = df[ts_col].astype("datetime64[us]").astype("int64")
+        g = (us // freq_us).astype("int64")
+        d = pd.DataFrame({key_col: df[key_col].to_numpy(), "g": g,
+                          "us": us, "o": df[order_col].to_numpy(),
+                          "v": df[value_col].to_numpy()})
+        # last event per (key, bucket): ties on ts broken by order_col
+        d = d.sort_values([key_col, "g", "us", "o"], kind="mergesort")
+        last = d.groupby([key_col, "g"], sort=True)["v"].last().reset_index()
+        # per-key grid gmin..gmax, vectorized explode
+        rng = last.groupby(key_col, sort=True)["g"].agg(["min", "max"])
+        cnt = (rng["max"] - rng["min"] + 1).to_numpy(dtype=np.int64)
+        total = int(cnt.sum())
+        key_rep = np.repeat(rng.index.to_numpy(), cnt)
+        grid_g = (np.arange(total, dtype=np.int64)
+                  - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                  + np.repeat(rng["min"].to_numpy(dtype=np.int64), cnt))
+        grid = pd.DataFrame({key_col: key_rep, "g": grid_g})
+        out = grid.merge(last, on=[key_col, "g"], how="left")
+        out["v"] = out.groupby(key_col, sort=False)["v"].ffill()
+        return pd.DataFrame({key_col: out[key_col],
+                             "bucket": out["g"].astype("int64"),
+                             "value_f": out["v"].astype("float64")})
+
+    return _bucketed_groups(
+        ds.select_columns([key_col, ts_col, order_col, value_col]),
+        key_col, body, n_buckets=n_buckets)

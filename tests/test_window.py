@@ -165,3 +165,44 @@ def test_dense_rank_and_ntile_match_duckdb():
                       order_cols=["v", "i"], n=4)
                 .to_pandas().sort_values("v").reset_index(drop=True))
     assert got_tiny["tile"].tolist() == [1, 2]
+
+
+def test_resample_ffill_planted_gaps():
+    """Hourly grid per key with forward-filled gaps; last-in-bucket wins
+    with event-id tiebreak; grids are per-key (no global range)."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import resample_ffill
+
+    H = 3_600_000_000
+    rows = [
+        # user 1: events in hours 0 and 3 -> grid 0..3, hours 1-2 ffilled
+        (0, "2024-01-01 00:10:00", 1, 1.0),
+        (1, "2024-01-01 03:20:00", 1, 4.0),
+        # user 1, hour 0: a second event later in the hour wins
+        (2, "2024-01-01 00:50:00", 1, 2.0),
+        # user 2: single event -> one-row grid
+        (3, "2024-01-01 05:00:01", 2, 9.0),
+        # user 3: two events at the IDENTICAL timestamp -> higher id wins
+        (4, "2024-01-01 07:30:00", 3, 5.0),
+        (5, "2024-01-01 07:30:00", 3, 6.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "ts", "user_id", "value"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    outs = []
+    for nb in (1, 5):
+        out = (resample_ffill(rd.from_pandas(df, override_num_blocks=2),
+                              "user_id", "ts", "value", H, "event_id",
+                              n_buckets=nb)
+               .to_pandas().sort_values(["user_id", "bucket"])
+               .reset_index(drop=True))
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+    got = {(int(r.user_id), int(r.bucket) % 24): r.value_f
+           for r in outs[0].itertuples()}
+    base = int(pd.Timestamp("2024-01-01").value // 1000 // H)
+    u1 = [v for (u, b), v in sorted(got.items()) if u == 1]
+    assert u1 == [2.0, 2.0, 2.0, 4.0]   # hour0 last event wins, ffill 1-2
+    assert [v for (u, _b), v in got.items() if u == 2] == [9.0]
+    assert [v for (u, _b), v in got.items() if u == 3] == [6.0]  # id tiebreak
+    assert len(outs[0]) == 4 + 1 + 1
