@@ -32,7 +32,6 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 # ----------------------------------------------------- exact quantiles
@@ -57,11 +56,13 @@ def exact_quantiles_by_counting(ds: Dataset, value_col: str,
             "__n": pc.cast(vc.field("counts"), pa.int64()),
         })
 
+    from .relational import map_combine_aggregate
+
     hist = (
-        ds.select_columns([value_col])
-        .map_batches(partial_counts, batch_format="pyarrow")
-        .groupby("value")
-        .aggregate(Sum("__n", alias_name="n"))
+        map_combine_aggregate(
+            ds.select_columns([value_col])
+            .map_batches(partial_counts, batch_format="pyarrow"),
+            keys=["value"], sums={"__n": "n"}, count_alias="n")
         .to_pandas()
         .sort_values("value")
         .reset_index(drop=True)
@@ -229,13 +230,18 @@ def heavy_hitters(ds: Dataset, key_col: str, top_k: int,
         return pa.table({key_col: pa.array(vals),
                          "n": pa.array(counts, pa.int64())})
 
-    candidates = (
+    # distinct candidate union only — per-block counts exist solely to pick
+    # which keys survive truncation, so the combine is a bounded-domain
+    # dedup, not Ray's Aggregate machinery (map_combine_aggregate's auto
+    # gate: narrow tree-reduce while blocks × cap fits one task, shuffle of
+    # the already-collapsed partials beyond)
+    from .relational import map_combine_aggregate
+
+    candidates = map_combine_aggregate(
         ds.select_columns([key_col])
-        .map_batches(mg_partial, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("n", alias_name="__cand_n"))
-        .to_pandas()
-    )
+        .map_batches(mg_partial, batch_format="pyarrow"),
+        keys=[key_col], sums={"n": "__cand_n"},
+        count_alias="__cand_n").to_pandas()
     # recount EVERY candidate exactly — the set is bounded by blocks × cap
     # (a post-hoc nlargest over candidate lower bounds could evict a true
     # heavy hitter whose per-block survivals were small)
@@ -251,10 +257,10 @@ def heavy_hitters(ds: Dataset, key_col: str, top_k: int,
                          "n": pa.array(counts, pa.int64())})
 
     exact = (
-        ds.select_columns([key_col])
-        .map_batches(recount, batch_format="pyarrow")
-        .groupby(key_col)
-        .aggregate(Sum("n", alias_name="n"))
+        map_combine_aggregate(
+            ds.select_columns([key_col])
+            .map_batches(recount, batch_format="pyarrow"),
+            keys=[key_col], sums={"n": "n"}, count_alias="n")
         .to_pandas()
         .sort_values(["n", key_col], ascending=[False, True], kind="mergesort")
         .head(top_k)
@@ -305,11 +311,13 @@ def dd_quantiles(ds: Dataset, value_col: str, qs: list[float],
                          "k": pa.array(g["k"], pa.int64()),
                          "__n": pa.array(g["__n"], pa.int64())})
 
+    from .relational import map_combine_aggregate
+
     hist = (
-        ds.select_columns([value_col])
-        .map_batches(partial, batch_format="pyarrow")
-        .groupby(["sgn", "k"])
-        .aggregate(Sum("__n", alias_name="n"))
+        map_combine_aggregate(
+            ds.select_columns([value_col])
+            .map_batches(partial, batch_format="pyarrow"),
+            keys=["sgn", "k"], sums={"__n": "n"}, count_alias="n")
         .to_pandas()
     )
     # ascending VALUE order: negatives by k desc (big magnitude first),

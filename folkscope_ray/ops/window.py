@@ -185,16 +185,16 @@ def cumulative_sum(ds: Dataset, key_col: str, order_cols: list[str],
     ).to_pandas().sort_values([key_col, "__chunk"])
     totals["__offset"] = (
         totals.groupby(key_col)["__ct"].cumsum() - totals["__ct"])
-    off = {(k, c): int(o) for k, c, o in
-           zip(totals[key_col], totals["__chunk"], totals["__offset"])}
-    off_ref = ray.put(off)
+    off_ref = ray.put(
+        totals[[key_col, "__chunk", "__offset"]].reset_index(drop=True))
 
     def add_offset(b: pa.Table) -> pa.Table:
         o = ray.get(off_ref)
-        keys = b.column(key_col).to_pylist()
-        chunks = b.column("__chunk").to_pylist()
-        offs = np.fromiter((o[(k, c)] for k, c in zip(keys, chunks)),
-                           dtype=np.int64, count=len(keys))
+        # vectorized hash merge, not a per-row dict probe; how="left"
+        # preserves the batch's row order
+        bdf = b.select([key_col, "__chunk"]).to_pandas()
+        offs = bdf.merge(o, on=[key_col, "__chunk"], how="left")[
+            "__offset"].to_numpy(np.int64)
         run = b.column(alias).to_numpy(zero_copy_only=False) + offs
         i = b.column_names.index(alias)
         return b.set_column(i, alias, pa.array(run, pa.int64())) \
