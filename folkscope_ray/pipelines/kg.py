@@ -28,6 +28,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass, field
 
+import pandas as _pd
 import pyarrow as pa
 import ray
 import ray.data as rd
@@ -239,25 +240,27 @@ class KGPipeline:
         from ..patterns import attribute_exclusive_support, decode_pattern
 
         def stats_batch(batch: pa.Table) -> pa.Table:
-            rels = batch.column("rel").to_pylist()
-            texts = batch.column("assertion").to_pylist()
-            text_counts: dict[str, int] = {}
-            for rel, t in zip(rels, texts):
-                k = rel + "\x1f" + t
-                text_counts[k] = text_counts.get(k, 0) + 1
+            import pyarrow.compute as pc
+
+            # vectorized per-block combine: value_counts over rel\x1ftext
+            # (consumers sum "n" per key — emit order is irrelevant)
+            joined = pc.binary_join_element_wise(
+                batch.column("rel"), batch.column("assertion"), "\x1f")
+            vc = (joined.combine_chunks()
+                  if isinstance(joined, pa.ChunkedArray) else joined)
+            vc = pc.value_counts(vc)
+            keys = vc.field("values")
+            counts = pc.cast(vc.field("counts"), pa.int64())
             dn_tbl = _distinct_norms_batch(batch)
-            keys = list(text_counts.keys())
+            n_t, n_n = len(keys), dn_tbl.num_rows
             return pa.table(
                 {
-                    "kind": pa.array(
-                        ["t"] * len(keys) + ["n"] * dn_tbl.num_rows, pa.string()
-                    ),
-                    "k1": pa.array(keys + dn_tbl.column("norm").to_pylist(),
-                                   pa.string()),
-                    "n": pa.array(
-                        list(text_counts.values()) + [0] * dn_tbl.num_rows,
-                        pa.int64(),
-                    ),
+                    "kind": pa.array(["t"] * n_t + ["n"] * n_n, pa.string()),
+                    "k1": pa.concat_arrays(
+                        [keys, dn_tbl.column("norm").combine_chunks()
+                         .cast(pa.string())]),
+                    "n": pa.concat_arrays(
+                        [counts, pa.nulls(n_n, pa.int64()).fill_null(0)]),
                 }
             )
 
@@ -558,7 +561,7 @@ class KGPipeline:
         nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def pack(batch: pa.Table) -> pa.Table:
-            eids = batch.column("eid").to_pylist()
+            n_rows = batch.num_rows
             # deps list<struct{gov,rel,dep}> -> "g\x1fl\x1fd" triples joined
             # on \x1e (parser-internal labels/ints: separators can't collide)
             dl = batch.column("ev_deps").combine_chunks()
@@ -582,20 +585,25 @@ class KGPipeline:
                     pc.binary_join_element_wise(
                         '["', pc.binary_join(nl, '", "'), '"]', ""))
             else:
-                ners_json = pa.array(["[]"] * len(eids), pa.string())
+                ners_json = pa.array(["[]"] * n_rows, pa.string())
             if "ev_mentions" in batch.column_names:
                 ml = batch.column("ev_mentions").combine_chunks()
                 mlens = pc.list_value_length(ml).to_numpy()
                 if (mlens == 0).all():  # common case: no mentions anywhere
-                    mentions_json = pa.array(["[]"] * len(eids), pa.string())
+                    mentions_json = pa.array(["[]"] * n_rows, pa.string())
                 else:  # per-row dumps only where a mention list is non-empty
                     rows = ml.to_pylist()
                     mentions_json = pa.array(
                         ["[]" if n == 0 else json.dumps(x)
                          for n, x in zip(mlens, rows)], pa.string())
             else:
-                mentions_json = pa.array(["[]"] * len(eids), pa.string())
-            buckets = [int(e[:8], 16) % nb for e in eids]
+                mentions_json = pa.array(["[]"] * n_rows, pa.string())
+            # vectorized co-location bucket (pd.util.hash_array, process-
+            # stable) — any deterministic fn works: the merge is per-eid
+            # inside the bucket and sorts on deterministic keys
+            eid_np = batch.column("eid").to_pandas().to_numpy()
+            buckets = (_pd.util.hash_array(eid_np, categorize=False)
+                       % nb).astype("int32")
             return pa.table(
                 {
                     "bucket": pa.array(buckets, pa.int32()),
@@ -741,8 +749,9 @@ class KGPipeline:
 
             w = pc.multiply(batch.column("score"), batch.column("frequency"))
             out = batch.append_column("weighted_score", w)
-            cids = batch.column("cid").to_pylist()
-            buckets = [int(c[:8], 16) % nb for c in cids]
+            cid_np = batch.column("cid").to_pandas().to_numpy()
+            buckets = (_pd.util.hash_array(cid_np, categorize=False)
+                       % nb).astype("int32")
             return out.append_column("cbucket", pa.array(buckets, pa.int32()))
 
         def combine(df):
