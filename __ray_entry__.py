@@ -863,6 +863,110 @@ def _q_resample_ffill_events(sf_dir: str):
         freq_us=3_600_000_000, order_col="event_id")
 
 
+def _q_bpe_vocab_docs(sf_dir: str):
+    """BPE tokenizer fitting (Sennrich 2016) with the industrial split: the
+    cluster computes the word-frequency histogram (map-side-combined, shuffle
+    moves vocabulary rows, deterministic top-K gate bounds the driver table);
+    the driver runs the merge loop over that histogram — O(vocab x merges),
+    corpus-size independent.  Output: the learned merge table, which IS the
+    tokenizer.  Fixture oracle (merge loops are not ANSI-SQL)."""
+    from folkscope_ray.ops.lm import bpe_train, word_counts
+
+    wf = (word_counts(_rp(sf_dir, "documents"), max_words=100_000)
+          .to_pandas().sort_values("word").reset_index(drop=True))
+    return bpe_train(wf, 200)
+
+
+def _q_bpe_token_counts_docs(sf_dir: str):
+    """Corpus token frequencies under the learned BPE vocabulary: every
+    DISTINCT word is encoded exactly once cluster-wide (merge ranks
+    broadcast via ray.put; encoding runs over the word histogram weighted
+    by count — no occurrence re-encoded), then a vocabulary-row shuffle and
+    a deterministic top-50 (count desc, token asc).  Fixture oracle."""
+    from folkscope_ray.ops.lm import bpe_token_counts, bpe_train, word_counts
+
+    wc = word_counts(
+        _rp(sf_dir, "documents"), max_words=100_000).materialize()
+    merges = bpe_train(
+        wc.to_pandas().sort_values("word").reset_index(drop=True), 200)
+    return (bpe_token_counts(wc, merges)
+            .sort(["n", "token"], descending=[True, False]).limit(50))
+
+
+def _q_lm_perplexity_docs(sf_dir: str):
+    """CCNet-style quality scoring: an interpolated bigram LM trained on the
+    deterministic reference slice (doc_id % 10 == 0; integer count tables,
+    map-side-combined, top-K-bounded, broadcast once) scores every doc in a
+    stateless map; scores are quantized to int millibits-per-token BEFORE
+    aggregation so the per-(lang, band) sums are hash-exact at any
+    parallelism.  Fixture oracle (tokenization + log2 are not ANSI-SQL)."""
+    from folkscope_ray.ops.lm import score_perplexity, train_bigram_lm
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    docs = _rp(sf_dir, "documents").select_columns(["doc_id", "lang", "text"])
+
+    def ref_slice(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(ids % 10 == 0))
+
+    model = train_bigram_lm(
+        docs.map_batches(ref_slice, batch_format="pyarrow"))
+    scored = score_perplexity(docs, model)
+
+    def band(b: pa.Table) -> pa.Table:
+        mb = b.column("ppl_millibits").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "ppl_band", pa.array(np.minimum(mb // 2000, 9), pa.int64()))
+
+    return map_combine_aggregate(
+        scored.map_batches(band, batch_format="pyarrow")
+        .select_columns(["lang", "ppl_band", "ppl_millibits"]),
+        keys=["lang", "ppl_band"], sums={"ppl_millibits": "sum_millibits"},
+        count_alias="n_docs",
+    )
+
+
+def _q_deterministic_shuffle_docs(sf_dir: str):
+    """Seeded reproducible global shuffle (epoch ordering for training):
+    order key = md5(seed|doc_id) — a pure function of (seed, id), so the
+    permutation is identical across runs/parallelism/resume, unlike
+    random_shuffle.  Same all-to-all cost class as random_shuffle; limit
+    pushdown keeps only the winning prefix.  First 100 rows returned with
+    their order keys so the hash compare pins the actual permutation."""
+    from folkscope_ray.ops.split import deterministic_shuffle
+
+    return deterministic_shuffle(
+        _rp(sf_dir, "documents").select_columns(["doc_id"]),
+        "doc_id", seed=42, key_out="shuf").limit(100)
+
+
+def _q_mixing_weights_sources(sf_dir: str):
+    """Square-root domain-mixing weights (multilingual/data-mixture
+    reweighting: sampling weight ∝ tokens^0.5): per-source token totals via
+    a map-side-combined aggregate (per-row regex token count is a stateless
+    map), then integer isqrt + ppm division over the tiny per-source table —
+    hash-exact vs the SQL oracle."""
+    from folkscope_ray.ops.lm import _TOKEN_RE
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import mixing_weights
+
+    def ntok(b: pa.Table) -> pa.Table:
+        n = np.fromiter(
+            (len(_TOKEN_RE.findall(t.lower()))
+             for t in b.column("text").to_pylist()),
+            dtype=np.int64, count=b.num_rows)
+        return b.append_column("n_tokens", pa.array(n, pa.int64()))
+
+    per_src = map_combine_aggregate(
+        _rp(sf_dir, "documents").select_columns(["source", "text"])
+        .map_batches(ntok, batch_format="pyarrow")
+        .select_columns(["source", "n_tokens"]),
+        keys=["source"], sums={"n_tokens": "total_tokens"},
+        count_alias="__nd",
+    ).drop_columns(["__nd"])
+    return mixing_weights(per_src.to_pandas(), "source", "total_tokens")
+
+
 def _q_curation_pipeline_docs(sf_dir: str):
     """End-to-end curation COMPOSITION as one streaming pipeline (the
     pre-training front door): exact dedup (keep the min-doc_id row per
@@ -1605,6 +1709,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
         "curation_pipeline_docs": _q_curation_pipeline_docs,
         "resample_ffill_events": _q_resample_ffill_events,
+        "bpe_vocab_docs": _q_bpe_vocab_docs,
+        "bpe_token_counts_docs": _q_bpe_token_counts_docs,
+        "lm_perplexity_docs": _q_lm_perplexity_docs,
+        "deterministic_shuffle_docs": _q_deterministic_shuffle_docs,
+        "mixing_weights_sources": _q_mixing_weights_sources,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -2279,6 +2388,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT min(doc_id) FROM documents
                              GROUP BY md5(text))
         """,
+        # seeded shuffle: the order key is a pure function of (seed, id) —
+        # md5 on both engines; the LIMIT selection is what the hash pins
+        "deterministic_shuffle_docs": """
+            SELECT doc_id, md5('42|' || CAST(doc_id AS VARCHAR)) AS shuf
+            FROM documents ORDER BY shuf, doc_id LIMIT 100
+        """,
+        # sqrt mixing rule, all-integer: floor(sqrt()) == isqrt for
+        # n < 2^52, ppm division is integer on both engines
+        "mixing_weights_sources": """
+            WITH t AS (
+              SELECT source,
+                     CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT)
+                       AS total_tokens
+              FROM documents GROUP BY source
+            ), s AS (
+              SELECT source, total_tokens,
+                     CAST(floor(sqrt(total_tokens)) AS BIGINT) AS r FROM t
+            )
+            SELECT source, total_tokens,
+                   CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
+                     AS weight_ppm
+            FROM s ORDER BY source
+        """,
         # incremental/sharded build parity: the oracle is the MONOLITHIC
         # build's golden fixture — equality IS the property under test
         "kg_incremental_triples": (
@@ -2320,6 +2452,9 @@ def oracle_sql() -> dict[str, str]:
                 "embedding_neardup_pairs_lsh",
                 "kg_parse_strings",
                 "embedding_kmeans_clusters",
+                "bpe_vocab_docs",
+                "bpe_token_counts_docs",
+                "lm_perplexity_docs",
             )
         },
     }

@@ -1,0 +1,363 @@
+"""Statistical language-model operators for training-data curation:
+distributed word counting, BPE vocabulary learning (Sennrich et al. 2016,
+"Neural Machine Translation of Rare Words with Subword Units"), and
+bigram-LM perplexity quality scoring (the CCNet recipe, Wenzek et al. 2020).
+
+The reference has no statistical-LM machinery (its model stages are GPU
+transformer calls — generator/critic, SURVEY.md §2.9); these operators cover
+the tokenizer-fitting and quality-scoring steps a 100-TB LM-training data
+pipeline runs in front of training.
+
+Scale shapes (the 100-TB discipline for each phase):
+
+- **word counting**: per-block ``(word, n)`` partials collapse each block's
+  token stream before the shuffle, so the all-to-all moves vocabulary rows
+  (bounded by distinct words x blocks), never token occurrences.
+- **BPE training**: the classic industrial split — the CLUSTER computes the
+  word-frequency histogram (vocabulary-sized, further bounded by a
+  deterministic top-K gate: sort by ``(n desc, word)`` + limit pushdown),
+  the DRIVER runs the merge loop over that histogram.  This is exactly how
+  production BPE trainers work (HF ``tokenizers``: corpus-scale counting is
+  parallel, the merge loop sees only the distinct-word table); the merge
+  loop's cost is O(vocab x merges), independent of corpus size.
+- **BPE encoding / token counting**: the learned merge ranks broadcast once
+  (``ray.put``), applied per DISTINCT word — encoding runs over the
+  word-histogram Dataset, weighted by count, so no occurrence is ever
+  re-encoded.  (Per-document encoding reuses the same broadcast with a
+  per-worker memo keyed on the word.)
+- **perplexity scoring**: the model is a pair of integer count tables
+  trained on a reference slice (map-side-combined, deterministically
+  top-K-bounded, broadcast once); scoring is a stateless per-doc map.
+  Scores are quantized to integer MILLIBITS-per-token before any cross-row
+  aggregation, so sums are hash-exact at any parallelism.
+
+Determinism: all training state is integer counts with lexical tie-breaks,
+so the learned merges / count tables — and therefore every downstream score
+— are bit-identical across runs, block layouts and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+__all__ = [
+    "word_count_partials",
+    "word_counts",
+    "bpe_train",
+    "bpe_encode_word",
+    "bpe_token_counts",
+    "train_bigram_lm",
+    "PerplexityScorer",
+    "score_perplexity",
+]
+
+# same token class as the corpus n-gram statistics (ops/text.py) so the two
+# vocabularies line up
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_END = "</w>"  # BPE end-of-word marker (Sennrich et al. 2016 convention)
+
+
+# --------------------------------------------------------------------------
+# distributed word counting
+# --------------------------------------------------------------------------
+
+def word_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-block ``(word, n)`` counts — the map-side combiner for corpus
+    word statistics (one output row per distinct in-block word)."""
+    c: Counter = Counter()
+    for t in batch.column(text_col).to_pylist():
+        c.update(_TOKEN_RE.findall(t.lower()))
+    if not c:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64())})
+    words = sorted(c)
+    return pa.table({"word": pa.array(words, pa.string()),
+                     "n": pa.array([c[w] for w in words], pa.int64())})
+
+
+def word_counts(ds: Dataset, text_col: str = "text",
+                max_words: int | None = None) -> Dataset:
+    """Corpus word-frequency histogram as a Dataset of ``(word, n)``.
+
+    ``max_words`` applies the deterministic top-K gate (count desc, word
+    asc — a sort + limit, which Ray pushes down so only per-block top-K
+    rows reach the final ranks)."""
+    from .relational import map_combine_aggregate
+
+    wc = map_combine_aggregate(
+        ds.select_columns([text_col])
+        .map_batches(word_count_partials, batch_format="pyarrow"),
+        keys=["word"], sums={"n": "n"}, count_alias="__nb",
+    ).drop_columns(["__nb"])
+    if max_words is not None:
+        wc = wc.sort(["n", "word"], descending=[True, False]).limit(max_words)
+    return wc
+
+
+# --------------------------------------------------------------------------
+# BPE vocabulary learning
+# --------------------------------------------------------------------------
+
+def bpe_train(word_freq: pd.DataFrame, n_merges: int) -> pd.DataFrame:
+    """Learn ``n_merges`` BPE merges from a ``(word, n)`` histogram.
+
+    Classic Sennrich algorithm over the distinct-word table: every word is a
+    symbol sequence (characters + ``</w>``); each iteration merges the
+    adjacent symbol pair with the highest corpus count, ties broken
+    lexically — fully deterministic.  Pair counts are maintained
+    incrementally (only words containing the merged pair are re-counted),
+    so the loop is O(merges x words-touched), not O(merges x vocab).
+
+    Returns a DataFrame ``(rank, left, right)`` — the merge table, which IS
+    the tokenizer (encoding needs nothing else)."""
+    words: list[list[str]] = [
+        list(w) + [_END] for w in word_freq["word"].tolist()
+    ]
+    freqs: list[int] = [int(x) for x in word_freq["n"].tolist()]
+
+    pair_counts: Counter = Counter()
+    pair_words: dict[tuple[str, str], set[int]] = {}
+    for wi, syms in enumerate(words):
+        f = freqs[wi]
+        for a, b in zip(syms, syms[1:]):
+            pair_counts[(a, b)] += f
+            pair_words.setdefault((a, b), set()).add(wi)
+
+    merges: list[tuple[int, str, str]] = []
+    for rank in range(n_merges):
+        best = None
+        for pair, n in pair_counts.items():
+            if n <= 0:
+                continue
+            key = (-n, pair)
+            if best is None or key < best:
+                best = key
+        if best is None:
+            break
+        (_, (left, right)) = best
+        merges.append((rank, left, right))
+        merged = left + right
+        # re-count only the words that contain the merged pair
+        for wi in sorted(pair_words.get((left, right), ())):
+            syms = words[wi]
+            f = freqs[wi]
+            for a, b in zip(syms, syms[1:]):
+                pair_counts[(a, b)] -= f
+                s = pair_words.get((a, b))
+                if s is not None:
+                    s.discard(wi)
+            out: list[str] = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            words[wi] = out
+            for a, b in zip(out, out[1:]):
+                pair_counts[(a, b)] += f
+                pair_words.setdefault((a, b), set()).add(wi)
+        pair_counts.pop((left, right), None)
+        pair_words.pop((left, right), None)
+    return pd.DataFrame(merges, columns=["rank", "left", "right"])
+
+
+def bpe_encode_word(word: str,
+                    ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Encode one word with a learned merge table: repeatedly apply the
+    lowest-rank applicable merge (the standard greedy BPE encoder)."""
+    syms = list(word) + [_END]
+    while len(syms) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_rank is None:
+            break
+        syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+_RANKS_CACHE: dict = {}
+
+
+def bpe_token_counts(word_freq_ds: Dataset, merges: pd.DataFrame) -> Dataset:
+    """Corpus BPE-token frequencies, computed over the DISTINCT-word
+    histogram: each distinct word is encoded exactly once cluster-wide and
+    contributes ``count(word)`` to each of its tokens.  The merge table
+    broadcasts once (``ray.put``); the shuffle moves ``(token, n)``
+    vocabulary rows."""
+    from .relational import map_combine_aggregate
+
+    ranks = {(l, r): int(k) for k, l, r in
+             zip(merges["rank"], merges["left"], merges["right"])}
+    ref = ray.put(ranks)
+
+    def encode_block(b: pa.Table) -> pa.Table:
+        key = ref.hex()
+        rk = _RANKS_CACHE.get(key)
+        if rk is None:
+            rk = ray.get(ref)
+            _RANKS_CACHE[key] = rk
+        c: Counter = Counter()
+        for w, n in zip(b.column("word").to_pylist(),
+                        b.column("n").to_pylist()):
+            for tok in bpe_encode_word(w, rk):
+                c[tok] += n
+        toks = sorted(c)
+        return pa.table({"token": pa.array(toks, pa.string()),
+                         "n": pa.array([c[t] for t in toks], pa.int64())})
+
+    return map_combine_aggregate(
+        word_freq_ds.map_batches(encode_block, batch_format="pyarrow"),
+        keys=["token"], sums={"n": "n"}, count_alias="__nb",
+    ).drop_columns(["__nb"])
+
+
+# --------------------------------------------------------------------------
+# bigram-LM perplexity quality scoring (CCNet-style)
+# --------------------------------------------------------------------------
+
+def train_bigram_lm(ds: Dataset, text_col: str = "text",
+                    max_vocab: int = 50_000,
+                    max_bigrams: int = 500_000) -> dict:
+    """Train an interpolated bigram LM from a reference corpus slice.
+
+    Distributed phase: per-block ``(gram, n)`` partials for unigrams and
+    bigrams (map-side combined; shuffle moves vocabulary rows).  Driver
+    phase: deterministic top-K truncation (count desc, gram asc) — the
+    model the driver holds is BOUNDED by ``max_vocab + max_bigrams`` rows
+    regardless of corpus size.  Out-of-vocabulary tokens map to ``<unk>``.
+
+    Returns a plain-dict model: integer count tables + totals (integer
+    state only, so the broadcast model is bit-identical on every run)."""
+    from .relational import map_combine_aggregate
+
+    def gram_partials(b: pa.Table) -> pa.Table:
+        uni: Counter = Counter()
+        bi: Counter = Counter()
+        for t in b.column(text_col).to_pylist():
+            ws = _TOKEN_RE.findall(t.lower())
+            uni.update(ws)
+            for i in range(len(ws) - 1):
+                bi[ws[i] + " " + ws[i + 1]] += 1
+        grams = [("u", g, n) for g, n in sorted(uni.items())]
+        grams += [("b", g, n) for g, n in sorted(bi.items())]
+        return pa.table({
+            "kind": pa.array([k for k, _, _ in grams], pa.string()),
+            "gram": pa.array([g for _, g, _ in grams], pa.string()),
+            "n": pa.array([n for _, _, n in grams], pa.int64()),
+        })
+
+    counts = map_combine_aggregate(
+        ds.select_columns([text_col])
+        .map_batches(gram_partials, batch_format="pyarrow"),
+        keys=["kind", "gram"], sums={"n": "n"}, count_alias="__nb",
+    ).drop_columns(["__nb"])
+
+    def top(kind: str, k: int) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        return (counts.map_batches(
+            lambda b, kind=kind: b.filter(pc.equal(b.column("kind"), kind)),
+            batch_format="pyarrow")
+            .sort(["n", "gram"], descending=[True, False]).limit(k)
+            .to_pandas())
+
+    uni_df = top("u", max_vocab)
+    bi_df = top("b", max_bigrams)
+    unigrams = dict(zip(uni_df["gram"], (int(x) for x in uni_df["n"])))
+    total_uni = int(uni_df["n"].sum())
+    # bigrams restricted to the kept vocabulary so P(w2|w1) context counts
+    # match the unigram table
+    bigrams = {g: int(n) for g, n in zip(bi_df["gram"], bi_df["n"])
+               if all(w in unigrams for w in g.split(" "))}
+    return {"unigrams": unigrams, "bigrams": bigrams,
+            "total_uni": total_uni, "vocab_size": len(unigrams)}
+
+
+class PerplexityScorer:
+    """Actor-pool stage: per-document bigram-LM perplexity in integer
+    millibits-per-token (``round(1000 * bits/token)``) — quantized BEFORE
+    any cross-row aggregation, so downstream sums are hash-exact.
+
+    Model resolved from the broadcast ref once per actor (``__init__``);
+    per-batch work is a per-doc scan (token streams are inherently
+    sequential; the per-token work is two dict probes + one log2).
+
+    Interpolated estimate (CCNet uses Kneser-Ney; an interpolated bigram is
+    the same quality *shape* with integer-only training state):
+    ``P(w2|w1) = 0.9 * c(w1 w2)/c(w1) + 0.1 * (c(w2)+1)/(T+V+1)`` with
+    ``<unk>`` mapping for OOV tokens (c(unk)=0)."""
+
+    LAMBDA = 0.9
+
+    def __init__(self, model_ref, text_col: str = "text"):
+        m = ray.get(model_ref) if hasattr(model_ref, "hex") else model_ref
+        self.uni: dict[str, int] = m["unigrams"]
+        self.bi: dict[str, int] = m["bigrams"]
+        self.total = int(m["total_uni"])
+        self.vocab = int(m["vocab_size"])
+        self.text_col = text_col
+
+    def score(self, text: str) -> tuple[int, int]:
+        ws = _TOKEN_RE.findall(text.lower())
+        if len(ws) < 2:
+            return 0, len(ws)
+        denom = float(self.total + self.vocab + 1)
+        bits = 0.0
+        lam, lam1 = self.LAMBDA, 1.0 - self.LAMBDA
+        uni, bi = self.uni, self.bi
+        for i in range(1, len(ws)):
+            w1, w2 = ws[i - 1], ws[i]
+            c1 = uni.get(w1, 0)
+            p_bi = (bi.get(w1 + " " + w2, 0) / c1) if c1 else 0.0
+            p_uni = (uni.get(w2, 0) + 1) / denom
+            bits -= math.log2(lam * p_bi + lam1 * p_uni)
+        return int(round(1000.0 * bits / (len(ws) - 1))), len(ws)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_col).to_pylist()
+        mb = np.empty(len(texts), dtype=np.int64)
+        nt = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            mb[i], nt[i] = self.score(t)
+        out = batch.append_column("ppl_millibits", pa.array(mb, pa.int64()))
+        return out.append_column("n_lm_tokens", pa.array(nt, pa.int64()))
+
+
+_SCORER_CACHE: dict = {}
+
+
+def score_perplexity(ds: Dataset, model: dict,
+                     text_col: str = "text") -> Dataset:
+    """Task-based perplexity scoring: the model ships via ``ray.put`` once
+    and each worker process resolves it a single time through a module
+    cache (the repo's de-actored discipline for stages whose only state is
+    one ``ray.get`` — an actor pool would cap parallelism for no setup
+    saved; use the ``PerplexityScorer`` class directly with
+    ``map_batches(..., concurrency=N)`` only when composing with genuinely
+    expensive per-actor state)."""
+    ref = ray.put(model)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        key = ref.hex()
+        scorer = _SCORER_CACHE.get(key)
+        if scorer is None:
+            scorer = PerplexityScorer(ray.get(ref), text_col)
+            _SCORER_CACHE[key] = scorer
+        return scorer(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -29,6 +29,8 @@ __all__ = [
     "quantiles_by_key",
     "sample_per_key",
     "pack_sequences",
+    "deterministic_shuffle",
+    "mixing_weights",
 ]
 
 
@@ -128,6 +130,52 @@ def sample_per_key(ds: Dataset, key_col: str, id_col: str, n: int,
         .groupby(key_col)
         .map_groups(head_n, batch_format="pandas")
     )
+
+
+def deterministic_shuffle(ds: Dataset, id_col: str, seed: int,
+                          key_out: str = "__shuf") -> Dataset:
+    """Seeded, REPRODUCIBLE global shuffle: every row gets the order key
+    ``md5(f"{seed}|{id}")`` (stateless map) and the stream is sorted by it.
+
+    ``Dataset.random_shuffle`` depends on block layout and RNG state, so a
+    resumed or re-run epoch sees a different order; here the permutation is
+    a pure function of ``(seed, id)`` — bit-identical across runs, block
+    layouts, parallelism levels, and the SQL oracle
+    (``md5(seed || '|' || id)``).  Epochs are new seeds.
+
+    Scale shape: one range-partitioned sort — the SAME all-to-all cost class
+    as ``random_shuffle``, but resumable (a failed epoch re-derives its
+    order instead of re-shuffling) and with limit pushdown for partial
+    consumption (``.limit(k)`` after this sorts only the winning prefix to
+    the driver)."""
+    def key(b: pa.Table) -> pa.Table:
+        ks = [hashlib.md5(f"{seed}|{v}".encode()).hexdigest()
+              for v in b.column(id_col).to_pylist()]
+        return b.append_column(key_out, pa.array(ks, pa.string()))
+
+    return ds.map_batches(key, batch_format="pyarrow").sort([key_out, id_col])
+
+
+def mixing_weights(per_key_tokens: pd.DataFrame, key_col: str,
+                   tokens_col: str, out_col: str = "weight_ppm") -> pd.DataFrame:
+    """Square-root domain-mixing weights (the multilingual/data-mixture
+    reweighting rule: sampling weight ∝ size^0.5, which upweights small
+    domains relative to proportional sampling).
+
+    Input is the already-aggregated per-domain token-count table (one row
+    per domain — tiny; the distributed part is the counting, a map-side
+    combined groupby upstream).  All arithmetic is INTEGER (``isqrt`` +
+    integer division into parts-per-million), so the weights are hash-exact
+    vs the SQL oracle ``(1000000 * floor(sqrt(n))) // sum(floor(sqrt(n)))``
+    — exact because ``floor(sqrt())`` in IEEE double equals ``isqrt`` for
+    n < 2^52 (document counts far below that)."""
+    import math
+
+    df = per_key_tokens[[key_col, tokens_col]].copy()
+    s = np.array([math.isqrt(int(v)) for v in df[tokens_col]], dtype=np.int64)
+    total = int(s.sum())
+    df[out_col] = (1_000_000 * s) // max(total, 1)
+    return df.sort_values(key_col).reset_index(drop=True)
 
 
 def pack_sequences(ds: Dataset, id_col: str, size_col: str, budget: int,

@@ -57,6 +57,9 @@ FIXTURE_QUERIES = [
     "embedding_neardup_pairs_lsh",
     "kg_parse_strings",
     "embedding_kmeans_clusters",
+    "bpe_vocab_docs",
+    "bpe_token_counts_docs",
+    "lm_perplexity_docs",
 ]
 
 
