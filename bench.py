@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "dense_rank_orders",
     "chunk_dedup_docs",
     "pii_scrub_docs",
+    "lm_perplexity_docs",
+    "bpe_token_counts_docs",
+    "deterministic_shuffle_docs",
 ]
 
 
