@@ -252,15 +252,25 @@ class KGPipeline:
             keys = vc.field("values")
             counts = pc.cast(vc.field("counts"), pa.int64())
             dn_tbl = _distinct_norms_batch(batch)
-            n_t, n_n = len(keys), dn_tbl.num_rows
+            # per-block distinct file lineages ("f" rows): feeds the global
+            # lineage-rank broadcast that lets the triple shuffle ship int64
+            # ranks instead of ~150-byte lineage strings (56% of the partial
+            # stream).  Files are block-local, so this adds ~n_files/blocks
+            # rows per block — noise next to the assertion partials.
+            lin = pc.unique(pc.binary_join_element_wise(
+                batch.column("repo"), batch.column("path"),
+                batch.column("commit"), batch.column("content_sha256"),
+                "\t").combine_chunks())
+            n_t, n_n, n_f = len(keys), dn_tbl.num_rows, len(lin)
             return pa.table(
                 {
-                    "kind": pa.array(["t"] * n_t + ["n"] * n_n, pa.string()),
+                    "kind": pa.array(["t"] * n_t + ["n"] * n_n + ["f"] * n_f,
+                                     pa.string()),
                     "k1": pa.concat_arrays(
                         [keys, dn_tbl.column("norm").combine_chunks()
-                         .cast(pa.string())]),
+                         .cast(pa.string()), lin]),
                     "n": pa.concat_arrays(
-                        [counts, pa.nulls(n_n, pa.int64()).fill_null(0)]),
+                        [counts, pa.nulls(n_n + n_f, pa.int64()).fill_null(0)]),
                 }
             )
 
@@ -317,6 +327,31 @@ class KGPipeline:
             if distinct_n.count() <= DRIVER_BANDING_MAX:
                 norms = set(distinct_n.to_pandas()["k1"])
                 norms_overflow = False
+
+        # distinct file lineages -> SORTED global rank array for the triple
+        # shuffle (int64 rank ships instead of the ~150-byte string; ranks
+        # are lexicographic so min(rank) == min(string) bit-exactly).  File
+        # count ≪ assertion count (96x fan-out), bounded by its own gate; on
+        # overflow triples() falls back to string lineage — identical
+        # output, pytest-gated.
+        lin_gate = int(os.environ.get(
+            "FOLKSCOPE_LINEAGE_BROADCAST_MAX", 2_000_000))
+        self._cache["lineage_sorted"] = None
+        if lin_gate:
+            f_rows = partials.map_batches(keep("f", ["k1"]),
+                                          batch_format="pyarrow")
+            if f_rows.count() <= lin_gate:
+                lins = f_rows.to_pandas()["k1"].unique()
+                if len(lins) <= lin_gate:
+                    lins.sort()
+                    self._cache["lineage_sorted"] = lins
+            else:
+                distinct_f = map_combine_aggregate(
+                    f_rows, keys=["k1"]).materialize()
+                if distinct_f.count() <= lin_gate:
+                    lins = distinct_f.to_pandas()["k1"].unique()
+                    lins.sort()
+                    self._cache["lineage_sorted"] = lins
 
         counts: Counter = Counter()
         length_counts: dict[str, Counter] = {}
@@ -777,13 +812,21 @@ class KGPipeline:
         if "triples" in self._cache:
             return self._cache["triples"]
 
+        # _stats_pass (via patterns()) publishes the sorted lineage array;
+        # force it BEFORE reading the cache so rank mode engages on a fresh
+        # pipeline (patterns() is cached/idempotent — no extra work)
+        self.patterns()
+        lineage_sorted = self._cache.get("lineage_sorted")
+        lin_is_rank = lineage_sorted is not None
+
         def bucket_combine(t: pa.Table) -> pa.Table:
             # Arrow-native final combine: ~3x faster than the pandas
             # equivalent on these string-heavy 100k-row buckets (no
             # Arrow->pandas conversion, single-pass hash aggregate).
             # ``use_threads=False``: each map_groups task is already one
             # CPU slot; letting Arrow fan out threads oversubscribes.
-            # lineage is ASCII, so Arrow's binary min == Python str min.
+            # lineage is ASCII, so Arrow's binary min == Python str min;
+            # in rank mode it is the int64 global rank (same min order).
             if t.num_rows == 0:
                 # typed empty: an empty group block would otherwise emit a
                 # column-less table and diverge the stream schema
@@ -795,7 +838,8 @@ class KGPipeline:
                      "frequency": pa.array([], pa.float64()),
                      "plausibility": pa.array([], pa.float64()),
                      "typicality": pa.array([], pa.float64()),
-                     "lineage": pa.array([], pa.string())}
+                     "lineage": pa.array(
+                         [], pa.int64() if lin_is_rank else pa.string())}
                 )
             g = t.group_by(["subj", "pred", "obj"], use_threads=False).aggregate(
                 [("support_p", "sum"), ("frequency_p", "sum"),
@@ -821,10 +865,13 @@ class KGPipeline:
         kind, canon = self._resolved_canon()
         nb = self._n_buckets()
         evs_ref = self._evs_ref()  # broadcast global match memo (lazy)
+        lineage_ref = (ray.put(pa.array(lineage_sorted, pa.string()))
+                       if lin_is_rank else None)
         if kind == "dict":
             partial_ds = self.scored().map_batches(
                 make_triple_partials_fn(pat_ref, ray.put(canon), nb,
-                                        evs_ref=evs_ref),
+                                        evs_ref=evs_ref,
+                                        lineage_ref=lineage_ref),
                 batch_format="pyarrow",
                 batch_size=None,
             )
@@ -836,7 +883,8 @@ class KGPipeline:
             from ..util import stable_u64
 
             norm_partials = self.scored().map_batches(
-                make_triple_partials_fn(pat_ref, None, nb, evs_ref=evs_ref),
+                make_triple_partials_fn(pat_ref, None, nb, evs_ref=evs_ref,
+                                        lineage_ref=lineage_ref),
                 batch_format="pyarrow",
                 batch_size=None,
             )
@@ -867,9 +915,21 @@ class KGPipeline:
         def unpack(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
+            lin_col = batch.column("lineage")
+            if lineage_ref is not None:
+                # rank mode: restore the string from the broadcast sorted
+                # array (one take kernel; array resolved once per worker)
+                from ..stages.match import _WORKER_CACHE
+
+                lkey = "LA" + lineage_ref.hex()
+                lin_arr = _WORKER_CACHE.get(lkey)
+                if lin_arr is None:
+                    lin_arr = ray.get(lineage_ref)
+                    _WORKER_CACHE[lkey] = lin_arr
+                lin_col = pc.take(lin_arr, lin_col)
             # vectorized lineage split (Arrow kernel, no per-row Python):
             # lineage = repo\tpath\tcommit\tsha, all four tab-free
-            parts = pc.split_pattern(batch.column("lineage"), pattern="\t")
+            parts = pc.split_pattern(lin_col, pattern="\t")
             out = batch.drop_columns(["lineage"])
             for i, name in enumerate(("repo", "path", "commit",
                                       "content_sha256")):

@@ -246,8 +246,19 @@ def make_match_fn(pat_ref, canon_ref):
     return match_and_canonicalize
 
 
-def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
+def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
+                            lineage_ref=None):
     """Fused match -> per-block triple partials for the triples path.
+
+    ``lineage_ref``: optional broadcast of the SORTED distinct lineage
+    strings (``ray.put(pa.Array)``).  When present, ``lineage_p`` ships as
+    the int64 index into that array instead of the ~150-byte
+    ``repo\\tpath\\tcommit\\tsha`` string — ranks are assigned in
+    lexicographic order, so ``min(rank) == min(string)`` bit-exactly while
+    the triple shuffle moves less than half the bytes (lineage was 56% of
+    the partial stream at sf0.1) and the reduce-side min becomes an int op.
+    Bounded by ``FOLKSCOPE_LINEAGE_BROADCAST_MAX`` upstream; ``None`` falls
+    back to the string path (identical output, pytest-gated).
 
     Consumes the SLIM scored table — no token/POS/dep list columns exist at
     all on this path.  Parses come from the per-worker ``cached_parse`` memo
@@ -292,6 +303,16 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
                 c = canon.get(n, n) if canon is not None else n
                 surf_cache[surface] = c
             return c
+
+        # global lineage rank map: one ray.get + dict build per worker
+        lin_ranks = None
+        if lineage_ref is not None:
+            lkey = "L" + lineage_ref.hex()
+            lin_ranks = _WORKER_CACHE.get(lkey)
+            if lin_ranks is None:
+                lin_arr = ray.get(lineage_ref)
+                lin_ranks = {s: i for i, s in enumerate(lin_arr.to_pylist())}
+                _WORKER_CACHE[lkey] = lin_ranks
 
         import numpy as np
         import pandas as pd
@@ -361,7 +382,8 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
             "frequency_p": pa.array([], pa.float64()),
             "plausibility_p": pa.array([], pa.float64()),
             "typicality_p": pa.array([], pa.float64()),
-            "lineage_p": pa.array([], pa.string()),
+            "lineage_p": pa.array(
+                [], pa.string() if lin_ranks is None else pa.int64()),
         }
         if total == 0:
             scols = (("norm_a", "norm_b") if canon is None
@@ -418,14 +440,24 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
         # lexicographic min lineage per group WITHOUT object-dtype groupby
         # (pandas falls back to pure Python per group on strings): factorize
         # the per-row lineages, rank the distinct set by sort order, take the
-        # integer min rank per group, map back — exact and order-free
+        # integer min rank per group, map back — exact and order-free.
+        # With the GLOBAL rank broadcast the per-block sort vanishes and the
+        # int64 rank itself ships downstream (strings restored after the
+        # final combine); ranks are lexicographic, so min commutes exactly.
         lin_codes, lin_uniq = pd.factorize(lin)
-        order = np.argsort(lin_uniq)
-        rank = np.empty(len(lin_uniq), dtype=np.int64)
-        rank[order] = np.arange(len(lin_uniq), dtype=np.int64)
-        lin_min_rank = np.full(g, len(lin_uniq), dtype=np.int64)
-        np.minimum.at(lin_min_rank, gcodes, rank[lin_codes][row_rep])
-        lin_g = lin_uniq[order][lin_min_rank]
+        if lin_ranks is not None:
+            grank = np.fromiter((lin_ranks[s] for s in lin_uniq),
+                                dtype=np.int64, count=len(lin_uniq))
+            lin_min_rank = np.full(g, np.iinfo(np.int64).max, dtype=np.int64)
+            np.minimum.at(lin_min_rank, gcodes, grank[lin_codes][row_rep])
+            lin_g = lin_min_rank
+        else:
+            order = np.argsort(lin_uniq)
+            rank = np.empty(len(lin_uniq), dtype=np.int64)
+            rank[order] = np.arange(len(lin_uniq), dtype=np.int64)
+            lin_min_rank = np.full(g, len(lin_uniq), dtype=np.int64)
+            np.minimum.at(lin_min_rank, gcodes, rank[lin_codes][row_rep])
+            lin_g = lin_uniq[order][lin_min_rank]
 
         ca_g, cb_g = ca_e[first], cb_e[first]
         rel_g, obj_g = rel_e[first], obj_e[first]
@@ -434,7 +466,8 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None):
             "frequency_p": pa.array(freq_g, pa.float64()),
             "plausibility_p": pa.array(plaus_g, pa.float64()),
             "typicality_p": pa.array(typic_g, pa.float64()),
-            "lineage_p": pa.array(lin_g, pa.string()),
+            "lineage_p": pa.array(
+                lin_g, pa.int64() if lin_ranks is not None else pa.string()),
         }
         if canon is None:  # join path: norms stay separate, no bucket yet
             return pa.table(

@@ -183,6 +183,33 @@ def test_distributed_stats_pass_matches_driver_path(corpus_200, monkeypatch):
         assert want_t[col].tolist() == got_t[col].tolist(), col
 
 
+def test_lineage_rank_path_matches_string_path(corpus_200, monkeypatch):
+    """FOLKSCOPE_LINEAGE_BROADCAST_MAX=0 forces the triple shuffle back to
+    shipping full lineage STRINGS; the default int64-rank broadcast path
+    (ranks assigned in lexicographic order, so min(rank) == min(string))
+    must produce bit-equal triples on every column."""
+    from folkscope_ray.pipelines.kg import build_kg
+
+    rank = build_kg(corpus_200)
+    want = rank.triples().to_pandas()
+    rank.patterns()
+    assert rank._cache.get("lineage_sorted") is not None  # rank mode taken
+
+    monkeypatch.setenv("FOLKSCOPE_LINEAGE_BROADCAST_MAX", "0")
+    forced = build_kg(corpus_200)
+    forced.patterns()
+    assert forced._cache.get("lineage_sorted") is None  # string-mode taken
+    got = forced.triples().to_pandas()
+
+    key = ["subj", "pred", "obj"]
+    want = want.sort_values(key).reset_index(drop=True)
+    got = got.sort_values(key).reset_index(drop=True)
+    assert len(want) == len(got)
+    assert list(want.columns) == list(got.columns)
+    for col in want.columns:
+        assert want[col].tolist() == got[col].tolist(), col
+
+
 def test_event_memo_path_matches_per_row_path(corpus_200, monkeypatch):
     """FOLKSCOPE_EV_MEMO_MAX=0 forces eventualities back onto the per-row
     PatternMatcher-over-parsed path; the default distinct-level broadcast
