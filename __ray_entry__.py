@@ -1650,6 +1650,41 @@ def _q_kg_degree_dist(sf_dir: str):
     )
 
 
+def _q_jaccard_selfjoin_docs(sf_dir: str):
+    """Prefix-filtered set-similarity self-join (PPJoin-lite): every document
+    pair with token-set Jaccard >= 0.9, exact integer ppm similarity.  See
+    ops/setjoin.py for the candidate-bounding plan (frequency-ordered
+    prefixes, length filter, bucketed term shuffle)."""
+    from folkscope_ray.ops.setjoin import jaccard_selfjoin
+
+    return jaccard_selfjoin(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "text"]),
+        threshold_ppm=900_000)
+
+
+def _q_cooccur_edges_lineitem(sf_dir: str):
+    """Co-purchase graph construction (market-basket projection): distinct
+    part pairs co-occurring in an order, with the number of supporting
+    orders.  One group-hash shuffle + per-bucket vectorized self-merge."""
+    from folkscope_ray.ops.graph import cooccurrence_edges
+
+    return cooccurrence_edges(
+        _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey")
+
+
+def _q_triangle_count_lineitem(sf_dir: str):
+    """Exact triangle count of the co-purchase graph — the canonical
+    two-join distributed plan (wedge join + closing-edge join), no driver
+    materialization of the wedge stream."""
+    from folkscope_ray.ops.graph import cooccurrence_edges, triangle_count
+
+    edges = cooccurrence_edges(
+        _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey")
+    return triangle_count(edges.select_columns(["a", "b"]))
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1714,17 +1749,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity_docs": _q_lm_perplexity_docs,
         "deterministic_shuffle_docs": _q_deterministic_shuffle_docs,
         "mixing_weights_sources": _q_mixing_weights_sources,
+        # --- new operators this round (set-similarity join, graph family)
+        "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
+        "cooccur_edges_lineitem": _q_cooccur_edges_lineitem,
+        "triangle_count_lineitem": _q_triangle_count_lineitem,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
-        # --- code path changed this round (join bucketing, stats pass,
-        #     eventuality pack/unpack)
-        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
+        # --- code path changed this round (lineage-rank triple shuffle,
+        #     stats pass, eventuality pack/unpack)
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
+        # --- flagship regression picks (beyond the 50-row window)
         "kg_concept_triples": _q_kg_concept_triples,
-        # --- flagship regression picks (fill the 50-row window)
+        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
         "tpch_q1_pricing_summary": _q_tpch_q1,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "minhash_dedup_docs": _q_minhash_dedup_docs,
@@ -1983,6 +2022,46 @@ def oracle_sql() -> dict[str, str]:
                            (len(a.ws) + len(q.ws) - len(list_intersect(a.ws, q.ws))))
                           * 1e6 + 0.5)::BIGINT / 1e6) AS jaccard
             FROM w a, q WHERE a.doc_id <> 0
+        """,
+        "jaccard_selfjoin_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS term
+              FROM documents
+            ), d AS (SELECT DISTINCT doc_id, term FROM toks WHERE term <> ''),
+            lens AS (SELECT doc_id, count(*)::BIGINT AS len FROM d GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS i
+              FROM d a JOIN d b ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   (i * 1000000) // (la.len + lb.len - i) AS jaccard_ppm
+            FROM inter
+            JOIN lens la ON la.doc_id = inter.doc_a
+            JOIN lens lb ON lb.doc_id = inter.doc_b
+            WHERE i * 1000000 >= 900000 * (la.len + lb.len - i)
+        """,
+        "cooccur_edges_lineitem": """
+            SELECT a, b, count(*)::BIGINT AS n FROM (
+              SELECT DISTINCT x.l_orderkey AS g,
+                              x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x
+              JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                             AND x.l_partkey < y.l_partkey
+            ) GROUP BY a, b
+        """,
+        "triangle_count_lineitem": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x
+              JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                             AND x.l_partkey < y.l_partkey
+            )
+            SELECT count(*)::BIGINT AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
         """,
         "mean_vector_by_label": """
             SELECT label, dim,

@@ -162,3 +162,103 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         ).materialize()
 
     return ranks
+
+
+# --------------------------------------------------------- co-occurrence
+
+def cooccurrence_edges(ds: Dataset, group_col: str, item_col: str,
+                       n_buckets: int | None = None) -> Dataset:
+    """Market-basket projection: distinct item pairs (a < b) that co-occur in
+    a group, with ``n`` = number of groups containing both (the co-purchase /
+    co-mention graph construction a KG pipeline builds from transaction-like
+    tables; the reference builds co-occurrence only in-process via igraph,
+    src/pattern/object.py).
+
+    Shape: one hash shuffle of the slim (group, item) projection bucketed on
+    hash(group) (groups are co-located by construction), per-bucket
+    vectorized self-merge per group — pair fan-out is O(group_size^2),
+    bounded by the natural basket size, never by corpus size — then a
+    map-side-combined (a, b) count of the per-bucket partials.  Skew note:
+    a giant group produces a quadratic pair set; cap upstream (sample within
+    group) if baskets are unbounded."""
+    import numpy as np
+    import pandas as pd
+    import ray as _ray
+
+    from .relational import map_combine_aggregate
+
+    if n_buckets is None:
+        try:
+            n_buckets = max(4, 2 * int(_ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_buckets = 16
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        b = (pd.util.hash_array(
+            batch.column(group_col).to_numpy(zero_copy_only=False))
+            % n_buckets).astype(np.int32)
+        return batch.append_column("__b", pa.array(b, pa.int32()))
+
+    def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        d = g[[group_col, item_col]].drop_duplicates()
+        m = d.merge(d, on=group_col, suffixes=("_x", "_y"))
+        ax = m[item_col + "_x"].to_numpy()
+        bx = m[item_col + "_y"].to_numpy()
+        keep = ax < bx
+        out = pd.DataFrame({"a": ax[keep], "b": bx[keep]})
+        # partial counts: same (a, b) from many groups in this bucket
+        return (out.groupby(["a", "b"], sort=False).size()
+                .rename("pn").reset_index())
+
+    pairs = (ds.select_columns([group_col, item_col])
+             .map_batches(bucketize, batch_format="pyarrow")
+             .groupby("__b").map_groups(pairs_bucket, batch_format="pandas"))
+    return map_combine_aggregate(pairs, keys=["a", "b"],
+                                 sums={"pn": "n"}, count_alias="n")
+
+
+def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
+                   n_buckets: int | None = None) -> pa.Table:
+    """Exact global triangle count over an undirected edge list stored in
+    canonical form (a < b, distinct).
+
+    The distributed plan is the classic two-join shape: wedges = edges
+    joined with edges on the shared middle vertex (canonical orientation
+    a < mid < c means every triangle is generated exactly once), then the
+    wedge's closing (a, c) key is joined against the edge-key set.  Both
+    joins go through ``hash_join`` — broadcast escape when a side is small,
+    hash-partitioned otherwise — so the wedge stream never lands on the
+    driver.  Node ids must fit 31 bits (the composite (a, c) key packs two
+    ids into one int64); raise to string keys beyond that.
+
+    Returns a one-row Arrow table {triangles: int64} (a scalar aggregate)."""
+    from .relational import hash_join
+
+    slim = edges.select_columns([a_col, b_col])
+
+    def ren(names: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [names.get(n, n) for n in batch.column_names])
+        return fn
+
+    first = slim.map_batches(ren({a_col: "wa", b_col: "mid"}),
+                             batch_format="pyarrow")
+    second = slim.map_batches(ren({a_col: "mid", b_col: "wc"}),
+                              batch_format="pyarrow")
+    wedges = hash_join(first, second, on="mid", n_buckets=n_buckets)
+
+    def wedge_key(batch: pa.Table) -> pa.Table:
+        wa = batch.column("wa").to_numpy(zero_copy_only=False).astype("int64")
+        wc = batch.column("wc").to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"k": pa.array((wa << 32) | wc, pa.int64())})
+
+    def edge_key(batch: pa.Table) -> pa.Table:
+        a = batch.column(a_col).to_numpy(zero_copy_only=False).astype("int64")
+        b = batch.column(b_col).to_numpy(zero_copy_only=False).astype("int64")
+        return pa.table({"k": pa.array((a << 32) | b, pa.int64())})
+
+    wk = wedges.map_batches(wedge_key, batch_format="pyarrow")
+    ek = slim.map_batches(edge_key, batch_format="pyarrow")
+    closed = hash_join(wk, ek, on="k", n_buckets=n_buckets)
+    return pa.table({"triangles": pa.array([closed.count()], pa.int64())})

@@ -1,0 +1,147 @@
+"""Set-similarity self-join (PPJoin-lite) + co-occurrence/triangle graph ops.
+
+Oracles: brute-force Python over the same inputs (and, via the driver gate,
+the DuckDB SQL in ``__ray_entry__.oracle_sql``).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TERM_RE = re.compile(r"[a-z0-9]+")
+PPM = 1_000_000
+
+
+# ------------------------------------------------------------ set-sim join
+
+def _docs():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _brute_pairs(t_ppm: int) -> dict[tuple[int, int], int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    sets = {int(i): set(TERM_RE.findall(x.lower()))
+            for i, x in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist())}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * PPM >= t_ppm * union:
+                out[(a, b)] = inter * PPM // union
+    return out
+
+
+@pytest.mark.parametrize("t_ppm", [900_000, 500_000])
+def test_jaccard_selfjoin_matches_bruteforce(t_ppm):
+    from folkscope_ray.ops.setjoin import jaccard_selfjoin
+
+    got = jaccard_selfjoin(_docs(), threshold_ppm=t_ppm).to_pandas()
+    want = _brute_pairs(t_ppm)
+    assert len(want) > 0, "threshold leaves nothing to verify"
+    got_map = {(int(a), int(b)): int(j)
+               for a, b, j in zip(got["doc_a"], got["doc_b"],
+                                  got["jaccard_ppm"])}
+    assert got_map == want
+
+
+def test_jaccard_selfjoin_distributed_paths_equal(monkeypatch):
+    """Forcing the beyond-broadcast prefix path and the no-prune verify path
+    must produce the identical pair set."""
+    from folkscope_ray.ops.setjoin import jaccard_selfjoin
+
+    base = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_BROADCAST_MAX", "0")
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_VERIFY_MAX", "0")
+    forced = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+
+    def canon(df):
+        return (df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+                .astype("int64"))
+
+    pd.testing.assert_frame_equal(canon(base), canon(forced))
+
+
+def test_jaccard_selfjoin_partition_invariant():
+    from folkscope_ray.ops.setjoin import jaccard_selfjoin
+
+    a = jaccard_selfjoin(_docs().repartition(1), threshold_ppm=900_000).to_pandas()
+    b = jaccard_selfjoin(_docs().repartition(13), threshold_ppm=900_000).to_pandas()
+    ka = sorted(zip(a["doc_a"], a["doc_b"], a["jaccard_ppm"]))
+    kb = sorted(zip(b["doc_a"], b["doc_b"], b["jaccard_ppm"]))
+    assert ka == kb
+
+
+# ------------------------------------------------- co-occurrence + triangles
+
+def _lineitem():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/lineitem.parquet",
+                           columns=["l_orderkey", "l_partkey"])
+
+
+def _brute_edges() -> dict[tuple[int, int], int]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/lineitem.parquet",
+                      columns=["l_orderkey", "l_partkey"]).to_pandas()
+    out: dict[tuple[int, int], int] = {}
+    for _, grp in t.groupby("l_orderkey"):
+        items = sorted(set(grp["l_partkey"]))
+        for i, a in enumerate(items):
+            for b in items[i + 1:]:
+                out[(a, b)] = out.get((a, b), 0) + 1
+    return out
+
+
+def test_cooccurrence_edges_match_bruteforce():
+    from folkscope_ray.ops.graph import cooccurrence_edges
+
+    got = cooccurrence_edges(_lineitem(), "l_orderkey", "l_partkey").to_pandas()
+    want = _brute_edges()
+    assert len(want) > 100
+    got_map = {(int(a), int(b)): int(n)
+               for a, b, n in zip(got["a"], got["b"], got["n"])}
+    assert got_map == want
+
+
+def test_triangle_count_matches_bruteforce():
+    from folkscope_ray.ops.graph import cooccurrence_edges, triangle_count
+
+    edges = cooccurrence_edges(_lineitem(), "l_orderkey", "l_partkey")
+    got = triangle_count(edges.select_columns(["a", "b"]))
+    es = set(_brute_edges())
+    adj: dict[int, set[int]] = {}
+    for a, b in es:
+        adj.setdefault(a, set()).add(b)
+    n = 0
+    for a, b in es:
+        n += len(adj.get(a, set()) & adj.get(b, set()))
+    assert got.column("triangles").to_pylist() == [n]
+    assert n > 0
+
+
+def test_triangle_count_synthetic():
+    """4-clique has exactly 4 triangles; a path has none."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.graph import triangle_count
+
+    clique = [{"a": i, "b": j} for i in range(4) for j in range(i + 1, 4)]
+    assert triangle_count(
+        rd.from_items(clique)).column("triangles").to_pylist() == [4]
+    path = [{"a": i, "b": i + 1} for i in range(5)]
+    assert triangle_count(
+        rd.from_items(path)).column("triangles").to_pylist() == [0]
