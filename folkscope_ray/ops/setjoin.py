@@ -187,33 +187,27 @@ def _prefix_rows_distributed(docsets: Dataset, df_tbl: Dataset,
             .groupby("__b").map_groups(select_bucket, batch_format="pandas"))
 
 
-def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
-                     text_col: str = "text", id_col: str = "doc_id") -> Dataset:
-    """All unordered pairs (doc_a < doc_b) with token-set Jaccard >= threshold.
+# byte-popcount lookup table (numpy < 2.0 has no bitwise_count)
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
 
-    Returns (doc_a, doc_b, jaccard_ppm) — jaccard_ppm is the exact integer
-    ``|a&b| * 1e6 // |a|b|``, so output hashes match the SQL oracle bit-for-
-    bit at any parallelism."""
+
+def _popcount_rows(m: np.ndarray) -> np.ndarray:
+    """Per-row popcount of a C-contiguous (n, W) uint64 matrix."""
+    return _POP8[np.ascontiguousarray(m).view(np.uint8)].reshape(
+        m.shape[0], -1).sum(axis=1, dtype=np.int64)
+
+
+def _candidate_keys(prefix: Dataset, id_col: str, t_ppm: int,
+                    nb: int) -> Dataset:
+    """Distinct candidate pairs as PACKED int64 keys (a << 32 | b, a < b):
+    prefix rows bucket on hash(term), per-bucket slab-wise numpy pair
+    generation per term group (never a pandas frame merge — hot prefix terms
+    in template-heavy corpora produce multi-million-row groups), length
+    filter ``min >= t * max`` applied inside the slab, per-bucket np.unique,
+    then a global map-side-combined distinct on the single key column.
+    Requires non-negative ids < 2^31 (checked by the caller)."""
     from .relational import map_combine_aggregate
 
-    t_ppm = int(threshold_ppm)
-    nb = _n_buckets()
-    docsets = tokenset_table(ds, text_col, id_col).materialize()
-
-    df_tbl = map_combine_aggregate(
-        _explode(docsets, id_col), keys=["term"], count_alias="df")
-
-    gate = int(os.environ.get("FOLKSCOPE_SETJOIN_BROADCAST_MAX", 4_000_000))
-    df_tbl = df_tbl.materialize()
-    if gate and df_tbl.count() <= gate:
-        vocab = pa.concat_tables(
-            ray.get(list(df_tbl.to_arrow_refs())), promote_options="default")
-        vocab = vocab.sort_by("term")
-        prefix = _prefix_rows_broadcast(docsets, vocab, id_col, t_ppm)
-    else:
-        prefix = _prefix_rows_distributed(docsets, df_tbl, id_col, t_ppm)
-
-    # ---- candidate pairs: bucket prefix rows on hash(term), self-merge ----
     def term_bucket(batch: pa.Table) -> pa.Table:
         b = (pd.util.hash_array(
             batch.column("term").to_pandas().to_numpy(dtype=object))
@@ -221,42 +215,290 @@ def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
         return batch.append_column("__b", pa.array(b, pa.int32()))
 
     def pairs_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
-                              "doc_b": pd.Series([], dtype="int64"),
-                              "la": pd.Series([], dtype="int64"),
-                              "lb": pd.Series([], dtype="int64")})
         if len(g) < 2:
-            return empty
-        m = g[["term", id_col, "dlen"]].merge(
-            g[["term", id_col, "dlen"]], on="term", suffixes=("_x", "_y"))
-        ax, bx = m[id_col + "_x"].to_numpy(), m[id_col + "_y"].to_numpy()
-        la, lb = m["dlen_x"].to_numpy(), m["dlen_y"].to_numpy()
-        keep = ax < bx
-        # J >= t requires min_len >= t * max_len
-        keep &= np.minimum(la, lb) * PPM >= t_ppm * np.maximum(la, lb)
-        if not keep.any():
-            return empty
-        out = pd.DataFrame({"doc_a": ax[keep], "doc_b": bx[keep],
-                            "la": la[keep], "lb": lb[keep]})
-        return out.drop_duplicates(["doc_a", "doc_b"]).astype("int64")
+            return pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        g = g.sort_values(["term", id_col], kind="mergesort")
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        dls = g["dlen"].to_numpy(dtype=np.int64)
+        terms = g["term"].to_numpy(dtype=object)
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = terms[1:] != terms[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(g))
+        out: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            gsz = e - s
+            if gsz < 2:
+                continue
+            tid, tdl = ids[s:e], dls[s:e]
+            # slab the left side so slab*gsz stays bounded
+            step = max(1, 16_000_000 // gsz)
+            for i0 in range(0, gsz, step):
+                i1 = min(i0 + step, gsz)
+                a = np.repeat(tid[i0:i1], gsz)
+                b = np.tile(tid, i1 - i0)
+                la = np.repeat(tdl[i0:i1], gsz)
+                lb = np.tile(tdl, i1 - i0)
+                keep = a < b
+                keep &= np.minimum(la, lb) * PPM >= t_ppm * np.maximum(la, lb)
+                if keep.any():
+                    out.append(np.unique((a[keep] << 32) | b[keep]))
+        if not out:
+            return pd.DataFrame({"k": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"k": np.unique(np.concatenate(out))})
 
     cand = (prefix.map_batches(term_bucket, batch_format="pyarrow")
             .groupby("__b").map_groups(pairs_bucket, batch_format="pandas"))
-    # global pair dedup; count suppressed via the alias-collision rule
-    cand = map_combine_aggregate(
-        cand, keys=["doc_a", "doc_b"],
-        mins={"la": "la", "lb": "lb"}, count_alias="la").materialize()
+    return map_combine_aggregate(
+        cand, keys=["k"], count_alias="__n").drop_columns(["__n"])
 
-    # ---- verification: join token sets back, exact intersection ----------
+
+def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
+                    t_ppm: int) -> Dataset | None:
+    """Degenerate-vocabulary plan (vocabulary <= 64 terms): prefix filtering
+    is useless when everything shares everything, so candidates approach
+    all-pairs of the CORPUS.  Instead, collapse the corpus to its distinct
+    token-SETS first (each set is one int64 bitmask over the term-sorted
+    vocabulary — an exact map-combinable dedup), compare only distinct sets
+    all-pairs with vectorized AND+popcount (cost bounded by n_sets^2,
+    independent of corpus row count), and expand passing set-pairs back to
+    doc-pairs (output-sized work).  Returns None when the distinct-set count
+    exceeds ``FOLKSCOPE_SETJOIN_DENSE_SETS_MAX`` — the caller falls back to
+    the prefix-filtered plan."""
+    from .relational import hash_join, map_combine_aggregate
+
+    sets_max = int(os.environ.get("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", 131072))
+    if not sets_max:
+        return None
+
+    def mask_batch(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("toks"), " ")
+        n = batch.num_rows
+        cnt = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        ok = flat != ""
+        flat, row = flat[ok], row[ok]
+        bits = np.searchsorted(terms_sorted, flat).astype(np.uint64)
+        m = np.zeros(n, dtype=np.uint64)
+        np.bitwise_or.at(m, row, np.left_shift(np.uint64(1), bits))
+        return pa.table({"m": pa.array(m.view(np.int64), pa.int64()),
+                         id_col: batch.column(id_col)})
+
+    member = docsets.select_columns([id_col, "toks"]).map_batches(
+        mask_batch, batch_format="pyarrow").materialize()
+    distinct = map_combine_aggregate(
+        member, keys=["m"], count_alias="__cnt").materialize()
+    n_sets = distinct.count()
+    if n_sets > sets_max:
+        return None
+
+    dt = pa.concat_tables(
+        ray.get(list(distinct.to_arrow_refs())), promote_options="default")
+    sets = np.sort(dt.column("m").to_numpy(zero_copy_only=False))
+    lens = _popcount_rows(sets.reshape(-1, 1))
+    ref = ray.put((sets, lens))
+
+    def compare(batch: pa.Table) -> pa.Table:
+        key = "sjds" + ref.hex()
+        state = _WORKER_CACHE.get(key)
+        if state is None:
+            state = ray.get(ref)
+            _WORKER_CACHE[key] = state
+        s, ln = state
+        idx = batch.column("id").to_numpy(zero_copy_only=False)
+        ma_out, mb_out, j_out = [], [], []
+        for i in idx:
+            i = int(i)
+            if ln[i] > 0:
+                # diagonal: identical sets, J = 1.0 exactly
+                ma_out.append(np.array([s[i]]))
+                mb_out.append(np.array([s[i]]))
+                j_out.append(np.array([PPM], dtype=np.int64))
+            if i + 1 >= len(s):
+                continue
+            inter = _popcount_rows((s[i] & s[i + 1:]).reshape(-1, 1))
+            union = ln[i] + ln[i + 1:] - inter
+            keep = (union > 0) & (inter * PPM >= t_ppm * union)
+            if keep.any():
+                ma_out.append(np.full(int(keep.sum()), s[i]))
+                mb_out.append(s[i + 1:][keep])
+                j_out.append(inter[keep] * PPM // union[keep])
+        if not ma_out:
+            return pa.table({"__ma": pa.array([], pa.int64()),
+                             "__mb": pa.array([], pa.int64()),
+                             "jaccard_ppm": pa.array([], pa.int64())})
+        return pa.table({
+            "__ma": pa.array(np.concatenate(ma_out), pa.int64()),
+            "__mb": pa.array(np.concatenate(mb_out), pa.int64()),
+            "jaccard_ppm": pa.array(np.concatenate(j_out), pa.int64())})
+
+    set_pairs = ray.data.range(n_sets).map_batches(
+        compare, batch_format="pyarrow", batch_size=256)
+
+    vgate = int(os.environ.get("FOLKSCOPE_SETJOIN_VERIFY_MAX", 4_000_000))
+    n_docs = member.count()
+    if vgate and n_docs <= vgate:
+        mt = pa.concat_tables(
+            ray.get(list(member.to_arrow_refs())), promote_options="default")
+        mem_m = mt.column("m").to_numpy(zero_copy_only=False)
+        mem_doc = mt.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((mem_doc, mem_m))
+        mem_m, mem_doc = mem_m[order], mem_doc[order]
+        mref = ray.put((mem_m, mem_doc))
+
+        def expand(batch: pa.Table) -> pa.Table:
+            key = "sjdm" + mref.hex()
+            state = _WORKER_CACHE.get(key)
+            if state is None:
+                state = ray.get(mref)
+                _WORKER_CACHE[key] = state
+            mm, md = state
+            ma = batch.column("__ma").to_numpy(zero_copy_only=False)
+            mb = batch.column("__mb").to_numpy(zero_copy_only=False)
+            jp = batch.column("jaccard_ppm").to_numpy(zero_copy_only=False)
+            a_lo = np.searchsorted(mm, ma, "left")
+            a_hi = np.searchsorted(mm, ma, "right")
+            b_lo = np.searchsorted(mm, mb, "left")
+            b_hi = np.searchsorted(mm, mb, "right")
+            ca, cb = a_hi - a_lo, b_hi - b_lo
+            tot = ca * cb
+            cum = np.concatenate(([0], np.cumsum(tot)))
+            rep = np.repeat(np.arange(len(ma)), tot)
+            local = np.arange(cum[-1], dtype=np.int64) - cum[rep]
+            cbr = cb[rep]
+            da = md[a_lo[rep] + local // cbr]
+            db = md[b_lo[rep] + local % cbr]
+            same = (ma == mb)[rep]
+            lo = np.where(same, da, np.minimum(da, db))
+            hi = np.where(same, db, np.maximum(da, db))
+            keep = lo < hi
+            return pa.table({
+                "doc_a": pa.array(lo[keep], pa.int64()),
+                "doc_b": pa.array(hi[keep], pa.int64()),
+                "jaccard_ppm": pa.array(jp[rep][keep], pa.int64())})
+
+        return set_pairs.map_batches(expand, batch_format="pyarrow")
+
+    # beyond-gate expansion: two hash joins on the set mask (scale path)
+    def ren(to: dict[str, str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [to.get(n, n) for n in batch.column_names])
+        return fn
+
+    j1 = hash_join(set_pairs.map_batches(ren({"__ma": "m"}),
+                                         batch_format="pyarrow"),
+                   member, on="m")
+    j1 = j1.map_batches(ren({"m": "__ma", id_col: "doc_a", "__mb": "m"}),
+                        batch_format="pyarrow")
+    j2 = hash_join(j1, member, on="m")
+
+    def orient(batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column(id_col).to_numpy(zero_copy_only=False)
+        same = (batch.column("__ma").to_numpy(zero_copy_only=False)
+                == batch.column("m").to_numpy(zero_copy_only=False))
+        lo = np.where(same, da, np.minimum(da, db))
+        hi = np.where(same, db, np.maximum(da, db))
+        keep = lo < hi
+        return pa.table({
+            "doc_a": pa.array(lo[keep], pa.int64()),
+            "doc_b": pa.array(hi[keep], pa.int64()),
+            "jaccard_ppm": pa.array(
+                batch.column("jaccard_ppm").to_numpy(
+                    zero_copy_only=False)[keep], pa.int64())})
+
+    return j2.map_batches(orient, batch_format="pyarrow")
+
+
+def _verify_bitmask(cand: Dataset, docsets: Dataset, terms_sorted: np.ndarray,
+                    id_col: str, t_ppm: int) -> Dataset:
+    """Dense-vocabulary verification: every doc's token set as a W-word
+    bitmask over the (term-sorted) vocabulary, the whole (id -> mask) table
+    broadcast once, intersections via vectorized AND+popcount — no joins,
+    no per-pair Python.  Caller gates on vocabulary size and mask bytes."""
+    V = len(terms_sorted)
+    W = (V + 63) // 64
+
+    def mask_batch(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("toks"), " ")
+        n = batch.num_rows
+        cnt = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+        ok = flat != ""
+        flat, row = flat[ok], row[ok]
+        bits = np.searchsorted(terms_sorted, flat).astype(np.int64)
+        m = np.zeros((n, W), dtype=np.uint64)
+        np.bitwise_or.at(
+            m.reshape(-1), row * W + (bits >> 6),
+            np.left_shift(np.uint64(1), (bits & 63).astype(np.uint64)))
+        cols = {id_col: batch.column(id_col)}
+        for w in range(W):
+            cols[f"__m{w}"] = pa.array(m[:, w])
+        return pa.table(cols)
+
+    parts = docsets.select_columns([id_col, "toks"]).map_batches(
+        mask_batch, batch_format="pyarrow")
+    ids_list, mask_list = [], []
+    for blk in parts.iter_batches(batch_format="pyarrow"):
+        ids_list.append(blk.column(id_col).to_numpy(zero_copy_only=False))
+        mask_list.append(np.stack(
+            [blk.column(f"__m{w}").to_numpy(zero_copy_only=False)
+             for w in range(W)], axis=1))
+    ids = np.concatenate(ids_list)
+    masks = np.concatenate(mask_list, axis=0)
+    order = np.argsort(ids, kind="stable")
+    ids, masks = ids[order], np.ascontiguousarray(masks[order])
+    lens = _popcount_rows(masks)
+    ref = ray.put((ids, masks, lens))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        key = "sjbm" + ref.hex()
+        state = _WORKER_CACHE.get(key)
+        if state is None:
+            state = ray.get(ref)
+            _WORKER_CACHE[key] = state
+        sids, smasks, slens = state
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        a = k >> 32
+        b = k & 0x7FFFFFFF
+        ia = np.searchsorted(sids, a)
+        ib = np.searchsorted(sids, b)
+        inter = _popcount_rows(smasks[ia] & smasks[ib])
+        la, lb = slens[ia], slens[ib]
+        union = la + lb - inter
+        keep = (union > 0) & (inter * PPM >= t_ppm * union)
+        jppm = inter[keep] * PPM // union[keep]
+        return pa.table({"doc_a": pa.array(a[keep], pa.int64()),
+                         "doc_b": pa.array(b[keep], pa.int64()),
+                         "jaccard_ppm": pa.array(jppm, pa.int64())})
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def _verify_join(cand: Dataset, docsets: Dataset, id_col: str,
+                 t_ppm: int) -> Dataset:
+    """General-vocabulary verification: candidates hash-join the token-set
+    projection twice (projection pre-pruned to candidate docs under the
+    ``FOLKSCOPE_SETJOIN_VERIFY_MAX`` gate) and each pair's exact
+    intersection is counted on the post-filter residue — the standard
+    PPJoin verify step."""
     from .relational import hash_join
+
+    def unpack(batch: pa.Table) -> pa.Table:
+        k = batch.column("k").to_numpy(zero_copy_only=False)
+        return pa.table({"doc_a": pa.array(k >> 32, pa.int64()),
+                         "doc_b": pa.array(k & 0x7FFFFFFF, pa.int64())})
+
+    cand = cand.map_batches(unpack, batch_format="pyarrow").materialize()
 
     vgate = int(os.environ.get("FOLKSCOPE_SETJOIN_VERIFY_MAX", 4_000_000))
     sets = docsets.select_columns([id_col, "toks"])
     if vgate and cand.count() <= vgate:
-        # prune the projection to candidate docs before the joins
         ids = pa.concat_tables(
-            ray.get(list(cand.select_columns(["doc_a", "doc_b"])
-                         .to_arrow_refs())), promote_options="default")
+            ray.get(list(cand.to_arrow_refs())), promote_options="default")
         id_set = pc.unique(pa.chunked_array(
             [ids.column("doc_a").combine_chunks(),
              ids.column("doc_b").combine_chunks()]))
@@ -272,39 +514,106 @@ def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
 
         sets = sets.map_batches(keep_cand_docs, batch_format="pyarrow")
 
-    def rename(frm: str, to: dict[str, str]):
+    def rename(to: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
                 [to.get(n, n) for n in batch.column_names])
         return fn
 
     j1 = hash_join(
-        cand.map_batches(rename("c", {"doc_a": id_col}), batch_format="pyarrow"),
+        cand.map_batches(rename({"doc_a": id_col}), batch_format="pyarrow"),
         sets, on=id_col)
-    j1 = j1.map_batches(rename("j", {id_col: "doc_a", "toks": "toks_a",
-                                     "doc_b": id_col}), batch_format="pyarrow")
+    j1 = j1.map_batches(rename({id_col: "doc_a", "toks": "toks_a",
+                                "doc_b": id_col}), batch_format="pyarrow")
     j2 = hash_join(j1, sets, on=id_col)
-    j2 = j2.map_batches(rename("j2", {id_col: "doc_b", "toks": "toks_b"}),
+    j2 = j2.map_batches(rename({id_col: "doc_b", "toks": "toks_b"}),
                         batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        la = batch.column("la").to_numpy(zero_copy_only=False)
-        lb = batch.column("lb").to_numpy(zero_copy_only=False)
         ta = batch.column("toks_a").to_pylist()
         tb = batch.column("toks_b").to_pylist()
-        inter = np.fromiter(
-            (len(set(x.split(" ")) & set(y.split(" ")))
-             for x, y in zip(ta, tb)),
-            dtype=np.int64, count=len(ta))
-        union = la + lb - inter
-        keep = inter * PPM >= t_ppm * union
-        jppm = np.zeros(len(da), dtype=np.int64)
-        nz = union > 0
-        jppm[nz] = inter[nz] * PPM // union[nz]
+        inter = np.empty(len(ta), dtype=np.int64)
+        union = np.empty(len(ta), dtype=np.int64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sx, sy = set(x.split(" ")), set(y.split(" "))
+            inter[i] = len(sx & sy)
+            union[i] = len(sx) + len(sy) - inter[i]
+        keep = (union > 0) & (inter * PPM >= t_ppm * union)
+        jppm = inter[keep] * PPM // union[keep]
         return pa.table({"doc_a": pa.array(da[keep], pa.int64()),
                          "doc_b": pa.array(db[keep], pa.int64()),
-                         "jaccard_ppm": pa.array(jppm[keep], pa.int64())})
+                         "jaccard_ppm": pa.array(jppm, pa.int64())})
 
     return j2.map_batches(verify, batch_format="pyarrow")
+
+
+def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
+                     text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """All unordered pairs (doc_a < doc_b) with token-set Jaccard >= threshold.
+
+    Returns (doc_a, doc_b, jaccard_ppm) — jaccard_ppm is the exact integer
+    ``|a&b| * 1e6 // |a|b|``, so output hashes match the SQL oracle bit-for-
+    bit at any parallelism.
+
+    Verification picks one of two bit-equal plans (pytest-gated equal):
+
+    - **bitmask** (vocabulary <= ``FOLKSCOPE_SETJOIN_BITMASK_MAX``, default
+      4096, and mask bytes <= ``FOLKSCOPE_SETJOIN_MASK_BYTES_MAX``): every
+      doc's set becomes a W-word bitmask over the term-sorted vocabulary,
+      broadcast once; intersections are vectorized AND+popcount with no
+      joins at all.  Template-heavy corpora (tiny vocabularies, everything
+      similar to everything) defeat prefix filtering — candidates approach
+      all-pairs — and this path keeps even that degenerate case linear-cost
+      per candidate.
+    - **join** (general vocabularies): candidates hash-join the token-set
+      projection twice and verify per pair on the post-filter residue.
+
+    Doc ids must be non-negative and < 2^31 (candidate keys pack two ids
+    into one int64); beyond that, pre-map ids through a dense rank."""
+    from .relational import map_combine_aggregate
+
+    t_ppm = int(threshold_ppm)
+    nb = _n_buckets()
+    docsets = tokenset_table(ds, text_col, id_col).materialize()
+    lo, hi = docsets.min(id_col), docsets.max(id_col)
+    if lo is not None and (lo < 0 or hi >= 1 << 31):
+        raise ValueError(
+            "jaccard_selfjoin requires 0 <= id < 2^31 (packed pair keys); "
+            "densify ids first")
+
+    df_tbl = map_combine_aggregate(
+        _explode(docsets, id_col), keys=["term"], count_alias="df")
+
+    gate = int(os.environ.get("FOLKSCOPE_SETJOIN_BROADCAST_MAX", 4_000_000))
+    df_tbl = df_tbl.materialize()
+    n_vocab = df_tbl.count()
+    vocab = None
+    if gate and n_vocab <= gate:
+        vocab = pa.concat_tables(
+            ray.get(list(df_tbl.to_arrow_refs())), promote_options="default")
+        vocab = vocab.sort_by("term")
+        dense_vocab_max = int(os.environ.get(
+            "FOLKSCOPE_SETJOIN_DENSE_VOCAB_MAX", 64))
+        if n_vocab <= dense_vocab_max:
+            terms_sorted = vocab.column("term").to_numpy(zero_copy_only=False)
+            res = _dense_allpairs(docsets, terms_sorted, id_col, t_ppm)
+            if res is not None:
+                return res
+        prefix = _prefix_rows_broadcast(docsets, vocab, id_col, t_ppm)
+    else:
+        prefix = _prefix_rows_distributed(docsets, df_tbl, id_col, t_ppm)
+
+    cand = _candidate_keys(prefix, id_col, t_ppm, nb)
+
+    bm_vocab_max = int(os.environ.get("FOLKSCOPE_SETJOIN_BITMASK_MAX", 4096))
+    bm_bytes_max = int(os.environ.get(
+        "FOLKSCOPE_SETJOIN_MASK_BYTES_MAX", 268_435_456))
+    if vocab is not None and n_vocab <= bm_vocab_max:
+        W = (n_vocab + 63) // 64
+        n_docs = docsets.count()
+        if n_docs * (W * 8 + 16) <= bm_bytes_max:
+            terms_sorted = vocab.column("term").to_numpy(zero_copy_only=False)
+            return _verify_bitmask(cand, docsets, terms_sorted, id_col, t_ppm)
+    return _verify_join(cand, docsets, id_col, t_ppm)

@@ -56,21 +56,39 @@ def test_jaccard_selfjoin_matches_bruteforce(t_ppm):
     assert got_map == want
 
 
+def _canon(df):
+    return (df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+            .astype("int64"))
+
+
 def test_jaccard_selfjoin_distributed_paths_equal(monkeypatch):
-    """Forcing the beyond-broadcast prefix path and the no-prune verify path
+    """All four plans — dense distinct-set all-pairs (default here: tiny
+    vocab), bitmask verify (dense gated off), join verify (dense + bitmask
+    gated off), and the fully-distributed prefix + unpruned join verify —
     must produce the identical pair set."""
     from folkscope_ray.ops.setjoin import jaccard_selfjoin
 
     base = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", "0")
+    bitmask = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(bitmask))
+
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_BITMASK_MAX", "0")
+    join_path = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(join_path))
+
     monkeypatch.setenv("FOLKSCOPE_SETJOIN_BROADCAST_MAX", "0")
     monkeypatch.setenv("FOLKSCOPE_SETJOIN_VERIFY_MAX", "0")
     forced = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(forced))
 
-    def canon(df):
-        return (df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-                .astype("int64"))
-
-    pd.testing.assert_frame_equal(canon(base), canon(forced))
+    # dense path with the broadcast expansion gated off (join expansion)
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX")
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_BITMASK_MAX")
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_BROADCAST_MAX")
+    dense_join = jaccard_selfjoin(_docs(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(base), _canon(dense_join))
 
 
 def test_jaccard_selfjoin_partition_invariant():
