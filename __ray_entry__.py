@@ -1685,6 +1685,64 @@ def _q_triangle_count_lineitem(sf_dir: str):
     return triangle_count(edges.select_columns(["a", "b"]))
 
 
+def _q_interval_join_orders_lineitem(sf_dir: str):
+    """Equality + interval-overlap join (grid-partitioned temporal join,
+    ops/interval.py): lineitems shipped within 30 days of their order's
+    placement.  Left intervals [o_orderdate, +30d], right points
+    [l_shipdate, l_shipdate], equality on the order key; each pair is
+    emitted exactly once by the grid cell that owns max(start_l, start_r)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from folkscope_ray.ops.interval import interval_join
+
+    orders = _rp(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def win(b: pa.Table) -> pa.Table:
+        s = b.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        e = pc.add(s, 30 * 86400 * 1_000_000)
+        return (b.drop_columns(["o_orderdate"])
+                .append_column("w_start", s).append_column("w_end", e))
+
+    orders = orders.map_batches(win, batch_format="pyarrow")
+    li = _rp(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_shipdate"])
+    li = li.map_batches(
+        lambda b: b.rename_columns(
+            ["o_orderkey" if n == "l_orderkey" else n
+             for n in b.column_names]),
+        batch_format="pyarrow")
+    out = interval_join(orders, li, on="o_orderkey",
+                        left_start="w_start", left_end="w_end",
+                        right_start="l_shipdate", right_end="l_shipdate")
+    return out.select_columns(["o_orderkey", "o_custkey", "l_linenumber"])
+
+
+def _q_corr_matrix_lineitem(sf_dir: str):
+    """Pairwise Pearson correlation of the four lineitem measures from
+    EXACT integer moments (one partial row per block, Python-bignum driver
+    combine, closed-form finish — ops/stats.py).  Bit-deterministic at any
+    parallelism; the oracle spells the identical formula over HUGEINT."""
+    from folkscope_ray.ops.stats import corr_matrix
+
+    return corr_matrix(
+        _rp(sf_dir, "lineitem"),
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"], scale=100)
+
+
+def _q_pca_embeddings(sf_dir: str):
+    """Top-4 principal components of the embeddings table: exact int64
+    covariance moments (shuffle-free, d^2 driver bytes), deterministic
+    sign-fixed eigh, broadcast projection quantized to ppm
+    (ops/vector.py pca_project).  Not SQL-expressible — gated by the
+    partition-invariance pytest + driver rows/schema check."""
+    from folkscope_ray.ops.vector import pca_project
+
+    return pca_project(_rp(sf_dir, "embeddings"), vec_col="embedding",
+                       id_col="vec_id", k=4)
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1753,6 +1811,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "cooccur_edges_lineitem": _q_cooccur_edges_lineitem,
         "triangle_count_lineitem": _q_triangle_count_lineitem,
+        # --- temporal join + statistics + dimensionality reduction
+        "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
+        "pca_embeddings": _q_pca_embeddings,
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
@@ -2062,6 +2124,54 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "interval_join_orders_lineitem": """
+            SELECT o.o_orderkey, o.o_custkey, l.l_linenumber::BIGINT AS l_linenumber
+            FROM orders o
+            JOIN lineitem l
+              ON l.l_orderkey = o.o_orderkey
+             AND l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+        """,
+        "corr_matrix_lineitem": """
+            WITH q AS (
+              SELECT CAST(ROUND(l_quantity*100) AS HUGEINT) x0,
+                     CAST(ROUND(l_extendedprice*100) AS HUGEINT) x1,
+                     CAST(ROUND(l_discount*100) AS HUGEINT) x2,
+                     CAST(ROUND(l_tax*100) AS HUGEINT) x3
+              FROM lineitem),
+            s AS (
+              SELECT COUNT(*)::HUGEINT n,
+                     SUM(x0) s0, SUM(x1) s1, SUM(x2) s2, SUM(x3) s3,
+                     SUM(x0*x0) p00, SUM(x0*x1) p01, SUM(x0*x2) p02,
+                     SUM(x0*x3) p03, SUM(x1*x1) p11, SUM(x1*x2) p12,
+                     SUM(x1*x3) p13, SUM(x2*x2) p22, SUM(x2*x3) p23,
+                     SUM(x3*x3) p33
+              FROM q),
+            pairs(col_a, col_b, i, j) AS (VALUES
+              ('l_quantity','l_extendedprice',0,1),
+              ('l_quantity','l_discount',0,2),
+              ('l_quantity','l_tax',0,3),
+              ('l_extendedprice','l_discount',1,2),
+              ('l_extendedprice','l_tax',1,3),
+              ('l_discount','l_tax',2,3)),
+            m AS (
+              SELECT col_a, col_b,
+                CASE i WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END si,
+                CASE j WHEN 0 THEN s0 WHEN 1 THEN s1 WHEN 2 THEN s2 ELSE s3 END sj,
+                CASE i WHEN 0 THEN p00 WHEN 1 THEN p11 WHEN 2 THEN p22 ELSE p33 END pii,
+                CASE j WHEN 0 THEN p00 WHEN 1 THEN p11 WHEN 2 THEN p22 ELSE p33 END pjj,
+                CASE i*10+j WHEN 1 THEN p01 WHEN 2 THEN p02 WHEN 3 THEN p03
+                            WHEN 12 THEN p12 WHEN 13 THEN p13 ELSE p23 END pij,
+                n
+              FROM pairs, s)
+            SELECT col_a, col_b,
+              CASE WHEN (n*pii - si*si) > 0 AND (n*pjj - sj*sj) > 0
+                THEN ((n*pij - si*sj)::DOUBLE)
+                     / (sqrt((n*pii - si*si)::DOUBLE)
+                        * sqrt((n*pjj - sj*sj)::DOUBLE))
+                ELSE NULL END AS corr
+            FROM m
         """,
         "mean_vector_by_label": """
             SELECT label, dim,

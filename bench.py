@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "lm_perplexity_docs",
     "bpe_token_counts_docs",
     "deterministic_shuffle_docs",
+    "jaccard_selfjoin_docs",
 ]
 
 

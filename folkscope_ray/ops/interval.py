@@ -1,0 +1,168 @@
+"""Distributed interval-overlap join.
+
+Inner join of two interval tables on an equality key PLUS time-range
+overlap (``l.start <= r.end AND r.start <= l.end``, bounds inclusive) — the
+temporal-join shape Ray Data has no native operator for (sessions × orders,
+promotions × shipments).  The reference engine has no temporal joins at all
+(its joins are exact-key only, e.g. conceptualizer.py instance joins); this
+is part of the §2.10 streaming/temporal extension family next to
+``asof_join`` / ``session_windows``.
+
+The distributed plan is grid partitioning (the standard spatial-join
+decomposition applied to 1-D time):
+
+1. Each row replicates to every grid cell its interval covers
+   (``floor(start/cell) .. floor(end/cell)`` — vectorized ``np.repeat``,
+   one flat_map-shaped ``map_batches`` per side).
+2. Both sides shuffle ONCE on hash(key, cell) — co-location by
+   construction, the same bucket discipline as ``hash_join``/``asof_join``.
+3. Per bucket: pandas merge on (key, cell), vectorized overlap filter, and
+   the **ownership rule** — a pair is emitted only by the cell containing
+   ``max(l.start, r.start)`` — so duplicates never exist and no global
+   dedup shuffle is needed.
+
+Cost scales with sum(interval_span / cell) replicas + true result size.
+``cell`` trades replication (small cell → many copies of long intervals)
+against bucket fan-in (big cell → more candidate pairs per cell); the
+data-tied default is span/1024.  Hot (key, cell) pairs land in one bucket —
+the documented hash_join caveat; widen ``n_buckets`` or shrink ``cell``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+_GOLD = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
+
+
+def _as_int64(col: pa.ChunkedArray) -> np.ndarray:
+    """Timestamp or numeric column -> int64 numpy (us for timestamps)."""
+    t = col.type
+    if pa.types.is_timestamp(t):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif not pa.types.is_int64(t):
+        col = col.cast(pa.int64())
+    return col.to_numpy(zero_copy_only=False)
+
+
+def _int_dtype_map(schema: pa.Schema) -> dict[str, str]:
+    return {n: "int64" for n, t in zip(schema.names, schema.types)
+            if pa.types.is_integer(t)}
+
+
+def interval_join(left: Dataset, right: Dataset, on: str,
+                  left_start: str, left_end: str,
+                  right_start: str, right_end: str,
+                  cell: int | None = None,
+                  n_buckets: int | None = None,
+                  suffix: str = "_r") -> Dataset:
+    """All (left, right) pairs with equal ``on`` and overlapping intervals.
+
+    ``left_start``/``left_end`` (and the right pair) are timestamp or
+    integer columns; a point table passes the same column for both.  Output
+    carries every left column plus every right column except ``on`` (equal
+    by construction), right-side collisions renamed with ``suffix``.
+    Timestamp columns ship as int64 microseconds (the grid arithmetic
+    domain); cast back in the caller if wall-clock types are needed."""
+    if n_buckets is None:
+        try:
+            n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
+        except Exception:
+            n_buckets = 16
+
+    if cell is None:
+        los, his = [], []
+        for ds_, s, e in ((left, left_start, left_end),
+                          (right, right_start, right_end)):
+            lo, hi = ds_.min(s), ds_.max(e)
+            if lo is not None:
+                to_us = (lambda v: int(v) if isinstance(v, (int, float))
+                         else pd.Timestamp(v).value // 1000)
+                los.append(to_us(lo))
+                his.append(to_us(hi))
+        span = (max(his) - min(los)) if los else 0
+        cell = max(1, span // 1024)
+    cell = int(cell)
+
+    lnames = list(left.schema().names)
+    rnames = [c for c in right.schema().names if c != on]
+    ren = {c: (c + suffix if c in lnames else c) for c in rnames}
+    out_int = {**_int_dtype_map(left.schema()),
+               **{ren[c]: "int64"
+                  for c, t in zip(right.schema().names, right.schema().types)
+                  if c != on and pa.types.is_integer(t)}}
+    # interval columns are normalized to int64 us by prep_times below
+    out_int.update({left_start: "int64", left_end: "int64"})
+    out_int.update({ren.get(c, c): "int64"
+                    for c in (right_start, right_end) if c != on})
+
+    def replicate(side: str, s_col: str, e_col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = _as_int64(batch.column(s_col))
+            e = _as_int64(batch.column(e_col))
+            c0 = s // cell
+            nrep = np.maximum(e // cell - c0 + 1, 0)  # start > end -> empty
+            idx = np.repeat(np.arange(batch.num_rows), nrep)
+            cells = (np.arange(int(nrep.sum()), dtype=np.int64)
+                     - np.repeat(np.cumsum(nrep) - nrep, nrep)
+                     + c0[idx])
+            out = batch.take(pa.array(idx, pa.int64()))
+            # carry the int64 interval for the merge/overlap math
+            out = out.append_column("__s", pa.array(s[idx], pa.int64()))
+            out = out.append_column("__e", pa.array(e[idx], pa.int64()))
+            out = out.append_column("__c", pa.array(cells, pa.int64()))
+            key = pd.util.hash_array(
+                out.column(on).to_pandas().to_numpy()).view(np.int64)
+            b = ((key ^ (cells * _GOLD)) % n_buckets + n_buckets) % n_buckets
+            out = out.append_column("__b", pa.array(b.astype(np.int32),
+                                                    pa.int32()))
+            return out.append_column(
+                "__side", pa.array([side] * out.num_rows, pa.string()))
+        return fn
+
+    def prep_times(s_col: str, e_col: str):
+        """Normalize the interval columns themselves to int64 so both sides
+        and the output are timestamp-free."""
+        def fn(batch: pa.Table) -> pa.Table:
+            for c in dict.fromkeys((s_col, e_col)):
+                i = batch.schema.get_field_index(c)
+                batch = batch.set_column(
+                    i, c, pa.array(_as_int64(batch.column(c)), pa.int64()))
+            return batch
+        return fn
+
+    lb = (left.map_batches(prep_times(left_start, left_end),
+                           batch_format="pyarrow")
+          .map_batches(replicate("L", left_start, left_end),
+                       batch_format="pyarrow"))
+    rb = (right.map_batches(prep_times(right_start, right_end),
+                            batch_format="pyarrow")
+          .map_batches(replicate("R", right_start, right_end),
+                       batch_format="pyarrow"))
+    both = lb.union(rb)
+
+    out_cols = lnames + [ren[c] for c in rnames]
+
+    def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # the union null-fills the other side's columns, promoting int64 to
+        # float64 — restore recorded int dtypes after splitting the sides
+        lg = g.loc[g["__side"] == "L", [*lnames, "__s", "__e", "__c"]]
+        rg = g.loc[g["__side"] == "R", [on, *rnames, "__s", "__e", "__c"]]
+        lg = lg.astype({c: dt for c, dt in out_int.items() if c in lnames})
+        rg = rg.rename(columns=ren).astype(
+            {ren[c]: out_int[ren[c]] for c in rnames if ren[c] in out_int})
+        m = lg.merge(rg, on=[on, "__c"], suffixes=("", "__rr"))
+        ls = m["__s"].to_numpy()
+        le = m["__e"].to_numpy()
+        rs = m["__s__rr"].to_numpy()
+        re_ = m["__e__rr"].to_numpy()
+        cc = m["__c"].to_numpy()
+        keep = (ls <= re_) & (rs <= le)
+        keep &= np.maximum(ls, rs) // cell == cc  # ownership: emit once
+        return m.loc[keep, out_cols]
+
+    return both.groupby("__b").map_groups(merge_bucket, batch_format="pandas")

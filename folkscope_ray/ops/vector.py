@@ -85,3 +85,93 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
     if out.empty:
         return pd.DataFrame(columns=[key_col, "dim", "mean_val"])
     return out.sort_values([key_col, "dim"]).reset_index(drop=True)
+
+
+def pca_project(ds: Dataset, vec_col: str = "embedding",
+                id_col: str = "vec_id", k: int = 4,
+                scale: int = 1_000_000) -> Dataset:
+    """Exact-covariance PCA: project every vector onto the top-k principal
+    components.  Returns (id, pc0..pc{k-1}) with projections quantized to
+    ppm int64 — hash-stable across any partitioning.
+
+    Two passes, both shuffle-free:
+
+    1. **Moments** (one scan): each block reduces to one partial row
+       (n, sum-vector S, Gram matrix G = X^T X) computed on values quantized
+       at ``scale`` and accumulated in int64 — integer sums commute, so the
+       combined moments are bit-identical at any block layout.  Partials
+       combine on the driver with Python bignums (d^2 numbers, independent
+       of row count).  The covariance C = (n*G - S S^T) / n^2 / scale^2 is
+       then exact-up-to-one-float-division.
+    2. **Eigh + project** (one scan): the top-k eigenvectors of the d x d
+       covariance (driver-side ``np.linalg.eigh``, deterministic for a
+       bit-identical input matrix) are sign-fixed (largest-|component|
+       coordinate made positive, ties to the lowest index) and broadcast;
+       every block projects ``(X - mean) @ V`` and quantizes.
+
+    The d x d driver work is the textbook scale shape for tall-skinny PCA
+    (d <= a few thousand): no raw vector crosses a shuffle, driver memory is
+    O(d^2).  The reference has no dimensionality reduction (its SBERT
+    vectors ship raw, run_NCF.py:77); this extends the embedding family
+    (ANN / near-dup / k-means in ops/similarity.py)."""
+    import ray as _ray
+
+    def moments(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            return pa.table({"n": pa.array([0], pa.int64()),
+                             "s": pa.array([""], pa.string()),
+                             "g": pa.array([""], pa.string())})
+        q = np.round(x * scale).astype(np.int64)
+        s = q.sum(axis=0, dtype=np.int64)
+        g = q.T @ q  # int64 matmul: products <= scale^2, rows/block bounded
+        return pa.table({
+            "n": pa.array([len(q)], pa.int64()),
+            "s": pa.array([",".join(map(str, s))], pa.string()),
+            "g": pa.array([",".join(map(str, g.ravel()))], pa.string())})
+
+    parts = (ds.select_columns([vec_col])
+             .map_batches(moments, batch_format="pyarrow").to_pandas())
+    parts = parts[parts["n"] > 0]
+    if not len(parts):
+        raise ValueError("pca_project: empty input")
+    n = int(parts["n"].sum())
+    svecs = [[int(v) for v in row.split(",")] for row in parts["s"]]
+    gvecs = [[int(v) for v in row.split(",")] for row in parts["g"]]
+    d = len(svecs[0])
+    S = [sum(col) for col in zip(*svecs)]       # Python bignum combine
+    G = [sum(col) for col in zip(*gvecs)]
+    # covariance from exact integer moments (one float division per cell)
+    C = np.empty((d, d), dtype=np.float64)
+    for i in range(d):
+        for j in range(d):
+            C[i, j] = float(n * G[i * d + j] - S[i] * S[j])
+    C /= float(n) * float(n) * float(scale) * float(scale)
+    evals, evecs = np.linalg.eigh(C)
+    top = np.argsort(evals, kind="stable")[::-1][:k]
+    V = evecs[:, top]
+    for c in range(V.shape[1]):
+        pivot = int(np.argmax(np.abs(V[:, c])))  # ties: lowest index
+        if V[pivot, c] < 0:
+            V[:, c] = -V[:, c]
+    mean = np.array([float(x) / (float(n) * float(scale)) for x in S])
+    ref = _ray.put((mean, V))
+
+    def project(batch: pa.Table) -> pa.Table:
+        from .setjoin import _WORKER_CACHE
+        key = "pca" + ref.hex()
+        state = _WORKER_CACHE.get(key)
+        if state is None:
+            state = _ray.get(ref)
+            _WORKER_CACHE[key] = state
+        mu, comp = state
+        x = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        proj = (x - mu) @ comp if x.size else np.zeros((0, comp.shape[1]))
+        cols = {id_col: batch.column(id_col)}
+        for c in range(comp.shape[1]):
+            cols[f"pc{c}"] = pa.array(
+                np.round(proj[:, c] * 1_000_000).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow")

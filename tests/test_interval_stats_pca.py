@@ -1,0 +1,147 @@
+"""interval_join / corr_matrix / pca_project: brute-force parity and
+partition invariance."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray
+
+from folkscope_ray.ops.interval import interval_join
+from folkscope_ray.ops.stats import corr_matrix
+from folkscope_ray.ops.vector import pca_project
+
+
+def _intervals(seed, n, keys=5, span=1000, maxlen=120):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "rid": np.arange(n, dtype=np.int64),
+        "k": rng.randint(0, keys, n).astype(np.int64),
+        "s": rng.randint(0, span, n).astype(np.int64),
+    }).assign(e=lambda d: d["s"] + rng.randint(0, maxlen, n))
+
+
+def _brute(l, r):
+    m = l.merge(r, on="k", suffixes=("_l", "_r"))
+    m = m[(m["s_l"] <= m["e_r"]) & (m["s_r"] <= m["e_l"])]
+    return set(zip(m["rid_l"], m["rid_r"]))
+
+
+@pytest.mark.parametrize("cell", [1, 37, 250, None])
+def test_interval_join_matches_bruteforce(cell):
+    l = _intervals(1, 200)
+    r = _intervals(2, 300)
+    got = interval_join(
+        ray.data.from_pandas(l).repartition(7),
+        ray.data.from_pandas(r).repartition(5),
+        on="k", left_start="s", left_end="e",
+        right_start="s", right_end="e", cell=cell).to_pandas()
+    assert set(zip(got["rid"], got["rid_r"])) == _brute(l, r)
+    # ownership rule: each pair exactly once
+    assert not got.duplicated(["rid", "rid_r"]).any()
+    # int columns survive the union/merge round-trip as int64
+    assert got["rid"].dtype == "int64" and got["rid_r"].dtype == "int64"
+
+
+def test_interval_join_point_right_side():
+    l = _intervals(3, 150)
+    r = _intervals(4, 250, maxlen=1).assign(e=lambda d: d["s"])  # points
+    got = interval_join(
+        ray.data.from_pandas(l), ray.data.from_pandas(r),
+        on="k", left_start="s", left_end="e",
+        right_start="s", right_end="s", cell=50).to_pandas()
+    m = l.merge(r, on="k", suffixes=("_l", "_r"))
+    want = m[(m["s_l"] <= m["s_r"]) & (m["s_r"] <= m["e_l"])]
+    assert set(zip(got["rid"], got["rid_r"])) == set(
+        zip(want["rid_l"], want["rid_r"]))
+
+
+def test_interval_join_partition_invariant():
+    l = _intervals(5, 120)
+    r = _intervals(6, 180)
+
+    def run(lp, rp, nb):
+        got = interval_join(
+            ray.data.from_pandas(l).repartition(lp),
+            ray.data.from_pandas(r).repartition(rp),
+            on="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", cell=64,
+            n_buckets=nb).to_pandas()
+        return (got.sort_values(["rid", "rid_r"]).reset_index(drop=True)
+                [sorted(got.columns)])
+
+    pd.testing.assert_frame_equal(run(2, 3, 4), run(11, 7, 19))
+
+
+def test_corr_matrix_matches_numpy_and_is_partition_invariant():
+    rng = np.random.RandomState(7)
+    n = 5000
+    x = rng.randint(0, 10000, n) / 100.0
+    df = pd.DataFrame({
+        "a": x,
+        "b": np.round(x * 0.5 + rng.randint(0, 1000, n) / 100.0, 2),
+        "c": rng.randint(0, 500, n) / 100.0,
+    })
+    got1 = corr_matrix(ray.data.from_pandas(df).repartition(3),
+                       ["a", "b", "c"], scale=100)
+    got2 = corr_matrix(ray.data.from_pandas(df).repartition(17),
+                       ["a", "b", "c"], scale=100)
+    # bit-identical across partitionings (exact integer moments)
+    pd.testing.assert_frame_equal(got1, got2)
+    want = np.corrcoef(np.stack([df.a, df.b, df.c]))
+    for _, row in got1.iterrows():
+        i, j = "abc".index(row.col_a), "abc".index(row.col_b)
+        assert math.isclose(row["corr"], want[i, j], rel_tol=1e-12)
+    # the planted a~b correlation is strong, a~c is noise
+    g = got1.set_index(["col_a", "col_b"])["corr"]
+    assert g[("a", "b")] > 0.8 and abs(g[("a", "c")]) < 0.1
+
+
+def test_corr_matrix_zero_variance_is_null():
+    df = pd.DataFrame({"a": [1.0, 2.0, 3.0], "b": [5.0, 5.0, 5.0]})
+    got = corr_matrix(ray.data.from_pandas(df), ["a", "b"])
+    assert len(got) == 1 and pd.isna(got["corr"].iloc[0])
+
+
+def _vecs(seed, n=400, d=16):
+    rng = np.random.RandomState(seed)
+    # anisotropic cloud: a dominant direction plus noise
+    base = rng.randn(n, 1) * np.linspace(3.0, 0.1, d)[None, :]
+    return base + rng.randn(n, d) * 0.05
+
+
+def test_pca_partition_invariant_and_variance_ordered():
+    v = _vecs(11)
+    df = pd.DataFrame({"vec_id": np.arange(len(v), dtype=np.int64),
+                       "embedding": [row.tolist() for row in v]})
+
+    def run(parts):
+        out = pca_project(ray.data.from_pandas(df).repartition(parts),
+                          vec_col="embedding", id_col="vec_id",
+                          k=3).to_pandas()
+        return out.sort_values("vec_id").reset_index(drop=True)
+
+    p1, p2 = run(2), run(13)
+    pd.testing.assert_frame_equal(p1, p2)  # bit-identical
+    assert p1["pc0"].var() >= p1["pc1"].var() >= p1["pc2"].var()
+    # projections are centered: exact moments make the mean ~0 (ppm units)
+    assert abs(p1["pc0"].mean()) < 1000
+
+
+def test_pca_recovers_planted_direction():
+    rng = np.random.RandomState(13)
+    d = 8
+    direction = np.zeros(d)
+    direction[2] = 1.0
+    coords = rng.randn(500) * 5.0
+    v = coords[:, None] * direction[None, :] + rng.randn(500, d) * 0.01
+    df = pd.DataFrame({"vec_id": np.arange(500, dtype=np.int64),
+                       "embedding": [row.tolist() for row in v]})
+    out = (pca_project(ray.data.from_pandas(df), k=1).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    # pc0 (ppm) tracks the planted coordinate up to centering
+    got = out["pc0"].to_numpy() / 1e6
+    want = coords - coords.mean()
+    corr = np.corrcoef(got, want)[0, 1]
+    assert abs(corr) > 0.999
