@@ -1743,6 +1743,19 @@ def _q_pca_embeddings(sf_dir: str):
                        id_col="vec_id", k=4)
 
 
+def _q_weighted_sample_parts(sf_dir: str):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis): top-20 parts by md5-uniform^(1/retailprice) — selection
+    probability increasing in price, reproducible across engines.  Per-block
+    top-k partials, then a global sort.limit over <= k rows per block
+    (ops/split.py weighted_sample)."""
+    from folkscope_ray.ops.split import weighted_sample
+
+    return weighted_sample(
+        _rp(sf_dir, "part").select_columns(["p_partkey", "p_retailprice"]),
+        key_col="p_partkey", weight_col="p_retailprice", k=20, seed=42)
+
+
 def _q_heavy_hitter_users(sf_dir: str):
     """Exact top-10 users by event count via Misra-Gries candidates +
     exact recount (two-pass sketch: candidate rows shuffle, never the
@@ -1818,6 +1831,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
+        "weighted_sample_parts": _q_weighted_sample_parts,
         # --- code path changed this round (lineage-rank triple shuffle,
         #     stats pass, eventuality pack/unpack)
         "kg_triples": _q_kg_triples,
@@ -2124,6 +2138,15 @@ def oracle_sql() -> dict[str, str]:
             FROM e e1
             JOIN e e2 ON e2.a = e1.b
             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        """,
+        "weighted_sample_parts": """
+            WITH s AS (
+              SELECT p_partkey, p_retailprice,
+                     pow((('0x' || substr(md5('42|' || p_partkey), 1, 16))::UBIGINT)::DOUBLE
+                         / 18446744073709551616.0, 1.0 / p_retailprice) AS score
+              FROM part WHERE p_retailprice > 0)
+            SELECT p_partkey, p_retailprice
+            FROM s ORDER BY score DESC, p_partkey LIMIT 20
         """,
         "interval_join_orders_lineitem": """
             SELECT o.o_orderkey, o.o_custkey, l.l_linenumber::BIGINT AS l_linenumber

@@ -31,6 +31,7 @@ __all__ = [
     "pack_sequences",
     "deterministic_shuffle",
     "mixing_weights",
+    "weighted_sample",
 ]
 
 
@@ -210,3 +211,48 @@ def pack_sequences(ds: Dataset, id_col: str, size_col: str, budget: int,
                  .drop_columns(["__g", "__run"]))
 
     return run.map_batches(assign, batch_format="pyarrow")
+
+
+def weighted_sample(ds: Dataset, key_col: str, weight_col: str, k: int,
+                    seed: int = 42) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis A-ES): row i gets ``score = u_i ** (1 / w_i)`` with ``u_i``
+    the md5-uniform of (seed, key); the global top-k by score is a weighted
+    sample without replacement (P(selected) increasing in weight).  The
+    randomness is a pure function of (seed, key) — reproducible across
+    runs, partitionings and engines, and SQL-expressible
+    (``pow((('0x' || substr(md5(seed||'|'||key),1,16))::UBIGINT)::DOUBLE
+    / 2^64, 1.0/w)`` — bit-identical to the numpy math, parity-tested).
+
+    Distributed shape: per-block top-k partial (each block reduces to <= k
+    rows before anything moves), then a global ``sort.limit(k)`` over the
+    tiny partial stream — no full-data shuffle, the same discipline as
+    ``topk_per_group``.  Ties break on key ascending.  Non-positive
+    weights never sample (score -1).
+
+    The reference's sampling is unweighted uniform (generation.py:172
+    ``random.sample``); weighted selection is the data-mixing upgrade
+    (quality-scored corpus subsampling a la CCNet/DoReMi)."""
+    def score_block(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_pylist()
+        u = np.array(
+            [int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:16], 16)
+             for key in keys], dtype=np.uint64).astype(np.float64) / 2.0**64
+        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
+        w = np.asarray(w, dtype=np.float64)
+        score = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)),
+                         -1.0)
+        out = batch.append_column("score", pa.array(score, pa.float64()))
+        if out.num_rows > k:
+            order = pa.Table.from_arrays(
+                [out.column("score"), out.column(key_col)],
+                names=["s", "k"]).to_pandas()
+            top = np.lexsort((order["k"].to_numpy(),
+                              -order["s"].to_numpy()))[:k]
+            out = out.take(pa.array(np.sort(top), pa.int64()))
+        return out
+
+    partial = ds.select_columns([key_col, weight_col]).map_batches(
+        score_block, batch_format="pyarrow")
+    return (partial.sort(["score", key_col], descending=[True, False])
+            .limit(k).drop_columns(["score"]))

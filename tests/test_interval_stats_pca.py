@@ -145,3 +145,37 @@ def test_pca_recovers_planted_direction():
     want = coords - coords.mean()
     corr = np.corrcoef(got, want)[0, 1]
     assert abs(corr) > 0.999
+
+
+def test_weighted_sample_deterministic_and_weight_biased():
+    from folkscope_ray.ops.split import weighted_sample
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "id": np.arange(2000, dtype=np.int64),
+        # two strata: heavy (w=100) and light (w=1)
+        "w": np.where(np.arange(2000) < 200, 100.0, 1.0),
+    })
+
+    def run(parts, seed=7):
+        out = weighted_sample(ray.data.from_pandas(df).repartition(parts),
+                              key_col="id", weight_col="w", k=50,
+                              seed=seed).to_pandas()
+        return out.sort_values("id").reset_index(drop=True)
+
+    a, b = run(3), run(19)
+    pd.testing.assert_frame_equal(a, b)  # partition-invariant
+    # heavy stratum is 10% of rows but should dominate the sample
+    assert (a["w"] == 100.0).sum() > 30
+    # different seed -> different sample
+    assert not a.equals(run(3, seed=8))
+
+
+def test_weighted_sample_nonpositive_weights_never_selected():
+    from folkscope_ray.ops.split import weighted_sample
+
+    df = pd.DataFrame({"id": np.arange(20, dtype=np.int64),
+                       "w": [0.0] * 10 + [1.0] * 10})
+    out = weighted_sample(ray.data.from_pandas(df), key_col="id",
+                          weight_col="w", k=10).to_pandas()
+    assert (out["w"] > 0).all() and len(out) == 10
