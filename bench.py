@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     "bpe_token_counts_docs",
     "deterministic_shuffle_docs",
     "jaccard_selfjoin_docs",
+    "interval_join_orders_lineitem",
+    "corr_matrix_lineitem",
+    "pca_embeddings",
+    "weighted_sample_parts",
 ]
 
 

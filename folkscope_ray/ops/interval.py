@@ -75,17 +75,36 @@ def interval_join(left: Dataset, right: Dataset, on: str,
             n_buckets = 16
 
     if cell is None:
-        los, his = [], []
+        # data-tied default: big enough that a typical interval covers ~2
+        # cells (replication stays O(1) per row), small enough that a cell
+        # holds a bounded slice of the span.  ONE fused partial pass per
+        # side (min/max/mean as separate Dataset aggregates would each
+        # re-execute the upstream pipeline).
+        los, his, mlens = [], [], []
         for ds_, s, e in ((left, left_start, left_end),
                           (right, right_start, right_end)):
-            lo, hi = ds_.min(s), ds_.max(e)
-            if lo is not None:
-                to_us = (lambda v: int(v) if isinstance(v, (int, float))
-                         else pd.Timestamp(v).value // 1000)
-                los.append(to_us(lo))
-                his.append(to_us(hi))
+            def stats(batch: pa.Table, s=s, e=e) -> pa.Table:
+                sv = _as_int64(batch.column(s))
+                ev = _as_int64(batch.column(e))
+                if not len(sv):
+                    return pa.table({"lo": pa.array([], pa.int64()),
+                                     "hi": pa.array([], pa.int64()),
+                                     "dsum": pa.array([], pa.int64()),
+                                     "n": pa.array([], pa.int64())})
+                return pa.table({
+                    "lo": pa.array([int(sv.min())], pa.int64()),
+                    "hi": pa.array([int(ev.max())], pa.int64()),
+                    "dsum": pa.array([int((ev - sv).sum())], pa.int64()),
+                    "n": pa.array([len(sv)], pa.int64())})
+            p = (ds_.select_columns(list(dict.fromkeys((s, e))))
+                 .map_batches(stats, batch_format="pyarrow").to_pandas())
+            if len(p) and p["n"].sum() > 0:
+                los.append(int(p["lo"].min()))
+                his.append(int(p["hi"].max()))
+                mlens.append(int(p["dsum"].sum() // p["n"].sum()))
         span = (max(his) - min(los)) if los else 0
-        cell = max(1, span // 1024)
+        cell = max(1, span // 4096,
+                   min(2 * max(mlens, default=0), span // 16))
     cell = int(cell)
 
     lnames = list(left.schema().names)
