@@ -2667,6 +2667,7 @@ def oracle_sql() -> dict[str, str]:
                 "bpe_vocab_docs",
                 "bpe_token_counts_docs",
                 "lm_perplexity_docs",
+                "pca_embeddings",
             )
         },
     }

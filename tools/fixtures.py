@@ -60,6 +60,7 @@ FIXTURE_QUERIES = [
     "bpe_vocab_docs",
     "bpe_token_counts_docs",
     "lm_perplexity_docs",
+    "pca_embeddings",
 ]
 
 
