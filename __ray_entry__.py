@@ -1769,12 +1769,76 @@ def _q_heavy_hitter_users(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Ordered for the driver's correctness window (it checks the FIRST 50
-    # registry entries per round): queries never driver-verified in r02 come
-    # first, then this round's new operators, then every query whose code
-    # path changed this round; the long-green remainder follows.
+    # Rotation policy (matches reality; the driver checks the FIRST 50
+    # entries each round):
+    #   tier 1 - queries never driver-verified in any round come first;
+    #   tier 2 - every query whose code path changed since its last green
+    #            CORRECTNESS row (this round: the r3 lineage-rank/pack kg_*
+    #            paths, the concept_triples/fuse_subj vectorization, the
+    #            shared md5 kernel in ops/split.py, the zero-copy embedding
+    #            ingestion in ops/similarity.py + ops/vector.py, the W-word
+    #            dense setjoin plan, the interval-join date/inverted/salt
+    #            fixes, corr_matrix/triangle_count guards, WnD ablations);
+    #   tier 3 - stalest-first fill: queries green only in r1/r2 rotate in
+    #            so no query goes more than two rounds unverified;
+    #   remainder - green in r3 and unchanged; they rotate forward in r5.
     return {
-        # --- never driver-checked in r02: windows / analytic SQL
+        # ---- r4 window, tier 1+2: never driver-checked, then every
+        # query whose code path changed since its last green row
+        "weighted_sample_parts": _q_weighted_sample_parts,
+        "kg_triples": _q_kg_triples,
+        "kg_eventualities": _q_kg_eventualities,
+        "kg_concept_agg": _q_kg_concept_agg,
+        "kg_concept_triples": _q_kg_concept_triples,
+        "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
+        "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
+        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
+        "triangle_count_lineitem": _q_triangle_count_lineitem,
+        "stratified_split_docs": _q_stratified_split_docs,
+        "deterministic_shuffle_docs": _q_deterministic_shuffle_docs,
+        "sample_per_lang_docs": _q_sample_per_lang_docs,
+        "curation_pipeline_docs": _q_curation_pipeline_docs,
+        "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
+        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
+        "embedding_neardup_components": _q_embedding_neardup_components,
+        "embedding_neardup_pairs_lsh": _q_embedding_neardup_pairs_lsh,
+        "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
+        "pca_embeddings": _q_pca_embeddings,
+        "mean_vector_by_label": _q_mean_vector_by_label,
+        "wnd_recommender": _q_wnd_recommender,
+        # ---- r4 window, tier 3: stalest-first rotation fill (green in
+        # r1/r2 only; no query goes more than two rounds unverified)
+        "topk_orders": _q_topk_orders,
+        "sort_limit_parts": _q_sort_limit_parts,
+        "doc_length_cdf": _q_doc_length_cdf,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
+        "minhash_dedup_docs": _q_minhash_dedup_docs,
+        "tpch_q1_pricing_summary": _q_tpch_q1,
+        "groupby_count_docs": _q_groupby_count_docs,
+        "filter_project_events": _q_filter_project_events,
+        "salted_agg_events": _q_salted_agg_events,
+        "token_count_docs": _q_token_count_docs,
+        "distinct_event_types": _q_distinct_event_types,
+        "events_per_day": _q_events_per_day,
+        "region_nation_join": _q_region_nation_join,
+        "acctbal_stats_by_nation": _q_acctbal_stats_by_nation,
+        "avg_doc_len_by_lang": _q_avg_doc_len_by_lang,
+        "simhash_docs": _q_simhash_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
+        "langid_quality_docs": _q_langid_quality_docs,
+        "multimodal_image_features": _q_multimodal_image_features,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "topk_per_group_orders": _q_topk_per_group_orders,
+        "dedup_keep_rows": _q_dedup_keep_rows,
+        "word_jaccard_docs": _q_word_jaccard_docs,
+        "price_quantiles_parts": _q_price_quantiles_parts,
+        "hll_distinct_users": _q_hll_distinct_users,
+        "first_wins_by_source": _q_first_wins_by_source,
+        # ---------- beyond the 50-row window: green in r3 (or r2) and
+        # unchanged since; these rotate forward in r5 ----------
         "lag_gap_events": _q_lag_gap_events,
         "cumsum_orders": _q_cumsum_orders,
         "moving_avg_orders": _q_moving_avg_orders,
@@ -1785,7 +1849,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_orders": _q_dense_rank_orders,
         "ntile_orders": _q_ntile_orders,
         "json_extract_events": _q_json_extract_events,
-        # --- never driver-checked in r02: text stats / scale-path joins
         "top_bigrams_per_lang": _q_top_bigrams_per_lang,
         "repetition_docs": _q_repetition_docs,
         "inverted_index_docs": _q_inverted_index_docs,
@@ -1796,53 +1859,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitter_users": _q_heavy_hitter_users,
         "kg_pagerank": _q_kg_pagerank,
         "kg_components": _q_kg_components,
-        # --- never driver-checked in r02: curation / graph stats
         "tfidf_top_terms": _q_tfidf_top_terms,
-        "stratified_split_docs": _q_stratified_split_docs,
         "quantile_band_docs": _q_quantile_band_docs,
-        "sample_per_lang_docs": _q_sample_per_lang_docs,
         "pack_sequences_docs": _q_pack_sequences_docs,
         "kg_degree_dist": _q_kg_degree_dist,
         "full_outer_join_orders": _q_full_outer_join_orders,
-        # --- new this round
         "ddsketch_price_quantiles": _q_ddsketch_price_quantiles,
-        "embedding_neardup_pairs_lsh": _q_embedding_neardup_pairs_lsh,
         "stream_dedup_docs": _q_stream_dedup_docs,
         "kg_incremental_triples": _q_kg_incremental_triples,
         "kg_parse_strings": _q_kg_parse_strings,
         "pii_scrub_docs": _q_pii_scrub_docs,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
-        "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
-        "curation_pipeline_docs": _q_curation_pipeline_docs,
         "resample_ffill_events": _q_resample_ffill_events,
         "bpe_vocab_docs": _q_bpe_vocab_docs,
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "lm_perplexity_docs": _q_lm_perplexity_docs,
-        "deterministic_shuffle_docs": _q_deterministic_shuffle_docs,
         "mixing_weights_sources": _q_mixing_weights_sources,
-        # --- new operators this round (set-similarity join, graph family)
-        "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "cooccur_edges_lineitem": _q_cooccur_edges_lineitem,
-        "triangle_count_lineitem": _q_triangle_count_lineitem,
-        # --- temporal join + statistics + dimensionality reduction
-        "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
-        "corr_matrix_lineitem": _q_corr_matrix_lineitem,
-        "pca_embeddings": _q_pca_embeddings,
-        # --- hash-failed in r02 (dtype-only; operator/oracle fixed)
         "asof_join_events": _q_asof_join_events,
         "range_join_parts": _q_range_join_parts,
-        "weighted_sample_parts": _q_weighted_sample_parts,
-        # --- code path changed this round (lineage-rank triple shuffle,
-        #     stats pass, eventuality pack/unpack)
-        "kg_triples": _q_kg_triples,
-        "kg_eventualities": _q_kg_eventualities,
-        "kg_concept_agg": _q_kg_concept_agg,
-        # --- flagship regression picks (beyond the 50-row window)
-        "kg_concept_triples": _q_kg_concept_triples,
-        "hash_join_lineitem_orders": _q_hash_join_lineitem_orders,
-        "tpch_q1_pricing_summary": _q_tpch_q1,
-        "exact_dedup_docs": _q_exact_dedup_docs,
-        "minhash_dedup_docs": _q_minhash_dedup_docs,
         "broadcast_join_orders": _q_broadcast_join_orders,
         "anti_join_customers": _q_anti_join_customers,
         "tumbling_window_events": _q_tumbling_window_events,
@@ -1850,40 +1885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": _q_session_windows_events,
         "transe_entity_embeddings": _q_transe_embeddings,
         "ncf_recommender": _q_ncf_recommender,
-        "wnd_recommender": _q_wnd_recommender,
         "edge_features": _q_edge_features,
-        # ---------------- beyond the 50-row window: green in r02 ----------
-        "groupby_count_docs": _q_groupby_count_docs,
-        "filter_project_events": _q_filter_project_events,
-        "topk_orders": _q_topk_orders,
-        "first_wins_by_source": _q_first_wins_by_source,
-        "salted_agg_events": _q_salted_agg_events,
-        "token_count_docs": _q_token_count_docs,
-        "doc_length_cdf": _q_doc_length_cdf,
-        "sort_limit_parts": _q_sort_limit_parts,
-        "distinct_event_types": _q_distinct_event_types,
-        "ann_cosine_topk": _q_ann_cosine_topk,
-        "events_per_day": _q_events_per_day,
-        "region_nation_join": _q_region_nation_join,
-        "acctbal_stats_by_nation": _q_acctbal_stats_by_nation,
-        "avg_doc_len_by_lang": _q_avg_doc_len_by_lang,
-        "simhash_docs": _q_simhash_docs,
-        "fingerprint_docs": _q_fingerprint_docs,
-        "langid_quality_docs": _q_langid_quality_docs,
-        "multimodal_image_features": _q_multimodal_image_features,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "ann_lsh_topk": _q_ann_lsh_topk,
-        "ann_ivf_topk": _q_ann_ivf_topk,
-        "embedding_neardup_pairs": _q_embedding_neardup_pairs,
-        "embedding_neardup_components": _q_embedding_neardup_components,
-        "topk_per_group_orders": _q_topk_per_group_orders,
-        "dedup_keep_rows": _q_dedup_keep_rows,
-        "mean_vector_by_label": _q_mean_vector_by_label,
         "sample_mod_docs": _q_sample_mod_docs,
         "union_name_counts": _q_union_name_counts,
-        "word_jaccard_docs": _q_word_jaccard_docs,
-        "price_quantiles_parts": _q_price_quantiles_parts,
-        "hll_distinct_users": _q_hll_distinct_users,
     }
 
 
