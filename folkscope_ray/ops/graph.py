@@ -248,14 +248,25 @@ def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
                               batch_format="pyarrow")
     wedges = hash_join(first, second, on="mid", n_buckets=n_buckets)
 
+    def _check_ids(*cols: np.ndarray) -> None:
+        # same precondition jaccard_selfjoin enforces: negative or >= 2^31
+        # ids would silently corrupt the packed (a << 32 | b) keys
+        for c in cols:
+            if len(c) and (int(c.min()) < 0 or int(c.max()) >= 1 << 31):
+                raise ValueError(
+                    "triangle_count requires 0 <= node id < 2^31 (packed "
+                    "wedge/edge keys); densify ids first")
+
     def wedge_key(batch: pa.Table) -> pa.Table:
         wa = batch.column("wa").to_numpy(zero_copy_only=False).astype("int64")
         wc = batch.column("wc").to_numpy(zero_copy_only=False).astype("int64")
+        _check_ids(wa, wc)
         return pa.table({"k": pa.array((wa << 32) | wc, pa.int64())})
 
     def edge_key(batch: pa.Table) -> pa.Table:
         a = batch.column(a_col).to_numpy(zero_copy_only=False).astype("int64")
         b = batch.column(b_col).to_numpy(zero_copy_only=False).astype("int64")
+        _check_ids(a, b)
         return pa.table({"k": pa.array((a << 32) | b, pa.int64())})
 
     wk = wedges.map_batches(wedge_key, batch_format="pyarrow")

@@ -40,12 +40,24 @@ _GOLD = np.int64(-7046029254386353131)  # 0x9E3779B97F4A7C15 as int64
 
 
 def _as_int64(col: pa.ChunkedArray) -> np.ndarray:
-    """Timestamp or numeric column -> int64 numpy (us for timestamps)."""
+    """Timestamp, date, or integer column -> int64 numpy.
+
+    Timestamps AND dates normalize to MICROSECONDS so a date side joined
+    against a timestamp side compares in one unit (a bare int64 cast of
+    date32 would yield days and silently return wrong/empty results).
+    Anything else (floats, strings, ...) raises instead of silently
+    casting — the grid arithmetic is integer-only by contract."""
     t = col.type
     if pa.types.is_timestamp(t):
         col = col.cast(pa.timestamp("us")).cast(pa.int64())
-    elif not pa.types.is_int64(t):
-        col = col.cast(pa.int64())
+    elif pa.types.is_date(t):
+        col = col.cast(pa.timestamp("us")).cast(pa.int64())
+    elif pa.types.is_integer(t):
+        if not pa.types.is_int64(t):
+            col = col.cast(pa.int64())
+    else:
+        raise TypeError(
+            f"interval_join supports timestamp/date/integer columns, got {t}")
     return col.to_numpy(zero_copy_only=False)
 
 
@@ -124,7 +136,10 @@ def interval_join(left: Dataset, right: Dataset, on: str,
             s = _as_int64(batch.column(s_col))
             e = _as_int64(batch.column(e_col))
             c0 = s // cell
-            nrep = np.maximum(e // cell - c0 + 1, 0)  # start > end -> empty
+            # inverted intervals (end < start) never replicate — without the
+            # explicit mask a same-cell inverted row would still emit one
+            # replica and its fate would depend on the cell size
+            nrep = np.where(e < s, 0, e // cell - c0 + 1)
             idx = np.repeat(np.arange(batch.num_rows), nrep)
             cells = (np.arange(int(nrep.sum()), dtype=np.int64)
                      - np.repeat(np.cumsum(nrep) - nrep, nrep)
@@ -167,6 +182,13 @@ def interval_join(left: Dataset, right: Dataset, on: str,
     out_cols = lnames + [ren[c] for c in rnames]
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # when one side replicated to zero rows everywhere (e.g. every
+        # interval inverted), the union's observed schema can omit that
+        # side's columns entirely — restore them so the empty join below
+        # still carries the full output schema
+        for c in dict.fromkeys([*lnames, on, *rnames, "__s", "__e", "__c"]):
+            if c not in g.columns:
+                g[c] = pd.Series(np.nan, index=g.index)
         # the union null-fills the other side's columns, promoting int64 to
         # float64 — restore recorded int dtypes after splitting the sides
         lg = g.loc[g["__side"] == "L", [*lnames, "__s", "__e", "__c"]]

@@ -228,20 +228,26 @@ def weighted_sample(ds: Dataset, key_col: str, weight_col: str, k: int,
     rows before anything moves), then a global ``sort.limit(k)`` over the
     tiny partial stream — no full-data shuffle, the same discipline as
     ``topk_per_group``.  Ties break on key ascending.  Non-positive
-    weights never sample (score -1).
+    weights never sample: rows with ``w <= 0`` are dropped from the
+    candidate stream entirely (matching the oracle's ``WHERE w > 0``), so
+    even when fewer than k positive-weight rows exist they are never
+    selected.
 
     The reference's sampling is unweighted uniform (generation.py:172
     ``random.sample``); weighted selection is the data-mixing upgrade
     (quality-scored corpus subsampling a la CCNet/DoReMi)."""
     def score_block(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column(weight_col).to_numpy(zero_copy_only=False),
+                       dtype=np.float64)
+        pos = w > 0
+        if not pos.all():  # w <= 0 never samples: drop before the top-k
+            batch = batch.take(pa.array(np.flatnonzero(pos), pa.int64()))
+            w = w[pos]
         keys = batch.column(key_col).to_pylist()
         u = np.array(
             [int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:16], 16)
              for key in keys], dtype=np.uint64).astype(np.float64) / 2.0**64
-        w = batch.column(weight_col).to_numpy(zero_copy_only=False)
-        w = np.asarray(w, dtype=np.float64)
-        score = np.where(w > 0, np.power(u, 1.0 / np.where(w > 0, w, 1.0)),
-                         -1.0)
+        score = np.power(u, 1.0 / w) if len(w) else np.empty(0)
         out = batch.append_column("score", pa.array(score, pa.float64()))
         if out.num_rows > k:
             order = pa.Table.from_arrays(

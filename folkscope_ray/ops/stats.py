@@ -48,17 +48,29 @@ def corr_matrix(ds: Dataset, cols: list[str], scale: int = 100) -> pd.DataFrame:
                        * scale).astype(np.int64) for c in cols]
         n = batch.num_rows
         mm = max((int(np.abs(q).max()) if n else 0) for q in qs) if d else 0
-        chunk = int(min(65536, max(1, (1 << 62) // (mm * mm + 1))))
         sums = [0] * d
         prods = {(i, j): 0 for i in range(d) for j in range(i, d)}
-        for st in range(0, n, chunk):
-            en = min(st + chunk, n)
-            cq = [q[st:en] for q in qs]
+        if mm * mm >= (1 << 62):
+            # pathological magnitude: even a single per-element int64
+            # product q_i*q_j can overflow (chunking bounds the SUM, not
+            # the element) — promote this block to Python bignums via an
+            # object-dtype pass; exactness is preserved, only speed drops,
+            # and only for blocks whose |q| exceeds ~3e9 at scale
+            oq = [q.astype(object) for q in qs]
             for i in range(d):
-                sums[i] += int(cq[i].sum(dtype=np.int64))
+                sums[i] += int(oq[i].sum()) if n else 0
                 for j in range(i, d):
-                    prods[(i, j)] += int(
-                        (cq[i] * cq[j]).sum(dtype=np.int64))
+                    prods[(i, j)] += int((oq[i] * oq[j]).sum()) if n else 0
+        else:
+            chunk = int(min(65536, max(1, (1 << 62) // (mm * mm + 1))))
+            for st in range(0, n, chunk):
+                en = min(st + chunk, n)
+                cq = [q[st:en] for q in qs]
+                for i in range(d):
+                    sums[i] += int(cq[i].sum(dtype=np.int64))
+                    for j in range(i, d):
+                        prods[(i, j)] += int(
+                            (cq[i] * cq[j]).sum(dtype=np.int64))
         out = {"n": pa.array([n], pa.int64())}
         for i in range(d):
             out[f"s{i}"] = pa.array([str(sums[i])], pa.string())

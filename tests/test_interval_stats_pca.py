@@ -179,3 +179,90 @@ def test_weighted_sample_nonpositive_weights_never_selected():
     out = weighted_sample(ray.data.from_pandas(df), key_col="id",
                           weight_col="w", k=10).to_pandas()
     assert (out["w"] > 0).all() and len(out) == 10
+
+
+def test_weighted_sample_fewer_positive_rows_than_k():
+    # w <= 0 rows are dropped BEFORE the top-k, so when fewer than k
+    # positive-weight rows exist the output is short — never padded with
+    # sentinel-scored non-positive rows (the oracle's WHERE w > 0 contract)
+    from folkscope_ray.ops.split import weighted_sample
+
+    df = pd.DataFrame({"id": np.arange(20, dtype=np.int64),
+                       "w": [0.0] * 12 + [-2.0] * 3 + [1.0] * 5})
+    out = weighted_sample(ray.data.from_pandas(df).repartition(4),
+                          key_col="id", weight_col="w", k=15).to_pandas()
+    assert len(out) == 5 and (out["w"] > 0).all()
+
+
+def test_interval_join_date_columns_normalize_to_microseconds():
+    import pyarrow as pa
+
+    # left side uses DATE columns, right side timestamps: both must land in
+    # the same (microsecond) unit or the join silently returns garbage
+    days = np.array([0, 5, 20, 40], dtype=np.int64)
+    left = pa.table({
+        "k": pa.array([1, 1, 1, 1], pa.int64()),
+        "lid": pa.array([0, 1, 2, 3], pa.int64()),
+        "s": pa.array((days).astype(np.int32), pa.int32()).cast(pa.date32()),
+        "e": pa.array((days + 10).astype(np.int32),
+                      pa.int32()).cast(pa.date32()),
+    })
+    us = np.array([3, 12, 100], dtype=np.int64) * 86_400_000_000
+    right = pa.table({
+        "k": pa.array([1, 1, 1], pa.int64()),
+        "rid": pa.array([0, 1, 2], pa.int64()),
+        "t": pa.array(us, pa.int64()).cast(pa.timestamp("us")),
+    })
+    got = interval_join(
+        ray.data.from_arrow(left), ray.data.from_arrow(right),
+        on="k", left_start="s", left_end="e",
+        right_start="t", right_end="t", cell=86_400_000_000).to_pandas()
+    # day-3 point hits [0,10]; day-12 hits [5,15]; day-100 hits nothing
+    assert set(zip(got["lid"], got["rid"])) == {(0, 0), (1, 1)}
+
+
+def test_interval_join_rejects_unsupported_column_types():
+    import pyarrow as pa
+
+    left = pa.table({"k": pa.array([1], pa.int64()),
+                     "s": pa.array([1.5], pa.float64()),
+                     "e": pa.array([2.5], pa.float64())})
+    right = pa.table({"k": pa.array([1], pa.int64()),
+                      "s": pa.array([1], pa.int64()),
+                      "e": pa.array([2], pa.int64())})
+    with pytest.raises(Exception, match="timestamp/date/integer"):
+        interval_join(ray.data.from_arrow(left), ray.data.from_arrow(right),
+                      on="k", left_start="s", left_end="e",
+                      right_start="s", right_end="e", cell=10).to_pandas()
+
+
+@pytest.mark.parametrize("cell", [1, 7, 1000])
+def test_interval_join_inverted_intervals_always_empty(cell):
+    # end < start rows must never join, whether start/end share a grid cell
+    # (same-cell inverted) or not (cross-cell) — output is cell-independent
+    l = pd.DataFrame({"k": [1, 1, 1], "lid": [0, 1, 2],
+                      "s": np.array([100, 500, 900], dtype=np.int64),
+                      "e": np.array([99, 450, 850], dtype=np.int64)})
+    r = pd.DataFrame({"k": [1, 1], "rid": [0, 1],
+                      "s": np.array([0, 400], dtype=np.int64),
+                      "e": np.array([1000, 950], dtype=np.int64)})
+    got = interval_join(ray.data.from_pandas(l), ray.data.from_pandas(r),
+                        on="k", left_start="s", left_end="e",
+                        right_start="s", right_end="e", cell=cell).to_pandas()
+    assert len(got) == 0
+
+
+def test_corr_matrix_exact_at_overflowing_magnitudes():
+    # per-element q_i*q_j > 2^63 would overflow int64 even at chunk=1; the
+    # bignum fallback must keep the result exact
+    rng = np.random.RandomState(17)
+    base = rng.randint(3_200_000_000, 3_300_000_000, 50).astype(np.float64)
+    df = pd.DataFrame({"a": base, "b": base * 0.5 + rng.randint(0, 100, 50)})
+    got = corr_matrix(ray.data.from_pandas(df).repartition(3),
+                      ["a", "b"], scale=1)
+    want = np.corrcoef(df["a"], df["b"])[0, 1]
+    assert math.isclose(got["corr"].iloc[0], want, rel_tol=1e-9)
+    # partition-invariant in the bignum regime too
+    got2 = corr_matrix(ray.data.from_pandas(df).repartition(11),
+                       ["a", "b"], scale=1)
+    pd.testing.assert_frame_equal(got, got2)

@@ -163,3 +163,19 @@ def test_triangle_count_synthetic():
     path = [{"a": i, "b": i + 1} for i in range(5)]
     assert triangle_count(
         rd.from_items(path)).column("triangles").to_pylist() == [0]
+
+
+def test_triangle_count_rejects_out_of_range_ids():
+    """Packed (a << 32 | b) keys require 0 <= id < 2^31 — same ValueError
+    precondition jaccard_selfjoin enforces, instead of silent corruption."""
+    import pytest
+    import ray.data as rd
+
+    from folkscope_ray.ops.graph import triangle_count
+
+    big = [{"a": 1, "b": 1 << 31}, {"a": 1, "b": 2}, {"a": 2, "b": 1 << 31}]
+    with pytest.raises(Exception, match="2\\^31"):
+        triangle_count(rd.from_items(big))
+    neg = [{"a": -1, "b": 2}, {"a": -1, "b": 3}, {"a": 2, "b": 3}]
+    with pytest.raises(Exception, match="2\\^31"):
+        triangle_count(rd.from_items(neg))
