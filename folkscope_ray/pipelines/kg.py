@@ -965,58 +965,80 @@ class KGPipeline:
             lambda b: b.select(["eid", "canon_a", "canon_b", "rel", "frequency"]),
             batch_format="pyarrow", batch_size=None,
         )
-        conc = self.concepts().map_batches(
-            lambda b: pa.table(
-                {
-                    "eid": b.column("eid"),
-                    "concept_obj": pa.array(
-                        [" ".join(w) for w in b.column("concept_words").to_pylist()],
-                        pa.string(),
-                    ),
-                    "score": b.column("score"),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        def concept_obj(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # Arrow list-join kernel == " ".join(words) per row, no Python
+            col = b.column("concept_words")
+            joined = (pc.binary_join(col, " ").cast(pa.string())
+                      if b.num_rows else pa.array([], pa.string()))
+            return pa.table({"eid": b.column("eid"), "concept_obj": joined,
+                             "score": b.column("score")})
+
+        conc = self.concepts().map_batches(concept_obj, batch_format="pyarrow")
         from ..ops.relational import hash_join
 
         joined = hash_join(ev, conc, on="eid")
         nb = self._n_buckets()  # driver-side once; captured in the closure
 
         def partials(batch: pa.Table) -> pa.Table:
+            # Vectorized map-side combine (the make_triple_partials_fn
+            # discipline, stages/match.py:344): Python touches only the
+            # DISTINCT (subj, pred, obj) keys per block — the joined
+            # occurrence stream stays in Arrow/numpy.  Bit-equal to the
+            # per-row dict loop it replaced: pd.factorize's first-occurrence
+            # order mirrors dict insertion order, np.rint is the same
+            # round-half-even as Python round(), and int64 partial sums are
+            # associative so the final score is bit-identical across any
+            # block/batch partitioning (float partials would differ in the
+            # LSB between parallelism levels and break fixture hash-compare).
+            import numpy as np
+            import pandas as pd
+            import pyarrow.compute as pc
+
             from ..util import stable_u64
 
-            acc: dict[tuple, list] = {}
-            for row in zip(
-                batch.column("canon_a").to_pylist(),
-                batch.column("canon_b").to_pylist(),
-                batch.column("rel").to_pylist(),
-                batch.column("concept_obj").to_pylist(),
-                batch.column("score").to_pylist(),
-                batch.column("frequency").to_pylist(),
-            ):
-                a, b_, rel, obj, score, freq = row
-                k = (f"{a}-{b_}", rel, obj)
-                # fixed-point accumulation: int64 partial sums are associative,
-                # so the final score is bit-identical across any block/batch
-                # partitioning (float partials would differ in the LSB between
-                # parallelism levels and break fixture hash-compare)
-                sp = int(round(score * freq * 1e6))
-                slot = acc.get(k)
-                if slot is None:
-                    acc[k] = [1, sp]
-                else:
-                    slot[0] += 1
-                    slot[1] += sp
-            keys = list(acc.keys())
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.int32()),
+                     "subj": pa.array([], pa.string()),
+                     "pred": pa.array([], pa.string()),
+                     "obj": pa.array([], pa.string()),
+                     "support_p": pa.array([], pa.int64()),
+                     "score_p": pa.array([], pa.int64())}
+                )
+            subj = pc.binary_join_element_wise(
+                batch.column("canon_a"), batch.column("canon_b"), "-")
+            key = pc.binary_join_element_wise(
+                subj, batch.column("rel"), batch.column("concept_obj"), "\x1f")
+            codes, uniq = pd.factorize(key.to_numpy(zero_copy_only=False))
+            g = len(uniq)
+            sp = np.rint(
+                batch.column("score").to_numpy(zero_copy_only=False)
+                * batch.column("frequency").to_numpy(zero_copy_only=False)
+                * 1e6).astype(np.int64)
+            support = np.bincount(codes, minlength=g).astype(np.int64)
+            score_p = np.zeros(g, dtype=np.int64)
+            np.add.at(score_p, codes, sp)
+            first = np.full(g, batch.num_rows, dtype=np.int64)
+            np.minimum.at(first, codes,
+                          np.arange(batch.num_rows, dtype=np.int64))
+            subj_g = subj.to_numpy(zero_copy_only=False)[first]
+            pred_g = batch.column("rel").to_numpy(
+                zero_copy_only=False)[first]
+            obj_g = batch.column("concept_obj").to_numpy(
+                zero_copy_only=False)[first]
             return pa.table(
                 {
-                    "bucket": pa.array([stable_u64(*k) % nb for k in keys], pa.int32()),
-                    "subj": pa.array([k[0] for k in keys], pa.string()),
-                    "pred": pa.array([k[1] for k in keys], pa.string()),
-                    "obj": pa.array([k[2] for k in keys], pa.string()),
-                    "support_p": pa.array([acc[k][0] for k in keys], pa.int64()),
-                    "score_p": pa.array([acc[k][1] for k in keys], pa.int64()),
+                    "bucket": pa.array(
+                        [stable_u64(s, p, o) % nb
+                         for s, p, o in zip(subj_g, pred_g, obj_g)],
+                        pa.int32()),
+                    "subj": pa.array(subj_g, pa.string()),
+                    "pred": pa.array(pred_g, pa.string()),
+                    "obj": pa.array(obj_g, pa.string()),
+                    "support_p": pa.array(support, pa.int64()),
+                    "score_p": pa.array(score_p, pa.int64()),
                 }
             )
 
