@@ -33,9 +33,12 @@ _WORKER_CACHE: dict[str, object] = {}
 
 
 def add_content_hash(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch.column(text_col).to_pylist()
-    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
-    return batch.append_column("content_hash", pa.array(hashes, pa.string()))
+    # shared buffer-walking md5 kernel (ops/split.py): the Arrow string
+    # buffer IS the utf-8 bytes, so no per-row str/encode round-trip
+    from .split import md5_hex_array
+
+    return batch.append_column(
+        "content_hash", md5_hex_array(batch.column(text_col)))
 
 
 def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:

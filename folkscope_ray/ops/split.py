@@ -24,6 +24,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = [
+    "md5_hex_array",
     "md5_bucket_batch",
     "hash_split_batch",
     "quantiles_by_key",
@@ -36,17 +37,79 @@ __all__ = [
 
 
 def _md5_hex(values: list) -> list[str]:
-    # hashlib.md5 is C-speed (~1 us/row); the per-row loop is bounded by
-    # block size and is the same cost class as any string kernel.
+    # reference implementation (kept as the parity target for
+    # test_md5_kernel_parity); the hot paths use _md5_digests below
     return [hashlib.md5(str(v).encode()).hexdigest() for v in values]
+
+
+def _md5_digests(col, prefix: str = "") -> np.ndarray:
+    """Raw md5 digests of an Arrow column as an (n, 16) uint8 matrix.
+
+    The digest itself is inherently per-row (md5 has no batch form), but
+    everything AROUND it is vectorized: ONE Arrow cast-to-string kernel
+    (bit-identical to Python ``str()`` for integer and string keys — the
+    only key types the split/sample family uses), one join kernel for the
+    optional ``"{prefix}"`` prepend, and the hash loop walks the column's
+    contiguous UTF-8 buffer via memoryview slices — no per-row str
+    construction, ``encode()`` call, or hexdigest.  Output bytes feed
+    :func:`md5_hex_array` (hex strings built in ONE ``bytes.hex()`` +
+    buffer-backed StringArray), first-byte split assignment, and the
+    uniform-u64 draw in :func:`weighted_sample`.  Parity with the per-row
+    ``hashlib.md5(str(v).encode())`` loop is pytest-gated.  Falls back to
+    the reference loop for non-int/string columns or nulls (where Arrow's
+    cast may not equal ``str()``)."""
+    if isinstance(col, pa.Array):
+        col = pa.chunked_array([col])
+    t = col.type
+    md5 = hashlib.md5
+    if not (pa.types.is_integer(t) or pa.types.is_string(t)
+            or pa.types.is_large_string(t)) or col.null_count:
+        out = np.empty((len(col), 16), dtype=np.uint8)
+        for i, v in enumerate(col.to_pylist()):
+            out[i] = np.frombuffer(
+                md5((prefix + str(v)).encode()).digest(), np.uint8)
+        return out
+    if not pa.types.is_string(t):
+        col = col.cast(pa.string())  # int -> "123"; large_string -> utf8
+    if prefix:
+        col = pc.binary_join_element_wise(
+            pa.scalar(prefix, pa.string()), col, "")
+        if isinstance(col, pa.Array):
+            col = pa.chunked_array([col])
+    n = len(col)
+    parts: list[bytes] = []
+    for chunk in col.chunks:
+        m = len(chunk)
+        if not m:
+            continue
+        bufs = chunk.buffers()
+        # Python-int offsets + one bytes() copy of the utf-8 buffer: slicing
+        # bytes with ints is ~1.7x faster than memoryview with np.int32
+        offs = np.frombuffer(bufs[1], dtype=np.int32, count=m + 1,
+                             offset=chunk.offset * 4).tolist()
+        bb = bytes(bufs[2])
+        parts.append(b"".join(
+            [md5(bb[a:b]).digest() for a, b in zip(offs, offs[1:])]))
+    return np.frombuffer(b"".join(parts), dtype=np.uint8).reshape(n, 16)
+
+
+def md5_hex_array(col, prefix: str = "") -> pa.Array:
+    """md5 hexdigest of each (stringified, optionally prefixed) value as an
+    Arrow string array — ONE ``bytes.hex()`` call over the digest block and
+    a buffer-backed StringArray, no per-row hex or Python strings."""
+    dig = _md5_digests(col, prefix)
+    n = dig.shape[0]
+    data = pa.py_buffer(dig.tobytes().hex().encode())
+    offsets = pa.py_buffer(
+        np.arange(0, 32 * (n + 1), 32, dtype=np.int32).tobytes())
+    return pa.Array.from_buffers(pa.utf8(), n, [None, offsets, data])
 
 
 def md5_bucket_batch(batch: pa.Table, key_col: str,
                      out_col: str = "__md5") -> pa.Table:
     """Append the md5 hex digest of ``key_col`` (stringified) to the block."""
     return batch.append_column(
-        out_col, pa.array(_md5_hex(batch.column(key_col).to_pylist()),
-                          pa.string()))
+        out_col, md5_hex_array(batch.column(key_col)))
 
 
 def hash_split_batch(batch: pa.Table, key_col: str,
@@ -62,8 +125,9 @@ def hash_split_batch(batch: pa.Table, key_col: str,
     """
     if len(names) != len(boundaries) + 1:
         raise ValueError("need len(names) == len(boundaries) + 1")
-    digests = _md5_hex(batch.column(key_col).to_pylist())
-    b = np.array([int(d[:2], 16) for d in digests], dtype=np.int64)
+    # first digest byte == int(hexdigest[:2], 16), straight off the raw
+    # digest matrix — no hex strings materialized at all on this path
+    b = _md5_digests(batch.column(key_col))[:, 0].astype(np.int64)
     out = np.full(len(b), names[-1], dtype=object)
     for name, bound in zip(reversed(names[:-1]), reversed(boundaries)):
         out[b < bound] = name
@@ -150,9 +214,8 @@ def deterministic_shuffle(ds: Dataset, id_col: str, seed: int,
     consumption (``.limit(k)`` after this sorts only the winning prefix to
     the driver)."""
     def key(b: pa.Table) -> pa.Table:
-        ks = [hashlib.md5(f"{seed}|{v}".encode()).hexdigest()
-              for v in b.column(id_col).to_pylist()]
-        return b.append_column(key_out, pa.array(ks, pa.string()))
+        return b.append_column(
+            key_out, md5_hex_array(b.column(id_col), prefix=f"{seed}|"))
 
     return ds.map_batches(key, batch_format="pyarrow").sort([key_out, id_col])
 
@@ -243,10 +306,10 @@ def weighted_sample(ds: Dataset, key_col: str, weight_col: str, k: int,
         if not pos.all():  # w <= 0 never samples: drop before the top-k
             batch = batch.take(pa.array(np.flatnonzero(pos), pa.int64()))
             w = w[pos]
-        keys = batch.column(key_col).to_pylist()
-        u = np.array(
-            [int(hashlib.md5(f"{seed}|{key}".encode()).hexdigest()[:16], 16)
-             for key in keys], dtype=np.uint64).astype(np.float64) / 2.0**64
+        # int(hexdigest[:16], 16) == first 8 digest bytes big-endian
+        dig = _md5_digests(batch.column(key_col), prefix=f"{seed}|")
+        u = (dig[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
+             .astype(np.float64) / 2.0**64)
         score = np.power(u, 1.0 / w) if len(w) else np.empty(0)
         out = batch.append_column("score", pa.array(score, pa.float64()))
         if out.num_rows > k:

@@ -894,16 +894,49 @@ class KGPipeline:
             )
 
             def fuse_subj(b: pa.Table) -> pa.Table:
-                subjs = [f"{a}-{c}" for a, c in zip(
-                    b.column("canon_a").to_pylist(),
-                    b.column("canon_b").to_pylist())]
-                preds = b.column("pred").to_pylist()
-                objs = b.column("obj").to_pylist()
-                buckets = [stable_u64(s, p, o) % nb
-                           for s, p, o in zip(subjs, preds, objs)]
+                # Vectorized: ONE Arrow join kernel for the subj strings and
+                # the stable_u64 bucket hash paid only per DISTINCT
+                # (subj, pred, obj) key — this runs exactly in the
+                # beyond-broadcast (web-scale) regime, where partials from
+                # many blocks share keys, so distinct << rows.  Bucket
+                # values are IDENTICAL to the broadcast path's
+                # (make_triple_partials_fn) per-key stable_u64, keeping the
+                # CANON_BROADCAST_MAX=0 equivalence bit-exact.
+                import numpy as np
+                import pandas as pd
+                import pyarrow.compute as pc
+
+                if b.num_rows == 0:
+                    out = b.drop_columns(
+                        ["norm_a", "norm_b", "canon_a", "canon_b"])
+                    out = out.append_column("subj", pa.array([], pa.string()))
+                    return out.append_column(
+                        "bucket", pa.array([], pa.int32()))
+                subj = pc.binary_join_element_wise(
+                    b.column("canon_a"), b.column("canon_b"), "-")
+                key = pc.binary_join_element_wise(
+                    subj, b.column("pred"), b.column("obj"), "\x1f")
+                codes, uniq = pd.factorize(
+                    key.to_numpy(zero_copy_only=False))
+                # hash the actual field values at each key's first row (not
+                # a split of the packed key) so the bucket equals the
+                # broadcast path's stable_u64(s, p, o) for ANY strings
+                first = np.full(len(uniq), b.num_rows, dtype=np.int64)
+                np.minimum.at(first, codes,
+                              np.arange(b.num_rows, dtype=np.int64))
+                subj_np = subj.to_numpy(zero_copy_only=False)
+                pred_np = b.column("pred").to_numpy(zero_copy_only=False)
+                obj_np = b.column("obj").to_numpy(zero_copy_only=False)
+                hb = np.fromiter(
+                    (stable_u64(subj_np[r], pred_np[r], obj_np[r]) % nb
+                     for r in first),
+                    dtype=np.int64, count=len(uniq))
                 out = b.drop_columns(["norm_a", "norm_b", "canon_a", "canon_b"])
-                out = out.append_column("subj", pa.array(subjs, pa.string()))
-                return out.append_column("bucket", pa.array(buckets, pa.int32()))
+                out = out.append_column(
+                    "subj", subj.combine_chunks()
+                    if isinstance(subj, pa.ChunkedArray) else subj)
+                return out.append_column(
+                    "bucket", pa.array(hb[codes].astype(np.int32), pa.int32()))
 
             partial_ds = joined.map_batches(fuse_subj, batch_format="pyarrow")
         agg = (
