@@ -24,7 +24,35 @@ from ray.data import Dataset
 
 
 def _as_matrix(col) -> np.ndarray:
-    # float64 so results are reproducible against a float64 oracle
+    """Arrow list<float> column -> (n, d) float64 matrix WITHOUT a Python
+    list round-trip: flatten the child values (one buffer view for
+    fixed-width children) and reshape by the uniform list width.  float64
+    so results are reproducible against a float64 oracle.  Falls back to
+    the to_pylist path for nulls / ragged widths (never the case for the
+    embedding tables, but correctness beats the fast path)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    t = col.type
+    if (pa.types.is_list(t) or pa.types.is_large_list(t)
+            or pa.types.is_fixed_size_list(t)) and col.null_count == 0:
+        n = len(col)
+        flat = col.flatten()  # slice/offset-aware
+        if n:
+            total = len(flat)
+            if pa.types.is_fixed_size_list(t):
+                d = t.list_size
+            else:
+                import pyarrow.compute as pc
+
+                d, rem = divmod(total, n)
+                widths = pc.list_value_length(col).to_numpy(
+                    zero_copy_only=False)
+                if rem or not (widths == d).all():
+                    return np.asarray(col.to_pylist(), dtype=np.float64)
+            vals = flat.to_numpy(zero_copy_only=False)
+            return np.ascontiguousarray(
+                vals.astype(np.float64, copy=False).reshape(n, d))
+        return np.empty((0, 0), dtype=np.float64)
     return np.asarray(col.to_pylist(), dtype=np.float64)
 
 
@@ -57,7 +85,8 @@ class BruteForceTopK:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch.column(self.vec_col)))  # (B, d)
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         sims = m @ self.q.T  # (B, Q)
         if self.q_scale:
             sims = np.round(sims * self.q_scale).astype(np.int64) / self.q_scale
@@ -154,7 +183,8 @@ class NearDupPairs:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch.column(self.vec_col)))      # (B, d)
-        ids = np.asarray(batch.column(self.id_col).to_pylist(), dtype=np.int64)
+        ids = batch.column(self.id_col).to_numpy(
+            zero_copy_only=False).astype(np.int64, copy=False)
         sims = np.round((m @ self.c_mat.T) * self.q_scale) / self.q_scale
         # a < b: keep only corpus ids strictly greater than the row id, so
         # each unordered pair is emitted by exactly ONE block (the one owning

@@ -38,26 +38,27 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
                     "n": pa.array([], pa.int64()),
                 }
             )
-        keys = batch.column(key_col).to_pylist()
-        vecs = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        # vectorized per-key partial: zero-copy matrix ingestion (shared
+        # _as_matrix kernel) + factorize/np.add.at — first-occurrence key
+        # order and per-slot accumulation order both mirror the dict loop
+        # this replaced, so partials are bit-identical (int64 sums commute
+        # anyway on the fixed-point path)
+        from .similarity import _as_matrix
+
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vecs = _as_matrix(batch.column(vec_col))
         if scale:
             vecs = np.round(vecs * scale).astype(np.int64)
-        sums: dict = {}
-        counts: dict = {}
-        for k, v in zip(keys, vecs):
-            if k in sums:
-                sums[k] += v
-                counts[k] += 1
-            else:
-                sums[k] = v.copy()
-                counts[k] = 1
-        ks = list(sums.keys())
+        codes, uniq = pd.factorize(keys)
+        sums = np.zeros((len(uniq), vecs.shape[1]), dtype=vecs.dtype)
+        np.add.at(sums, codes, vecs)
+        counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         vtype = pa.list_(pa.int64()) if scale else pa.list_(pa.float64())
         return pa.table(
             {
-                key_col: pa.array(ks),
-                "vsum": pa.array([sums[k].tolist() for k in ks], vtype),
-                "n": pa.array([counts[k] for k in ks], pa.int64()),
+                key_col: pa.array(uniq.tolist()),
+                "vsum": pa.array(sums.tolist(), vtype),
+                "n": pa.array(counts, pa.int64()),
             }
         )
 
@@ -117,7 +118,9 @@ def pca_project(ds: Dataset, vec_col: str = "embedding",
     import ray as _ray
 
     def moments(batch: pa.Table) -> pa.Table:
-        x = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .similarity import _as_matrix
+
+        x = _as_matrix(batch.column(vec_col))
         if x.size == 0:
             return pa.table({"n": pa.array([0], pa.int64()),
                              "s": pa.array([""], pa.string()),
@@ -165,7 +168,9 @@ def pca_project(ds: Dataset, vec_col: str = "embedding",
             state = _ray.get(ref)
             _WORKER_CACHE[key] = state
         mu, comp = state
-        x = np.asarray(batch.column(vec_col).to_pylist(), dtype=np.float64)
+        from .similarity import _as_matrix
+
+        x = _as_matrix(batch.column(vec_col))
         proj = (x - mu) @ comp if x.size else np.zeros((0, comp.shape[1]))
         cols = {id_col: batch.column(id_col)}
         for c in range(comp.shape[1]):
