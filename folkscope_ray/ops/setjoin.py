@@ -253,51 +253,85 @@ def _candidate_keys(prefix: Dataset, id_col: str, t_ppm: int,
         cand, keys=["k"], count_alias="__n").drop_columns(["__n"])
 
 
+def _hex_key_strings(m: np.ndarray) -> pa.Array:
+    """(n, W) uint64 mask matrix -> Arrow utf8 keys: big-endian hex per row
+    (16*W chars), so LEXICOGRAPHIC string order == numeric word order.
+    Fully vectorized: one bytes.hex() over the matrix and a buffer-backed
+    StringArray (same construction as ops/split.py md5_hex_array)."""
+    n, w = m.shape
+    data = pa.py_buffer(np.ascontiguousarray(
+        m.astype(">u8")).tobytes().hex().encode())
+    offsets = pa.py_buffer(
+        np.arange(0, 16 * w * (n + 1), 16 * w, dtype=np.int32).tobytes())
+    return pa.Array.from_buffers(pa.utf8(), n, [None, offsets, data])
+
+
+def _keys_to_masks(keys: np.ndarray, w: int) -> np.ndarray:
+    """Inverse of _hex_key_strings: object array of hex keys -> (n, W)."""
+    if not len(keys):
+        return np.zeros((0, w), dtype=np.uint64)
+    blob = bytes.fromhex("".join(keys.tolist()))
+    return (np.frombuffer(blob, dtype=">u8")
+            .reshape(len(keys), w).astype(np.uint64))
+
+
+def _mask_words(batch: pa.Table, terms_sorted: np.ndarray, w: int,
+                id_col: str) -> pa.Table:
+    """Token-set string column -> W-word bitmask rows keyed by hex string."""
+    tok_lists = pc.split_pattern(batch.column("toks"), " ")
+    n = batch.num_rows
+    cnt = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+    row = np.repeat(np.arange(n, dtype=np.int64), cnt)
+    ok = flat != ""
+    flat, row = flat[ok], row[ok]
+    bits = np.searchsorted(terms_sorted, flat).astype(np.int64)
+    m = np.zeros((n, w), dtype=np.uint64)
+    np.bitwise_or.at(
+        m.reshape(-1), row * w + (bits >> 6),
+        np.left_shift(np.uint64(1), (bits & 63).astype(np.uint64)))
+    return pa.table({"m": _hex_key_strings(m), id_col: batch.column(id_col)})
+
+
 def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
                     t_ppm: int) -> Dataset | None:
-    """Degenerate-vocabulary plan (vocabulary <= 64 terms): prefix filtering
-    is useless when everything shares everything, so candidates approach
-    all-pairs of the CORPUS.  Instead, collapse the corpus to its distinct
-    token-SETS first (each set is one int64 bitmask over the term-sorted
-    vocabulary — an exact map-combinable dedup), compare only distinct sets
-    all-pairs with vectorized AND+popcount (cost bounded by n_sets^2,
-    independent of corpus row count), and expand passing set-pairs back to
-    doc-pairs (output-sized work).  Returns None when the distinct-set count
-    exceeds ``FOLKSCOPE_SETJOIN_DENSE_SETS_MAX`` — the caller falls back to
+    """Degenerate-vocabulary plan (vocabulary <= FOLKSCOPE_SETJOIN_DENSE_
+    VOCAB_MAX terms, default 4096): prefix filtering is useless when
+    everything shares everything, so candidates approach all-pairs of the
+    CORPUS.  Instead, collapse the corpus to its distinct token-SETS first
+    (each set is a W-word bitmask over the term-sorted vocabulary, keyed by
+    its order-preserving big-endian hex string — an exact map-combinable
+    dedup), compare only distinct sets all-pairs with vectorized
+    AND+popcount (cost bounded by n_sets^2 * W, independent of corpus row
+    count), and expand passing set-pairs back to doc-pairs (output-sized
+    work).  Returns None when the distinct-set count exceeds
+    ``FOLKSCOPE_SETJOIN_DENSE_SETS_MAX`` or the broadcast set matrix would
+    exceed ``FOLKSCOPE_SETJOIN_MASK_BYTES_MAX`` — the caller falls back to
     the prefix-filtered plan."""
     from .relational import hash_join, map_combine_aggregate
 
     sets_max = int(os.environ.get("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", 131072))
     if not sets_max:
         return None
-
-    def mask_batch(batch: pa.Table) -> pa.Table:
-        tok_lists = pc.split_pattern(batch.column("toks"), " ")
-        n = batch.num_rows
-        cnt = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
-        row = np.repeat(np.arange(n, dtype=np.int64), cnt)
-        ok = flat != ""
-        flat, row = flat[ok], row[ok]
-        bits = np.searchsorted(terms_sorted, flat).astype(np.uint64)
-        m = np.zeros(n, dtype=np.uint64)
-        np.bitwise_or.at(m, row, np.left_shift(np.uint64(1), bits))
-        return pa.table({"m": pa.array(m.view(np.int64), pa.int64()),
-                         id_col: batch.column(id_col)})
+    w = (len(terms_sorted) + 63) // 64
 
     member = docsets.select_columns([id_col, "toks"]).map_batches(
-        mask_batch, batch_format="pyarrow").materialize()
+        lambda b: _mask_words(b, terms_sorted, w, id_col),
+        batch_format="pyarrow").materialize()
     distinct = map_combine_aggregate(
         member, keys=["m"], count_alias="__cnt").materialize()
     n_sets = distinct.count()
-    if n_sets > sets_max:
+    bytes_max = int(os.environ.get(
+        "FOLKSCOPE_SETJOIN_MASK_BYTES_MAX", 268_435_456))
+    if n_sets > sets_max or n_sets * (40 * w + 96) > bytes_max:
         return None
 
     dt = pa.concat_tables(
         ray.get(list(distinct.to_arrow_refs())), promote_options="default")
-    sets = np.sort(dt.column("m").to_numpy(zero_copy_only=False))
-    lens = _popcount_rows(sets.reshape(-1, 1))
-    ref = ray.put((sets, lens))
+    keys = np.sort(dt.column("m").to_numpy(zero_copy_only=False))
+    sets = _keys_to_masks(keys, w)
+    lens = _popcount_rows(sets)
+    ref = ray.put((keys, sets, lens))
 
     def compare(batch: pa.Table) -> pa.Table:
         key = "sjds" + ref.hex()
@@ -305,32 +339,33 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
         if state is None:
             state = ray.get(ref)
             _WORKER_CACHE[key] = state
-        s, ln = state
+        ks, s, ln = state
         idx = batch.column("id").to_numpy(zero_copy_only=False)
         ma_out, mb_out, j_out = [], [], []
         for i in idx:
             i = int(i)
             if ln[i] > 0:
                 # diagonal: identical sets, J = 1.0 exactly
-                ma_out.append(np.array([s[i]]))
-                mb_out.append(np.array([s[i]]))
+                ma_out.append(ks[i:i + 1])
+                mb_out.append(ks[i:i + 1])
                 j_out.append(np.array([PPM], dtype=np.int64))
-            if i + 1 >= len(s):
+            if i + 1 >= len(ks):
                 continue
-            inter = _popcount_rows((s[i] & s[i + 1:]).reshape(-1, 1))
+            inter = _popcount_rows(s[i] & s[i + 1:])
             union = ln[i] + ln[i + 1:] - inter
             keep = (union > 0) & (inter * PPM >= t_ppm * union)
             if keep.any():
-                ma_out.append(np.full(int(keep.sum()), s[i]))
-                mb_out.append(s[i + 1:][keep])
+                cntk = int(keep.sum())
+                ma_out.append(np.repeat(ks[i:i + 1], cntk))
+                mb_out.append(ks[i + 1:][keep])
                 j_out.append(inter[keep] * PPM // union[keep])
         if not ma_out:
-            return pa.table({"__ma": pa.array([], pa.int64()),
-                             "__mb": pa.array([], pa.int64()),
+            return pa.table({"__ma": pa.array([], pa.string()),
+                             "__mb": pa.array([], pa.string()),
                              "jaccard_ppm": pa.array([], pa.int64())})
         return pa.table({
-            "__ma": pa.array(np.concatenate(ma_out), pa.int64()),
-            "__mb": pa.array(np.concatenate(mb_out), pa.int64()),
+            "__ma": pa.array(np.concatenate(ma_out), pa.string()),
+            "__mb": pa.array(np.concatenate(mb_out), pa.string()),
             "jaccard_ppm": pa.array(np.concatenate(j_out), pa.int64())})
 
     set_pairs = ray.data.range(n_sets).map_batches(
@@ -341,21 +376,29 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
     if vgate and n_docs <= vgate:
         mt = pa.concat_tables(
             ray.get(list(member.to_arrow_refs())), promote_options="default")
-        mem_m = mt.column("m").to_numpy(zero_copy_only=False)
+        # dense set ranks (hash-indexer, C-speed even for string keys): all
+        # downstream sort/searchsorted work runs on int64 ranks, never on
+        # the hex strings themselves
+        key_index = pd.Index(keys)
+        mem_rank = key_index.get_indexer(
+            mt.column("m").to_numpy(zero_copy_only=False))
         mem_doc = mt.column(id_col).to_numpy(zero_copy_only=False)
-        order = np.lexsort((mem_doc, mem_m))
-        mem_m, mem_doc = mem_m[order], mem_doc[order]
-        mref = ray.put((mem_m, mem_doc))
+        order = np.lexsort((mem_doc, mem_rank))
+        mem_rank, mem_doc = mem_rank[order], mem_doc[order]
+        mref = ray.put((keys, mem_rank, mem_doc))
 
         def expand(batch: pa.Table) -> pa.Table:
             key = "sjdm" + mref.hex()
             state = _WORKER_CACHE.get(key)
             if state is None:
-                state = ray.get(mref)
+                ks, mr, md = ray.get(mref)
+                state = (pd.Index(ks), mr, md)
                 _WORKER_CACHE[key] = state
-            mm, md = state
-            ma = batch.column("__ma").to_numpy(zero_copy_only=False)
-            mb = batch.column("__mb").to_numpy(zero_copy_only=False)
+            kidx, mm, md = state
+            ma = kidx.get_indexer(
+                batch.column("__ma").to_numpy(zero_copy_only=False))
+            mb = kidx.get_indexer(
+                batch.column("__mb").to_numpy(zero_copy_only=False))
             jp = batch.column("jaccard_ppm").to_numpy(zero_copy_only=False)
             a_lo = np.searchsorted(mm, ma, "left")
             a_hi = np.searchsorted(mm, ma, "right")
@@ -380,7 +423,7 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
 
         return set_pairs.map_batches(expand, batch_format="pyarrow")
 
-    # beyond-gate expansion: two hash joins on the set mask (scale path)
+    # beyond-gate expansion: two hash joins on the set-key string (scale path)
     def ren(to: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:
             return batch.rename_columns(
@@ -557,7 +600,14 @@ def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
     ``|a&b| * 1e6 // |a|b|``, so output hashes match the SQL oracle bit-for-
     bit at any parallelism.
 
-    Verification picks one of two bit-equal plans (pytest-gated equal):
+    Plan selection (all plans pytest-gated bit-equal):
+
+    - **dense distinct-set** (vocabulary <= ``FOLKSCOPE_SETJOIN_DENSE_
+      VOCAB_MAX``, default 4096, distinct sets <= ``..._DENSE_SETS_MAX``):
+      skip candidate generation entirely — dedup the corpus to its distinct
+      W-word token-set bitmasks, compare distinct sets all-pairs with
+      AND+popcount, expand winners back to doc pairs (see _dense_allpairs).
+      This is the template-corpus fast path (27x at sf0.1).
 
     - **bitmask** (vocabulary <= ``FOLKSCOPE_SETJOIN_BITMASK_MAX``, default
       4096, and mask bytes <= ``FOLKSCOPE_SETJOIN_MASK_BYTES_MAX``): every
@@ -595,7 +645,7 @@ def jaccard_selfjoin(ds: Dataset, threshold_ppm: int = 900_000,
             ray.get(list(df_tbl.to_arrow_refs())), promote_options="default")
         vocab = vocab.sort_by("term")
         dense_vocab_max = int(os.environ.get(
-            "FOLKSCOPE_SETJOIN_DENSE_VOCAB_MAX", 64))
+            "FOLKSCOPE_SETJOIN_DENSE_VOCAB_MAX", 4096))
         if n_vocab <= dense_vocab_max:
             terms_sorted = vocab.column("term").to_numpy(zero_copy_only=False)
             res = _dense_allpairs(docsets, terms_sorted, id_col, t_ppm)

@@ -101,6 +101,73 @@ def test_jaccard_selfjoin_partition_invariant():
     assert ka == kb
 
 
+def _planted_corpus(n_terms: int, n_docs: int = 400, seed: int = 5):
+    """Template-ish corpus over a vocabulary of exactly n_terms terms:
+    clusters share a base set with small mutations, so near-identical pairs
+    exist at high thresholds and the distinct-set count stays modest."""
+    rng = np.random.RandomState(seed)
+    vocab = np.array([f"t{i:04d}" for i in range(n_terms)])
+    rows = []
+    for d in range(n_docs):
+        c = d % 20  # 20 clusters
+        crng = np.random.RandomState(1000 + c)
+        base_terms = vocab[crng.choice(n_terms, size=30, replace=False)]
+        mut = np.random.RandomState(seed * 100_000 + d)
+        keep = base_terms[mut.rand(len(base_terms)) > 0.03]
+        extra = vocab[mut.choice(n_terms, size=mut.randint(0, 2),
+                                 replace=False)]
+        toks = sorted(set(keep) | set(extra))
+        rows.append({"doc_id": d, "text": " ".join(toks)})
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("n_terms", [65, 256])
+def test_jaccard_selfjoin_dense_plan_beyond_64_terms(n_terms, monkeypatch):
+    """The W-word dense distinct-set plan (string-keyed masks) must equal
+    both the bitmask-verify and join-verify plans, and brute force, on
+    corpora whose vocabulary no longer fits one int64 (65..4096 terms)."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.setjoin import jaccard_selfjoin
+
+    df = _planted_corpus(n_terms)
+    ds = lambda: rd.from_pandas(df).repartition(7)  # noqa: E731
+
+    # brute force on the same tokenization
+    sets = {int(r.doc_id): set(TERM_RE.findall(r.text.lower()))
+            for r in df.itertuples()}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter * PPM >= 900_000 * union:
+                want[(a, b)] = inter * PPM // union
+    assert len(want) > 50, "planted corpus must produce near-dup pairs"
+
+    dense = jaccard_selfjoin(ds(), threshold_ppm=900_000).to_pandas()
+    got = {(int(a), int(b)): int(j) for a, b, j in
+           zip(dense["doc_a"], dense["doc_b"], dense["jaccard_ppm"])}
+    assert got == want
+
+    # same corpus through the bitmask-verify plan (dense gated off) and the
+    # join-verify plan (bitmask gated off too)
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", "0")
+    bm = jaccard_selfjoin(ds(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(dense), _canon(bm))
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_BITMASK_MAX", "0")
+    jn = jaccard_selfjoin(ds(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(dense), _canon(jn))
+
+    # dense plan with the broadcast expansion gated off (join expansion)
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX")
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_BITMASK_MAX")
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_VERIFY_MAX", "0")
+    dj = jaccard_selfjoin(ds(), threshold_ppm=900_000).to_pandas()
+    pd.testing.assert_frame_equal(_canon(dense), _canon(dj))
+
+
 # ------------------------------------------------- co-occurrence + triangles
 
 def _lineitem():
