@@ -573,16 +573,33 @@ def _verify_join(cand: Dataset, docsets: Dataset, id_col: str,
                         batch_format="pyarrow")
 
     def verify(batch: pa.Table) -> pa.Table:
+        # vectorized pairwise set intersection: factorize every token in the
+        # block once, key each (pair row, token code) side-wise, and ONE
+        # sorted intersect over the block's token occurrences replaces the
+        # per-pair Python set math.  Token sets are distinct-by-construction
+        # (tokenset_table), so the per-side keys are unique.  An empty toks
+        # string contributes the "" token on both sides — identical to the
+        # set-of-split behavior this replaced (bit-parity).
+        n = batch.num_rows
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        ta = batch.column("toks_a").to_pylist()
-        tb = batch.column("toks_b").to_pylist()
-        inter = np.empty(len(ta), dtype=np.int64)
-        union = np.empty(len(ta), dtype=np.int64)
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sx, sy = set(x.split(" ")), set(y.split(" "))
-            inter[i] = len(sx & sy)
-            union[i] = len(sx) + len(sy) - inter[i]
+        ta_l = pc.split_pattern(batch.column("toks_a"), " ")
+        tb_l = pc.split_pattern(batch.column("toks_b"), " ")
+        la = pc.list_value_length(ta_l).to_numpy(zero_copy_only=False)
+        lb = pc.list_value_length(tb_l).to_numpy(zero_copy_only=False)
+        la = la.astype(np.int64) if n else np.zeros(0, np.int64)
+        lb = lb.astype(np.int64) if n else np.zeros(0, np.int64)
+        fa = pc.list_flatten(ta_l).to_numpy(zero_copy_only=False)
+        fb = pc.list_flatten(tb_l).to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(np.concatenate([fa, fb]))
+        nv = max(len(uniq), 1)
+        ka = (np.repeat(np.arange(n, dtype=np.int64), la) * nv
+              + codes[:len(fa)])
+        kb = (np.repeat(np.arange(n, dtype=np.int64), lb) * nv
+              + codes[len(fa):])
+        hits = np.intersect1d(ka, kb, assume_unique=True)
+        inter = np.bincount(hits // nv, minlength=n).astype(np.int64)
+        union = la + lb - inter
         keep = (union > 0) & (inter * PPM >= t_ppm * union)
         jppm = inter[keep] * PPM // union[keep]
         return pa.table({"doc_a": pa.array(da[keep], pa.int64()),

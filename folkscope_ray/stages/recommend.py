@@ -198,6 +198,70 @@ def item_feature_vectors(triples: Dataset, dim: int = 32) -> dict:
     return out
 
 
+def wnd_item_features(triples: Dataset, variant: str = "kg",
+                      dim: int = 32) -> dict:
+    """Feature-set ablation switches mirroring the reference's three WnD
+    configurations:
+
+    - ``"kg"``       — run_WnD.py:146-162: pretrained KG-derived item
+      features (here: mean SBERT-contract edge-text vector per entity,
+      ``item_feature_vectors``).  The paper's headline config.
+    - ``"text"``     — run_WnD_text_feature.py:142: item-TEXT-only features
+      (the item's own surface form embedded, no KG edges touched).
+    - ``"baseline"`` — run_WnD_baseline.py:146-147: uninformative random
+      item features (the reference uses a randomly-initialized trainable
+      ``nn.Embedding``; ours is a seeded FROZEN matrix — the trainer's
+      deterministic contract forbids RNG, and frozen-random is the same
+      "no information" ablation).
+
+    The reference also varies dropout per variant (0.6 / 0.5 / 0.3);
+    dropout is omitted here by design (identity at eval time, and worker
+    RNG would break bit-determinism — see module docstring).
+
+    Returns {entity: np.ndarray(dim)} for every entity in the triples'
+    subject pairs — item-vocabulary-bounded, same broadcast class as
+    ``item_feature_vectors``."""
+    if variant == "kg":
+        return item_feature_vectors(triples, dim=dim)
+    if variant not in ("text", "baseline"):
+        raise ValueError(f"unknown WnD ablation variant: {variant!r}")
+    from ..ops.relational import map_combine_aggregate
+
+    def explode_ents(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(b.column("subj"), "-")
+        ents = pa.chunked_array([
+            pc.list_element(parts, 0).combine_chunks(),
+            pc.list_element(parts, 1).combine_chunks(),
+        ]) if b.num_rows else pa.chunked_array([pa.array([], pa.string())])
+        return pa.table({"entity": ents})
+
+    distinct = map_combine_aggregate(
+        triples.select_columns(["subj"]).map_batches(
+            explode_ents, batch_format="pyarrow"),
+        keys=["entity"], count_alias="__n",
+    )
+    if variant == "baseline":
+        names = sorted(
+            pa.concat_tables(ray.get(list(distinct.to_arrow_refs())),
+                             promote_options="default")
+            .column("entity").to_pylist())
+        mat = _seeded_matrix("wnd-baseline", names, dim, 1.0 / np.sqrt(dim))
+        return {name: mat[i] for i, name in enumerate(names)}
+    # "text": embed each entity's own surface form with the same
+    # SBERT-contract actor pool the kg variant uses for edge texts
+    from .embed import SentenceEmbedder
+
+    embedded = distinct.map_batches(
+        SentenceEmbedder, batch_format="pyarrow",
+        fn_constructor_kwargs={"text_col": "entity", "dim": dim},
+        concurrency=(1, 4),
+    ).to_pandas()
+    return {row.entity: np.asarray(row.embedding, dtype=np.float64)
+            for row in embedded.itertuples()}
+
+
 def build_rec_vocab(interactions: Dataset) -> tuple[dict, dict]:
     """Train-split vocabularies with unk=0 (run_NCF.py:108-117): ids 1..n in
     sorted-name order (the reference's set-iteration order is arbitrary;

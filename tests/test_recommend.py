@@ -119,3 +119,88 @@ def test_wnd_uses_item_features():
     for k in p_wnd:
         assert np.array_equal(p_wnd[k], p_wnd7[k]), k
     assert hist_wnd == hist7
+
+
+def _planted_ablation_world():
+    """200 items in 4 groups; rating = 1 + group(item).  Triples give every
+    item edges whose TEXT encodes its group, so the kg feature variant is
+    fully informative, the text variant (single-token canonical names) only
+    carries item identity, and the baseline variant is seeded noise."""
+    items = [f"i{k:03d}" for k in range(200)]
+    grp = {it: k % 4 for k, it in enumerate(items)}
+    rows = []
+    for u in range(4):
+        for k, it in enumerate(items):
+            rows.append({"user": f"u{u}", "item": it, "rating": 1 + grp[it],
+                         "split": (u * 200 + k * 7) % 10})
+    trows = []
+    for k, a in enumerate(items):
+        g = grp[a]
+        trows.append({"subj": f"{a}-{items[(k + 4) % 200]}",
+                      "pred": "usedFor",
+                      "obj": f"group{g} shared purpose phrase g{g}"})
+    return pd.DataFrame(rows), rd.from_pandas(pd.DataFrame(trows)), grp
+
+
+def test_wnd_ablation_feature_ranking():
+    """The reference's three WnD configs (run_WnD.py / run_WnD_text_feature
+    .py / run_WnD_baseline.py) exposed as wnd_item_features variants must
+    rank exactly as the paper claims — KG features < text-only < baseline
+    RMSE — measured with a deterministic closed-form ridge probe on the
+    train split (the full-batch fixed-point trainer is too slow an
+    optimizer to separate the variants in test-sized epoch budgets; the
+    probe measures the same quantity, feature informativeness, exactly)."""
+    from folkscope_ray.stages.recommend import wnd_item_features
+
+    df, tri, grp = _planted_ablation_world()
+    tr, va = df[df.split <= 7], df[df.split == 8]
+    rmse = {}
+    feats_by_variant = {}
+    for variant in ("kg", "text", "baseline"):
+        feats = wnd_item_features(tri, variant=variant, dim=16)
+        assert set(feats) == set(grp), variant
+        feats_by_variant[variant] = feats
+        X = np.hstack([np.stack([feats[i] for i in tr["item"]]),
+                       np.ones((len(tr), 1))])
+        y = tr["rating"].to_numpy(float)
+        w = np.linalg.solve(X.T @ X + 1e-6 * np.eye(X.shape[1]), X.T @ y)
+        Xv = np.hstack([np.stack([feats[i] for i in va["item"]]),
+                        np.ones((len(va), 1))])
+        rmse[variant] = float(np.sqrt(np.mean(
+            (Xv @ w - va["rating"].to_numpy(float)) ** 2)))
+    assert rmse["kg"] < rmse["text"] < rmse["baseline"], rmse
+    assert rmse["kg"] < 0.05  # group-informative features solve it exactly
+    # kg features: identical within a group, separated across groups
+    kf = feats_by_variant["kg"]
+    same = np.dot(kf["i000"], kf["i004"])  # both group 0
+    cross = np.dot(kf["i000"], kf["i001"])
+    assert same > cross
+    # variants are reproducible (frozen/seeded, no RNG state)
+    again = wnd_item_features(tri, variant="baseline", dim=16)
+    for k, v in feats_by_variant["baseline"].items():
+        assert np.array_equal(v, again[k])
+
+
+def test_wnd_ablation_variants_train_end_to_end():
+    """Each ablation variant must flow through train_recommender with the
+    same deterministic contract (bit-identical across partitionings)."""
+    from folkscope_ray.stages.recommend import (
+        train_recommender,
+        wnd_item_features,
+    )
+
+    df, tri, _ = _planted_ablation_world()
+    feats = wnd_item_features(tri, variant="text", dim=8)
+    p1, *_ , h1 = train_recommender(
+        rd.from_pandas(df).repartition(2), item_features=feats,
+        epochs=4, lr=0.05, eval_every=2)
+    p9, *_ , h9 = train_recommender(
+        rd.from_pandas(df).repartition(9), item_features=feats,
+        epochs=4, lr=0.05, eval_every=2)
+    assert h1 == h9
+    for k in p1:
+        assert np.array_equal(p1[k], p9[k]), k
+    import pytest
+
+    with pytest.raises(ValueError, match="variant"):
+        wnd_item_features(tri, variant="nope")
