@@ -1778,7 +1778,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            shared md5 kernel in ops/split.py, the zero-copy embedding
     #            ingestion in ops/similarity.py + ops/vector.py, the W-word
     #            dense setjoin plan, the interval-join date/inverted/salt
-    #            fixes, corr_matrix/triangle_count guards, WnD ablations);
+    #            fixes, corr_matrix/triangle_count guards, WnD ablations,
+    #            and edge_features via the mean_vector_by_key rewrite);
     #   tier 3 - stalest-first fill: queries green only in r1/r2 rotate in
     #            so no query goes more than two rounds unverified;
     #   remainder - green in r3 and unchanged; they rotate forward in r5.
@@ -1807,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_kmeans_clusters": _q_embedding_kmeans_clusters,
         "pca_embeddings": _q_pca_embeddings,
         "mean_vector_by_label": _q_mean_vector_by_label,
+        "edge_features": _q_edge_features,
         "wnd_recommender": _q_wnd_recommender,
         # ---- r4 window, tier 3: stalest-first rotation fill (green in
         # r1/r2 only; no query goes more than two rounds unverified)
@@ -1836,9 +1838,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_jaccard_docs": _q_word_jaccard_docs,
         "price_quantiles_parts": _q_price_quantiles_parts,
         "hll_distinct_users": _q_hll_distinct_users,
-        "first_wins_by_source": _q_first_wins_by_source,
         # ---------- beyond the 50-row window: green in r3 (or r2) and
         # unchanged since; these rotate forward in r5 ----------
+        "first_wins_by_source": _q_first_wins_by_source,
         "lag_gap_events": _q_lag_gap_events,
         "cumsum_orders": _q_cumsum_orders,
         "moving_avg_orders": _q_moving_avg_orders,
@@ -1885,7 +1887,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows_events": _q_session_windows_events,
         "transe_entity_embeddings": _q_transe_embeddings,
         "ncf_recommender": _q_ncf_recommender,
-        "edge_features": _q_edge_features,
         "sample_mod_docs": _q_sample_mod_docs,
         "union_name_counts": _q_union_name_counts,
     }

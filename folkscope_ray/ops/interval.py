@@ -66,6 +66,61 @@ def _int_dtype_map(schema: pa.Schema) -> dict[str, str]:
             if pa.types.is_integer(t)}
 
 
+def _make_replicate(side: str, s_col: str, e_col: str, on: str,
+                    cell: int, salt: int, n_buckets: int):
+    """Grid-replication batch fn for one side (module-level so the salt
+    spread is directly testable on the production code path)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        s = _as_int64(batch.column(s_col))
+        e = _as_int64(batch.column(e_col))
+        c0 = s // cell
+        # inverted intervals (end < start) never replicate — without the
+        # explicit mask a same-cell inverted row would still emit one
+        # replica and its fate would depend on the cell size
+        nrep = np.where(e < s, 0, e // cell - c0 + 1)
+        if side == "R" and salt > 1:
+            nrep = nrep * salt  # every cell replica copied to all shards
+        idx = np.repeat(np.arange(batch.num_rows), nrep)
+        local = (np.arange(int(nrep.sum()), dtype=np.int64)
+                 - np.repeat(np.cumsum(nrep) - nrep, nrep))
+        if side == "R" and salt > 1:
+            cells = local // salt + c0[idx]
+            t = local % salt
+        else:
+            cells = local + c0[idx]
+            if salt > 1:
+                # deterministic left shard: hash of the row's own interval,
+                # so identical logical rows land identically at any layout.
+                # splitmix-style finalizer, sharded by HIGH bits — a bare
+                # ``((s*GOLD) ^ e) % salt`` keyed on the LOW bits, which for
+                # correlated intervals (e = s + const) visit only half the
+                # shards (pinned by the spread test)
+                u = ((s[idx].astype(np.uint64)
+                      * np.uint64(0x9E3779B97F4A7C15))
+                     ^ e[idx].astype(np.uint64))
+                u = u * np.uint64(0xBF58476D1CE4E5B9)
+                t = ((u >> np.uint64(33))
+                     % np.uint64(salt)).astype(np.int64)
+            else:
+                t = np.zeros(len(idx), dtype=np.int64)
+        out = batch.take(pa.array(idx, pa.int64()))
+        # carry the int64 interval for the merge/overlap math
+        out = out.append_column("__s", pa.array(s[idx], pa.int64()))
+        out = out.append_column("__e", pa.array(e[idx], pa.int64()))
+        out = out.append_column("__c", pa.array(cells, pa.int64()))
+        out = out.append_column("__t", pa.array(
+            np.asarray(t, dtype=np.int64), pa.int64()))
+        key = pd.util.hash_array(
+            out.column(on).to_pandas().to_numpy()).view(np.int64)
+        b = ((key ^ (cells * _GOLD) ^ ((np.asarray(t) + 1) * _GOLD))
+             % n_buckets + n_buckets) % n_buckets
+        out = out.append_column("__b", pa.array(b.astype(np.int32),
+                                                pa.int32()))
+        return out.append_column(
+            "__side", pa.array([side] * out.num_rows, pa.string()))
+    return fn
+
+
 def interval_join(left: Dataset, right: Dataset, on: str,
                   left_start: str, left_end: str,
                   right_start: str, right_end: str,
@@ -143,45 +198,7 @@ def interval_join(left: Dataset, right: Dataset, on: str,
                     for c in (right_start, right_end) if c != on})
 
     def replicate(side: str, s_col: str, e_col: str):
-        def fn(batch: pa.Table) -> pa.Table:
-            s = _as_int64(batch.column(s_col))
-            e = _as_int64(batch.column(e_col))
-            c0 = s // cell
-            # inverted intervals (end < start) never replicate — without the
-            # explicit mask a same-cell inverted row would still emit one
-            # replica and its fate would depend on the cell size
-            nrep = np.where(e < s, 0, e // cell - c0 + 1)
-            if side == "R" and salt > 1:
-                nrep = nrep * salt  # every cell replica copied to all shards
-            idx = np.repeat(np.arange(batch.num_rows), nrep)
-            local = (np.arange(int(nrep.sum()), dtype=np.int64)
-                     - np.repeat(np.cumsum(nrep) - nrep, nrep))
-            if side == "R" and salt > 1:
-                cells = local // salt + c0[idx]
-                t = local % salt
-            else:
-                cells = local + c0[idx]
-                # deterministic left shard: hash of the row's own interval,
-                # so identical logical rows land identically at any layout
-                t = (((s[idx] * _GOLD) ^ e[idx]) % salt) if salt > 1 \
-                    else np.zeros(len(idx), dtype=np.int64)
-                t = np.abs(t)
-            out = batch.take(pa.array(idx, pa.int64()))
-            # carry the int64 interval for the merge/overlap math
-            out = out.append_column("__s", pa.array(s[idx], pa.int64()))
-            out = out.append_column("__e", pa.array(e[idx], pa.int64()))
-            out = out.append_column("__c", pa.array(cells, pa.int64()))
-            out = out.append_column("__t", pa.array(
-                np.asarray(t, dtype=np.int64), pa.int64()))
-            key = pd.util.hash_array(
-                out.column(on).to_pandas().to_numpy()).view(np.int64)
-            b = ((key ^ (cells * _GOLD) ^ ((np.asarray(t) + 1) * _GOLD))
-                 % n_buckets + n_buckets) % n_buckets
-            out = out.append_column("__b", pa.array(b.astype(np.int32),
-                                                    pa.int32()))
-            return out.append_column(
-                "__side", pa.array([side] * out.num_rows, pa.string()))
-        return fn
+        return _make_replicate(side, s_col, e_col, on, cell, salt, n_buckets)
 
     def prep_times(s_col: str, e_col: str):
         """Normalize the interval columns themselves to int64 so both sides

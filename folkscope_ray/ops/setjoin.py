@@ -256,14 +256,13 @@ def _candidate_keys(prefix: Dataset, id_col: str, t_ppm: int,
 def _hex_key_strings(m: np.ndarray) -> pa.Array:
     """(n, W) uint64 mask matrix -> Arrow utf8 keys: big-endian hex per row
     (16*W chars), so LEXICOGRAPHIC string order == numeric word order.
-    Fully vectorized: one bytes.hex() over the matrix and a buffer-backed
-    StringArray (same construction as ops/split.py md5_hex_array)."""
+    Fully vectorized via the shared ``util.hex_string_array`` buffer-backed
+    construction (one ``bytes.hex()``, no per-row strings)."""
+    from ..util import hex_string_array
+
     n, w = m.shape
-    data = pa.py_buffer(np.ascontiguousarray(
-        m.astype(">u8")).tobytes().hex().encode())
-    offsets = pa.py_buffer(
-        np.arange(0, 16 * w * (n + 1), 16 * w, dtype=np.int32).tobytes())
-    return pa.Array.from_buffers(pa.utf8(), n, [None, offsets, data])
+    raw = np.ascontiguousarray(m.astype(">u8")).tobytes()
+    return hex_string_array(raw, n, 8 * w)
 
 
 def _keys_to_masks(keys: np.ndarray, w: int) -> np.ndarray:
@@ -314,6 +313,12 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
     if not sets_max:
         return None
     w = (len(terms_sorted) + 63) // 64
+    # the all-pairs compare costs n_sets^2 * W word ops; SETS_MAX was tuned
+    # at W=1, so hold the COMPUTE constant across vocab widths by scaling
+    # the set bound with 1/sqrt(W) (the bytes gate below bounds memory, not
+    # compute — without this a 4096-term corpus at the raw gate would do
+    # 64x the tuned work instead of falling back to prefix filtering)
+    sets_max = max(1, int(sets_max / w**0.5))
 
     member = docsets.select_columns([id_col, "toks"]).map_batches(
         lambda b: _mask_words(b, terms_sorted, w, id_col),

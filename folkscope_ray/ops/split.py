@@ -56,14 +56,22 @@ def _md5_digests(col, prefix: str = "") -> np.ndarray:
     buffer-backed StringArray), first-byte split assignment, and the
     uniform-u64 draw in :func:`weighted_sample`.  Parity with the per-row
     ``hashlib.md5(str(v).encode())`` loop is pytest-gated.  Falls back to
-    the reference loop for non-int/string columns or nulls (where Arrow's
-    cast may not equal ``str()``)."""
+    the reference loop for non-int/string columns (where Arrow's cast may
+    not equal ``str()``); null values raise — md5 of NULL is undefined and
+    ``str(None)`` would silently collide with a literal ``"None"`` key."""
     if isinstance(col, pa.Array):
         col = pa.chunked_array([col])
+    if col.null_count:
+        # md5 of NULL is undefined; str(None) == 'None' would silently
+        # collide with the literal 4-char string key/text "None" (and the
+        # SQL oracle's md5(NULL) is NULL, not a digest) — fail fast instead
+        raise ValueError(
+            "md5 digest kernel: null values in the key/text column — "
+            "filter or fill nulls before hashing")
     t = col.type
     md5 = hashlib.md5
     if not (pa.types.is_integer(t) or pa.types.is_string(t)
-            or pa.types.is_large_string(t)) or col.null_count:
+            or pa.types.is_large_string(t)):
         out = np.empty((len(col), 16), dtype=np.uint8)
         for i, v in enumerate(col.to_pylist()):
             out[i] = np.frombuffer(
@@ -97,12 +105,10 @@ def md5_hex_array(col, prefix: str = "") -> pa.Array:
     """md5 hexdigest of each (stringified, optionally prefixed) value as an
     Arrow string array — ONE ``bytes.hex()`` call over the digest block and
     a buffer-backed StringArray, no per-row hex or Python strings."""
+    from ..util import hex_string_array
+
     dig = _md5_digests(col, prefix)
-    n = dig.shape[0]
-    data = pa.py_buffer(dig.tobytes().hex().encode())
-    offsets = pa.py_buffer(
-        np.arange(0, 32 * (n + 1), 32, dtype=np.int32).tobytes())
-    return pa.Array.from_buffers(pa.utf8(), n, [None, offsets, data])
+    return hex_string_array(dig.tobytes(), dig.shape[0], 16)
 
 
 def md5_bucket_batch(batch: pa.Table, key_col: str,

@@ -49,14 +49,24 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
         vecs = _as_matrix(batch.column(vec_col))
         if scale:
             vecs = np.round(vecs * scale).astype(np.int64)
-        codes, uniq = pd.factorize(keys)
+        # use_na_sentinel=False: a null key gets its OWN group (mirroring
+        # the dict loop this replaced, which emitted a None-keyed row) —
+        # the default -1 sentinel would np.add.at null-key vectors into the
+        # LAST key's sum and then crash bincount on the negative code
+        codes, uniq = pd.factorize(keys, use_na_sentinel=False)
         sums = np.zeros((len(uniq), vecs.shape[1]), dtype=vecs.dtype)
         np.add.at(sums, codes, vecs)
         counts = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
         vtype = pa.list_(pa.int64()) if scale else pa.list_(pa.float64())
+        # factorize surfaces a null key as NaN in uniq; restore a real null
+        # and pin the input column type so the partial schema never drifts
+        uniq_vals = [None if (u is None or (isinstance(u, float)
+                                            and np.isnan(u))) else u
+                     for u in uniq.tolist()]
         return pa.table(
             {
-                key_col: pa.array(uniq.tolist()),
+                key_col: pa.array(uniq_vals,
+                                  type=batch.schema.field(key_col).type),
                 "vsum": pa.array(sums.tolist(), vtype),
                 "n": pa.array(counts, pa.int64()),
             }

@@ -912,16 +912,20 @@ class KGPipeline:
                     out = out.append_column("subj", pa.array([], pa.string()))
                     return out.append_column(
                         "bucket", pa.array([], pa.int32()))
+                from ..util import factorize_string_columns
+
                 subj = pc.binary_join_element_wise(
                     b.column("canon_a"), b.column("canon_b"), "-")
-                key = pc.binary_join_element_wise(
-                    subj, b.column("pred"), b.column("obj"), "\x1f")
-                codes, uniq = pd.factorize(
-                    key.to_numpy(zero_copy_only=False))
+                # length-prefixed packing: two distinct triples can never
+                # share a factorize group even when a field contains the
+                # delimiter; nulls (impossible after the canonical-join
+                # coalesce) raise instead of corrupting the last group
+                codes, ng = factorize_string_columns(
+                    subj, b.column("pred"), b.column("obj"))
                 # hash the actual field values at each key's first row (not
                 # a split of the packed key) so the bucket equals the
                 # broadcast path's stable_u64(s, p, o) for ANY strings
-                first = np.full(len(uniq), b.num_rows, dtype=np.int64)
+                first = np.full(ng, b.num_rows, dtype=np.int64)
                 np.minimum.at(first, codes,
                               np.arange(b.num_rows, dtype=np.int64))
                 subj_np = subj.to_numpy(zero_copy_only=False)
@@ -930,7 +934,7 @@ class KGPipeline:
                 hb = np.fromiter(
                     (stable_u64(subj_np[r], pred_np[r], obj_np[r]) % nb
                      for r in first),
-                    dtype=np.int64, count=len(uniq))
+                    dtype=np.int64, count=ng)
                 out = b.drop_columns(["norm_a", "norm_b", "canon_a", "canon_b"])
                 out = out.append_column(
                     "subj", subj.combine_chunks()
@@ -1040,12 +1044,15 @@ class KGPipeline:
                      "support_p": pa.array([], pa.int64()),
                      "score_p": pa.array([], pa.int64())}
                 )
+            from ..util import factorize_string_columns
+
             subj = pc.binary_join_element_wise(
                 batch.column("canon_a"), batch.column("canon_b"), "-")
-            key = pc.binary_join_element_wise(
-                subj, batch.column("rel"), batch.column("concept_obj"), "\x1f")
-            codes, uniq = pd.factorize(key.to_numpy(zero_copy_only=False))
-            g = len(uniq)
+            # length-prefixed packed key (see factorize_string_columns):
+            # fields containing the delimiter can never merge two distinct
+            # (subj, rel, concept_obj) groups' partial sums
+            codes, g = factorize_string_columns(
+                subj, batch.column("rel"), batch.column("concept_obj"))
             sp = np.rint(
                 batch.column("score").to_numpy(zero_copy_only=False)
                 * batch.column("frequency").to_numpy(zero_copy_only=False)

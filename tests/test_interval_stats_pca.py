@@ -297,7 +297,10 @@ def test_interval_join_planted_hot_key_salt_invariant():
 def test_interval_join_salt_spreads_hot_bucket():
     """A/B of the documented straggler risk: with everything in ONE
     (key, cell), salt=1 puts every replica in one bucket; salt=4 spreads
-    the left side across 4 — measured on the replicate stage directly."""
+    the left side across 4 shards — measured on the replicate stage
+    directly (``_make_replicate``), so a regression that silently turns
+    the shard term into a no-op fails here even though output stays
+    correct."""
     import pyarrow as pa
 
     from folkscope_ray.ops import interval as iv
@@ -308,18 +311,34 @@ def test_interval_join_salt_spreads_hot_bucket():
                   "s": pa.array(np.arange(n, dtype=np.int64) % 50),
                   "e": pa.array(np.arange(n, dtype=np.int64) % 50 + 3)})
 
-    def buckets(salt):
-        got = iv.interval_join(
+    def bucket_spread(side, salt):
+        rep = iv._make_replicate(side, "s", "e", on="k", cell=1 << 40,
+                                 salt=salt, n_buckets=64)(t)
+        return (set(rep.column("__b").to_pylist()),
+                set(rep.column("__t").to_pylist()), rep.num_rows)
+
+    b1, t1, n1 = bucket_spread("L", 1)
+    assert len(b1) == 1 and t1 == {0} and n1 == n  # one cell -> one bucket
+    b4, t4, n4 = bucket_spread("L", 4)
+    assert n4 == n  # left side never duplicates
+    assert len(t4) == 4 and len(b4) >= 4  # hot work spread across shards
+    # the right side copies every replica to ALL salt shards so each pair
+    # still meets exactly once
+    br, tr, nr = bucket_spread("R", 4)
+    assert nr == 4 * n and len(tr) == 4
+    assert br >= b4  # right replicas cover every left shard bucket
+
+    def pairs(salt):
+        return iv.interval_join(
             ray.data.from_arrow(t), ray.data.from_arrow(t),
             on="k", left_start="s", left_end="e",
             right_start="s", right_end="e", cell=1 << 40,
-            n_buckets=16, salt=salt)
-        return got
+            n_buckets=16, salt=salt).count()
 
     # pair count identical under salting (overlap is mod-50 banded here,
     # so the exact count just needs to match, not equal n^2)
-    n1 = buckets(1).count()
-    n4 = buckets(4).count()
+    n1 = pairs(1)
+    n4 = pairs(4)
     assert n1 == n4 and n1 > 0
 
 

@@ -212,6 +212,30 @@ def test_mean_vector_by_key():
     assert got[(1, 0)] == 5.0 and got[(1, 1)] == 6.0
 
 
+def test_mean_vector_by_key_null_key_gets_own_group():
+    """A null key must form its OWN group (the dict loop this partial
+    replaced emitted a None-keyed row): pd.factorize's default -1 sentinel
+    would silently np.add.at the null-key vectors into the LAST key's sum
+    and then crash bincount on the negative code."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from folkscope_ray.ops.vector import mean_vector_by_key
+
+    t = pa.table({
+        "label": pa.array(["a", None, "a", None], pa.string()),
+        "embedding": pa.array([[1.0, 2.0], [10.0, 20.0],
+                               [3.0, 4.0], [30.0, 40.0]],
+                              pa.list_(pa.float64())),
+    })
+    out = mean_vector_by_key(rd.from_arrow(t), "label", "embedding")
+    got = {(r.label, r.dim): r.mean_val for r in out.itertuples()}
+    # the 'a' rows are untouched by the null-key vectors
+    assert got[("a", 0)] == 2.0 and got[("a", 1)] == 3.0
+    null_rows = out[out["label"].isna()]
+    assert sorted(null_rows["mean_val"]) == [20.0, 30.0]
+
+
 def test_pattern_hierarchy():
     from folkscope_ray.patterns import build_hierarchy
 

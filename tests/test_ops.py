@@ -817,3 +817,23 @@ def test_md5_kernel_speedup_is_real():
     t_new = min(run_new() for _ in range(3))
     t_ref = min(run_ref() for _ in range(3))
     assert t_new < t_ref, (t_new, t_ref)
+
+
+def test_md5_kernel_rejects_nulls():
+    """md5 of NULL is undefined; str(None) == 'None' would silently collide
+    with the literal string key "None" (and the SQL oracle's md5(NULL) is
+    NULL).  exact-dedup's add_content_hash inherits the fail-fast."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from folkscope_ray.ops.dedup import add_content_hash
+    from folkscope_ray.ops.split import _md5_digests, md5_hex_array
+
+    col = pa.array(["a", None, "b"], pa.string())
+    with _pytest.raises(ValueError, match="null"):
+        _md5_digests(col)
+    with _pytest.raises(ValueError, match="null"):
+        md5_hex_array(col)
+    with _pytest.raises(ValueError, match="null"):
+        add_content_hash(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                                   "text": col}), text_col="text")

@@ -246,3 +246,30 @@ def test_triangle_count_rejects_out_of_range_ids():
     neg = [{"a": -1, "b": 2}, {"a": -1, "b": 3}, {"a": 2, "b": 3}]
     with pytest.raises(Exception, match="2\\^31"):
         triangle_count(rd.from_items(neg))
+
+
+def test_dense_gate_scales_with_mask_width(monkeypatch):
+    """FOLKSCOPE_SETJOIN_DENSE_SETS_MAX was tuned for W=1 int64 masks; the
+    all-pairs compare costs n_sets^2 * W, so the effective set bound must
+    shrink with 1/sqrt(W) to hold the tuned COMPUTE constant (the bytes
+    gate bounds memory, not compute)."""
+    import numpy as np
+    import ray.data as rd
+
+    from folkscope_ray.ops.setjoin import _dense_allpairs
+
+    terms = np.array(sorted(f"t{i:04d}" for i in range(65)))  # W = 2
+    df = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "toks": [" ".join(f"t{j:04d}" for j in range(i, i + 4))
+                 for i in range(8)],  # 8 distinct token sets
+    })
+    ds = rd.from_pandas(df)
+
+    # raw gate admits 8 sets, but the W-scaled bound int(11 / sqrt(2)) = 7
+    # rejects them -> fall back (None)
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", "11")
+    assert _dense_allpairs(ds, terms, "doc_id", 900_000) is None
+    # the scaled bound admits them at 12: int(12 / sqrt(2)) = 8
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_DENSE_SETS_MAX", "12")
+    assert _dense_allpairs(ds, terms, "doc_id", 900_000) is not None
