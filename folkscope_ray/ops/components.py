@@ -199,6 +199,7 @@ def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
     # non-increasing, so equality <=> no label moved) — one tiny per-block
     # partial instead of a second distributed join per round
     sig = _labels_signature(labels)
+    converged = False
     for _ in range(max_iters):
         joined = edges_sym.join(
             labels, join_type="inner", num_partitions=nparts,
@@ -216,8 +217,17 @@ def connected_components(edges: Dataset, a_col: str = "a", b_col: str = "b",
         labels = new_labels
         new_sig = _labels_signature(labels)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # label propagation needs O(component diameter) rounds; returning
+        # unconverged labels would silently split components (duplicates
+        # survive dedup, canonical entities fragment) — fail loudly instead
+        raise RuntimeError(
+            f"connected_components: labels still moving after {max_iters} "
+            "iterations (component diameter exceeds max_iters) — rerun "
+            "with a larger max_iters")
     return labels
 
 

@@ -28,6 +28,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..util import broadcast_cache_put
+
 from .index import TERM_RE
 
 # per-worker-process cache for broadcast-state task closures (the
@@ -84,7 +86,7 @@ def ngram_contamination(
         g = _WORKER_CACHE.get(ck)
         if g is None:
             g = ray.get(grams_ref)
-            _WORKER_CACHE[ck] = g
+            broadcast_cache_put(_WORKER_CACHE, ck, g)
         texts = batch.column(text_col).to_pylist()
         totals, hits, ratios = [], [], []
         for t in texts:

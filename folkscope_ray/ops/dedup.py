@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from ..util import broadcast_cache_put
 from ray.data.aggregate import Count, Min
 
 
@@ -273,7 +275,7 @@ def word_jaccard_vs_query(ds: Dataset, query_text: str, text_col: str = "text",
         q = _WORKER_CACHE.get(ck)
         if q is None:
             q = ray.get(q_ref)
-            _WORKER_CACHE[ck] = q
+            broadcast_cache_put(_WORKER_CACHE, ck, q)
         n_q = len(q)
         n = batch.num_rows
         ids = batch.column(id_col)

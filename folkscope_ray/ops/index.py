@@ -24,6 +24,7 @@ scale.
 from __future__ import annotations
 
 import re
+from collections import Counter
 
 import pandas as pd
 import pyarrow as pa
@@ -190,8 +191,11 @@ def bm25_topk(
         for j, t in enumerate(texts):
             toks = TERM_RE.findall(t.lower())
             dl[j] = float(len(toks))
+            # one Counter pass per doc, not one full token-list rescan per
+            # query term (T x |doc| comparisons -> |doc| + T lookups)
+            cnt = Counter(toks)
             for i, term in enumerate(terms):
-                tf[i, j] = float(toks.count(term))
+                tf[i, j] = float(cnt[term])
         total = np.zeros(n, dtype=np.float64)
         for i in range(len(terms)):
             # expression tree mirrors the SQL oracle exactly (same order)

@@ -48,6 +48,10 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from .index import TERM_RE
+
+from ..util import broadcast_cache_put
+
 __all__ = [
     "word_count_partials",
     "word_counts",
@@ -59,9 +63,10 @@ __all__ = [
     "score_perplexity",
 ]
 
-# same token class as the corpus n-gram statistics (ops/text.py) so the two
-# vocabularies line up
-_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# the ONE corpus token class — imported (not re-declared) so the LM/BPE
+# vocabulary can never silently drift from the index/decontam/text
+# tokenization it must stay byte-identical with
+_TOKEN_RE = TERM_RE
 _END = "</w>"  # BPE end-of-word marker (Sennrich et al. 2016 convention)
 
 
@@ -210,7 +215,7 @@ def bpe_token_counts(word_freq_ds: Dataset, merges: pd.DataFrame) -> Dataset:
         rk = _RANKS_CACHE.get(key)
         if rk is None:
             rk = ray.get(ref)
-            _RANKS_CACHE[key] = rk
+            broadcast_cache_put(_RANKS_CACHE, key, rk)
         c: Counter = Counter()
         for w, n in zip(b.column("word").to_pylist(),
                         b.column("n").to_pylist()):
@@ -312,10 +317,18 @@ class PerplexityScorer:
         self.vocab = int(m["vocab_size"])
         self.text_col = text_col
 
+    #: ppl_millibits for documents with <2 tokens (no bigram to score).
+    #: -1 — impossible for a real score (bits are always >= 0) — so
+    #: unscorable junk rows are DISTINGUISHABLE from genuinely fluent text;
+    #: 0 would rank one-token garbage as the best-quality documents in any
+    #: keep-lowest-perplexity filter.  Filter with ppl_millibits >= 0 (or
+    #: n_lm_tokens >= 2) before quality banding.
+    UNSCORABLE = -1
+
     def score(self, text: str) -> tuple[int, int]:
         ws = _TOKEN_RE.findall(text.lower())
         if len(ws) < 2:
-            return 0, len(ws)
+            return self.UNSCORABLE, len(ws)
         denom = float(self.total + self.vocab + 1)
         bits = 0.0
         lam, lam1 = self.LAMBDA, 1.0 - self.LAMBDA
@@ -357,7 +370,7 @@ def score_perplexity(ds: Dataset, model: dict,
         scorer = _SCORER_CACHE.get(key)
         if scorer is None:
             scorer = PerplexityScorer(ray.get(ref), text_col)
-            _SCORER_CACHE[key] = scorer
+            broadcast_cache_put(_SCORER_CACHE, key, scorer)
         return scorer(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow")

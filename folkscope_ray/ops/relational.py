@@ -32,6 +32,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from ..util import broadcast_cache_put
 from ray.data.aggregate import Count, Sum
 
 
@@ -102,7 +104,7 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame | pa.Table,
         small_t = _BCAST_CACHE.get(key)
         if small_t is None:
             small_t = ray.get(ref)
-            _BCAST_CACHE[key] = small_t
+            broadcast_cache_put(_BCAST_CACHE, key, small_t)
         return batch.join(small_t, keys=on, join_type=join_type)
 
     return large.map_batches(join_batch, batch_format="pyarrow")
@@ -328,7 +330,7 @@ def range_join(large: Dataset, intervals: pd.DataFrame, value_col: str,
         state = _BCAST_CACHE.get(key)
         if state is None:
             state = ray.get(ref)
-            _BCAST_CACHE[key] = state
+            broadcast_cache_put(_BCAST_CACHE, key, state)
         lows_v, his_v, iv_t = state
         v = batch.column(value_col).to_numpy(zero_copy_only=False)
         idx = np.searchsorted(lows_v, v, side="right") - 1
@@ -353,7 +355,7 @@ def anti_join(large: Dataset, keys, on: str) -> Dataset:
         vals = _BCAST_CACHE.get(key)
         if vals is None:
             vals = pc.unique(ray.get(key_ref))
-            _BCAST_CACHE[key] = vals
+            broadcast_cache_put(_BCAST_CACHE, key, vals)
         mask = pc.invert(pc.is_in(batch.column(on), value_set=vals))
         return batch.filter(mask)
 

@@ -54,6 +54,8 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from ..util import broadcast_cache_put
+
 TERM_RE = re.compile(r"[a-z0-9]+")
 PPM = 1_000_000
 
@@ -128,7 +130,7 @@ def _prefix_rows_broadcast(docsets: Dataset, df_sorted: pa.Table,
         state = _WORKER_CACHE.get(key)
         if state is None:
             state = ray.get(ref)
-            _WORKER_CACHE[key] = state
+            broadcast_cache_put(_WORKER_CACHE, key, state)
         terms_sorted, dfs_sorted = state
 
         tok_lists = pc.split_pattern(batch.column("toks"), " ")
@@ -343,7 +345,7 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
         state = _WORKER_CACHE.get(key)
         if state is None:
             state = ray.get(ref)
-            _WORKER_CACHE[key] = state
+            broadcast_cache_put(_WORKER_CACHE, key, state)
         ks, s, ln = state
         idx = batch.column("id").to_numpy(zero_copy_only=False)
         ma_out, mb_out, j_out = [], [], []
@@ -398,7 +400,7 @@ def _dense_allpairs(docsets: Dataset, terms_sorted: np.ndarray, id_col: str,
             if state is None:
                 ks, mr, md = ray.get(mref)
                 state = (pd.Index(ks), mr, md)
-                _WORKER_CACHE[key] = state
+                broadcast_cache_put(_WORKER_CACHE, key, state)
             kidx, mm, md = state
             ma = kidx.get_indexer(
                 batch.column("__ma").to_numpy(zero_copy_only=False))
@@ -507,7 +509,7 @@ def _verify_bitmask(cand: Dataset, docsets: Dataset, terms_sorted: np.ndarray,
         state = _WORKER_CACHE.get(key)
         if state is None:
             state = ray.get(ref)
-            _WORKER_CACHE[key] = state
+            broadcast_cache_put(_WORKER_CACHE, key, state)
         sids, smasks, slens = state
         k = batch.column("k").to_numpy(zero_copy_only=False)
         a = k >> 32
@@ -557,7 +559,7 @@ def _verify_join(cand: Dataset, docsets: Dataset, id_col: str,
             vals = _WORKER_CACHE.get(key)
             if vals is None:
                 vals = ray.get(idref)
-                _WORKER_CACHE[key] = vals
+                broadcast_cache_put(_WORKER_CACHE, key, vals)
             return batch.filter(pc.is_in(batch.column(id_col), value_set=vals))
 
         sets = sets.map_batches(keep_cand_docs, batch_format="pyarrow")

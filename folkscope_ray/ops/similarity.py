@@ -22,6 +22,8 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
+from ..util import broadcast_cache_put
+
 
 def _as_matrix(col) -> np.ndarray:
     """Arrow list<float> column -> (n, d) float64 matrix WITHOUT a Python
@@ -125,7 +127,7 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
         if fn is None:
             fn = BruteForceTopK(ray.get(qref), k=k, vec_col=vec_col,
                                 id_col=id_col, quantize_digits=quantize_digits)
-            _TASK_CACHE[key] = fn
+            broadcast_cache_put(_TASK_CACHE, key, fn)
         return fn(batch)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
@@ -241,7 +243,7 @@ def embedding_neardup_pairs(ds: Dataset, tau: float = 0.4,
         if fn is None:
             fn = NearDupPairs(corpus_ref=corpus_ref, tau=tau, vec_col=vec_col,
                               id_col=id_col, quantize_digits=quantize_digits)
-            _TASK_CACHE[key] = fn
+            broadcast_cache_put(_TASK_CACHE, key, fn)
         return fn(batch)
 
     return ds.map_batches(pairs_batch, batch_format="pyarrow")
@@ -415,7 +417,7 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
             fn = IvfTopK(queries_ref=qref, centroids_ref=cref,
                          n_probe=n_probe, k=k, vec_col=vec_col,
                          id_col=id_col, quantize_digits=quantize_digits)
-            _TASK_CACHE[key] = fn
+            broadcast_cache_put(_TASK_CACHE, key, fn)
         return fn(batch)
 
     partials = ds.map_batches(ivf_batch, batch_format="pyarrow").to_pandas()

@@ -27,6 +27,9 @@ counts distincts by materializing them; these are the scale-correct forms.
 
 from __future__ import annotations
 
+import math
+from fractions import Fraction
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -75,11 +78,14 @@ def exact_quantiles_by_counting(ds: Dataset, value_col: str,
         if total == 0:
             out.append({"q": float(q), "value": None})
             continue
-        thresh = total * float(q)
-        idx = int(np.searchsorted(cum, thresh, side="left"))
-        # cum[idx] >= thresh by construction; q=0 -> idx 0 (the minimum)
-        if idx < len(cum) and cum[idx] < thresh:  # float guard
-            idx += 1
+        # quantile_disc rank = max(1, ceil(q * n)) in EXACT arithmetic —
+        # ``total * float(q)`` can round ABOVE the true integer product
+        # (25 * 0.28 == 7.000000000000001) and select the next element
+        # where DuckDB returns the exact-rank one.  Fraction(str(q))
+        # recovers the decimal the caller wrote, so the product is exact.
+        rank = max(1, math.ceil(Fraction(str(float(q))) * total))
+        # first histogram row whose cumulative count reaches the rank
+        idx = int(np.searchsorted(cum, rank, side="left"))
         out.append({"q": float(q), "value": values[min(idx, len(values) - 1)]})
     return pd.DataFrame(out)
 
@@ -100,9 +106,22 @@ def _hll_alpha(m: int) -> float:
 
 
 def _hash_u64(arr: np.ndarray) -> np.ndarray:
-    """Deterministic vectorized 64-bit hash of any value array (pandas
-    siphash with a fixed key — stable across processes and runs)."""
-    return pd.util.hash_array(arr, categorize=False).astype(np.uint64)
+    """Deterministic vectorized 64-bit hash of a value array, stable across
+    processes, runs, AND library versions: the hash determines the HLL
+    registers and therefore the operator's OUTPUT (golden-fixture gated), so
+    it must never ride on ``pd.util.hash_array`` internals that a pandas
+    upgrade could change.  Integers get the splitmix64 finalizer (pure
+    uint64 arithmetic); everything else hashes md5(str(v)) and takes the
+    first 8 digest bytes (md5 is md5 forever)."""
+    if np.issubdtype(arr.dtype, np.integer):
+        z = arr.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+    from .split import _md5_digests
+
+    dig = _md5_digests(pa.array(arr))
+    return dig[:, :8].copy().view(">u8").reshape(-1).astype(np.uint64)
 
 
 # per-byte leading-zero-count LUT for the exact vectorized clz
@@ -300,6 +319,14 @@ def dd_quantiles(ds: Dataset, value_col: str, qs: list[float],
 
     def partial(b: pa.Table) -> pa.Table:
         v = b.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        if not np.isfinite(v).all():
+            # np.sign(NaN).astype(int8) is an undefined cast (lands in the
+            # exact-zero bucket on this platform, arbitrary on others) and
+            # ceil(log(inf)) overflows the bucket index — a null/NaN/inf
+            # would silently shift every quantile, so fail fast instead
+            raise ValueError(
+                "dd_quantiles: non-finite values (null/NaN/inf) in "
+                f"'{value_col}' — filter or fill them first")
         sgn = np.sign(v).astype(np.int8)
         k = np.zeros(len(v), dtype=np.int64)
         pos, neg = v > 0, v < 0

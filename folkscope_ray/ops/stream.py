@@ -32,8 +32,6 @@ can checkpoint alongside the pipeline's stage manifests.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import ray
@@ -71,13 +69,22 @@ class _IndexShard:
         return len(self._seen)
 
 
-def _key_hashes(keys: list) -> np.ndarray:
-    """Stable 64-bit content hashes (md5 prefix — never Python's salted
-    ``hash``), so the index survives process restarts and mixed writers."""
-    return np.fromiter(
-        (int.from_bytes(hashlib.md5(str(k).encode()).digest()[:8], "little")
-         for k in keys),
-        dtype=np.uint64, count=len(keys))
+def _key_hashes(keys) -> np.ndarray:
+    """Stable 64-bit content hashes (md5-of-str prefix, little-endian —
+    never Python's salted ``hash``), so the index survives process restarts
+    and mixed writers.  Rides the shared vectorized md5 kernel
+    (:func:`..split._md5_digests`: ONE Arrow cast + buffer-walking digest
+    loop) and is bit-identical to the original per-key
+    ``hashlib.md5(str(k).encode()).digest()[:8]`` — existing snapshots stay
+    valid.  Accepts an Arrow array/chunked array or a Python list.  Note
+    the str() convention means typed keys collide (int 1 == "1") — streams
+    must carry ONE key type, same as the split/sample family."""
+    from .split import _md5_digests
+
+    if not isinstance(keys, (pa.Array, pa.ChunkedArray)):
+        keys = pa.array(keys)
+    dig = _md5_digests(keys)
+    return dig[:, :8].copy().view("<u8").reshape(-1)
 
 
 class DedupIndex:
@@ -87,7 +94,7 @@ class DedupIndex:
         self.n_shards = n_shards
         self.shards = [_IndexShard.remote() for _ in range(n_shards)]
 
-    def filter_new(self, keys: list) -> np.ndarray:
+    def filter_new(self, keys) -> np.ndarray:
         """Boolean keep-mask: True where the key was never seen before.
         One bulk round-trip per shard that owns any of the batch's keys."""
         hashes = _key_hashes(keys)
@@ -112,6 +119,15 @@ class DedupIndex:
         return ray.get([s.snapshot.remote() for s in self.shards])
 
     def restore(self, blobs: list[bytes]) -> int:
+        if len(blobs) != self.n_shards:
+            # a zip would silently truncate: restoring an 8-shard snapshot
+            # into a 16-shard index loses half the seen-key state AND the
+            # h % n_shards routing changed, so previously-seen keys pass
+            # the dedup filter again — at-most-once silently violated
+            raise ValueError(
+                f"DedupIndex.restore: snapshot has {len(blobs)} shards but "
+                f"this index has {self.n_shards} — restore into an index "
+                "constructed with the same n_shards")
         return sum(ray.get([s.restore.remote(b)
                             for s, b in zip(self.shards, blobs)]))
 
@@ -120,7 +136,7 @@ def dedup_stream_batch(index: DedupIndex, batch: pa.Table,
                        key_col: str) -> pa.Table:
     """Filter a micro-batch to rows whose key is globally new (claiming
     them in the shared index)."""
-    keys = batch.column(key_col).to_pylist()
-    if not keys:
+    keys = batch.column(key_col)
+    if not len(keys):
         return batch
     return batch.filter(pa.array(index.filter_new(keys)))

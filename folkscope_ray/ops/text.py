@@ -13,6 +13,8 @@ import re
 import numpy as np
 import pyarrow as pa
 
+from .index import TERM_RE
+
 TOKEN_RE = re.compile(r"[A-Za-z0-9_']+|[^\sA-Za-z0-9_']")
 WORD_RE = re.compile(r"[A-Za-z']+")
 
@@ -226,7 +228,9 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fingerprint", pa.array(fps, pa.uint64()))
 
 
-_BIGRAM_TOKEN_RE = re.compile(r"[a-z0-9]+")
+# alias of the ONE corpus token class (ops/index.py TERM_RE) — kept as a
+# local name for the existing call sites, never re-declared
+_BIGRAM_TOKEN_RE = TERM_RE
 
 
 def bigram_partials(batch: pa.Table, text_col: str = "text",

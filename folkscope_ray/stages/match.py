@@ -13,6 +13,7 @@ import pyarrow as pa
 import ray
 
 from ..patterns import Pattern, match_row
+from ..util import broadcast_cache_put
 
 EVENT_COLS = [
     "repo", "path", "commit", "content_sha256", "surf_a", "surf_b", "rel",
@@ -170,7 +171,7 @@ def make_match_from_memo_fn(table_ref, index_ref, canon_ref):
         if cached is None:
             cached = (ray.get(table_ref).combine_chunks(),
                       ray.get(index_ref))
-            _WORKER_CACHE[mkey] = cached
+            broadcast_cache_put(_WORKER_CACHE, mkey, cached)
         memo_tbl, index = cached
         n = batch.num_rows
         mk_np = pc.binary_join_element_wise(
@@ -211,7 +212,7 @@ def make_match_from_memo_fn(table_ref, index_ref, canon_ref):
         canon = _WORKER_CACHE.get(ckey)
         if canon is None:
             canon = ray.get(canon_ref)
-            _WORKER_CACHE[ckey] = canon
+            broadcast_cache_put(_WORKER_CACHE, ckey, canon)
         return apply_canonical(out, canon)
 
     return fn
@@ -233,14 +234,14 @@ def make_match_fn(pat_ref, canon_ref):
         matcher = _WORKER_CACHE.get(key)
         if matcher is None:
             matcher = PatternMatcher(ray.get(pat_ref))
-            _WORKER_CACHE[key] = matcher
+            broadcast_cache_put(_WORKER_CACHE, key, matcher)
         if canon_ref is None:
             return matcher(batch)
         ckey = canon_ref.hex()
         canon = _WORKER_CACHE.get(ckey)
         if canon is None:
             canon = ray.get(canon_ref)
-            _WORKER_CACHE[ckey] = canon
+            broadcast_cache_put(_WORKER_CACHE, ckey, canon)
         return apply_canonical(matcher(batch), canon)
 
     return match_and_canonicalize
@@ -281,7 +282,7 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
         matcher = _WORKER_CACHE.get(key)
         if matcher is None:
             matcher = PatternMatcher(ray.get(pat_ref))
-            _WORKER_CACHE[key] = matcher
+            broadcast_cache_put(_WORKER_CACHE, key, matcher)
         if canon_ref is None:
             canon = None
         else:
@@ -289,7 +290,7 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
             canon = _WORKER_CACHE.get(ckey)
             if canon is None:
                 canon = ray.get(canon_ref)
-                _WORKER_CACHE[ckey] = canon
+                broadcast_cache_put(_WORKER_CACHE, ckey, canon)
         # keyed by the canon map's identity: the same worker may serve
         # pipelines with different canonical maps in one session
         surf_cache: dict[str, str] = _WORKER_CACHE.setdefault(
@@ -312,7 +313,7 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
             if lin_ranks is None:
                 lin_arr = ray.get(lineage_ref)
                 lin_ranks = {s: i for i, s in enumerate(lin_arr.to_pylist())}
-                _WORKER_CACHE[lkey] = lin_ranks
+                broadcast_cache_put(_WORKER_CACHE, lkey, lin_ranks)
 
         import numpy as np
         import pandas as pd
@@ -328,7 +329,7 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
             evsmap = _WORKER_CACHE.get(ekey)
             if evsmap is None:
                 evsmap = ray.get(evs_ref)
-                _WORKER_CACHE[ekey] = evsmap
+                broadcast_cache_put(_WORKER_CACHE, ekey, evsmap)
         else:
             evsmap = None
         mcache: dict = _WORKER_CACHE.setdefault("mc" + pat_ref.hex(), {})

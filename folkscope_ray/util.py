@@ -54,6 +54,24 @@ def generate_cid(words) -> str:
     return sha1_hex(" ".join(words))
 
 
+def broadcast_cache_put(cache: dict, key, value, cap: int = 6) -> None:
+    """Insert resolved broadcast state into a per-worker-process module
+    cache, evicting the OLDEST entries once ``cap`` is reached.
+
+    Every ``ray.put``-broadcast stage keys its worker cache by the fresh
+    ``ObjectRef.hex()`` of that invocation, so without eviction a driver
+    loop (per-shard / per-round calls) pins one full copy of the broadcast
+    state per invocation in every long-lived worker process — an unbounded
+    leak.  A bounded FIFO keeps the once-per-worker ``ray.get`` discipline
+    (the live ref of the current stage is always resident) without the
+    growth.  ``cap`` must exceed the number of DISTINCT refs one fused
+    stage resolves concurrently (the matcher holds 3) or eviction would
+    thrash a rebuild per batch; 6 leaves 2x headroom."""
+    while len(cache) >= cap:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def stable_u64(*parts: object) -> int:
     """Deterministic 64-bit hash of the given parts (never Python's salted hash)."""
     h = hashlib.blake2b("|".join(str(p) for p in parts).encode("utf-8"), digest_size=8)
