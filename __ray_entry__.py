@@ -926,6 +926,45 @@ def _q_lm_perplexity_docs(sf_dir: str):
     )
 
 
+def _q_classifier_finetune_docs(sf_dir: str):
+    """Critic fine-tuning loop (run_classification.py:562-656: HF-Trainer
+    train + eval + predict with checkpoint resume), re-expressed torch-free:
+    a quality classifier is trained on the documents table — labels from the
+    deterministic quality heuristic, features a hashed bag-of-words, model a
+    fixed-point logistic regression whose per-epoch gradient is ONE
+    streaming pass emitting integer partials (bit-identical at any
+    parallelism, resume-equal to an unbroken run — both pytest-pinned).
+    Output is the reference's predictions-TSV shape on the held-out test
+    split.  Fixture oracle (iterative training is not ANSI-SQL)."""
+    import numpy as np
+
+    from folkscope_ray.ops.split import hash_split_batch
+    from folkscope_ray.ops.text import quality_batch
+    from folkscope_ray.stages.finetune import (
+        predict_classifier,
+        train_classifier,
+    )
+
+    def label(b: pa.Table) -> pa.Table:
+        q = quality_batch(b)
+        lab = np.where(
+            q.column("quality_score").to_numpy(zero_copy_only=False) >= 0.75,
+            "v", "i")
+        out = b.append_column("label", pa.array(lab.tolist(), pa.string()))
+        return hash_split_batch(out, "doc_id")
+
+    docs = (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+            .map_batches(label, batch_format="pyarrow"))
+    train = docs.filter(expr="split == 'train'")
+    test = docs.filter(expr="split == 'test'")
+    w, _hist = train_classifier(train, dim=2048, epochs=8, lr=2.0)
+    return (
+        predict_classifier(test, w, label_col="label")
+        .select_columns(["doc_id", "label", "prediction", "score"])
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+
+
 def _q_deterministic_shuffle_docs(sf_dir: str):
     """Seeded reproducible global shuffle (epoch ordering for training):
     order key = md5(seed|doc_id) — a pure function of (seed, id), so the
@@ -1787,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
         "weighted_sample_parts": _q_weighted_sample_parts,
+        "classifier_finetune_docs": _q_classifier_finetune_docs,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2673,6 +2713,7 @@ def oracle_sql() -> dict[str, str]:
                 "bpe_token_counts_docs",
                 "lm_perplexity_docs",
                 "pca_embeddings",
+                "classifier_finetune_docs",
             )
         },
     }

@@ -61,6 +61,7 @@ FIXTURE_QUERIES = [
     "bpe_token_counts_docs",
     "lm_perplexity_docs",
     "pca_embeddings",
+    "classifier_finetune_docs",
 ]
 
 
