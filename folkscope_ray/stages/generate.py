@@ -26,6 +26,111 @@ GEN_BATCH_SIZE = 512  # prompts per inference batch (reference uses 10 on GPU)
 MAX_PROMPT_WORDS = 50  # long-title guard, generation.py:217-220 / prompt.py:57-59
 
 
+class ApiGenerator:
+    """HTTP-API generator actor — the OPT-175B "api" generation path
+    (generation.py:63-66 host_url config, :74-79 request payload
+    ``{"prompt": [...], "max_tokens": N, "temperature": t}``, :81-89 one
+    JSON POST per inference batch, :112 reshape to (n_prompts, n_gens)).
+
+    Same I/O contract as :class:`MockGenerator` (prompt batch in ->
+    ``gen_idx``/``assertion`` fan-out rows, identical schema — contract-
+    pytested), so the two classes swap freely in ``map_batches``.  The
+    transport is injectable: ``transport(url, payload: dict) -> dict`` —
+    the default uses stdlib ``urllib`` (this sandbox has no network, so
+    tests inject a fake; a deployment can pass a requests/httpx session
+    wrapper).  Transient transport errors retry with exponential backoff;
+    after ``max_retries`` the batch task fails loudly (Ray's task retry is
+    the outer loop — never silently drop a batch's generations).
+
+    Each actor holds ONE transport/connection built in ``__init__`` —
+    amortized over all batches, the actor-pool analogue of the reference's
+    per-process session.
+    """
+
+    def __init__(self, host_url: str, n_gens: int = N_GENS,
+                 max_tokens: int = 100, temperature: float = 1.0,
+                 max_retries: int = 3, timeout: float = 30.0,
+                 transport=None):
+        self.host_url = host_url
+        self.n_gens = n_gens
+        self.max_tokens = max_tokens
+        self.temperature = temperature
+        self.max_retries = max_retries
+        self.timeout = timeout
+        self.transport = transport or self._urllib_transport
+
+    def _urllib_transport(self, url: str, payload: dict) -> dict:
+        import json
+        from urllib.request import Request, urlopen
+
+        req = Request(url, data=json.dumps(payload).encode(),
+                      headers={"content-type": "application/json"})
+        with urlopen(req, timeout=self.timeout) as res:
+            return json.loads(res.read().decode("utf-8"))
+
+    def _request(self, prompts: list[str]) -> list[str]:
+        """One API call for one inference batch; returns the flat
+        ``n_prompts * n_gens`` completion list (row-major, like the
+        reference's ``np.reshape(res, (len(prompt), -1))``)."""
+        import time as _time
+
+        payload = {
+            "prompt": prompts,
+            "max_tokens": self.max_tokens,
+            "temperature": self.temperature,
+            "num_return_sequences": self.n_gens,
+        }
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                res = self.transport(self.host_url, payload)
+                texts = [c["text"] for c in res["choices"]]
+                if len(texts) != len(prompts) * self.n_gens:
+                    raise ValueError(
+                        f"API returned {len(texts)} completions for "
+                        f"{len(prompts)} prompts x {self.n_gens} sequences")
+                return texts
+            except Exception as e:  # noqa: BLE001 — retry any transport error
+                last_err = e
+                if attempt + 1 < self.max_retries:
+                    _time.sleep(min(2.0 ** attempt, 8.0))
+        raise RuntimeError(
+            f"ApiGenerator: {self.max_retries} attempts failed against "
+            f"{self.host_url}") from last_err
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows > GEN_BATCH_SIZE:
+            pieces = [
+                self(batch.slice(i, GEN_BATCH_SIZE))
+                for i in range(0, batch.num_rows, GEN_BATCH_SIZE)
+            ]
+            return pa.concat_tables(pieces)
+        n = batch.num_rows
+        if n == 0:
+            return batch.drop_columns(["prompt"]) \
+                        .append_column("gen_idx", pa.array([], pa.int8())) \
+                        .append_column("assertion", pa.array([], pa.string()))
+        prompts = batch.column("prompt").to_pylist()
+        # per-row long-prompt guard — same policy as MockGenerator (the
+        # reference drops the WHOLE batch at generation.py:96-99)
+        keep = [i for i, p in enumerate(prompts)
+                if len(p.split()) <= MAX_PROMPT_WORDS + 12]
+        if len(keep) < n:
+            batch = batch.take(pa.array(keep, pa.int64()))
+            prompts = [prompts[i] for i in keep]
+            n = batch.num_rows
+        if n == 0:
+            return self(batch)  # empty path above, keeps the schema
+        texts = self._request(prompts)
+        idx = np.repeat(np.arange(n, dtype=np.int64), self.n_gens)
+        rep = batch.take(pa.array(idx))
+        gen_idx = np.tile(np.arange(self.n_gens, dtype=np.int8), n)
+        out = rep.drop_columns(["prompt"])
+        out = out.append_column("gen_idx", pa.array(gen_idx, pa.int8()))
+        out = out.append_column("assertion", pa.array(texts, pa.string()))
+        return out
+
+
 class MockGenerator:
     """Deterministic stand-in for the OPT generator actor.
 
