@@ -1872,14 +1872,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "langid_quality_docs": _q_langid_quality_docs,
         "multimodal_image_features": _q_multimodal_image_features,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        # hll register hashing changed this round (version-stable
+        # splitmix64/md5 kernel, fixture regenerated) and the exact-quantile
+        # rank arithmetic changed (Fraction ranks) — both MUST have an r4
+        # driver row; multimodal_frame_sample (unchanged, fixture-gated,
+        # green r1) yields its slot and rotates into the r5 window
+        "hll_distinct_users": _q_hll_distinct_users,
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "word_jaccard_docs": _q_word_jaccard_docs,
         "price_quantiles_parts": _q_price_quantiles_parts,
-        "hll_distinct_users": _q_hll_distinct_users,
         # ---------- beyond the 50-row window: green in r3 (or r2) and
         # unchanged since; these rotate forward in r5 ----------
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
         "first_wins_by_source": _q_first_wins_by_source,
         "lag_gap_events": _q_lag_gap_events,
         "cumsum_orders": _q_cumsum_orders,
