@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "corr_matrix_lineitem",
     "pca_embeddings",
     "weighted_sample_parts",
+    "classifier_finetune_docs",
 ]
 
 

@@ -209,7 +209,22 @@ def train_classifier(
     newest compatible checkpoint instead of starting over
     (run_classification.py:575-586 semantics) — incompatible checkpoints
     (different config/data fingerprint) are ignored, not trusted."""
-    n_rows = ds.count()
+    # materialize the slim (text, label) training set ONCE: an epoch loop
+    # over a lazy Dataset re-executes the upstream pipeline (labeling,
+    # split filters, joins) on EVERY epoch — epochs re-read blocks from the
+    # object store (spillable) instead.  Bounded by the labeled fine-tuning
+    # corpus, which is small by construction (the reference trains on
+    # human-annotated assertions); count() on the materialized set is free.
+    slim = ds.select_columns([text_col, label_col]).materialize()
+    n_rows = slim.count()
+    # coalesce to ~4096-row blocks: a filter pipeline leaves many tiny
+    # blocks, and each epoch pays per-TASK orchestration — 64 blocks of 60
+    # rows x 8 epochs is 512 near-empty tasks.  Output is bit-identical at
+    # any partitioning (integer partials), so this is purely a task-count
+    # choice; large corpora still fan out (1M rows -> ~245 blocks).
+    target_blocks = max(1, -(-n_rows // 4096))
+    if slim.num_blocks() > 2 * target_blocks:
+        slim = slim.repartition(target_blocks).materialize()
     if n_rows == 0:
         raise ValueError("train_classifier: empty training set")
     fp = _config_fp(dim, epochs, lr, n_rows, text_col, label_col)
@@ -227,7 +242,6 @@ def train_classifier(
                 history = list(state["history"])
                 start_epoch = int(state["epoch"]) + 1
 
-    slim = ds.select_columns([text_col, label_col])
     for epoch in range(start_epoch, epochs):
         w_ref = ray.put(w)
         g = np.zeros(dim + 3, dtype=np.int64)
