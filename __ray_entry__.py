@@ -814,6 +814,23 @@ def _q_price_quantiles_parts(sf_dir: str):
     return exact_quantiles_by_counting(ds, "cents", _QUANTILES)
 
 
+def _q_quantiles_by_brand_parts(sf_dir: str):
+    """Exact PER-GROUP discrete quantiles without a global sort: only
+    (brand, cents, count) histogram rows shuffle; each group's rank walk
+    uses exact Fraction arithmetic — DuckDB quantile_disc per group."""
+    from folkscope_ray.ops.sketch import exact_quantiles_by_group
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"p_brand": b.column("p_brand"), "cents": c})
+
+    ds = (_rp(sf_dir, "part").select_columns(["p_brand", "p_retailprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return exact_quantiles_by_group(ds, "p_brand", "cents",
+                                    [0.25, 0.5, 0.75])
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Mergeable HyperLogLog distinct-user sketch per event_type — partials
     merge by register max, so the estimate is bit-identical at any
@@ -1344,6 +1361,18 @@ def _q_repetition_docs(sf_dir: str):
     )
 
 
+def _q_entropy_docs(sf_dir: str):
+    """Per-doc unigram token entropy in integer millibits (repetitive /
+    boilerplate detector) — stateless scan, per-term quantize-then-int-sum
+    so the result is order-free and hash-exact vs the SQL oracle."""
+    from folkscope_ray.ops.text import entropy_batch
+
+    return (
+        _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+        .map_batches(entropy_batch, batch_format="pyarrow")
+    )
+
+
 def _q_inverted_index_docs(sf_dir: str):
     """Distributed inverted index over the corpus: term -> df + doc_id-sorted
     posting list (min_df=5 to keep the result the retrieval-relevant tail)."""
@@ -1827,6 +1856,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # query whose code path changed since its last green row
         "weighted_sample_parts": _q_weighted_sample_parts,
         "classifier_finetune_docs": _q_classifier_finetune_docs,
+        "entropy_docs": _q_entropy_docs,
+        "quantiles_by_brand_parts": _q_quantiles_by_brand_parts,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2351,6 +2382,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n DESC, bigram) AS rk
               FROM c)
             SELECT lang, bigram, n FROM r WHERE rk <= 5
+        """,
+        "quantiles_by_brand_parts": """
+            WITH cents AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part)
+            SELECT p_brand, 0.25 AS q, quantile_disc(c, 0.25)::BIGINT AS value
+            FROM cents GROUP BY p_brand
+            UNION ALL
+            SELECT p_brand, 0.5 AS q, quantile_disc(c, 0.5)::BIGINT AS value
+            FROM cents GROUP BY p_brand
+            UNION ALL
+            SELECT p_brand, 0.75 AS q, quantile_disc(c, 0.75)::BIGINT AS value
+            FROM cents GROUP BY p_brand
+        """,
+        "entropy_docs": """
+            WITH w AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ), c AS (
+              SELECT doc_id, tok, count(*)::BIGINT AS c FROM w GROUP BY doc_id, tok
+            ), n AS (
+              SELECT doc_id, sum(c)::BIGINT AS n FROM c GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   max(n.n)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_distinct,
+                   sum(CAST(floor(-(c.c::DOUBLE / n.n) * log2(c.c::DOUBLE / n.n)
+                                  * 1000.0 + 0.5) AS BIGINT))::BIGINT AS entropy_mb
+            FROM c JOIN n USING (doc_id) GROUP BY c.doc_id
         """,
         "repetition_docs": """
             WITH l AS (

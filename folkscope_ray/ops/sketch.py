@@ -372,3 +372,45 @@ def dd_quantiles(ds: Dataset, value_col: str, qs: list[float],
         idx = int(np.searchsorted(cum, rank + 1, side="left"))
         out.append((q, bucket_estimate(ordered.iloc[idx])))
     return pd.DataFrame(out, columns=["q", "est"])
+
+
+def exact_quantiles_by_group(ds: Dataset, key_col: str, value_col: str,
+                             qs: list[float]) -> Dataset:
+    """Exact per-group discrete quantiles WITHOUT a global sort — the
+    grouped form of :func:`exact_quantiles_by_counting`.
+
+    Phase 1 (distributed): map-side-combined ``(key, value) -> count``
+    histogram — the only shuffle moves histogram rows, bounded by
+    ``groups x value-domain``, never the data stream.
+    Phase 2 (distributed): ``groupby(key).map_groups`` walks each group's
+    tiny histogram with the SAME exact-arithmetic rank
+    (``max(1, ceil(Fraction(q) * n))``) as the global operator, so results
+    match DuckDB ``quantile_disc`` bit-exactly per group.
+
+    Output: ``(key_col, q, value)`` — one row per (group, requested q).
+    Reference analogue: none (the reference computes only global length
+    CDFs, pattern_filter.py:120-153); this is the grouped §2.8 extension."""
+    from .relational import map_combine_aggregate
+
+    hist = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col, value_col], count_alias="n")
+
+    q_list = [float(q) for q in qs]
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        values = g[value_col].to_numpy()
+        total = int(cum[-1])
+        out_q = []
+        out_v = []
+        for q in q_list:
+            rank = max(1, math.ceil(Fraction(str(q)) * total))
+            idx = int(np.searchsorted(cum, rank, side="left"))
+            out_q.append(q)
+            out_v.append(values[min(idx, len(values) - 1)])
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]] * len(q_list),
+                             "q": out_q, "value": out_v})
+
+    return hist.groupby(key_col).map_groups(walk, batch_format="pandas")

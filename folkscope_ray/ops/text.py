@@ -306,3 +306,70 @@ def term_stats_partials(batch: pa.Table, text_col: str = "text",
         "n_occ": pa.array([occ[k] for k in keys], pa.int64()),
         "n_docs": pa.array([df[k] for k in keys], pa.int64()),
     })
+
+
+def entropy_batch(batch: pa.Table, text_col: str = "text",
+                  id_col: str = "doc_id") -> pa.Table:
+    """Per-document unigram token-entropy quality signal (low entropy ==
+    repetitive / boilerplate text — the CCNet/Gopher-style document
+    statistic used to filter LLM training corpora).
+
+    Fully stateless scan: one row per document means the token histogram
+    never leaves its own row, so NOTHING shuffles — the cheapest possible
+    shape at 100 TB.  Tokenization is one C-level ``findall`` per row over
+    the ONE corpus token class (``ops/index.py TERM_RE``, the cross-engine
+    tokenizer contract shared with bigrams / TF-IDF / BM25); the per-(row,
+    token) counts come from one factorize + ``np.unique`` on a packed int64
+    key — no Python dict in the interior.
+
+    Determinism / SQL parity: each term's contribution
+    ``-(c/n) * log2(c/n)`` is quantized to integer MILLIBITS
+    (``floor(x*1000 + 0.5)``) BEFORE the per-document sum, so the sum is an
+    order-free exact int64 — DuckDB spells the identical double expression
+    term-by-term and the driver hash compare is exact (the ``ops/lm.py``
+    millibit discipline).  Documents with zero tokens emit no row on either
+    engine.
+
+    Output: ``(doc_id, n_tokens, n_distinct, entropy_mb)``.
+    Reference analogue: none (the reference filters on raw length only,
+    generation.py:24-30); this extends the SURVEY §2.8 quality family."""
+    from itertools import chain
+
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(
+        np.int64, copy=False)
+    texts = batch.column(text_col).to_pylist()
+    nrows = len(texts)
+    empty = pa.table({
+        "doc_id": pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "n_distinct": pa.array([], pa.int64()),
+        "entropy_mb": pa.array([], pa.int64()),
+    })
+    if nrows == 0:
+        return empty
+    tok_lists = [TERM_RE.findall(t.lower()) for t in texts]
+    counts = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                         count=nrows)
+    total = int(counts.sum())
+    if total == 0:
+        return empty
+    rows = np.repeat(np.arange(nrows, dtype=np.int64), counts)
+    import pandas as pd
+
+    codes, uniques = pd.factorize(
+        np.asarray(list(chain.from_iterable(tok_lists)), dtype=object))
+    packed = rows * np.int64(len(uniques)) + codes.astype(np.int64)
+    ukey, c = np.unique(packed, return_counts=True)
+    urow = ukey // np.int64(len(uniques))
+    p = c.astype(np.float64) / counts[urow].astype(np.float64)
+    mb = np.floor(-p * np.log2(p) * 1000.0 + 0.5).astype(np.int64)
+    entropy = np.zeros(nrows, dtype=np.int64)
+    np.add.at(entropy, urow, mb)
+    ndist = np.bincount(urow, minlength=nrows).astype(np.int64)
+    mask = counts > 0
+    return pa.table({
+        "doc_id": pa.array(ids[mask], pa.int64()),
+        "n_tokens": pa.array(counts[mask], pa.int64()),
+        "n_distinct": pa.array(ndist[mask], pa.int64()),
+        "entropy_mb": pa.array(entropy[mask], pa.int64()),
+    })

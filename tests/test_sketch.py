@@ -149,3 +149,29 @@ def test_dd_quantiles_relative_error_and_partition_invariance():
     for q, est in outs[0].itertuples(index=False):
         truth = s[int(np.floor(q * (len(s) - 1)))]
         assert abs(est - truth) <= 0.01 * abs(truth) + 1e-12, (q, est, truth)
+
+
+def test_exact_quantiles_by_group_match_duckdb_and_partitioning():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import exact_quantiles_by_group
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "grp": rng.choice(["a", "b", "c", "d"], size=4000),
+        "v": rng.randint(0, 300, size=4000),
+    })
+    qs = [0.25, 0.5, 0.75]
+    want = duckdb.sql(
+        "SELECT grp, 0.25 AS q, quantile_disc(v, 0.25)::BIGINT AS value FROM df GROUP BY grp "
+        "UNION ALL SELECT grp, 0.5, quantile_disc(v, 0.5)::BIGINT FROM df GROUP BY grp "
+        "UNION ALL SELECT grp, 0.75, quantile_disc(v, 0.75)::BIGINT FROM df GROUP BY grp"
+    ).df().sort_values(["grp", "q"]).reset_index(drop=True)
+    for nblocks in (1, 9):
+        got = (exact_quantiles_by_group(
+                   rd.from_pandas(df).repartition(nblocks), "grp", "v", qs)
+               .to_pandas().sort_values(["grp", "q"]).reset_index(drop=True))
+        assert got["grp"].tolist() == want["grp"].tolist()
+        assert got["q"].astype(float).tolist() == want["q"].astype(float).tolist()
+        assert got["value"].astype(int).tolist() == want["value"].astype(int).tolist()

@@ -87,3 +87,46 @@ def test_bloom_prefilter_reduces_stream():
     true_matches = large["k"].isin(set(member["k"])).sum()
     assert hit.sum() < true_matches * 1.5 + 50  # tight prefilter
     assert hit.sum() >= true_matches            # no false negatives
+
+
+def test_entropy_batch_known_values():
+    from folkscope_ray.ops.text import entropy_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": ["a b a b",          # H = 1 bit
+                 "aaa",              # single token, H = 0
+                 "",                 # no tokens -> no row
+                 "w x y z",          # uniform 4 -> 2 bits
+                 "a a a b"],         # H(3/4,1/4) = 0.8113 bits
+    })
+    out = entropy_batch(b).to_pandas().set_index("doc_id")
+    assert 3 not in out.index
+    assert out.loc[1, "entropy_mb"] == 1000
+    assert out.loc[1, "n_tokens"] == 4 and out.loc[1, "n_distinct"] == 2
+    assert out.loc[2, "entropy_mb"] == 0
+    assert out.loc[4, "entropy_mb"] == 2000
+    # per-term millibit quantization: 3*floor(-(3/4)log2(3/4)*1000+.5)/... ->
+    # 311*... recompute exactly like the kernel does
+    import math
+    t1 = math.floor(-(3 / 4) * math.log2(3 / 4) * 1000.0 + 0.5)
+    t2 = math.floor(-(1 / 4) * math.log2(1 / 4) * 1000.0 + 0.5)
+    assert out.loc[5, "entropy_mb"] == t1 + t2
+
+
+def test_entropy_batch_order_and_block_invariance():
+    """Per-term quantize-then-int-sum => identical output regardless of row
+    order or block boundaries (the cross-parallelism determinism contract)."""
+    from folkscope_ray.ops.text import entropy_batch
+
+    rng = np.random.RandomState(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "x1", "y2"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 30)))
+             for _ in range(40)]
+    b = pa.table({"doc_id": pa.array(np.arange(40), pa.int64()),
+                  "text": texts})
+    whole = entropy_batch(b).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    parts = [entropy_batch(b.slice(i, 7)) for i in range(0, 40, 7)]
+    split = (pa.concat_tables(parts).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(whole, split)
