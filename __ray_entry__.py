@@ -1066,6 +1066,30 @@ def _q_embedding_kmeans_clusters(sf_dir: str):
     return kmeans_assign(_rp(sf_dir, "embeddings"), n_centroids=8, n_iters=3)
 
 
+def _q_semantic_dedup_embeddings(sf_dir: str):
+    """SemDeDup cluster-then-prune semantic dedup: k-means bounds the
+    candidate space, in-cluster quantized-cosine GEMM marks min-id-survivor
+    duplicates — O(sum cluster^2) verify, ONE shuffle (the cluster groupby).
+    tau=0.4 keeps the synthetic near-orthogonal embeddings non-trivial
+    (real corpora use 0.9+)."""
+    from folkscope_ray.ops.similarity import semantic_dedup
+
+    return semantic_dedup(_rp(sf_dir, "embeddings"), tau=0.4,
+                          n_centroids=8, n_iters=3)
+
+
+def _q_countmin_user_freq_events(sf_dir: str):
+    """Count-Min point-frequency estimates for a fixed user-id query set:
+    bounded-memory mergeable sketch (no shuffle, no per-key state) — the
+    100-TB shape for frequency probes over unbounded key spaces."""
+    import numpy as np
+
+    from folkscope_ray.ops.sketch import countmin_freq_by_key
+
+    return countmin_freq_by_key(_rp(sf_dir, "events"), "user_id",
+                                np.arange(20, dtype=np.int64))
+
+
 def _q_stream_dedup_docs(sf_dir: str):
     """Streaming dedup against the sharded mutable actor index (the
     documented raw-actor escape hatch, SURVEY.md §2.10): batches replay in
@@ -1251,6 +1275,28 @@ def _q_rollup_orders(sf_dir: str):
         ds, keys=["o_orderstatus", "o_orderpriority"],
         int_value_col="cents", sum_alias="total_cents",
     )
+
+
+def _q_cube_orders(sf_dir: str):
+    """GROUP BY CUBE(status, priority): every grouping subset from ONE
+    map-side-combined scan; coarser sets derived from the tiny finest
+    aggregate (never a rescan)."""
+    from folkscope_ray.ops.window import cube_counts
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64())
+        return pa.table({
+            "o_orderstatus": b.column("o_orderstatus"),
+            "o_orderpriority": b.column("o_orderpriority"),
+            "cents": c,
+        })
+
+    ds = (_rp(sf_dir, "orders")
+          .select_columns(["o_orderstatus", "o_orderpriority", "o_totalprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return cube_counts(ds, ["o_orderstatus", "o_orderpriority"], "cents",
+                       "total_cents")
 
 
 def _q_pivot_events_by_type(sf_dir: str):
@@ -1858,6 +1904,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "classifier_finetune_docs": _q_classifier_finetune_docs,
         "entropy_docs": _q_entropy_docs,
         "quantiles_by_brand_parts": _q_quantiles_by_brand_parts,
+        "cube_orders": _q_cube_orders,
+        "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
+        "countmin_user_freq_events": _q_countmin_user_freq_events,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2383,6 +2432,13 @@ def oracle_sql() -> dict[str, str]:
               FROM c)
             SELECT lang, bigram, n FROM r WHERE rk <= 5
         """,
+        "cube_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   SUM(round(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents,
+                   count(*) AS n
+            FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        """,
         "quantiles_by_brand_parts": """
             WITH cents AS (
               SELECT p_brand,
@@ -2781,6 +2837,8 @@ def oracle_sql() -> dict[str, str]:
                 "lm_perplexity_docs",
                 "pca_embeddings",
                 "classifier_finetune_docs",
+                "semantic_dedup_embeddings",
+                "countmin_user_freq_events",
             )
         },
     }

@@ -492,3 +492,70 @@ def kmeans_assign(ds: Dataset, vec_col: str = "embedding",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         assign, batch_format="pyarrow")
+
+
+def semantic_dedup(ds: Dataset, tau: float = 0.95,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   n_centroids: int = 16, n_iters: int = 3,
+                   quantize_digits: int = 6) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster-then-prune
+    semantic deduplication — k-means clusters bound the candidate space, and
+    within each cluster a document is a duplicate iff another member has
+    quantized cosine >= ``tau`` and a SMALLER id (min-id survivor, the same
+    first-wins discipline as exact dedup).
+
+    Execution shape at 100 TB: centroids come from the deterministic
+    fixed-point Lloyd iterations (:func:`ivf_centroids` — bit-identical at
+    any parallelism) and are broadcast (k x d, tiny); assignment is one
+    stateless GEMM per block; the ONLY shuffle is the cluster groupby; the
+    in-cluster verify is one O(c^2) GEMM per cluster — clusters average
+    n/k rows, so pick k ~ n / affordable-cluster-size (SemDeDup's own
+    trade).  A pathologically hot cluster is the operator's documented
+    residual risk: raise ``n_centroids`` or pre-split hot clusters with the
+    LSH-bucketed near-dup variant.
+
+    Determinism: cosine quantized to 1e-``quantize_digits`` BEFORE the tau
+    compare (ties collapse identically at any parallelism); the min-id rule
+    is order-free.  Output: ``(id_col, cluster_id, keep)``, golden-fixture
+    gated.  Reference analogue: none (the reference dedups eventualities
+    exactly on eid, eventuality.py merge path); this is the embedding-side
+    §2.7 extension."""
+    cents = ivf_centroids(ds, vec_col, id_col, n_centroids, n_iters)
+    cref = ray.put(cents)
+    q_scale = float(10 ** quantize_digits)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        m = _normalize(_as_matrix(batch.column(vec_col)))
+        a = np.argmax(m @ c.T, axis=1).astype(np.int64)
+        return pa.table({
+            id_col: batch.column(id_col),
+            vec_col: batch.column(vec_col),
+            "cluster_id": pa.array(a, pa.int64()),
+        })
+
+    import pandas as pd
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _normalize(np.asarray(list(g[vec_col].to_numpy()[order]),
+                                  dtype=np.float64))
+        sims = np.round((m @ m.T) * q_scale) / q_scale
+        # duplicate iff ANY smaller-id member is within the cosine radius:
+        # strictly-lower triangle of the (sorted-id) similarity matrix
+        dup = np.tril(sims >= tau, -1).any(axis=1)
+        return pd.DataFrame({
+            id_col: ids,
+            "cluster_id": np.repeat(np.int64(g["cluster_id"].iloc[0]),
+                                    len(ids)),
+            "keep": ~dup,
+        })
+
+    return (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(assign, batch_format="pyarrow")
+        .groupby("cluster_id")
+        .map_groups(prune, batch_format="pandas")
+    )

@@ -414,3 +414,75 @@ def exact_quantiles_by_group(ds: Dataset, key_col: str, value_col: str,
                              "q": out_q, "value": out_v})
 
     return hist.groupby(key_col).map_groups(walk, batch_format="pandas")
+
+
+# ------------------------------------------------------- Count-Min sketch
+
+def countmin_partial(values: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """Fold a value array into a fresh (depth, width) int64 Count-Min
+    sketch.  Row hashes come from the Kirsch-Mitzenmacher construction
+    ``(h1 + r * h2) mod width`` over the ONE version-stable 64-bit hash
+    (:func:`_hash_u64`), so the sketch — and therefore every estimate — is
+    identical across processes, runs, and library versions."""
+    sk = np.zeros((depth, width), dtype=np.int64)
+    if len(values) == 0:
+        return sk
+    h = _hash_u64(values)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    for r in range(depth):
+        np.add.at(sk[r], (h1 + r * h2) % width, 1)
+    return sk
+
+
+def countmin_build(ds: Dataset, key_col: str, width: int = 4096,
+                   depth: int = 4) -> np.ndarray:
+    """Distributed Count-Min build: per-block fixed-size partial sketches,
+    SUM-combined on the driver (the bloom ``build_bloom`` shape) —
+    O(blocks x depth x width) int64 collected, independent of row count.
+    Integer sums commute, so the merged sketch is bit-identical at any
+    parallelism / block order."""
+
+    def block_sketch(b: pa.Table) -> pa.Table:
+        v = b.column(key_col).to_numpy(zero_copy_only=False)
+        sk = countmin_partial(v, width, depth)
+        return pa.table({"sk": pa.array([sk.reshape(-1).tobytes()],
+                                        pa.binary())})
+
+    parts = (ds.select_columns([key_col])
+             .map_batches(block_sketch, batch_format="pyarrow")
+             .to_pandas()["sk"])
+    out = np.zeros(depth * width, dtype=np.int64)
+    for blob in parts:
+        out += np.frombuffer(blob, dtype=np.int64)
+    return out.reshape(depth, width)
+
+
+def countmin_estimate(sk: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Point-frequency estimates: min over the depth rows (the CM guarantee:
+    ``exact <= est <= exact + eps*N`` w.h.p., eps = e/width)."""
+    depth, width = sk.shape
+    h = _hash_u64(np.asarray(keys))
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.int64)
+    ests = np.stack([sk[r][(h1 + r * h2) % width] for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def countmin_freq_by_key(ds: Dataset, key_col: str, query_keys: np.ndarray,
+                         width: int = 4096, depth: int = 4) -> pd.DataFrame:
+    """Count-Min frequency estimates for a fixed query-key set — the
+    mergeable point-frequency sketch a 100-TB stream uses where the exact
+    per-key groupby (or Misra-Gries top-k) is the wrong shape: bounded
+    memory (depth x width int64, ~128 KB at defaults) regardless of key
+    cardinality, one pass, no shuffle at all.
+
+    Output: ``(key, est)`` — deterministic (integer partial sums commute),
+    golden-fixture gated; the over-estimate bound is pytest
+    property-gated.  Reference analogue: none (the reference counts
+    patterns exactly, pattern_filter.py:24-60); this is the §2.9 sketch
+    family extension."""
+    sk = countmin_build(ds, key_col, width, depth)
+    q = np.asarray(query_keys)
+    return pd.DataFrame({key_col: q,
+                         "est": countmin_estimate(sk, q).astype(np.int64)})

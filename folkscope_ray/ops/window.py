@@ -328,6 +328,48 @@ def rollup_counts(ds: Dataset, keys: list[str], int_value_col: str,
     return rd.from_pandas(out)
 
 
+def cube_counts(ds: Dataset, keys: list[str], int_value_col: str,
+                sum_alias: str, all_sentinel: str = "ALL") -> Dataset:
+    """GROUP BY CUBE(k1, k2, ...): aggregates at EVERY key subset (2^k
+    grouping sets).  Same execution shape as :func:`rollup_counts` — the
+    data stream is touched ONCE by the map-side-combined finest aggregate;
+    every coarser grouping set is derived from that tiny finest table, so
+    the 2^k fan-out costs O(groups), never a second scan.  Rolled-up key
+    columns carry ``all_sentinel`` instead of SQL NULL so cross-engine hash
+    comparison is exact."""
+    from itertools import combinations
+
+    from .relational import map_combine_aggregate
+
+    finest = map_combine_aggregate(
+        ds.select_columns(keys + [int_value_col]),
+        keys=keys, sums={int_value_col: sum_alias}, count_alias="n",
+    ).to_pandas()
+
+    levels = []
+    for r in range(len(keys), -1, -1):
+        for kept in combinations(keys, r):
+            if list(kept) == keys:
+                levels.append(finest)
+                continue
+            if kept:
+                g = (finest.groupby(list(kept), as_index=False)
+                     .agg(**{sum_alias: (sum_alias, "sum"),
+                             "n": ("n", "sum")}))
+            else:
+                g = pd.DataFrame({sum_alias: [finest[sum_alias].sum()],
+                                  "n": [finest["n"].sum()]})
+            for c in keys:
+                if c not in kept:
+                    g[c] = all_sentinel
+            levels.append(g[keys + [sum_alias, "n"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
+
+
 def resample_ffill(ds: Dataset, key_col: str, ts_col: str, value_col: str,
                    freq_us: int, order_col: str,
                    n_buckets: int | None = None) -> Dataset:

@@ -179,3 +179,32 @@ def test_kmeans_assign_partition_invariant_and_clusters():
     ca = set(outs[0]["cluster_id"][:60])
     cb = set(outs[0]["cluster_id"][60:])
     assert len(ca) == 1 and len(cb) == 1 and ca != cb
+
+
+def test_semantic_dedup_min_id_survivor_and_partitioning():
+    """Planted exact duplicates: within each near-dup group only the
+    smallest id survives, regardless of block layout (SemDeDup shape)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.similarity import semantic_dedup
+
+    rng = np.random.RandomState(9)
+    base = rng.randn(40, 16)
+    # ids 100..103 duplicate id 0's vector; 200 duplicates id 7's
+    vecs = np.vstack([base, base[0], base[0], base[0], base[0], base[7]])
+    ids = np.concatenate([np.arange(40), [100, 101, 102, 103], [200]])
+    df = pd.DataFrame({"vec_id": ids.astype(np.int64),
+                       "embedding": [v.astype(np.float32) for v in vecs]})
+    outs = []
+    for nblocks in (1, 6):
+        out = (semantic_dedup(rd.from_pandas(df).repartition(nblocks),
+                              tau=0.999, n_centroids=4, n_iters=2)
+               .to_pandas().sort_values("vec_id").reset_index(drop=True))
+        outs.append(out)
+        keep = out.set_index("vec_id")["keep"]
+        assert keep[0] and keep[7]                     # originals survive
+        assert not keep[[100, 101, 102, 103, 200]].any()  # copies pruned
+        # distinct directions survive (near-orthogonal at tau=0.999)
+        assert keep[list(range(40))].all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])

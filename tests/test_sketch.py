@@ -175,3 +175,40 @@ def test_exact_quantiles_by_group_match_duckdb_and_partitioning():
         assert got["grp"].tolist() == want["grp"].tolist()
         assert got["q"].astype(float).tolist() == want["q"].astype(float).tolist()
         assert got["value"].astype(int).tolist() == want["value"].astype(int).tolist()
+
+
+def test_countmin_overestimates_and_is_partition_invariant():
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import countmin_freq_by_key
+
+    rng = np.random.RandomState(11)
+    keys = rng.zipf(1.5, size=20000).astype(np.int64) % 1000
+    df = pd.DataFrame({"k": keys})
+    exact = pd.Series(keys).value_counts()
+    probe = np.arange(50, dtype=np.int64)
+    outs = []
+    for nblocks in (1, 13):
+        got = countmin_freq_by_key(rd.from_pandas(df).repartition(nblocks),
+                                   "k", probe, width=2048, depth=4)
+        outs.append(got)
+        est = got.set_index("k")["est"]
+        for k in probe:
+            true = int(exact.get(k, 0))
+            assert est[k] >= true            # CM never underestimates
+            assert est[k] <= true + int(np.e / 2048 * len(keys)) + 60
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_countmin_exact_when_wide():
+    """With width >> distinct keys and no collisions across all 4 rows the
+    min equals the exact count -- pins the hashing + merge arithmetic."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import countmin_freq_by_key
+
+    keys = np.repeat(np.arange(10, dtype=np.int64), np.arange(1, 11))
+    got = countmin_freq_by_key(
+        rd.from_pandas(pd.DataFrame({"k": keys})).repartition(3),
+        "k", np.arange(10, dtype=np.int64), width=1 << 16, depth=4)
+    assert got["est"].tolist() == list(range(1, 11))

@@ -206,3 +206,29 @@ def test_resample_ffill_planted_gaps():
     assert [v for (u, _b), v in got.items() if u == 2] == [9.0]
     assert [v for (u, _b), v in got.items() if u == 3] == [6.0]  # id tiebreak
     assert len(outs[0]) == 4 + 1 + 1
+
+
+def test_cube_counts_matches_duckdb_cube():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import cube_counts
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y", "z"], size=2000),
+        "b": rng.choice(["p", "q"], size=2000),
+        "v": rng.randint(0, 1000, size=2000).astype("int64"),
+    })
+    got = (cube_counts(rd.from_pandas(df).repartition(5), ["a", "b"],
+                       "v", "total")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT COALESCE(a, 'ALL') AS a, COALESCE(b, 'ALL') AS b,"
+        " SUM(v)::BIGINT AS total, count(*) AS n"
+        " FROM df GROUP BY CUBE(a, b)"
+    ).df().sort_values(["a", "b"]).reset_index(drop=True)
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["total"].astype(int).tolist() == want["total"].astype(int).tolist()
+    assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()

@@ -62,6 +62,8 @@ FIXTURE_QUERIES = [
     "lm_perplexity_docs",
     "pca_embeddings",
     "classifier_finetune_docs",
+    "semantic_dedup_embeddings",
+    "countmin_user_freq_events",
 ]
 
 
