@@ -1078,6 +1078,37 @@ def _q_semantic_dedup_embeddings(sf_dir: str):
                           n_centroids=8, n_iters=3)
 
 
+def _q_source_cap_docs(sf_dir: str):
+    """Per-source document cap (<=5 per source by doc_id) — the per-domain
+    cap every web-crawl curation mix applies; map-side pre-prune means the
+    shuffle moves at most blocks x sources x 5 rows."""
+    from folkscope_ray.ops.split import cap_per_key
+
+    return cap_per_key(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "source"]),
+        key_col="source", n=5, order_cols=["doc_id"])
+
+
+def _q_distinct_users_per_type_events(sf_dir: str):
+    """Exact COUNT(DISTINCT user_id) per event_type via the two-phase
+    distinct: block-local pair dedup -> pair shuffle -> per-key count."""
+    from folkscope_ray.ops.relational import distinct_count_by_key
+
+    return distinct_count_by_key(_rp(sf_dir, "events"), "event_type",
+                                 "user_id", alias="n_users")
+
+
+def _q_zscore_outliers_events(sf_dir: str):
+    """Per-type z-score outliers (|z| >= 2): exact integer moments per key
+    + one broadcast-moments filter scan; micro-z quantization makes the
+    score hash-exact vs SQL."""
+    from folkscope_ray.ops.stats import zscore_outliers_by_key
+
+    return zscore_outliers_by_key(
+        _rp(sf_dir, "events"), key_col="event_type", value_col="value",
+        id_cols=["event_id"], scale=100, z_threshold=2.0)
+
+
 def _q_countmin_user_freq_events(sf_dir: str):
     """Count-Min point-frequency estimates for a fixed user-id query set:
     bounded-memory mergeable sketch (no shuffle, no per-key state) — the
@@ -1907,6 +1938,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_orders": _q_cube_orders,
         "semantic_dedup_embeddings": _q_semantic_dedup_embeddings,
         "countmin_user_freq_events": _q_countmin_user_freq_events,
+        "source_cap_docs": _q_source_cap_docs,
+        "distinct_users_per_type_events": _q_distinct_users_per_type_events,
+        "zscore_outliers_events": _q_zscore_outliers_events,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -1930,6 +1964,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mean_vector_by_label": _q_mean_vector_by_label,
         "edge_features": _q_edge_features,
         "wnd_recommender": _q_wnd_recommender,
+        # hll register hashing changed this round (version-stable
+        # splitmix64/md5 kernel, fixture regenerated) and the exact-quantile
+        # rank arithmetic changed (Fraction ranks) — both MUST have an r4
+        # driver row, so they sit in tier 2 ahead of the stale fill
+        "hll_distinct_users": _q_hll_distinct_users,
+        "price_quantiles_parts": _q_price_quantiles_parts,
         # ---- r4 window, tier 3: stalest-first rotation fill (green in
         # r1/r2 only; no query goes more than two rounds unverified)
         "topk_orders": _q_topk_orders,
@@ -1943,27 +1983,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_project_events": _q_filter_project_events,
         "salted_agg_events": _q_salted_agg_events,
         "token_count_docs": _q_token_count_docs,
-        "distinct_event_types": _q_distinct_event_types,
         "events_per_day": _q_events_per_day,
-        "region_nation_join": _q_region_nation_join,
         "acctbal_stats_by_nation": _q_acctbal_stats_by_nation,
         "avg_doc_len_by_lang": _q_avg_doc_len_by_lang,
         "simhash_docs": _q_simhash_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "langid_quality_docs": _q_langid_quality_docs,
         "multimodal_image_features": _q_multimodal_image_features,
-        # hll register hashing changed this round (version-stable
-        # splitmix64/md5 kernel, fixture regenerated) and the exact-quantile
-        # rank arithmetic changed (Fraction ranks) — both MUST have an r4
-        # driver row; multimodal_frame_sample (unchanged, fixture-gated,
-        # green r1) yields its slot and rotates into the r5 window
-        "hll_distinct_users": _q_hll_distinct_users,
         "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "word_jaccard_docs": _q_word_jaccard_docs,
-        "price_quantiles_parts": _q_price_quantiles_parts,
-        # ---------- beyond the 50-row window: green in r3 (or r2) and
-        # unchanged since; these rotate forward in r5 ----------
+        # ---------- beyond the 50-row window: unchanged queries green in an
+        # earlier round.  The eight new never-checked operators this session
+        # (entropy / grouped quantiles / cube / semantic dedup / countmin /
+        # source cap / exact distinct-per-key / z-score outliers) took
+        # tier-1 slots, so eight long-green unchanged fills rotate out
+        # (fingerprint/langid/multimodal_image fell past the fold above);
+        # they — and everything below — go to the FRONT of the r5 window ---
+        "distinct_event_types": _q_distinct_event_types,
+        "region_nation_join": _q_region_nation_join,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "first_wins_by_source": _q_first_wins_by_source,
         "lag_gap_events": _q_lag_gap_events,
@@ -2431,6 +2469,36 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n DESC, bigram) AS rk
               FROM c)
             SELECT lang, bigram, n FROM r WHERE rk <= 5
+        """,
+        "source_cap_docs": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY doc_id) AS rk
+              FROM documents) WHERE rk <= 5
+        """,
+        "distinct_users_per_type_events": """
+            SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_users
+            FROM events GROUP BY event_type
+        """,
+        "zscore_outliers_events": """
+            WITH v AS (
+              SELECT event_id, event_type,
+                     CAST(round(value * 100) AS BIGINT) AS q
+              FROM events
+            ), m AS (
+              SELECT event_type, sum(q)::BIGINT AS s1,
+                     sum(q * q)::BIGINT AS s2, count(*)::BIGINT AS n
+              FROM v GROUP BY event_type HAVING count(*) > 1
+            )
+            SELECT event_id, event_type, z_micro FROM (
+              SELECT event_id, v.event_type,
+                     CAST(floor(((q::DOUBLE - s1::DOUBLE / n)
+                                 / sqrt((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n)
+                                        / (n - 1.0))) * 1e6 + 0.5) AS BIGINT)
+                         AS z_micro
+              FROM v JOIN m USING (event_type))
+            WHERE abs(z_micro) >= 2000000
         """,
         "cube_orders": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -52,6 +52,14 @@ BENCH_QUERIES = [
     "pca_embeddings",
     "weighted_sample_parts",
     "classifier_finetune_docs",
+    "entropy_docs",
+    "quantiles_by_brand_parts",
+    "cube_orders",
+    "semantic_dedup_embeddings",
+    "countmin_user_freq_events",
+    "source_cap_docs",
+    "distinct_users_per_type_events",
+    "zscore_outliers_events",
 ]
 
 

@@ -651,3 +651,19 @@ def session_windows(events: Dataset, ts_col: str, key_col: str, id_col: str,
         .groupby(key_col)
         .map_groups(stitch, batch_format="pandas")
     )
+
+
+def distinct_count_by_key(ds: Dataset, key_col: str, value_col: str,
+                          alias: str = "n_distinct") -> Dataset:
+    """Exact ``COUNT(DISTINCT value)`` per key — the two-phase distinct
+    discipline: phase 1 collapses to (key, value) pairs with MAP-SIDE
+    combine (each block dedups locally first, so the shuffle moves distinct
+    pairs, never the raw stream); phase 2 counts pairs per key.  Exact at
+    any scale where the distinct-pair set itself is shuffleable — the same
+    contract as SQL's COUNT(DISTINCT); use the HLL sketch
+    (ops/sketch.hll_distinct_by_key) when even that is too wide."""
+    pairs = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col, value_col], count_alias="__n")
+    return map_combine_aggregate(
+        pairs.select_columns([key_col]), keys=[key_col], count_alias=alias)

@@ -331,3 +331,26 @@ def weighted_sample(ds: Dataset, key_col: str, weight_col: str, k: int,
         score_block, batch_format="pyarrow")
     return (partial.sort(["score", key_col], descending=[True, False])
             .limit(k).drop_columns(["score"]))
+
+
+def cap_per_key(ds: Dataset, key_col: str, n: int,
+                order_cols: list[str],
+                ascending: list[bool] | None = None) -> Dataset:
+    """Keep at most ``n`` rows per key (the per-domain / per-source cap every
+    web-scale curation pipeline applies so one crawl host can't dominate the
+    training mix), deterministically ordered by ``order_cols``.
+
+    Scale shape: each block first prunes ITSELF to <= n rows per in-block
+    key (map-side combine — the shuffle then moves at most
+    ``blocks x keys x n`` rows, never the full stream), and the per-key
+    groupby applies the same prune to the survivors.  Order must be total
+    (include a unique tiebreaker column) for cross-engine determinism."""
+    asc = ascending if ascending is not None else [True] * len(order_cols)
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(order_cols, ascending=asc, kind="mergesort")
+                .groupby(key_col, sort=False).head(n))
+
+    return (ds.map_batches(prune, batch_format="pandas")
+            .groupby(key_col)
+            .map_groups(prune, batch_format="pandas"))

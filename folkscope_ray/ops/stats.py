@@ -99,3 +99,79 @@ def corr_matrix(ds: Dataset, cols: list[str], scale: int = 100) -> pd.DataFrame:
             rows_c.append(c)
     return pd.DataFrame({"col_a": rows_a, "col_b": rows_b,
                          "corr": pd.array(rows_c, dtype="float64")})
+
+
+def zscore_outliers_by_key(ds: Dataset, key_col: str, value_col: str,
+                           id_cols: list[str], scale: int = 100,
+                           z_threshold: float = 3.0) -> Dataset:
+    """Per-key z-score outlier scan (anomaly flagging over event streams):
+    rows whose |z| >= ``z_threshold`` within their key's distribution.
+
+    Two passes, both scale-correct: (1) exact integer moments per key
+    (value quantized to ``1/scale`` units; sum / sum-of-squares / count via
+    the map-side-combined groupby — only moment rows shuffle), (2) one
+    stateless broadcast-moments filter scan.  The z expression is spelled
+    identically here and in the SQL oracle over the SAME exact integers, so
+    the quantized score (micro-z int64) hash-matches across engines.
+    Keys with n < 2 or zero variance emit no rows.
+
+    Overflow bounds (the corr_matrix discipline, ops/stats.py:40): per-row
+    |q| < 2^31 is validated per batch; the caller guarantees
+    sum(q^2) < 2^63 per key (raise at ~1e14 rows of |q|~5e4 — far past any
+    real per-key stream; shrink ``scale`` if hit)."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .relational import map_combine_aggregate
+
+    def quantized(b: pa.Table) -> pa.Table:
+        q = np.round(b.column(value_col).to_numpy(zero_copy_only=False)
+                     * scale).astype(np.int64)
+        if len(q) and int(np.abs(q).max()) >= (1 << 31):
+            raise ValueError("quantized |value| >= 2^31: per-row square "
+                             "would overflow int64; lower `scale`")
+        cols = {c: b.column(c) for c in id_cols}
+        cols[key_col] = b.column(key_col)
+        cols["__q"] = pa.array(q, pa.int64())
+        cols["__q2"] = pa.array(q * q, pa.int64())
+        return pa.table(cols)
+
+    qds = ds.select_columns(list(dict.fromkeys(
+        id_cols + [key_col, value_col]))).map_batches(
+        quantized, batch_format="pyarrow")
+
+    moments = map_combine_aggregate(
+        qds.select_columns([key_col, "__q", "__q2"]),
+        keys=[key_col], sums={"__q": "s1", "__q2": "s2"}, count_alias="n",
+    ).to_pandas()
+    moments = moments[moments["n"] > 1]
+    mref = ray.put({
+        k: (int(s1), int(s2), int(n))
+        for k, s1, s2, n in zip(moments[key_col], moments["s1"],
+                                moments["s2"], moments["n"])
+    })
+
+    def flag(b: pa.Table) -> pa.Table:
+        m = ray.get(mref)
+        keys = b.column(key_col).to_pylist()
+        q = b.column("__q").to_numpy(zero_copy_only=False).astype(np.float64)
+        s1 = np.fromiter((m.get(k, (0, 0, 0))[0] for k in keys),
+                         dtype=np.float64, count=len(keys))
+        s2 = np.fromiter((m.get(k, (0, 0, 0))[1] for k in keys),
+                         dtype=np.float64, count=len(keys))
+        n = np.fromiter((m.get(k, (0, 0, 0))[2] for k in keys),
+                        dtype=np.float64, count=len(keys))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # spelled EXACTLY like the SQL oracle: (q - s1/n) /
+            # sqrt((s2 - s1*s1/n) / (n - 1))
+            z = (q - s1 / n) / np.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+        zmic = np.floor(z * 1e6 + 0.5)
+        ok = (n > 1) & np.isfinite(z) & (np.abs(zmic)
+                                         >= z_threshold * 1e6)
+        idx = pa.array(np.flatnonzero(ok), pa.int64())
+        out = b.select(id_cols + [key_col]).take(idx)
+        return out.append_column(
+            "z_micro", pa.array(zmic[np.flatnonzero(ok)].astype(np.int64),
+                                pa.int64()))
+
+    return qds.map_batches(flag, batch_format="pyarrow")

@@ -837,3 +837,75 @@ def test_md5_kernel_rejects_nulls():
     with _pytest.raises(ValueError, match="null"):
         add_content_hash(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
                                    "text": col}), text_col="text")
+
+
+def test_cap_per_key_matches_pandas_and_partitioning():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.split import cap_per_key
+
+    rng = np.random.RandomState(4)
+    df = pd.DataFrame({
+        "src": rng.choice(["a", "b", "c"], size=300),
+        "id": rng.permutation(300).astype("int64"),
+    })
+    want = (df.sort_values("id").groupby("src", sort=False).head(4)
+            .sort_values(["src", "id"]).reset_index(drop=True))
+    for nblocks in (1, 11):
+        got = (cap_per_key(rd.from_pandas(df).repartition(nblocks),
+                           "src", 4, ["id"])
+               .to_pandas().sort_values(["src", "id"])
+               .reset_index(drop=True)[["src", "id"]])
+        pd.testing.assert_frame_equal(got, want[["src", "id"]])
+
+
+def test_distinct_count_by_key_exact():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import distinct_count_by_key
+
+    rng = np.random.RandomState(8)
+    df = pd.DataFrame({"k": rng.choice(["x", "y"], size=5000),
+                       "v": rng.randint(0, 37, size=5000).astype("int64")})
+    want = df.groupby("k")["v"].nunique()
+    got = (distinct_count_by_key(rd.from_pandas(df).repartition(9), "k", "v",
+                                 alias="n_users")
+           .to_pandas().set_index("k")["n_users"])
+    assert got.sort_index().tolist() == want.sort_index().tolist()
+
+
+def test_zscore_outliers_by_key_matches_numpy_reference():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import zscore_outliers_by_key
+
+    rng = np.random.RandomState(6)
+    vals = np.concatenate([rng.normal(50, 5, 500), [500.0, -400.0]])
+    df = pd.DataFrame({
+        "key": ["g"] * 502,
+        "val": vals,
+        "rid": np.arange(502, dtype="int64"),
+    })
+    # lone-row key and zero-variance key emit nothing
+    df = pd.concat([df, pd.DataFrame({"key": ["solo", "flat", "flat"],
+                                      "val": [1.0, 2.0, 2.0],
+                                      "rid": [900, 901, 902]})],
+                   ignore_index=True)
+    got = (zscore_outliers_by_key(rd.from_pandas(df).repartition(7),
+                                  "key", "val", ["rid"], scale=100,
+                                  z_threshold=3.0)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    assert set(got["key"]) == {"g"}
+    # numpy reference on the identical quantized ints
+    q = np.round(df[df["key"] == "g"]["val"].to_numpy() * 100).astype(np.int64)
+    s1, s2, n = q.sum(), (q * q).sum(), len(q)
+    z = (q - s1 / n) / np.sqrt((s2 - s1 * s1 / n) / (n - 1.0))
+    zmic = np.floor(z * 1e6 + 0.5).astype(np.int64)
+    keep = np.abs(zmic) >= 3_000_000
+    want_rids = df[df["key"] == "g"]["rid"].to_numpy()[keep]
+    assert got["rid"].tolist() == sorted(want_rids.tolist())
+    assert (got.set_index("rid")["z_micro"].to_numpy()
+            == zmic[keep]).all()
