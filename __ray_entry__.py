@@ -1308,6 +1308,21 @@ def _q_rollup_orders(sf_dir: str):
     )
 
 
+def _q_rank_stats_orders(sf_dir: str):
+    """Tie-aware rank family (RANK / PERCENT_RANK / CUME_DIST) per
+    o_orderpriority over o_totalprice — one vectorized pass per key bucket;
+    the two divisions are single IEEE ops on exact small ints, so the
+    doubles hash-match DuckDB's window functions bit-exactly."""
+    from folkscope_ray.ops.window import rank_stats
+
+    return rank_stats(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_orderpriority", "o_totalprice"]),
+        key_col="o_orderpriority", value_col="o_totalprice",
+    ).select_columns(["o_orderkey", "o_orderpriority", "rnk",
+                      "pct_rank", "cume"])
+
+
 def _q_cube_orders(sf_dir: str):
     """GROUP BY CUBE(status, priority): every grouping subset from ONE
     map-side-combined scan; coarser sets derived from the tiny finest
@@ -1941,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_cap_docs": _q_source_cap_docs,
         "distinct_users_per_type_events": _q_distinct_users_per_type_events,
         "zscore_outliers_events": _q_zscore_outliers_events,
+        "rank_stats_orders": _q_rank_stats_orders,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2499,6 +2515,14 @@ def oracle_sql() -> dict[str, str]:
                          AS z_micro
               FROM v JOIN m USING (event_type))
             WHERE abs(z_micro) >= 2000000
+        """,
+        "rank_stats_orders": """
+            SELECT o_orderkey, o_orderpriority,
+                   rank() OVER w AS rnk,
+                   percent_rank() OVER w AS pct_rank,
+                   cume_dist() OVER w AS cume
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
         """,
         "cube_orders": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "source_cap_docs",
     "distinct_users_per_type_events",
     "zscore_outliers_events",
+    "rank_stats_orders",
 ]
 
 

@@ -270,6 +270,45 @@ def row_number(ds: Dataset, key_col: str, order_cols: list[str],
     return _bucketed_groups(ds, key_col, body)
 
 
+def rank_stats(ds: Dataset, key_col: str, value_col: str,
+               ascending: bool = True) -> Dataset:
+    """RANK() / PERCENT_RANK() / CUME_DIST() OVER (PARTITION BY key ORDER BY
+    value) — the tie-aware rank family (gaps on ties, unlike dense_rank).
+
+    One vectorized pass per bucket: tie-group starts flag, min-rank by
+    within-key forward fill, tie sizes by one bincount — no per-key
+    dispatch.  percent_rank = (rank-1)/(n-1) (0.0 when n = 1, the SQL
+    rule); cume_dist = (rank-1+tie_size)/n.  Both divisions are single IEEE
+    ops on exact small integers, so results hash-match SQL engines
+    bit-exactly; ranks depend only on ``value``, so no tiebreak column is
+    needed for determinism."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col],
+                          ascending=[True, ascending], kind="mergesort")
+        keys = g[key_col].to_numpy()
+        flag = ((g[value_col] != g[value_col].shift(1))
+                | (g[key_col] != g[key_col].shift(1))).to_numpy()
+        pos = g.groupby(key_col, sort=False).cumcount().to_numpy()
+        rank = (pd.Series(np.where(flag, pos + 1.0, np.nan))
+                .groupby(keys, sort=False).ffill().to_numpy()
+                .astype(np.int64))
+        tie_id = np.cumsum(flag) - 1
+        tie_size = np.bincount(tie_id)[tie_id]
+        n = g.groupby(key_col, sort=False)[value_col].transform("size") \
+             .to_numpy().astype(np.int64)
+        out = g.copy()
+        out["rnk"] = rank
+        out["pct_rank"] = np.where(
+            n > 1, (rank - 1).astype(np.float64) / (n - 1).astype(np.float64),
+            0.0)
+        out["cume"] = ((rank - 1 + tie_size).astype(np.float64)
+                       / n.astype(np.float64))
+        return out
+
+    return _bucketed_groups(ds, key_col, body)
+
+
 def pivot_counts(ds: Dataset, key_col: str, cat_col: str,
                  categories: list[str], prefix: str = "n_") -> Dataset:
     """Pivot a categorical column into per-category count columns per key

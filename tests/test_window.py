@@ -232,3 +232,35 @@ def test_cube_counts_matches_duckdb_cube():
     assert got["b"].tolist() == want["b"].tolist()
     assert got["total"].astype(int).tolist() == want["total"].astype(int).tolist()
     assert got["n"].astype(int).tolist() == want["n"].astype(int).tolist()
+
+
+def test_rank_stats_ties_match_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import rank_stats
+
+    rng = np.random.RandomState(12)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=400),
+        "v": rng.randint(0, 12, size=400).astype("int64"),  # heavy ties
+        "rid": np.arange(400, dtype="int64"),
+    })
+    # lone-row key: percent_rank must be 0.0, cume_dist 1.0
+    df = pd.concat([df, pd.DataFrame({"k": ["solo"], "v": [5],
+                                      "rid": [999]})], ignore_index=True)
+    got = (rank_stats(rd.from_pandas(df).repartition(6), "k", "v")
+           .to_pandas().sort_values(["k", "v", "rid"])
+           .reset_index(drop=True))
+    want = duckdb.sql(
+        "SELECT k, v, rid, rank() OVER w AS rnk,"
+        " percent_rank() OVER w AS pct_rank, cume_dist() OVER w AS cume"
+        " FROM df WINDOW w AS (PARTITION BY k ORDER BY v)"
+        " ORDER BY k, v, rid"
+    ).df().reset_index(drop=True)
+    assert got["rnk"].astype(int).tolist() == want["rnk"].astype(int).tolist()
+    # bit-exact doubles (single IEEE division of identical exact operands)
+    assert got["pct_rank"].tolist() == want["pct_rank"].tolist()
+    assert got["cume"].tolist() == want["cume"].tolist()
+    solo = got[got["k"] == "solo"].iloc[0]
+    assert solo["pct_rank"] == 0.0 and solo["cume"] == 1.0
