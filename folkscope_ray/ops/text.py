@@ -12,6 +12,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .index import TERM_RE
 
@@ -233,29 +234,54 @@ def fingerprint_batch(batch: pa.Table, text_col: str = "text",
 _BIGRAM_TOKEN_RE = TERM_RE
 
 
+def _explode_tokens(texts: list[str]):
+    """Tokenize a block in one pass: (flat Arrow string array of every token
+    occurrence, int64 row index per occurrence).  One C-level ``findall``
+    per row; everything downstream is Arrow/numpy."""
+    from itertools import chain
+
+    tok_lists = [TERM_RE.findall(t.lower()) for t in texts]
+    counts = np.fromiter((len(l) for l in tok_lists), dtype=np.int64,
+                         count=len(tok_lists))
+    flat = pa.array(list(chain.from_iterable(tok_lists)), pa.string())
+    rows = np.repeat(np.arange(len(tok_lists), dtype=np.int64), counts)
+    return flat, rows
+
+
 def bigram_partials(batch: pa.Table, text_col: str = "text",
                     lang_col: str = "lang") -> pa.Table:
     """Per-block (lang, bigram) counts — the MAP-SIDE COMBINER for corpus
     n-gram statistics: each block collapses its documents to one partial row
     per distinct (lang, bigram), so the downstream shuffle moves vocabulary
-    rows, not token occurrences (the 100-TB n-gram-counting discipline)."""
-    from collections import Counter
+    rows, not token occurrences (the 100-TB n-gram-counting discipline).
 
-    c: Counter = Counter()
+    Vectorized interior (was a Python Counter loop over every token):
+    tokens explode once, adjacent same-row pairs join via Arrow
+    ``binary_join_element_wise``, and the partial counts come from one
+    Arrow ``group_by`` — no Python per token."""
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "bigram": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
     langs = batch.column(lang_col).to_pylist()
-    for lang, t in zip(langs, batch.column(text_col).to_pylist()):
-        ws = _BIGRAM_TOKEN_RE.findall(t.lower())
-        for i in range(len(ws) - 1):
-            c[(lang, ws[i] + " " + ws[i + 1])] += 1
-    if not c:
-        return pa.table({"lang": pa.array([], pa.string()),
-                         "bigram": pa.array([], pa.string()),
-                         "n": pa.array([], pa.int64())})
-    keys, vals = zip(*c.items())
+    flat, rows = _explode_tokens(batch.column(text_col).to_pylist())
+    if len(flat) < 2:
+        return empty
+    same = rows[:-1] == rows[1:]
+    if not same.any():
+        return empty
+    mask = pa.array(same)
+    a = flat.slice(0, len(flat) - 1).filter(mask)
+    b = flat.slice(1, len(flat) - 1).filter(mask)
+    big = pc.binary_join_element_wise(a, b, " ")
+    lang_of_pair = pa.array(
+        np.asarray(langs, dtype=object)[rows[:-1][same]], pa.string())
+    g = (pa.table({"lang": lang_of_pair, "bigram": big})
+         .group_by(["lang", "bigram"])
+         .aggregate([([], "count_all")]))
     return pa.table({
-        "lang": pa.array([k[0] for k in keys], pa.string()),
-        "bigram": pa.array([k[1] for k in keys], pa.string()),
-        "n": pa.array(list(vals), pa.int64()),
+        "lang": g["lang"],
+        "bigram": g["bigram"],
+        "n": pc.cast(g["count_all"], pa.int64()),
     })
 
 
@@ -282,29 +308,42 @@ def term_stats_partials(batch: pa.Table, text_col: str = "text",
     """Per-block (lang, term) -> (occurrence count, containing-doc count)
     partials — the map-side combiner for corpus TF-IDF: one output row per
     distinct (lang, term) per block, so the shuffle moves vocabulary rows
-    (bounded by vocab x langs x blocks), never token occurrences."""
-    from collections import Counter
+    (bounded by vocab x langs x blocks), never token occurrences.
 
-    occ: Counter = Counter()
-    df: Counter = Counter()
+    Vectorized interior (was two Python Counter loops over every token):
+    tokens explode once, terms dictionary-encode via Arrow, and both counts
+    come from ``np.unique`` over packed int64 keys — occurrences from
+    (lang, term) keys, doc frequency from distinct (row, term) keys mapped
+    to their (lang, term).  Both unique passes emit the SAME sorted key
+    set, so the two count vectors align positionally."""
+    import pandas as pd
+
+    empty = pa.table({"lang": pa.array([], pa.string()),
+                      "term": pa.array([], pa.string()),
+                      "n_occ": pa.array([], pa.int64()),
+                      "n_docs": pa.array([], pa.int64())})
     langs = batch.column(lang_col).to_pylist()
-    for lang, t in zip(langs, batch.column(text_col).to_pylist()):
-        ws = _BIGRAM_TOKEN_RE.findall(t.lower())
-        for w in ws:
-            occ[(lang, w)] += 1
-        for w in set(ws):
-            df[(lang, w)] += 1
-    if not occ:
-        return pa.table({"lang": pa.array([], pa.string()),
-                         "term": pa.array([], pa.string()),
-                         "n_occ": pa.array([], pa.int64()),
-                         "n_docs": pa.array([], pa.int64())})
-    keys = sorted(occ)
+    flat, rows = _explode_tokens(batch.column(text_col).to_pylist())
+    if len(flat) == 0:
+        return empty
+    lang_codes, lang_uniq = pd.factorize(np.asarray(langs, dtype=object))
+    d = pc.dictionary_encode(flat)
+    tcodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    terms = d.dictionary
+    nterm = np.int64(len(terms))
+    lt = lang_codes[rows].astype(np.int64) * nterm + tcodes
+    occ_keys, n_occ = np.unique(lt, return_counts=True)
+    rt = rows * nterm + tcodes
+    urt = np.unique(rt)
+    u_lt = lang_codes[urt // nterm].astype(np.int64) * nterm + (urt % nterm)
+    df_keys, n_docs = np.unique(u_lt, return_counts=True)
+    # same key SET (every occurring (lang, term) appears in >= 1 doc), both
+    # sorted by np.unique -> positionally aligned
     return pa.table({
-        "lang": pa.array([k[0] for k in keys], pa.string()),
-        "term": pa.array([k[1] for k in keys], pa.string()),
-        "n_occ": pa.array([occ[k] for k in keys], pa.int64()),
-        "n_docs": pa.array([df[k] for k in keys], pa.int64()),
+        "lang": pa.array(lang_uniq[occ_keys // nterm], pa.string()),
+        "term": terms.take(pa.array(occ_keys % nterm, pa.int64())),
+        "n_occ": pa.array(n_occ.astype(np.int64), pa.int64()),
+        "n_docs": pa.array(n_docs.astype(np.int64), pa.int64()),
     })
 
 

@@ -130,3 +130,30 @@ def test_entropy_batch_order_and_block_invariance():
     split = (pa.concat_tables(parts).to_pandas()
              .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(whole, split)
+
+
+def test_term_stats_partials_match_counter_reference():
+    """The vectorized packed-key interior must reproduce the Counter
+    semantics exactly: occurrences AND containing-doc counts."""
+    from collections import Counter
+
+    from folkscope_ray.ops.index import TERM_RE
+    from folkscope_ray.ops.text import term_stats_partials
+
+    rng = np.random.RandomState(13)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    texts = [" ".join(rng.choice(vocab, size=rng.randint(0, 12)))
+             for _ in range(60)]
+    langs = list(rng.choice(["en", "de"], size=60))
+    b = pa.table({"lang": langs, "text": texts})
+    occ, df = Counter(), Counter()
+    for lang, t in zip(langs, texts):
+        ws = TERM_RE.findall(t.lower())
+        for w in ws:
+            occ[(lang, w)] += 1
+        for w in set(ws):
+            df[(lang, w)] += 1
+    out = term_stats_partials(b)
+    keys = list(zip(out["lang"].to_pylist(), out["term"].to_pylist()))
+    assert dict(zip(keys, out["n_occ"].to_pylist())) == dict(occ)
+    assert dict(zip(keys, out["n_docs"].to_pylist())) == dict(df)
