@@ -1066,6 +1066,15 @@ def _q_embedding_kmeans_clusters(sf_dir: str):
     return kmeans_assign(_rp(sf_dir, "embeddings"), n_centroids=8, n_iters=3)
 
 
+def _q_dup_gram_docs(sf_dir: str):
+    """ExactSubstr detection (Lee et al. 2022): per-doc count of 50-char
+    windows that also occur in ANOTHER doc.  The shuffle moves one ~24-byte
+    (gram-key, doc) row per distinct pair — never gram strings."""
+    from folkscope_ray.ops.dedup import dup_gram_counts
+
+    return dup_gram_counts(_rp(sf_dir, "documents"), gram_len=50)
+
+
 def _q_semantic_dedup_embeddings(sf_dir: str):
     """SemDeDup cluster-then-prune semantic dedup: k-means bounds the
     candidate space, in-cluster quantized-cosine GEMM marks min-id-survivor
@@ -1957,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type_events": _q_distinct_users_per_type_events,
         "zscore_outliers_events": _q_zscore_outliers_events,
         "rank_stats_orders": _q_rank_stats_orders,
+        "dup_gram_docs": _q_dup_gram_docs,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2010,12 +2020,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_rows": _q_dedup_keep_rows,
         "word_jaccard_docs": _q_word_jaccard_docs,
         # ---------- beyond the 50-row window: unchanged queries green in an
-        # earlier round.  The eight new never-checked operators this session
+        # earlier round.  The ten new never-checked operators this session
         # (entropy / grouped quantiles / cube / semantic dedup / countmin /
-        # source cap / exact distinct-per-key / z-score outliers) took
-        # tier-1 slots, so eight long-green unchanged fills rotate out
-        # (fingerprint/langid/multimodal_image fell past the fold above);
-        # they — and everything below — go to the FRONT of the r5 window ---
+        # source cap / exact distinct-per-key / z-score outliers / rank
+        # family / dup-gram ExactSubstr) took tier-1 slots, so ten
+        # long-green unchanged fills rotate out (the tail of the stale-fill
+        # block above fell past the fold); they — and everything below —
+        # go to the FRONT of the r5 window ----------
         "distinct_event_types": _q_distinct_event_types,
         "region_nation_join": _q_region_nation_join,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
@@ -2485,6 +2496,19 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n DESC, bigram) AS rk
               FROM c)
             SELECT lang, bigram, n FROM r WHERE rk <= 5
+        """,
+        "dup_gram_docs": """
+            WITH s AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(1, len(text) - 49)) AS i
+              FROM documents WHERE len(text) >= 50
+            ), g AS (
+              SELECT doc_id, substr(text, i, 50) AS gram FROM s
+            )
+            SELECT a.doc_id, count(*)::BIGINT AS n_dup_grams FROM g a
+            WHERE EXISTS (SELECT 1 FROM g b
+                          WHERE b.gram = a.gram AND b.doc_id <> a.doc_id)
+            GROUP BY a.doc_id
         """,
         "source_cap_docs": """
             SELECT doc_id, source FROM (

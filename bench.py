@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "distinct_users_per_type_events",
     "zscore_outliers_events",
     "rank_stats_orders",
+    "dup_gram_docs",
 ]
 
 

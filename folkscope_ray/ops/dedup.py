@@ -408,3 +408,96 @@ def chunk_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
             .groupby("__bucket")
             .map_groups(reassemble_bucket, batch_format="pandas")
             .select_columns([id_col, "n_kept", "text_dedup"]))
+
+
+# ------------------------------------------ duplicate-substring detection
+
+_DG_MOD1 = (1 << 31) - 1   # two 31-bit primes: matmul sums stay < 2^57
+_DG_MOD2 = 2147483629      # and the packed pair stays < 2^62
+_DG_B1, _DG_B2 = 1000003, 999979
+
+
+def _gram_keys(text: str, gram_len: int) -> np.ndarray:
+    """128-bit-quality rolling keys for every length-``gram_len`` CHARACTER
+    window of ``text``: two independent Rabin-Karp hashes (31-bit primes)
+    packed into one int64 (< mod1*mod2 ~ 2^62).  Windows slide over the
+    UTF-32 code-point array, so window i == SQL ``substr(text, i+1,
+    gram_len)`` even for multi-byte input."""
+    arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
+        .astype(np.int64)
+    if len(arr) < gram_len:
+        return np.empty(0, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(arr, gram_len)
+    k1 = np.array([pow(_DG_B1, gram_len - 1 - j, _DG_MOD1)
+                   for j in range(gram_len)], dtype=np.int64)
+    k2 = np.array([pow(_DG_B2, gram_len - 1 - j, _DG_MOD2)
+                   for j in range(gram_len)], dtype=np.int64)
+    h1 = (win % _DG_MOD1) @ k1 % _DG_MOD1
+    h2 = (win % _DG_MOD2) @ k2 % _DG_MOD2
+    return h1 * np.int64(_DG_MOD2) + h2
+
+
+def dup_gram_counts(ds: Dataset, gram_len: int = 50,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> Dataset:
+    """ExactSubstr DETECTION (Lee et al. 2022, arXiv:2107.06499 — any
+    duplicated span >= gram_len contains a duplicated gram_len-gram): for
+    each document, the number of window start positions whose
+    ``gram_len``-character window also occurs in ANOTHER document.
+    Documents with zero such windows emit no row (both engines).
+
+    Execution shape: per-block (gram-key, doc) partials with block-local
+    combine — the shuffle moves one ~24-byte row per DISTINCT (gram, doc),
+    never the gram strings (the 50x corpus blow-up the naive n-gram join
+    pays); cross-doc matching is one groupby(gram-key); the per-doc total
+    is a second bounded aggregate.  Keys are double-Rabin-Karp packed into
+    int64 (~2^-62 pairwise collision odds — ~1e-5 expected collisions at
+    1e12 distinct grams; the exactness trade documented for the chunked
+    variant at ops/dedup.py chunk_dedup applies).
+
+    Output: ``(doc_id, n_dup_grams)``.  Reference analogue: none (the
+    reference dedups whole eventualities only); SQL oracle: the exact
+    substr self-join at sf0.01."""
+    from .relational import map_combine_aggregate
+
+    def partials(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        keys_l, docs_l = [], []
+        for i, t in enumerate(b.column(text_col).to_pylist()):
+            k = _gram_keys(t, gram_len)
+            if len(k):
+                keys_l.append(k)
+                docs_l.append(np.full(len(k), ids[i], dtype=np.int64))
+        if not keys_l:
+            return pa.table({"gkey": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "__n": pa.array([], pa.int64())})
+        g = (pd.DataFrame({"gkey": np.concatenate(keys_l),
+                           id_col: np.concatenate(docs_l)})
+             .groupby(["gkey", id_col], sort=False).size().reset_index())
+        return pa.table({"gkey": pa.array(g["gkey"], pa.int64()),
+                         id_col: pa.array(g[id_col], pa.int64()),
+                         "__n": pa.array(g[0].astype(np.int64), pa.int64())})
+
+    pairs = map_combine_aggregate(
+        ds.select_columns([id_col, text_col])
+        .map_batches(partials, batch_format="pyarrow"),
+        keys=["gkey", id_col], sums={"__n": "n_starts"}, count_alias="__c")
+
+    import pandas as pd
+
+    def cross_doc(g: pd.DataFrame) -> pd.DataFrame:
+        if g[id_col].nunique() < 2:
+            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        return pd.DataFrame({id_col: g[id_col].to_numpy(),
+                             "n": g["n_starts"].to_numpy()})
+
+    matched = pairs.groupby("gkey").map_groups(cross_doc,
+                                               batch_format="pandas")
+    return map_combine_aggregate(matched, keys=[id_col],
+                                 sums={"n": "n_dup_grams"},
+                                 count_alias="__k").select_columns(
+        [id_col, "n_dup_grams"])

@@ -909,3 +909,73 @@ def test_zscore_outliers_by_key_matches_numpy_reference():
     assert got["rid"].tolist() == sorted(want_rids.tolist())
     assert (got.set_index("rid")["z_micro"].to_numpy()
             == zmic[keep]).all()
+
+
+def test_dup_gram_counts_planted_spans_and_multibyte():
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.dedup import dup_gram_counts
+
+    shared = "the quick brown fox jumps over the lazy dog again and again!"
+    assert len(shared) >= 50
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3, 4], dtype="int64"),
+        "text": [
+            "PREFIX " + shared + " SUFFIX-A",
+            shared + " different tail here to pad it out",
+            "completely unrelated content with no duplicated span at all..",
+            # multibyte: identical 50+-char span with non-ASCII chars,
+            # shared between docs 4 and 1? no — keep it unique
+            "käse über straße " * 8,
+        ],
+    })
+    got = (dup_gram_counts(rd.from_pandas(docs).repartition(3), gram_len=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH s AS (
+          SELECT doc_id, text, unnest(generate_series(1, len(text)-49)) AS i
+          FROM docs WHERE len(text) >= 50
+        ), g AS (SELECT doc_id, substr(text, i, 50) AS gram FROM s)
+        SELECT a.doc_id, count(*)::BIGINT AS n_dup_grams FROM g a
+        WHERE EXISTS (SELECT 1 FROM g b
+                      WHERE b.gram = a.gram AND b.doc_id <> a.doc_id)
+        GROUP BY a.doc_id ORDER BY a.doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist() == [1, 2]
+    assert got["n_dup_grams"].astype(int).tolist() \
+        == want["n_dup_grams"].astype(int).tolist()
+    # the shared 61-char span contributes 61-50+1 = 12 windows in each doc
+    assert got["n_dup_grams"].min() >= 12
+
+
+def test_dup_gram_counts_multibyte_shared_span_matches_sql():
+    """Positions are CHARACTERS (utf-32 windows), so multibyte spans match
+    SQL substr exactly."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.dedup import dup_gram_counts
+
+    span = "über die straße läuft ein großer bär mit käse — ja wirklich!"
+    docs = pd.DataFrame({
+        "doc_id": pd.array([10, 20], dtype="int64"),
+        "text": ["A " + span, span + " Z"],
+    })
+    got = (dup_gram_counts(rd.from_pandas(docs), gram_len=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    want = duckdb.sql("""
+        WITH s AS (
+          SELECT doc_id, text, unnest(generate_series(1, len(text)-49)) AS i
+          FROM docs WHERE len(text) >= 50
+        ), g AS (SELECT doc_id, substr(text, i, 50) AS gram FROM s)
+        SELECT a.doc_id, count(*)::BIGINT AS n_dup_grams FROM g a
+        WHERE EXISTS (SELECT 1 FROM g b
+                      WHERE b.gram = a.gram AND b.doc_id <> a.doc_id)
+        GROUP BY a.doc_id ORDER BY a.doc_id
+    """).df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert got["n_dup_grams"].astype(int).tolist() \
+        == want["n_dup_grams"].astype(int).tolist()
