@@ -417,21 +417,33 @@ _DG_MOD2 = 2147483629      # and the packed pair stays < 2^62
 _DG_B1, _DG_B2 = 1000003, 999979
 
 
+_DG_KERNELS: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+
+def _dg_kernels(gram_len: int) -> tuple[np.ndarray, np.ndarray]:
+    k = _DG_KERNELS.get(gram_len)
+    if k is None:
+        k = (np.array([pow(_DG_B1, gram_len - 1 - j, _DG_MOD1)
+                       for j in range(gram_len)], dtype=np.int64),
+             np.array([pow(_DG_B2, gram_len - 1 - j, _DG_MOD2)
+                       for j in range(gram_len)], dtype=np.int64))
+        _DG_KERNELS[gram_len] = k
+    return k
+
+
 def _gram_keys(text: str, gram_len: int) -> np.ndarray:
     """128-bit-quality rolling keys for every length-``gram_len`` CHARACTER
     window of ``text``: two independent Rabin-Karp hashes (31-bit primes)
     packed into one int64 (< mod1*mod2 ~ 2^62).  Windows slide over the
     UTF-32 code-point array, so window i == SQL ``substr(text, i+1,
-    gram_len)`` even for multi-byte input."""
+    gram_len)`` even for multi-byte input.  The pow-kernel pair is cached
+    per gram_len (module-level), not rebuilt per document."""
     arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
         .astype(np.int64)
     if len(arr) < gram_len:
         return np.empty(0, dtype=np.int64)
     win = np.lib.stride_tricks.sliding_window_view(arr, gram_len)
-    k1 = np.array([pow(_DG_B1, gram_len - 1 - j, _DG_MOD1)
-                   for j in range(gram_len)], dtype=np.int64)
-    k2 = np.array([pow(_DG_B2, gram_len - 1 - j, _DG_MOD2)
-                   for j in range(gram_len)], dtype=np.int64)
+    k1, k2 = _dg_kernels(gram_len)
     h1 = (win % _DG_MOD1) @ k1 % _DG_MOD1
     h2 = (win % _DG_MOD2) @ k2 % _DG_MOD2
     return h1 * np.int64(_DG_MOD2) + h2

@@ -153,14 +153,14 @@ def zscore_outliers_by_key(ds: Dataset, key_col: str, value_col: str,
 
     def flag(b: pa.Table) -> pa.Table:
         m = ray.get(mref)
-        keys = b.column(key_col).to_pylist()
         q = b.column("__q").to_numpy(zero_copy_only=False).astype(np.float64)
-        s1 = np.fromiter((m.get(k, (0, 0, 0))[0] for k in keys),
-                         dtype=np.float64, count=len(keys))
-        s2 = np.fromiter((m.get(k, (0, 0, 0))[1] for k in keys),
-                         dtype=np.float64, count=len(keys))
-        n = np.fromiter((m.get(k, (0, 0, 0))[2] for k in keys),
-                        dtype=np.float64, count=len(keys))
+        # vectorized moment lookup: factorize the key column once, gather
+        # the per-DISTINCT-key moments, index — no Python per row
+        codes, uniq = pd.factorize(
+            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        mu = np.array([m.get(k, (0, 0, 0)) for k in uniq],
+                      dtype=np.float64).reshape(-1, 3)
+        s1, s2, n = mu[codes, 0], mu[codes, 1], mu[codes, 2]
         with np.errstate(divide="ignore", invalid="ignore"):
             # spelled EXACTLY like the SQL oracle: (q - s1/n) /
             # sqrt((s2 - s1*s1/n) / (n - 1))
