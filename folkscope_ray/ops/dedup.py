@@ -500,15 +500,29 @@ def dup_gram_counts(ds: Dataset, gram_len: int = 50,
 
     import pandas as pd
 
-    def cross_doc(g: pd.DataFrame) -> pd.DataFrame:
-        if g[id_col].nunique() < 2:
-            return pd.DataFrame({id_col: pd.Series([], dtype="int64"),
-                                 "n": pd.Series([], dtype="int64")})
-        return pd.DataFrame({id_col: g[id_col].to_numpy(),
-                             "n": g["n_starts"].to_numpy()})
+    # cross-doc matching must NOT be one map_groups call per gram key —
+    # gram keys are corpus-sized (millions of 1-2 row groups) and a Python
+    # body per group is the classic tiny-group blow-up.  Instead co-locate
+    # keys by HASH BUCKET (one groupby over ~cpus-sized buckets) and run
+    # ONE vectorized body per bucket: rows of ``pairs`` are already
+    # distinct (gkey, doc), so a key matches iff its bucket-local group
+    # size >= 2 — a single groupby().transform("size").
+    n_buckets = 64
 
-    matched = pairs.groupby("gkey").map_groups(cross_doc,
-                                               batch_format="pandas")
+    def add_bucket(b: pa.Table) -> pa.Table:
+        g = b.column("gkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "__b", pa.array((g % n_buckets).astype(np.int64), pa.int64()))
+
+    def cross_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        size = g.groupby("gkey", sort=False)["gkey"].transform("size")
+        hit = g[size.to_numpy() >= 2]
+        return pd.DataFrame({id_col: hit[id_col].to_numpy(),
+                             "n": hit["n_starts"].to_numpy()})
+
+    matched = (pairs.map_batches(add_bucket, batch_format="pyarrow")
+               .groupby("__b")
+               .map_groups(cross_doc_bucket, batch_format="pandas"))
     return map_combine_aggregate(matched, keys=[id_col],
                                  sums={"n": "n_dup_grams"},
                                  count_alias="__k").select_columns(
