@@ -493,20 +493,20 @@ def dup_gram_counts(ds: Dataset, gram_len: int = 50,
                          id_col: pa.array(g[id_col], pa.int64()),
                          "__n": pa.array(g[0].astype(np.int64), pa.int64())})
 
-    pairs = map_combine_aggregate(
-        ds.select_columns([id_col, text_col])
-        .map_batches(partials, batch_format="pyarrow"),
-        keys=["gkey", id_col], sums={"__n": "n_starts"}, count_alias="__c")
-
     import pandas as pd
 
-    # cross-doc matching must NOT be one map_groups call per gram key —
-    # gram keys are corpus-sized (millions of 1-2 row groups) and a Python
-    # body per group is the classic tiny-group blow-up.  Instead co-locate
-    # keys by HASH BUCKET (one groupby over ~cpus-sized buckets) and run
-    # ONE vectorized body per bucket: rows of ``pairs`` are already
-    # distinct (gkey, doc), so a key matches iff its bucket-local group
-    # size >= 2 — a single groupby().transform("size").
+    # ONE all-to-all for the whole operator.  The per-block partials are
+    # already globally-distinct (gkey, doc) rows — every document sits in a
+    # single input row, so all its grams land in one block and the block's
+    # own groupby dedups them.  Cross-doc matching therefore needs no
+    # (gkey, doc) combine shuffle; and it must NOT be one map_groups call
+    # per gram key either (corpus-sized keys = millions of 1-2 row groups,
+    # a Python body each — the classic tiny-group blow-up).  Co-locate keys
+    # by HASH BUCKET instead and run ONE vectorized body per bucket: a key
+    # matches iff its bucket-local group size >= 2 (rows are distinct
+    # pairs), via a single groupby().transform("size"); the body emits
+    # per-DOC partial sums, so only keys x nothing — just doc rows — leave
+    # the bucket stage.
     n_buckets = 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
@@ -517,10 +517,14 @@ def dup_gram_counts(ds: Dataset, gram_len: int = 50,
     def cross_doc_bucket(g: pd.DataFrame) -> pd.DataFrame:
         size = g.groupby("gkey", sort=False)["gkey"].transform("size")
         hit = g[size.to_numpy() >= 2]
-        return pd.DataFrame({id_col: hit[id_col].to_numpy(),
-                             "n": hit["n_starts"].to_numpy()})
+        agg = (hit.groupby(id_col, sort=False)["__n"].sum()
+               .reset_index())
+        return pd.DataFrame({id_col: agg[id_col].to_numpy(),
+                             "n": agg["__n"].to_numpy().astype(np.int64)})
 
-    matched = (pairs.map_batches(add_bucket, batch_format="pyarrow")
+    matched = (ds.select_columns([id_col, text_col])
+               .map_batches(partials, batch_format="pyarrow")
+               .map_batches(add_bucket, batch_format="pyarrow")
                .groupby("__b")
                .map_groups(cross_doc_bucket, batch_format="pandas"))
     return map_combine_aggregate(matched, keys=[id_col],
