@@ -1066,6 +1066,18 @@ def _q_embedding_kmeans_clusters(sf_dir: str):
     return kmeans_assign(_rp(sf_dir, "embeddings"), n_centroids=8, n_iters=3)
 
 
+def _q_editdist_join_customers(sf_dir: str):
+    """Fuzzy self-join: customer-name pairs within Levenshtein distance 1
+    (entity resolution).  Sound-and-complete deletion-neighborhood
+    signatures (FastSS), bucketed candidate generation, ONE batched
+    vectorized DP verify — no per-pair Python."""
+    from folkscope_ray.ops.editjoin import edit_distance_selfjoin
+
+    return edit_distance_selfjoin(
+        _rp(sf_dir, "customer").select_columns(["c_custkey", "c_name"]),
+        text_col="c_name", id_col="c_custkey", k=1)
+
+
 def _q_dup_gram_docs(sf_dir: str):
     """ExactSubstr detection (Lee et al. 2022): per-doc count of 50-char
     windows that also occur in ANOTHER doc.  The shuffle moves one ~24-byte
@@ -1967,6 +1979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zscore_outliers_events": _q_zscore_outliers_events,
         "rank_stats_orders": _q_rank_stats_orders,
         "dup_gram_docs": _q_dup_gram_docs,
+        "editdist_join_customers": _q_editdist_join_customers,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2496,6 +2509,13 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY n DESC, bigram) AS rk
               FROM c)
             SELECT lang, bigram, n FROM r WHERE rk <= 5
+        """,
+        "editdist_join_customers": """
+            SELECT a.c_custkey AS a, b.c_custkey AS b,
+                   levenshtein(a.c_name, b.c_name)::BIGINT AS dist
+            FROM customer a JOIN customer b
+              ON a.c_custkey < b.c_custkey
+            WHERE levenshtein(a.c_name, b.c_name) <= 1
         """,
         "dup_gram_docs": """
             WITH s AS (

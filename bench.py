@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "zscore_outliers_events",
     "rank_stats_orders",
     "dup_gram_docs",
+    "editdist_join_customers",
 ]
 
 

@@ -1,0 +1,72 @@
+"""Fuzzy (edit-distance) self-join: signature completeness, the DP-free
+k=1 verify, and the batched DP kernel."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from folkscope_ray.ops.editjoin import (
+    _del1_hashes,
+    batched_levenshtein,
+    edit_distance_selfjoin,
+)
+
+
+def _lev(a: str, b: str) -> int:
+    dp = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        prev, dp[0] = dp[0], i
+        for j, cb in enumerate(b, 1):
+            cur = min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+            prev, dp[j] = dp[j], cur
+    return dp[len(b)]
+
+
+def test_batched_levenshtein_matches_scalar_dp():
+    import random
+
+    random.seed(5)
+    strs = ["".join(random.choice("abcd!ü")
+                    for _ in range(random.randint(0, 10)))
+            for _ in range(120)]
+    pairs = [(strs[random.randrange(120)], strs[random.randrange(120)])
+             for _ in range(400)]
+    got = batched_levenshtein([p[0] for p in pairs], [p[1] for p in pairs])
+    want = np.array([_lev(a, b) for a, b in pairs])
+    assert (got == want).all()
+
+
+def test_del1_neighborhood_complete():
+    import random
+
+    random.seed(6)
+    strs = ["".join(random.choice("xyz") for _ in range(random.randint(1, 7)))
+            for _ in range(50)]
+    for a in strs:
+        for b in strs:
+            if _lev(a, b) <= 1:
+                assert set(_del1_hashes(a)) & set(_del1_hashes(b)), (a, b)
+
+
+def test_edit_distance_selfjoin_matches_bruteforce():
+    names = [
+        "customer#001", "customer#002",   # substitution pair
+        "customer#0012",                  # insertion vs #001
+        "custmer#001",                    # deletion vs #001
+        "wholly different",
+        "wholly different",               # exact dup (dist 0)
+        "übermäßig groß", "übermäßig gross",  # multibyte, dist 2 (excluded)
+    ]
+    df = pd.DataFrame({"rid": np.arange(len(names), dtype="int64"),
+                       "name": names})
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names)) for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1)
+    for nblocks in (1, 4):
+        got = (edit_distance_selfjoin(
+                   rd.from_pandas(df).repartition(nblocks),
+                   text_col="name", id_col="rid", k=1)
+               .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+        assert [tuple(r) for r in got.to_numpy()] == want
