@@ -2033,13 +2033,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_rows": _q_dedup_keep_rows,
         "word_jaccard_docs": _q_word_jaccard_docs,
         # ---------- beyond the 50-row window: unchanged queries green in an
-        # earlier round.  The ten new never-checked operators this session
-        # (entropy / grouped quantiles / cube / semantic dedup / countmin /
-        # source cap / exact distinct-per-key / z-score outliers / rank
-        # family / dup-gram ExactSubstr) took tier-1 slots, so ten
-        # long-green unchanged fills rotate out (the tail of the stale-fill
-        # block above fell past the fold); they — and everything below —
-        # go to the FRONT of the r5 window ----------
+        # earlier round.  The twelve new never-checked operators this
+        # session (entropy / grouped quantiles / cube / semantic dedup /
+        # countmin / source cap / exact distinct-per-key / z-score
+        # outliers / rank family / dup-gram ExactSubstr / edit-distance
+        # join) took tier-1 slots, so twelve long-green unchanged fills
+        # rotate out (the tail of the stale-fill block above fell past the
+        # fold); they — and everything below — go to the FRONT of the r5
+        # window ----------
         "distinct_event_types": _q_distinct_event_types,
         "region_nation_join": _q_region_nation_join,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
