@@ -52,19 +52,23 @@ _EJ_MOD2 = 2147483629
 _EJ_B1, _EJ_B2 = 1000003, 999979
 
 
-def _del1_hashes(text: str) -> np.ndarray:
-    """int64 keys for the 0- and 1-deletion variants of ``text``, computed
-    from prefix/suffix rolling hashes in O(L) — variant i (delete char i)
-    hashes as  P[i] * B^(L-1-i) + S[i+1]  without building the string."""
+def _delk_hashes(text: str, k: int) -> np.ndarray:
+    """int64 keys for every variant of ``text`` with <= k deletions
+    (k in {1, 2}), computed from prefix/suffix rolling hashes without ever
+    building a variant string: delete-i hashes as
+    ``P[i] * B^(L-1-i) + S[i+1]``; delete-(i, j), i < j, as
+    ``((P[i] * B^(j-i-1) + mid(i+1, j)) * B^(L-1-j) + S[j+1])`` where
+    ``mid(a, b) = P[b] - P[a] * B^(b-a)`` is the substring hash.  The
+    delete-2 set is vectorized over all ``triu`` (i, j) pairs."""
     arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32) \
         .astype(np.int64)
     L = len(arr)
-    out = np.empty(L + 1, dtype=np.int64)
+    if L == 0:
+        return np.zeros(1, dtype=np.int64)
     ks = []
+    iu, ju = (np.triu_indices(L, 1) if (k >= 2 and L >= 2)
+              else (np.empty(0, np.int64), np.empty(0, np.int64)))
     for mod, base in ((_EJ_MOD1, _EJ_B1), (_EJ_MOD2, _EJ_B2)):
-        if L == 0:
-            ks.append(np.zeros(1, dtype=np.int64))
-            continue
         a = arr % mod
         pw = np.empty(L + 1, dtype=np.int64)   # pw[j] = B^j mod M
         pw[0] = 1
@@ -77,38 +81,32 @@ def _del1_hashes(text: str) -> np.ndarray:
         for i in range(L - 1, -1, -1):
             suf[i] = (a[i] * pw[L - 1 - i] + suf[i + 1]) % mod
         # full string (0 deletions) then delete-i for each i
-        h = np.empty(L + 1, dtype=np.int64)
-        h[0] = pref[L]
+        h1 = np.empty(L + 1, dtype=np.int64)
+        h1[0] = pref[L]
         idx = np.arange(L)
-        h[1:] = (pref[idx] * pw[L - 1 - idx] + suf[idx + 1]) % mod
-        ks.append(h)
-    if L == 0:
-        return np.zeros(1, dtype=np.int64)
-    out = ks[0] * np.int64(_EJ_MOD2) + ks[1]
-    return out
+        h1[1:] = (pref[idx] * pw[L - 1 - idx] + suf[idx + 1]) % mod
+        if len(iu):
+            mid = (pref[ju] - pref[iu + 1] * pw[ju - iu - 1]) % mod
+            h2 = ((pref[iu] * pw[ju - iu - 1] + mid) % mod
+                  * pw[L - 1 - ju] + suf[ju + 1]) % mod
+            ks.append(np.concatenate((h1, h2)))
+        else:
+            ks.append(h1)
+    return ks[0] * np.int64(_EJ_MOD2) + ks[1]
 
 
-def batched_levenshtein(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
-    """Exact Levenshtein distance for n pairs at once: one unit-cost DP
-    whose horizontal (insertion) dependency is resolved by the min-plus
-    prefix trick, so every DP row is a handful of numpy ops over ALL
-    pairs."""
-    n = len(a_strs)
+def _del1_hashes(text: str) -> np.ndarray:
+    return _delk_hashes(text, 1)
+
+
+def _lev_mat(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+             lb: np.ndarray) -> np.ndarray:
+    """Exact Levenshtein over padded char matrices (pad values never affect
+    the result: dp[la, lb] only reads A[:, :la] / B[:, :lb])."""
+    n = len(la)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    la = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
-    lb = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
-    La, Lb = int(la.max()), int(lb.max())
-    A = np.zeros((n, max(La, 1)), dtype=np.uint32)
-    B = np.full((n, max(Lb, 1)), 0xFFFFFFFF, dtype=np.uint32)  # pad != any
-    for i, s in enumerate(a_strs):
-        if s:
-            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
-                                          dtype=np.uint32)
-    for i, s in enumerate(b_strs):
-        if s:
-            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
-                                          dtype=np.uint32)
+    La, Lb = int(la.max()) if n else 0, B.shape[1]
     res = np.where(la == 0, lb, -1).astype(np.int64)
     prev = np.tile(np.arange(Lb + 1, dtype=np.int64), (n, 1))
     jj = np.arange(Lb + 1, dtype=np.int64)
@@ -129,14 +127,40 @@ def batched_levenshtein(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     return res
 
 
+def batched_levenshtein(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
+    """Exact Levenshtein distance for n pairs at once: one unit-cost DP
+    whose horizontal (insertion) dependency is resolved by the min-plus
+    prefix trick, so every DP row is a handful of numpy ops over ALL
+    pairs."""
+    n = len(a_strs)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    la = np.fromiter((len(s) for s in a_strs), dtype=np.int64, count=n)
+    lb = np.fromiter((len(s) for s in b_strs), dtype=np.int64, count=n)
+    La, Lb = int(la.max()), int(lb.max())
+    A = np.zeros((n, max(La, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(Lb, 1)), dtype=np.uint32)
+    for i, s in enumerate(a_strs):
+        if s:
+            A[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    for i, s in enumerate(b_strs):
+        if s:
+            B[i, :len(s)] = np.frombuffer(s.encode("utf-32-le"),
+                                          dtype=np.uint32)
+    return _lev_mat(A, la, B, lb)
+
+
 def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
                            k: int = 1) -> Dataset:
     """All (a < b by id) row pairs with Levenshtein(text_a, text_b) <= k.
-    Only k=1 signatures are implemented (the common entity-resolution
-    radius); the verify kernel is exact for any k."""
-    if k != 1:
+    Signatures are implemented for k in {1, 2} (the entity-resolution
+    radii); k=1 verifies DP-free, k=2 through the batched DP kernel.
+    Candidate volume grows with k (the <= k-deletion neighborhood is
+    O(L^k) variants per string) — the standard FastSS trade."""
+    if k not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood signatures implemented for k=1; "
+            "deletion-neighborhood signatures implemented for k in {1, 2}; "
             "compose with a coarser prefilter for larger radii")
 
     from .relational import map_combine_aggregate
@@ -169,7 +193,7 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
         keys_l, ids_l = [], []
         for i, t in enumerate(b.column(text_col).to_pylist()):
-            h = np.unique(_del1_hashes(t))  # dedup within-string variants
+            h = np.unique(_delk_hashes(t, k))  # dedup in-string variants
             keys_l.append(h)
             ids_l.append(np.full(len(h), ids[i], dtype=np.int64))
         if not keys_l:
@@ -228,12 +252,13 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
              .map_groups(bucket_pairs, batch_format="pandas"))
 
     def verify(b: pa.Table) -> pa.Table:
-        # DP-free exact k=1 check, all-numpy: after swapping so la <= lb,
+        # k=1: DP-free exact check, all-numpy — after swapping so la <= lb,
         #   la == lb : dist <= 1  <=>  hamming <= 1 (a lone substitution);
         #   lb-la==1 : dist == 1  <=>  b is a one-char insertion into a,
         #              i.e. chars match up to the first mismatch p and
         #              a[p:] == b[p+1:]  (vectorized shifted comparison);
         #   else     : dist > 1.
+        # k=2: length-band prefilter, then the batched DP kernel.
         sids, slen, smat = ray.get(corpus_ref)
         aa = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -247,26 +272,32 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
         A, B = smat[ai2], smat[bi2]
         dist = np.full(len(aa), k + 1, dtype=np.int64)
         dlen = lb2 - la2
-        mism = A != B
-        ham = mism.sum(axis=1)
-        eq = dlen == 0
-        dist[eq & (ham <= 1)] = ham[eq & (ham <= 1)]
-        one = dlen == 1
-        if one.any():
-            W1 = smat.shape[1]
-            cols = np.arange(W1)
-            # first mismatch position (la if none — then the insertion is
-            # the trailing char of b and the pair matches)
-            p = np.where(mism[one].any(axis=1),
-                         mism[one].argmax(axis=1), la2[one])
-            # a[p:la] must equal b[p+1:lb]  ==  no mismatch between
-            # A[:, j] and B[:, j+1] for p <= j < la
-            sh = A[one][:, :W1 - 1] != B[one][:, 1:]
-            bad = (sh & (cols[:W1 - 1] >= p[:, None])
-                   & (cols[:W1 - 1] < la2[one][:, None])).any(axis=1)
-            d1 = dist[one]
-            d1[~bad] = 1
-            dist[one] = d1
+        if k == 1:
+            mism = A != B
+            ham = mism.sum(axis=1)
+            eq = dlen == 0
+            dist[eq & (ham <= 1)] = ham[eq & (ham <= 1)]
+            one = dlen == 1
+            if one.any():
+                W1 = smat.shape[1]
+                cols = np.arange(W1)
+                # first mismatch position (la if none — the insertion is
+                # then the trailing char of b and the pair matches)
+                p = np.where(mism[one].any(axis=1),
+                             mism[one].argmax(axis=1), la2[one])
+                # a[p:la] must equal b[p+1:lb]  ==  no mismatch between
+                # A[:, j] and B[:, j+1] for p <= j < la
+                sh = A[one][:, :W1 - 1] != B[one][:, 1:]
+                bad = (sh & (cols[:W1 - 1] >= p[:, None])
+                       & (cols[:W1 - 1] < la2[one][:, None])).any(axis=1)
+                d1 = dist[one]
+                d1[~bad] = 1
+                dist[one] = d1
+        else:
+            cand = np.flatnonzero(dlen <= k)
+            if len(cand):
+                dist[cand] = _lev_mat(A[cand], la2[cand],
+                                      B[cand], lb2[cand])
         keep = np.flatnonzero(dist <= k)
         idx = pa.array(keep, pa.int64())
         out = b.select(["a", "b"]).take(idx)

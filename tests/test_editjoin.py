@@ -70,3 +70,36 @@ def test_edit_distance_selfjoin_matches_bruteforce():
                    text_col="name", id_col="rid", k=1)
                .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
         assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_del2_neighborhood_complete():
+    import random
+
+    random.seed(7)
+    strs = ["".join(random.choice("pq") for _ in range(random.randint(2, 6)))
+            for _ in range(40)]
+    from folkscope_ray.ops.editjoin import _delk_hashes
+
+    for a in strs:
+        for b in strs:
+            if _lev(a, b) <= 2:
+                assert (set(_delk_hashes(a, 2))
+                        & set(_delk_hashes(b, 2))), (a, b)
+
+
+def test_edit_distance_selfjoin_k2_matches_bruteforce():
+    import random
+
+    random.seed(8)
+    names = list({"".join(random.choice("abcß") for _ in range(random.randint(3, 9)))
+                  for _ in range(60)})
+    df = pd.DataFrame({"rid": np.arange(len(names), dtype="int64"),
+                       "name": names})
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names)) for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 2)
+    got = (edit_distance_selfjoin(rd.from_pandas(df).repartition(3),
+                                  text_col="name", id_col="rid", k=2)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert [tuple(r) for r in got.to_numpy()] == want
