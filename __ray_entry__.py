@@ -739,19 +739,17 @@ def _q_range_join_parts(sf_dir: str):
 
 
 def _q_topk_per_group_orders(sf_dir: str):
-    """Top-3 orders per o_orderpriority by totalprice (per-group top-k)."""
-    import pandas as pd
+    """Top-3 orders per o_orderpriority by totalprice (per-group top-k) —
+    via cap_per_key, so each block pre-prunes to <= 3 rows per in-block key
+    and the shuffle moves at most blocks x keys x 3 rows."""
+    from folkscope_ray.ops.split import cap_per_key
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["o_totalprice", "o_orderkey"],
-                             ascending=[False, True]).head(3)
-
-    return (
+    return cap_per_key(
         _rp(sf_dir, "orders")
-        .select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"])
-        .groupby("o_orderpriority")
-        .map_groups(top3, batch_format="pandas")
-    )
+        .select_columns(["o_orderpriority", "o_orderkey", "o_totalprice"]),
+        key_col="o_orderpriority", n=3,
+        order_cols=["o_totalprice", "o_orderkey"],
+        ascending=[False, True])
 
 
 def _q_dedup_keep_rows(sf_dir: str):
@@ -2009,6 +2007,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver row, so they sit in tier 2 ahead of the stale fill
         "hll_distinct_users": _q_hll_distinct_users,
         "price_quantiles_parts": _q_price_quantiles_parts,
+        # topk_per_group was rewired through cap_per_key this session
+        # (map-side pre-prune) — changed path, needs an r4 row
+        "topk_per_group_orders": _q_topk_per_group_orders,
         # ---- r4 window, tier 3: stalest-first rotation fill (green in
         # r1/r2 only; no query goes more than two rounds unverified)
         "topk_orders": _q_topk_orders,
@@ -2029,7 +2030,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "langid_quality_docs": _q_langid_quality_docs,
         "multimodal_image_features": _q_multimodal_image_features,
-        "topk_per_group_orders": _q_topk_per_group_orders,
         "dedup_keep_rows": _q_dedup_keep_rows,
         "word_jaccard_docs": _q_word_jaccard_docs,
         # ---------- beyond the 50-row window: unchanged queries green in an
