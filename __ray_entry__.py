@@ -829,6 +829,25 @@ def _q_quantiles_by_brand_parts(sf_dir: str):
                                     [0.25, 0.5, 0.75])
 
 
+def _q_winsorize_parts(sf_dir: str):
+    """Per-brand winsorization: retail-price cents clipped into the exact
+    per-group [p5, p95] quantile band — grouped-quantile histogram shuffle
+    + ONE broadcast-bounds clip scan."""
+    from folkscope_ray.ops.stats import winsorize_by_key
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"p_partkey": b.column("p_partkey"),
+                         "p_brand": b.column("p_brand"), "cents": c})
+
+    ds = (_rp(sf_dir, "part")
+          .select_columns(["p_partkey", "p_brand", "p_retailprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return winsorize_by_key(ds, key_col="p_brand", value_col="cents",
+                            id_cols=["p_partkey"], q_lo=0.05, q_hi=0.95)
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Mergeable HyperLogLog distinct-user sketch per event_type — partials
     merge by register max, so the estimate is bit-identical at any
@@ -1325,6 +1344,17 @@ def _q_rollup_orders(sf_dir: str):
         ds, keys=["o_orderstatus", "o_orderpriority"],
         int_value_col="cents", sum_alias="total_cents",
     )
+
+
+def _q_unpivot_lineitem(sf_dir: str):
+    """UNPIVOT / melt: one row per (line item, measure column) — stateless
+    per-block Arrow transform, columns reused not rebuilt, no shuffle."""
+    from folkscope_ray.ops.window import unpivot
+
+    return unpivot(
+        _rp(sf_dir, "lineitem"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"])
 
 
 def _q_rank_stats_orders(sf_dir: str):
@@ -1978,6 +2008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_stats_orders": _q_rank_stats_orders,
         "dup_gram_docs": _q_dup_gram_docs,
         "editdist_join_customers": _q_editdist_join_customers,
+        "unpivot_lineitem": _q_unpivot_lineitem,
+        "winsorize_parts": _q_winsorize_parts,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2560,6 +2592,29 @@ def oracle_sql() -> dict[str, str]:
                          AS z_micro
               FROM v JOIN m USING (event_type))
             WHERE abs(z_micro) >= 2000000
+        """,
+        "winsorize_parts": """
+            WITH cents AS (
+              SELECT p_partkey, p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part
+            ), q AS (
+              SELECT p_brand, quantile_disc(c, 0.05)::BIGINT AS lo,
+                     quantile_disc(c, 0.95)::BIGINT AS hi
+              FROM cents GROUP BY p_brand
+            )
+            SELECT p_partkey, cents.p_brand,
+                   least(greatest(c, lo), hi)::BIGINT AS clipped
+            FROM cents JOIN q USING (p_brand)
+        """,
+        "unpivot_lineitem": """
+            UNPIVOT (SELECT l_orderkey, l_linenumber,
+                            l_quantity::DOUBLE AS l_quantity,
+                            l_extendedprice::DOUBLE AS l_extendedprice,
+                            l_discount::DOUBLE AS l_discount
+                     FROM lineitem)
+            ON l_quantity, l_extendedprice, l_discount
+            INTO NAME name VALUE value
         """,
         "rank_stats_orders": """
             SELECT o_orderkey, o_orderpriority,

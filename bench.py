@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "rank_stats_orders",
     "dup_gram_docs",
     "editdist_join_customers",
+    "unpivot_lineitem",
+    "winsorize_parts",
 ]
 
 

@@ -175,3 +175,43 @@ def zscore_outliers_by_key(ds: Dataset, key_col: str, value_col: str,
                                 pa.int64()))
 
     return qds.map_batches(flag, batch_format="pyarrow")
+
+
+def winsorize_by_key(ds: Dataset, key_col: str, value_col: str,
+                     id_cols: list[str], q_lo: float = 0.05,
+                     q_hi: float = 0.95,
+                     alias: str = "clipped") -> Dataset:
+    """Per-key winsorization (outlier clipping): each value clamps into its
+    group's exact [quantile(q_lo), quantile(q_hi)] band — the standard
+    robust-scaling scrub before training-feature export.
+
+    Composition of verified pieces: per-group discrete quantiles from the
+    histogram-shuffle operator (ops/sketch.exact_quantiles_by_group —
+    DuckDB quantile_disc-exact), broadcast as a tiny per-key bound table,
+    then ONE stateless clip scan (vectorized factorize lookup + clip).
+    Integer values pass through exactly, so SQL hash-matches."""
+    import ray
+
+    from .sketch import exact_quantiles_by_group
+
+    q = exact_quantiles_by_group(ds, key_col, value_col,
+                                 [q_lo, q_hi]).to_pandas()
+    lo = q[q["q"] == float(q_lo)].set_index(key_col)["value"]
+    hi = q[q["q"] == float(q_hi)].set_index(key_col)["value"]
+    bref = ray.put({k: (int(lo[k]), int(hi[k])) for k in lo.index})
+
+    def clip(b: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        codes, uniq = pd.factorize(
+            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        bounds = np.array([m[k] for k in uniq],
+                          dtype=np.int64).reshape(-1, 2)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        c = np.clip(v, bounds[codes, 0], bounds[codes, 1])
+        out = b.select(id_cols + [key_col])
+        return out.append_column(alias, pa.array(c, pa.int64()))
+
+    return ds.select_columns(list(dict.fromkeys(
+        id_cols + [key_col, value_col]))).map_batches(
+        clip, batch_format="pyarrow")

@@ -458,3 +458,25 @@ def resample_ffill(ds: Dataset, key_col: str, ts_col: str, value_col: str,
     return _bucketed_groups(
         ds.select_columns([key_col, ts_col, order_col, value_col]),
         key_col, body, n_buckets=n_buckets)
+
+
+def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
+            var_name: str = "name", value_name: str = "value") -> Dataset:
+    """UNPIVOT / melt: one output row per (input row, value column).
+    Stateless per-block Arrow transform — column arrays are REUSED (no
+    per-row work) and the id columns replicate via one ``take`` per value
+    column; no shuffle at all.  SQL parity: DuckDB UNPIVOT."""
+
+    def melt(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        parts = []
+        for c in value_cols:
+            t = b.select(id_cols)
+            t = t.append_column(var_name, pa.array([c] * n, pa.string()))
+            t = t.append_column(value_name,
+                                pc.cast(b.column(c), pa.float64()))
+            parts.append(t)
+        return pa.concat_tables(parts) if parts else b.select(id_cols)
+
+    return ds.select_columns(id_cols + value_cols).map_batches(
+        melt, batch_format="pyarrow")

@@ -356,3 +356,26 @@ def test_corr_matrix_exact_at_overflowing_magnitudes():
     got2 = corr_matrix(ray.data.from_pandas(df).repartition(11),
                        ["a", "b"], scale=1)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_winsorize_by_key_clips_to_group_band():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import winsorize_by_key
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "k": rng.choice(["a", "b"], size=400),
+        "v": rng.randint(0, 1000, size=400).astype("int64"),
+        "rid": np.arange(400, dtype="int64"),
+    })
+    got = (winsorize_by_key(rd.from_pandas(df).repartition(5), "k", "v",
+                            ["rid"], q_lo=0.1, q_hi=0.9)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    for key, grp in df.groupby("k"):
+        lo = int(np.sort(grp["v"])[max(0, int(np.ceil(0.1 * len(grp))) - 1)])
+        hi = int(np.sort(grp["v"])[max(0, int(np.ceil(0.9 * len(grp))) - 1)])
+        sub = got[got["k"] == key].set_index("rid")["clipped"]
+        src = grp.set_index("rid")["v"]
+        assert (sub == src.clip(lo, hi)).all()

@@ -264,3 +264,21 @@ def test_rank_stats_ties_match_duckdb():
     assert got["cume"].tolist() == want["cume"].tolist()
     solo = got[got["k"] == "solo"].iloc[0]
     assert solo["pct_rank"] == 0.0 and solo["cume"] == 1.0
+
+
+def test_unpivot_matches_duckdb():
+    import duckdb
+
+    from folkscope_ray.ops.window import unpivot
+
+    df = pd.DataFrame({"id": np.arange(5, dtype="int64"),
+                       "x": np.arange(5, dtype="int64") * 2,
+                       "y": np.arange(5, dtype="int64") * 3.5})
+    got = (unpivot(rd.from_pandas(df).repartition(2), ["id"], ["x", "y"])
+           .to_pandas().sort_values(["id", "name"]).reset_index(drop=True))
+    want = duckdb.sql(
+        "UNPIVOT (SELECT id, x::DOUBLE AS x, y::DOUBLE AS y FROM df)"
+        " ON x, y INTO NAME name VALUE value"
+    ).df().sort_values(["id", "name"]).reset_index(drop=True)
+    assert got["name"].tolist() == want["name"].tolist()
+    assert got["value"].tolist() == want["value"].tolist()
