@@ -554,7 +554,9 @@ def test_inverted_index_matches_duckdb_and_df_guards():
     df = pd.DataFrame({"doc_id": np.arange(200, dtype=np.int64), "text": texts})
     got = (inverted_index(rd.from_pandas(df).repartition(7), min_df=3)
            .to_pandas().sort_values("term").reset_index(drop=True))
-    duckdb.register("docs", df)
+    duckdb.register("docs", df)  # unregistered below: the default
+    # connection is process-global and a lingering "docs" view shadows
+    # other tests' replacement scans
     want = duckdb.sql("""
         WITH toks AS (
           SELECT doc_id,
@@ -577,6 +579,7 @@ def test_inverted_index_matches_duckdb_and_df_guards():
     again = (inverted_index(rd.from_pandas(df).repartition(2), min_df=3)
              .to_pandas().sort_values("term").reset_index(drop=True))
     assert again[["term", "df", "postings"]].equals(got[["term", "df", "postings"]])
+    duckdb.unregister("docs")
 
 
 def test_ngram_contamination_planted():
@@ -933,7 +936,9 @@ def test_dup_gram_counts_planted_spans_and_multibyte():
     })
     got = (dup_gram_counts(rd.from_pandas(docs).repartition(3), gram_len=50)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    want = duckdb.sql("""
+    con = duckdb.connect()  # private connection: the global default one may
+    con.register("docs", docs)  # carry a registered "docs" from other tests
+    want = con.sql("""
         WITH s AS (
           SELECT doc_id, text, unnest(generate_series(1, len(text)-49)) AS i
           FROM docs WHERE len(text) >= 50
@@ -966,7 +971,9 @@ def test_dup_gram_counts_multibyte_shared_span_matches_sql():
     })
     got = (dup_gram_counts(rd.from_pandas(docs), gram_len=50)
            .to_pandas().sort_values("doc_id").reset_index(drop=True))
-    want = duckdb.sql("""
+    con = duckdb.connect()
+    con.register("docs", docs)
+    want = con.sql("""
         WITH s AS (
           SELECT doc_id, text, unnest(generate_series(1, len(text)-49)) AS i
           FROM docs WHERE len(text) >= 50
