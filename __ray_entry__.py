@@ -848,6 +848,52 @@ def _q_winsorize_parts(sf_dir: str):
                             id_cols=["p_partkey"], q_lo=0.05, q_hi=0.95)
 
 
+def _q_rolling_median_orders(sf_dir: str):
+    """Moving 5-order median of each customer's order totals (full frames
+    only: odd frame -> exact element selection, bit-equal doubles)."""
+    from folkscope_ray.ops.window import rolling_median
+
+    out = rolling_median(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"]),
+        key_col="o_custkey", order_cols=["o_orderdate", "o_orderkey"],
+        value_col="o_totalprice", k=5, alias="med5")
+    return out.select_columns(["o_custkey", "o_orderkey", "med5"])
+
+
+def _q_transition_counts_events(sf_dir: str):
+    """First-order Markov transition matrix over each user's event-type
+    sequence — per-bucket LAG + partial counts, category²-bounded combine."""
+    from folkscope_ray.ops.window import transition_counts
+
+    return transition_counts(
+        _rp(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        cat_col="event_type")
+
+
+def _q_funnel_events(sf_dir: str):
+    """view -> click -> purchase sequential funnel (strict-after min-ts
+    semantics): users reaching each stage."""
+    from folkscope_ray.ops.window import funnel_counts
+
+    return funnel_counts(_rp(sf_dir, "events"), key_col="user_id",
+                         ts_col="ts", cat_col="event_type",
+                         stages=["view", "click", "purchase"])
+
+
+def _q_collect_topk_docs(sf_dir: str):
+    """Per-language ordered collect (STRING_AGG) of the 10 longest docs —
+    rides cap_per_key's map-side pre-prune, one bounded string per key."""
+    from folkscope_ray.ops.window import collect_topk
+
+    return collect_topk(_rp(sf_dir, "documents"), key_col="lang",
+                        id_col="doc_id", order_cols=["n_chars", "doc_id"],
+                        ascending=[False, True], k=10,
+                        list_alias="ids", count_alias="n")
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Mergeable HyperLogLog distinct-user sketch per event_type — partials
     merge by register max, so the estimate is bit-identical at any
@@ -2010,6 +2056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "editdist_join_customers": _q_editdist_join_customers,
         "unpivot_lineitem": _q_unpivot_lineitem,
         "winsorize_parts": _q_winsorize_parts,
+        "rolling_median_orders": _q_rolling_median_orders,
+        "transition_counts_events": _q_transition_counts_events,
+        "funnel_events": _q_funnel_events,
+        "collect_topk_docs": _q_collect_topk_docs,
         "kg_triples": _q_kg_triples,
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
@@ -2982,6 +3032,59 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "rolling_median_orders": """
+            WITH w AS (
+              SELECT o_custkey, o_orderkey,
+                     median(o_totalprice) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5,
+                     row_number() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS rn
+              FROM orders)
+            SELECT o_custkey, o_orderkey, med5 FROM w WHERE rn >= 5
+        """,
+        "transition_counts_events": """
+            WITH lagged AS (
+              SELECT event_type AS dst,
+                     LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS src
+              FROM events)
+            SELECT src, dst, count(*) AS n
+            FROM lagged WHERE src IS NOT NULL GROUP BY src, dst
+        """,
+        "funnel_events": """
+            WITH t1 AS (
+              SELECT user_id, min(ts) AS t FROM events
+              WHERE event_type = 'view' GROUP BY user_id
+            ), t2 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t1 ON e.user_id = t1.user_id
+              WHERE e.event_type = 'click' AND e.ts > t1.t
+              GROUP BY e.user_id
+            ), t3 AS (
+              SELECT e.user_id, min(e.ts) AS t
+              FROM events e JOIN t2 ON e.user_id = t2.user_id
+              WHERE e.event_type = 'purchase' AND e.ts > t2.t
+              GROUP BY e.user_id
+            )
+            SELECT 1::BIGINT AS stage, count(*)::BIGINT AS users FROM t1
+            UNION ALL SELECT 2, count(*) FROM t2
+            UNION ALL SELECT 3, count(*) FROM t3
+        """,
+        "collect_topk_docs": """
+            WITH ranked AS (
+              SELECT lang, doc_id,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents)
+            SELECT lang,
+                   string_agg(doc_id::VARCHAR, ',' ORDER BY rn) AS ids,
+                   count(*)::BIGINT AS n
+            FROM ranked WHERE rn <= 10 GROUP BY lang
         """,
         # incremental/sharded build parity: the oracle is the MONOLITHIC
         # build's golden fixture — equality IS the property under test

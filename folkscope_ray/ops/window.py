@@ -480,3 +480,161 @@ def unpivot(ds: Dataset, id_cols: list[str], value_cols: list[str],
 
     return ds.select_columns(id_cols + value_cols).map_batches(
         melt, batch_format="pyarrow")
+
+
+def rolling_median(ds: Dataset, key_col: str, order_cols: list[str],
+                   value_col: str, k: int,
+                   alias: str = "med",
+                   full_frames_only: bool = True,
+                   n_buckets: int | None = None) -> Dataset:
+    """Moving median per key over a ROWS BETWEEN k-1 PRECEDING AND CURRENT
+    ROW frame (the order-statistic sibling of ``moving_sum_avg``; the
+    robust smoother quality-score pipelines prefer over the mean).
+
+    Cross-engine exactness: with ``full_frames_only=True`` (default) only
+    rows whose frame holds exactly ``k`` values are emitted, so an ODD
+    ``k`` selects one concrete element — no midpoint averaging, hence
+    bit-equal doubles on every engine.  Even-``k`` / partial frames take
+    the (lo+hi)/2 midpoint, whose last-ulp behaviour is engine-specific;
+    they are supported but excluded from the hash-parity contract.
+
+    Scale shape: same bucketed-per-key contract as ``lag_gap`` (one
+    vectorized pandas rolling kernel per bucket, never per key)."""
+    min_p = k if full_frames_only else 1
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        med = (g.groupby(key_col, sort=False)[value_col]
+               .rolling(k, min_periods=min_p).median()
+               .reset_index(level=0, drop=True))
+        out = g.copy()
+        out[alias] = med
+        if full_frames_only:
+            out = out[med.notna()]
+        return out
+
+    return _bucketed_groups(ds, key_col, body, n_buckets=n_buckets)
+
+
+def transition_counts(ds: Dataset, key_col: str, order_cols: list[str],
+                      cat_col: str,
+                      src_alias: str = "src", dst_alias: str = "dst",
+                      count_alias: str = "n",
+                      n_buckets: int | None = None) -> Dataset:
+    """First-order Markov transition counts: for each key's rows in
+    ``order_cols`` order, count (previous ``cat_col`` -> current
+    ``cat_col``) pairs across the whole stream (the event-sequence /
+    user-journey transition matrix).
+
+    Scale shape: the bucket body LAGs vectorized per key and immediately
+    collapses to per-bucket partial counts (<= |categories|^2 rows per
+    bucket), so the final combine moves a category-squared-bounded table
+    — never event rows — through the groupby."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        prev = g.groupby(key_col, sort=False)[cat_col].shift(1)
+        m = prev.notna().to_numpy()
+        part = (pd.DataFrame({src_alias: prev.to_numpy()[m],
+                              dst_alias: g[cat_col].to_numpy()[m]})
+                .groupby([src_alias, dst_alias], sort=False)
+                .size().reset_index(name=count_alias))
+        part[count_alias] = part[count_alias].astype("int64")
+        return part
+
+    partials = _bucketed_groups(
+        ds.select_columns([key_col, cat_col] + [c for c in order_cols
+                                                if c not in (key_col, cat_col)]),
+        key_col, body, n_buckets=n_buckets)
+
+    import ray.data.aggregate as agg
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({src_alias: b.column(src_alias),
+                         dst_alias: b.column(dst_alias),
+                         count_alias: pc.cast(
+                             b.column(f"sum({count_alias})"), pa.int64())})
+
+    return (partials.groupby([src_alias, dst_alias])
+            .aggregate(agg.Sum(count_alias))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def funnel_counts(ds: Dataset, key_col: str, ts_col: str, cat_col: str,
+                  stages: list[str],
+                  stage_alias: str = "stage", users_alias: str = "users",
+                  n_buckets: int | None = None) -> Dataset:
+    """Sequential funnel: how many keys reach stage i — i.e. have a
+    ``stages[0]`` event, then a ``stages[1]`` event STRICTLY AFTER their
+    first stage-0 event, then a ``stages[2]`` strictly after that, etc.
+    (the classic conversion-funnel analytic, min-ts semantics).
+
+    Scale shape: each bucket resolves its keys' funnels vectorized
+    (one filtered groupby-min per stage) and emits ONE row per stage —
+    the final combine sums a len(stages)-row table per bucket."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        # reached: Series indexed by key -> ts of reaching the previous
+        # stage (start: all keys at -inf so stage 0 is unconditional)
+        reached = None
+        for i, st in enumerate(stages):
+            ev = g[g[cat_col] == st]
+            if reached is not None:
+                prev_ts = ev[key_col].map(reached)
+                ev = ev[prev_ts.notna().to_numpy()
+                        & (ev[ts_col].to_numpy()
+                           > prev_ts.to_numpy())]
+            reached = ev.groupby(key_col, sort=False)[ts_col].min()
+            counts.append(len(reached))
+        return pd.DataFrame({stage_alias: np.arange(1, len(stages) + 1,
+                                                    dtype="int64"),
+                             users_alias: np.asarray(counts, dtype="int64")})
+
+    partials = _bucketed_groups(
+        ds.select_columns([key_col, ts_col, cat_col]),
+        key_col, body, n_buckets=n_buckets)
+
+    import ray.data.aggregate as agg
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({stage_alias: b.column(stage_alias),
+                         users_alias: pc.cast(
+                             b.column(f"sum({users_alias})"), pa.int64())})
+
+    return (partials.groupby(stage_alias)
+            .aggregate(agg.Sum(users_alias))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def collect_topk(ds: Dataset, key_col: str, id_col: str,
+                 order_cols: list[str], ascending: list[bool], k: int,
+                 list_alias: str = "ids", count_alias: str = "n",
+                 sep: str = ",") -> Dataset:
+    """Per-key ordered collect of the top-``k`` ids (STRING_AGG ... ORDER
+    BY over a ranked-top-k subquery): the 'representative examples per
+    group' exporter.  Order must be total (include ``id_col`` as the final
+    tiebreaker) for cross-engine determinism.
+
+    Scale shape: rides ``cap_per_key``'s map-side pre-prune (the shuffle
+    moves <= blocks x keys x k rows), then one vectorized join per key in
+    a bucketed body; output is one bounded string row per key."""
+    from .split import cap_per_key
+
+    capped = cap_per_key(ds.select_columns(
+        list(dict.fromkeys([key_col, id_col] + order_cols))),
+        key_col, k, order_cols, ascending=ascending)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols,
+                          ascending=[True] + list(ascending),
+                          kind="mergesort")
+        ids = g[id_col].astype(str)
+        out = (ids.groupby(g[key_col], sort=False)
+               .agg(lambda s: sep.join(s)).reset_index())
+        out.columns = [key_col, list_alias]
+        out[count_alias] = (g.groupby(key_col, sort=False)[id_col]
+                            .size().to_numpy().astype("int64"))
+        return out
+
+    return _bucketed_groups(capped, key_col, body)

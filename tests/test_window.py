@@ -282,3 +282,107 @@ def test_unpivot_matches_duckdb():
     ).df().sort_values(["id", "name"]).reset_index(drop=True)
     assert got["name"].tolist() == want["name"].tolist()
     assert got["value"].tolist() == want["value"].tolist()
+
+
+def test_rolling_median_full_frames_matches_pandas(orders_df):
+    from folkscope_ray.ops.window import rolling_median
+
+    df = orders_df.copy()
+    df["val"] = df["v"].astype("float64") + 0.25
+    out = rolling_median(
+        rd.from_pandas(df, override_num_blocks=6),
+        key_col="k", order_cols=["t", "oid"], value_col="val", k=5,
+        alias="med5",
+    ).to_pandas().sort_values("oid").reset_index(drop=True)
+    exp = df.sort_values(["k", "t", "oid"]).copy()
+    exp["med5"] = (exp.groupby("k")["val"]
+                   .rolling(5, min_periods=5).median()
+                   .reset_index(level=0, drop=True))
+    exp = exp[exp["med5"].notna()].sort_values("oid").reset_index(drop=True)
+    assert len(out) == len(exp)
+    # full odd frames: exact element selection, so bit-equal doubles
+    assert (out["med5"].to_numpy() == exp["med5"].to_numpy()).all()
+
+
+def test_rolling_median_partial_frames(orders_df):
+    from folkscope_ray.ops.window import rolling_median
+
+    df = orders_df.copy()
+    df["val"] = df["v"].astype("float64")
+    out = rolling_median(
+        rd.from_pandas(df, override_num_blocks=4),
+        key_col="k", order_cols=["t", "oid"], value_col="val", k=3,
+        alias="m", full_frames_only=False,
+    ).to_pandas()
+    assert len(out) == len(df)  # every row emitted
+    assert out["m"].notna().all()
+
+
+def test_transition_counts_matches_pandas(orders_df):
+    from folkscope_ray.ops.window import transition_counts
+
+    df = orders_df.copy()
+    df["cat"] = np.array(["a", "b", "c", "d"])[df["v"].to_numpy() % 4]
+    out = transition_counts(
+        rd.from_pandas(df, override_num_blocks=6),
+        key_col="k", order_cols=["t", "oid"], cat_col="cat",
+    ).to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    exp_df = df.sort_values(["k", "t", "oid"])
+    prev = exp_df.groupby("k")["cat"].shift(1)
+    m = prev.notna()
+    exp = (pd.DataFrame({"src": prev[m], "dst": exp_df["cat"][m]})
+           .groupby(["src", "dst"]).size().reset_index(name="n")
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert out["n"].to_numpy().tolist() == exp["n"].to_numpy().tolist()
+    assert out["src"].tolist() == exp["src"].tolist()
+    assert out["dst"].tolist() == exp["dst"].tolist()
+
+
+def test_funnel_counts_planted_sequences():
+    from folkscope_ray.ops.window import funnel_counts
+
+    # user 1: full a->b->c in order; user 2: b before a (stops at stage 1);
+    # user 3: a only; user 4: a and b simultaneous (strict > rejects b)
+    df = pd.DataFrame({
+        "u":  [1, 1, 1, 2, 2, 2, 3, 4, 4],
+        "ts": [10, 20, 30, 5, 1, 50, 7, 10, 10],
+        "c":  ["a", "b", "c", "a", "b", "c", "a", "a", "b"],
+    })
+    out = funnel_counts(
+        rd.from_pandas(df, override_num_blocks=3),
+        key_col="u", ts_col="ts", cat_col="c", stages=["a", "b", "c"],
+    ).to_pandas().sort_values("stage").reset_index(drop=True)
+    # stage 1: users 1-4 all have an 'a'; stage 2: user 1 only (u2's b
+    # precedes its a, u4's b ties its a and strict > rejects it); stage 3:
+    # user 1 (u2 never reaches stage 2, so its c@50 cannot count)
+    assert out["users"].tolist() == [4, 1, 1]
+
+
+def test_collect_topk_matches_duckdb():
+    import duckdb
+
+    from folkscope_ray.ops.window import collect_topk
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "g": rng.randint(0, 4, 200),
+        "id": np.arange(200, dtype=np.int64),
+        "score": rng.randint(0, 40, 200).astype(np.int64),
+    })
+    out = collect_topk(
+        rd.from_pandas(df, override_num_blocks=5),
+        key_col="g", id_col="id", order_cols=["score", "id"],
+        ascending=[False, True], k=7,
+    ).to_pandas().sort_values("g").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH r AS (SELECT g, id, row_number() OVER (
+            PARTITION BY g ORDER BY score DESC, id) AS rn FROM t)
+        SELECT g, string_agg(id::VARCHAR, ',' ORDER BY rn) AS ids,
+               count(*)::BIGINT AS n
+        FROM r WHERE rn <= 7 GROUP BY g ORDER BY g
+    """).df()
+    con.close()
+    assert out["ids"].tolist() == exp["ids"].tolist()
+    assert out["n"].tolist() == exp["n"].tolist()
