@@ -894,6 +894,39 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_mode_quantity_lineitem(sf_dir: str):
+    """Per-returnflag modal quantity (deterministic smallest-value
+    tiebreak) — the shuffle moves a (flag x quantity)-bounded histogram."""
+    from folkscope_ray.ops.stats import grouped_mode
+
+    def qty(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": b.column("l_returnflag"),
+            "qty": pc.cast(b.column("l_quantity"), pa.int64())})
+
+    ds = (_rp(sf_dir, "lineitem")
+          .select_columns(["l_returnflag", "l_quantity"])
+          .map_batches(qty, batch_format="pyarrow"))
+    return grouped_mode(ds, key_col="l_returnflag", value_col="qty",
+                        mode_alias="mode_value", count_alias="n")
+
+
+def _q_mad_value_events(sf_dir: str):
+    """Per-event-type median absolute deviation of value cents — two
+    histogram-shuffle passes, quantile_disc-exact int64s."""
+    from folkscope_ray.ops.stats import mad_by_key
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("value"), 100.0)),
+                    pa.int64())
+        return pa.table({"event_type": b.column("event_type"), "cents": c})
+
+    ds = (_rp(sf_dir, "events").select_columns(["event_type", "value"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return mad_by_key(ds, key_col="event_type", value_col="cents",
+                      med_alias="med", mad_alias="mad")
+
+
 def _q_hll_distinct_users(sf_dir: str):
     """Mergeable HyperLogLog distinct-user sketch per event_type — partials
     merge by register max, so the estimate is bit-identical at any
@@ -2057,6 +2090,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unpivot_lineitem": _q_unpivot_lineitem,
         "winsorize_parts": _q_winsorize_parts,
         "rolling_median_orders": _q_rolling_median_orders,
+        "mode_quantity_lineitem": _q_mode_quantity_lineitem,
+        "mad_value_events": _q_mad_value_events,
         "transition_counts_events": _q_transition_counts_events,
         "funnel_events": _q_funnel_events,
         "collect_topk_docs": _q_collect_topk_docs,
@@ -3032,6 +3067,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "mode_quantity_lineitem": """
+            WITH t AS (
+              SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem
+            ), c AS (
+              SELECT l_returnflag, qty, count(*) AS n
+              FROM t GROUP BY l_returnflag, qty
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY l_returnflag ORDER BY n DESC, qty) AS rn
+              FROM c)
+            SELECT l_returnflag, qty AS mode_value, n FROM r WHERE rn = 1
+        """,
+        "mad_value_events": """
+            WITH t AS (
+              SELECT event_type,
+                     CAST(round(value * 100) AS BIGINT) AS cents
+              FROM events
+            ), m AS (
+              SELECT event_type,
+                     quantile_disc(cents, 0.5)::BIGINT AS med
+              FROM t GROUP BY event_type
+            ), d AS (
+              SELECT t.event_type, m.med, abs(t.cents - m.med) AS adev
+              FROM t JOIN m USING (event_type)
+            )
+            SELECT event_type, min(med)::BIGINT AS med,
+                   quantile_disc(adev, 0.5)::BIGINT AS mad
+            FROM d GROUP BY event_type
         """,
         "rolling_median_orders": """
             WITH w AS (

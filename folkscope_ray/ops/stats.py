@@ -215,3 +215,82 @@ def winsorize_by_key(ds: Dataset, key_col: str, value_col: str,
     return ds.select_columns(list(dict.fromkeys(
         id_cols + [key_col, value_col]))).map_batches(
         clip, batch_format="pyarrow")
+
+
+def grouped_mode(ds: Dataset, key_col: str, value_col: str,
+                 mode_alias: str = "mode_value",
+                 count_alias: str = "n") -> Dataset:
+    """Most frequent value per key, deterministic tiebreak (smallest value
+    wins) — the categorical summary statistic (imputation default / label
+    consensus) SQL spells as a row_number-over-counts pick.
+
+    Scale shape: the only shuffle moves the map-side-combined
+    ``(key, value) -> count`` histogram (bounded by the distinct-pair
+    domain, never the stream); the per-key argmax then rides one bucketed
+    vectorized body."""
+    from .relational import map_combine_aggregate
+    from .window import _bucketed_groups
+
+    hist = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col, value_col], count_alias=count_alias)
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, count_alias, value_col],
+                          ascending=[True, False, True], kind="mergesort")
+        out = g.groupby(key_col, sort=False).head(1)
+        out = out.rename(columns={value_col: mode_alias})
+        out[count_alias] = out[count_alias].astype("int64")
+        return out
+
+    return _bucketed_groups(hist, key_col, pick)
+
+
+def mad_by_key(ds: Dataset, key_col: str, value_col: str,
+               med_alias: str = "med", mad_alias: str = "mad") -> Dataset:
+    """Per-key median absolute deviation over an INTEGER value column —
+    the robust dispersion statistic (outlier fences that a single wild
+    value cannot move, unlike the z-score's mean/std).
+
+    Both medians use discrete-quantile semantics (exact element selection,
+    DuckDB ``quantile_disc``-parity), so every output is an int64 and
+    hash-matches SQL at any parallelism.
+
+    Scale shape: two histogram-shuffle passes (each bounded by
+    ``groups x value-domain``), with the tiny per-key median table
+    broadcast between them — the stream itself is scanned twice, never
+    shuffled."""
+    import ray
+
+    from .sketch import exact_quantiles_by_group
+
+    med = exact_quantiles_by_group(
+        ds.select_columns([key_col, value_col]),
+        key_col, value_col, [0.5]).to_pandas()
+    med_map = {k: int(v) for k, v in
+               zip(med[key_col], med["value"])}
+    bref = ray.put(med_map)
+
+    def adev(b: pa.Table) -> pa.Table:
+        m = ray.get(bref)
+        codes, uniq = pd.factorize(
+            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        meds = np.array([m[k] for k in uniq], dtype=np.int64)
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        d = np.abs(v - meds[codes])
+        return pa.table({key_col: b.column(key_col),
+                         "__adev": pa.array(d, pa.int64())})
+
+    devs = ds.select_columns([key_col, value_col]).map_batches(
+        adev, batch_format="pyarrow")
+    mad = exact_quantiles_by_group(devs, key_col, "__adev",
+                                   [0.5]).to_pandas()
+
+    out = mad[[key_col, "value"]].rename(columns={"value": mad_alias})
+    out[med_alias] = out[key_col].map(med_map).astype("int64")
+    out[mad_alias] = out[mad_alias].astype("int64")
+    import ray.data as rd
+
+    return rd.from_pandas(
+        out[[key_col, med_alias, mad_alias]].reset_index(drop=True))

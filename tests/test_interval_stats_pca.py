@@ -379,3 +379,50 @@ def test_winsorize_by_key_clips_to_group_band():
         sub = got[got["k"] == key].set_index("rid")["clipped"]
         src = grp.set_index("rid")["v"]
         assert (sub == src.clip(lo, hi)).all()
+
+
+def test_grouped_mode_tiebreak_smallest():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import grouped_mode
+
+    # key 0: value 7 x3 beats 9 x2; key 1: tie 4 x2 vs 8 x2 -> smallest (4)
+    df = pd.DataFrame({
+        "k": [0, 0, 0, 0, 0, 1, 1, 1, 1],
+        "v": [7, 7, 7, 9, 9, 8, 4, 8, 4],
+    })
+    out = (grouped_mode(rd.from_pandas(df, override_num_blocks=3),
+                        key_col="k", value_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["mode_value"].tolist() == [7, 4]
+    assert out["n"].tolist() == [3, 2]
+
+
+def test_mad_by_key_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import mad_by_key
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, 300),
+        "v": rng.randint(-50, 500, 300).astype(np.int64),
+    })
+    out = (mad_by_key(rd.from_pandas(df, override_num_blocks=5),
+                      key_col="k", value_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        WITH m AS (SELECT k, quantile_disc(v, 0.5)::BIGINT AS med
+                   FROM t GROUP BY k),
+        d AS (SELECT t.k, m.med, abs(t.v - m.med) AS adev
+              FROM t JOIN m USING (k))
+        SELECT k, min(med)::BIGINT AS med,
+               quantile_disc(adev, 0.5)::BIGINT AS mad
+        FROM d GROUP BY k ORDER BY k
+    """).df()
+    con.close()
+    assert out["med"].tolist() == exp["med"].tolist()
+    assert out["mad"].tolist() == exp["mad"].tolist()
