@@ -894,6 +894,25 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_regex_extract_docs(sf_dir: str):
+    """First 's…' word + match count per doc — one stateless Arrow-RE2
+    scan (both engines are RE2, so results match bit-for-bit)."""
+    from folkscope_ray.ops.text import regex_extract_batch
+
+    return (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+            .map_batches(lambda b: regex_extract_batch(b, r"s[a-z]+"),
+                         batch_format="pyarrow"))
+
+
+def _q_retention_cohorts_events(sf_dir: str):
+    """Day-N retention curve over user activity days (distinct
+    (user, day-offset) pairs, days-bounded combine)."""
+    from folkscope_ray.ops.window import retention_cohorts
+
+    return retention_cohorts(_rp(sf_dir, "events"), key_col="user_id",
+                             ts_col="ts")
+
+
 def _q_mode_quantity_lineitem(sf_dir: str):
     """Per-returnflag modal quantity (deterministic smallest-value
     tiebreak) — the shuffle moves a (flag x quantity)-bounded histogram."""
@@ -2092,6 +2111,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_median_orders": _q_rolling_median_orders,
         "mode_quantity_lineitem": _q_mode_quantity_lineitem,
         "mad_value_events": _q_mad_value_events,
+        "regex_extract_docs": _q_regex_extract_docs,
+        "retention_cohorts_events": _q_retention_cohorts_events,
         "transition_counts_events": _q_transition_counts_events,
         "funnel_events": _q_funnel_events,
         "collect_topk_docs": _q_collect_topk_docs,
@@ -3067,6 +3088,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "regex_extract_docs": """
+            SELECT doc_id,
+                   regexp_extract(text, 's[a-z]+') AS first_match,
+                   length(regexp_extract_all(text, 's[a-z]+'))::BIGINT
+                     AS n_matches
+            FROM documents
+        """,
+        "retention_cohorts_events": """
+            WITH f AS (
+              SELECT user_id, min(date_trunc('day', ts)) AS d0
+              FROM events GROUP BY user_id
+            ), a AS (
+              SELECT DISTINCT e.user_id,
+                     date_diff('day', f.d0, date_trunc('day', e.ts)) AS dn
+              FROM events e JOIN f ON e.user_id = f.user_id
+            )
+            SELECT dn, count(*)::BIGINT AS users FROM a GROUP BY dn
         """,
         "mode_quantity_lineitem": """
             WITH t AS (

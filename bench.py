@@ -65,6 +65,12 @@ BENCH_QUERIES = [
     "editdist_join_customers",
     "unpivot_lineitem",
     "winsorize_parts",
+    "rolling_median_orders",
+    "transition_counts_events",
+    "funnel_events",
+    "collect_topk_docs",
+    "mode_quantity_lineitem",
+    "mad_value_events",
 ]
 
 

@@ -638,3 +638,44 @@ def collect_topk(ds: Dataset, key_col: str, id_col: str,
         return out
 
     return _bucketed_groups(capped, key_col, body)
+
+
+def retention_cohorts(ds: Dataset, key_col: str, ts_col: str,
+                      dn_alias: str = "dn", users_alias: str = "users",
+                      n_buckets: int | None = None) -> Dataset:
+    """Day-N retention: for each key, day 0 is its first active calendar
+    day; count how many distinct keys were active again N days later
+    (the cohort-retention curve, collapsed across cohorts).
+
+    Scale shape: each bucket resolves its keys' first-day and distinct
+    (key, day-offset) pairs vectorized and emits partial ``(dn, users)``
+    counts bounded by the observation span in days; the final combine
+    sums a days-bounded table."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        days = (g[ts_col].to_numpy().astype("datetime64[D]")
+                .astype("int64"))
+        keys = g[key_col].to_numpy()
+        d0 = pd.Series(days).groupby(keys, sort=False).transform("min")
+        dn = days - d0.to_numpy()
+        part = (pd.DataFrame({key_col: keys, dn_alias: dn})
+                .drop_duplicates()
+                .groupby(dn_alias, sort=False).size()
+                .reset_index(name=users_alias))
+        part[users_alias] = part[users_alias].astype("int64")
+        part[dn_alias] = part[dn_alias].astype("int64")
+        return part[[dn_alias, users_alias]]
+
+    partials = _bucketed_groups(ds.select_columns([key_col, ts_col]),
+                                key_col, body, n_buckets=n_buckets)
+
+    import ray.data.aggregate as agg
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table({dn_alias: b.column(dn_alias),
+                         users_alias: pc.cast(
+                             b.column(f"sum({users_alias})"), pa.int64())})
+
+    return (partials.groupby(dn_alias)
+            .aggregate(agg.Sum(users_alias))
+            .map_batches(finish, batch_format="pyarrow"))

@@ -386,3 +386,44 @@ def test_collect_topk_matches_duckdb():
     con.close()
     assert out["ids"].tolist() == exp["ids"].tolist()
     assert out["n"].tolist() == exp["n"].tolist()
+
+
+def test_retention_cohorts_planted():
+    from folkscope_ray.ops.window import retention_cohorts
+
+    # u1 active day0, day1, day3 (day1 twice: distinct-day dedup);
+    # u2 active day5 only -> its dn=0; u3 day2 and day4 -> dn 0 and 2
+    base = np.datetime64("2025-01-01T12:00:00")
+    day = np.timedelta64(1, "D")
+    df = pd.DataFrame({
+        "u":  [1, 1, 1, 1, 2, 3, 3],
+        "ts": [base, base + day, base + day, base + 3 * day,
+               base + 5 * day, base + 2 * day, base + 4 * day],
+    })
+    out = retention_cohorts(
+        rd.from_pandas(df, override_num_blocks=3),
+        key_col="u", ts_col="ts",
+    ).to_pandas().sort_values("dn").reset_index(drop=True)
+    assert out["dn"].tolist() == [0, 1, 2, 3]
+    assert out["users"].tolist() == [3, 1, 1, 1]
+
+
+def test_regex_extract_matches_duckdb():
+    import duckdb
+    import pyarrow as paw
+
+    from folkscope_ray.ops.text import regex_extract_batch
+
+    texts = ["alpha beta sun set", "no hits here?", "", "stone soup stew",
+             "s sss s1 ss"]
+    t = paw.table({"doc_id": list(range(5)), "text": texts})
+    out = regex_extract_batch(t, r"s[a-z]+").to_pandas()
+    con = duckdb.connect()
+    exp = con.execute("""
+        SELECT doc_id, regexp_extract(text, 's[a-z]+') AS first_match,
+               length(regexp_extract_all(text, 's[a-z]+'))::BIGINT AS n
+        FROM t ORDER BY doc_id
+    """, ).df()
+    con.close()
+    assert out["first_match"].tolist() == exp["first_match"].tolist()
+    assert out["n_matches"].tolist() == exp["n"].tolist()
