@@ -894,6 +894,27 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_bfs_depths_lineitem(sf_dir: str):
+    """K-hop BFS depths from supplier 1 over the undirected
+    supplier-part bipartite graph (part nodes offset by 1,000,000) —
+    level-synchronous frontier broadcast, node-bounded driver state."""
+    from folkscope_ray.ops.graph import bfs_depths
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    def bip(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("l_suppkey"), pa.int64())
+        p = pc.add(pc.cast(b.column("l_partkey"), pa.int64()),
+                   pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"src": pa.chunked_array([*s.chunks, *p.chunks]),
+                         "dst": pa.chunked_array([*p.chunks, *s.chunks])})
+
+    edges = map_combine_aggregate(
+        _rp(sf_dir, "lineitem").select_columns(["l_suppkey", "l_partkey"])
+        .map_batches(bip, batch_format="pyarrow"),
+        keys=["src", "dst"], count_alias="__n").drop_columns(["__n"])
+    return bfs_depths(edges, seeds=[1], max_depth=4)
+
+
 def _q_regex_extract_docs(sf_dir: str):
     """First 's…' word + match count per doc — one stateless Arrow-RE2
     scan (both engines are RE2, so results match bit-for-bit)."""
@@ -2078,18 +2099,29 @@ def _q_heavy_hitter_users(sf_dir: str):
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
-    #   tier 1 - queries never driver-verified in any round come first;
+    #   tier 1 - queries never driver-verified in any round come first
+    #            (this round: the 15 early-r4 additions, then the 10
+    #            late-r4 additions rolling_median/transition/funnel/
+    #            collect_topk/mode/mad/regex_extract/retention and the
+    #            two stats ops — all pre-validated vs DuckDB at sf0.01
+    #            via tools/check_queries.py);
     #   tier 2 - every query whose code path changed since its last green
-    #            CORRECTNESS row (this round: the r3 lineage-rank/pack kg_*
-    #            paths, the concept_triples/fuse_subj vectorization, the
-    #            shared md5 kernel in ops/split.py, the zero-copy embedding
-    #            ingestion in ops/similarity.py + ops/vector.py, the W-word
-    #            dense setjoin plan, the interval-join date/inverted/salt
-    #            fixes, corr_matrix/triangle_count guards, WnD ablations,
-    #            and edge_features via the mean_vector_by_key rewrite);
+    #            CORRECTNESS row (the r3 lineage-rank/pack kg_* paths,
+    #            the concept_triples/fuse_subj vectorization, the shared
+    #            md5 kernel in ops/split.py, the zero-copy embedding
+    #            ingestion, the W-word dense setjoin plan, the
+    #            interval-join date/inverted/salt fixes,
+    #            corr_matrix/triangle_count guards, WnD ablations, and
+    #            edge_features via the mean_vector_by_key rewrite);
     #   tier 3 - stalest-first fill: queries green only in r1/r2 rotate in
     #            so no query goes more than two rounds unverified;
-    #   remainder - green in r3 and unchanged; they rotate forward in r5.
+    #   remainder - green in r3 and unchanged.  The 10 late-r4 additions
+    #            displace 8 tier-3 stale queries (sort_limit_parts,
+    #            doc_length_cdf, exact_dedup_docs, hash_join_lineitem_
+    #            orders, minhash_dedup_docs, tpch_q1_pricing_summary,
+    #            groupby_count_docs, filter_project_events) below the
+    #            fold — the r5 window MUST start with those eight plus
+    #            whatever r5 adds or changes.
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
@@ -2113,6 +2145,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_value_events": _q_mad_value_events,
         "regex_extract_docs": _q_regex_extract_docs,
         "retention_cohorts_events": _q_retention_cohorts_events,
+        "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "transition_counts_events": _q_transition_counts_events,
         "funnel_events": _q_funnel_events,
         "collect_topk_docs": _q_collect_topk_docs,
@@ -3088,6 +3121,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "bfs_depths_lineitem": """
+            WITH RECURSIVE e0 AS (
+              SELECT DISTINCT l_suppkey::BIGINT AS s,
+                     (l_partkey + 1000000)::BIGINT AS p
+              FROM lineitem
+            ), edges AS (
+              SELECT s AS src, p AS dst FROM e0
+              UNION ALL SELECT p, s FROM e0
+            ), bfs AS (
+              SELECT 1::BIGINT AS node, 0::BIGINT AS d
+              UNION
+              SELECT e.dst, bfs.d + 1
+              FROM bfs JOIN edges e ON e.src = bfs.node
+              WHERE bfs.d < 4
+            )
+            SELECT node, min(d)::BIGINT AS depth FROM bfs GROUP BY node
         """,
         "regex_extract_docs": """
             SELECT doc_id,

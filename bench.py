@@ -71,6 +71,9 @@ BENCH_QUERIES = [
     "collect_topk_docs",
     "mode_quantity_lineitem",
     "mad_value_events",
+    "regex_extract_docs",
+    "retention_cohorts_events",
+    "bfs_depths_lineitem",
 ]
 
 

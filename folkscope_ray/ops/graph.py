@@ -18,6 +18,8 @@ than redistributed (deterministic, documented PageRank variant)."""
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
@@ -273,3 +275,106 @@ def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
     ek = slim.map_batches(edge_key, batch_format="pyarrow")
     closed = hash_join(wk, ek, on="k", n_buckets=n_buckets)
     return pa.table({"triangles": pa.array([closed.count()], pa.int64())})
+
+
+def bfs_depths(edges: Dataset, seeds: list[int], src_col: str = "src",
+               dst_col: str = "dst", max_depth: int = 6,
+               mode: str = "broadcast") -> Dataset:
+    """BFS / k-hop reachability: shortest hop count from a seed set to
+    every node reachable within ``max_depth`` hops (the neighborhood-
+    expansion primitive behind entity-context harvesting and subgraph
+    sampling).  Returns ``(node, depth)``, int64, seeds at depth 0.
+    Directed along src -> dst; feed reversed duplicates for undirected
+    graphs.
+
+    ``mode="broadcast"``: the frontier (ONE node id per newly-reached
+    node) broadcasts via ``ray.put`` each level; one vectorized edge scan
+    per level emits block-distinct neighbors.  Driver state is
+    node-bounded, never edge-bounded — same contract as pagerank's
+    broadcast mode.
+
+    ``mode="shuffle"``: fully distributed Bellman-Ford — the depth table
+    stays a Dataset; each level hash-joins the current frontier onto the
+    edge stream and min-combines candidate depths.  Use when even the
+    node table outgrows the driver.
+
+    Both modes are bit-identical (integer depths + min; pytest-gated)."""
+    import ray
+    import ray.data as rd
+
+    from .relational import hash_join, map_combine_aggregate
+
+    if mode not in ("broadcast", "shuffle"):
+        raise ValueError(mode)
+
+    e = edges.map_batches(
+        lambda b: pa.table({"src": pc.cast(b.column(src_col), pa.int64()),
+                            "dst": pc.cast(b.column(dst_col), pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    if mode == "broadcast":
+        visited: dict[int, int] = {int(s): 0 for s in seeds}
+        frontier = np.array(sorted(visited), dtype=np.int64)
+        for d in range(1, max_depth + 1):
+            fref = ray.put(frontier)
+
+            def neigh(b: pa.Table, _fref=fref) -> pa.Table:
+                f = ray.get(_fref)
+                s = b.column("src").to_numpy(zero_copy_only=False)
+                hit = f[np.searchsorted(f, s).clip(max=len(f) - 1)] == s
+                out = np.unique(
+                    b.column("dst").to_numpy(zero_copy_only=False)[hit])
+                return pa.table({"node": pa.array(out, pa.int64())})
+
+            reached = (map_combine_aggregate(
+                e.map_batches(neigh, batch_format="pyarrow"),
+                keys=["node"], count_alias="__n")
+                .to_pandas()["node"].to_numpy())
+            new = np.array([n for n in reached if n not in visited],
+                           dtype=np.int64)
+            if len(new) == 0:
+                break
+            for n in new:
+                visited[int(n)] = d
+            frontier = np.sort(new)
+        out = pd.DataFrame(sorted(visited.items()),
+                           columns=["node", "depth"])
+        return rd.from_pandas(out.astype({"node": "int64",
+                                          "depth": "int64"}))
+
+    depths = rd.from_pandas(pd.DataFrame({
+        "node": np.array(sorted({int(s) for s in seeds}), dtype=np.int64),
+        "d": np.zeros(len({int(s) for s in seeds}), dtype=np.int64),
+    })).materialize()
+    for d in range(1, max_depth + 1):
+        def fr_batch(b: pa.Table, _d=d) -> pa.Table:
+            m = pc.equal(b.column("d"), pa.scalar(_d - 1, pa.int64()))
+            kept = b.filter(m)
+            return pa.table({"src": kept.column("node"),
+                             "d": kept.column("d")})
+
+        fr = depths.map_batches(fr_batch, batch_format="pyarrow")
+        cand = hash_join(fr, e, on="src").map_batches(
+            lambda b: pa.table({
+                "node": b.column("dst"),
+                "d": pc.add(b.column("d"), pa.scalar(1, pa.int64()))}),
+            batch_format="pyarrow")
+        # count_alias="d" collides with the min alias on purpose: suppress
+        # the row count so the depth table keeps its (node, d) schema
+        depths = map_combine_aggregate(
+            depths.union(cand), keys=["node"], mins={"d": "d"},
+            count_alias="d").materialize()
+
+        def lvl_count(b: pa.Table, _d=d) -> pa.Table:
+            n = pc.sum(pc.cast(pc.equal(
+                b.column("d"), pa.scalar(_d, pa.int64())), pa.int64()))
+            return pa.table({"c": pa.array([n.as_py() or 0], pa.int64())})
+
+        reached_lvl = depths.map_batches(
+            lvl_count, batch_format="pyarrow").sum("c")
+        if not reached_lvl:
+            break
+    return depths.map_batches(
+        lambda b: pa.table({"node": pc.cast(b.column("node"), pa.int64()),
+                            "depth": pc.cast(b.column("d"), pa.int64())}),
+        batch_format="pyarrow")

@@ -64,3 +64,33 @@ def test_pagerank_shuffle_mode_identical(edges):
                  mode="shuffle").to_pandas().sort_values("node") \
         .reset_index(drop=True)
     assert b.equals(s)
+
+
+def test_bfs_depths_planted_and_mode_equivalence():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.graph import bfs_depths
+
+    # path 1->2->3->4, branch 2->5, island 9->10; undirected via reversal
+    e = pd.DataFrame({"src": [1, 2, 3, 2, 9],
+                      "dst": [2, 3, 4, 5, 10]})
+    und = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})])
+    ds = rd.from_pandas(und, override_num_blocks=3)
+    out = (bfs_depths(ds, seeds=[1], max_depth=6, mode="broadcast")
+           .to_pandas().sort_values("node").reset_index(drop=True))
+    assert out["node"].tolist() == [1, 2, 3, 4, 5]
+    assert out["depth"].tolist() == [0, 1, 2, 3, 2]
+    # depth cap respected
+    capped = (bfs_depths(ds, seeds=[1], max_depth=2, mode="broadcast")
+              .to_pandas().sort_values("node").reset_index(drop=True))
+    assert capped["depth"].max() == 2 and 4 not in capped["node"].tolist()
+    # shuffle mode is bit-identical
+    shuf = (bfs_depths(ds, seeds=[1], max_depth=6, mode="shuffle")
+            .to_pandas().sort_values("node").reset_index(drop=True))
+    assert shuf["node"].tolist() == out["node"].tolist()
+    assert shuf["depth"].tolist() == out["depth"].tolist()
+    # multi-seed: island joins via its own seed
+    multi = (bfs_depths(ds, seeds=[1, 9], max_depth=6, mode="broadcast")
+             .to_pandas().sort_values("node").reset_index(drop=True))
+    assert multi[multi["node"] == 10]["depth"].iloc[0] == 1
