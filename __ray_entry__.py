@@ -2115,13 +2115,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            edge_features via the mean_vector_by_key rewrite);
     #   tier 3 - stalest-first fill: queries green only in r1/r2 rotate in
     #            so no query goes more than two rounds unverified;
-    #   remainder - green in r3 and unchanged.  The 10 late-r4 additions
-    #            displace 8 tier-3 stale queries (sort_limit_parts,
-    #            doc_length_cdf, exact_dedup_docs, hash_join_lineitem_
-    #            orders, minhash_dedup_docs, tpch_q1_pricing_summary,
-    #            groupby_count_docs, filter_project_events) below the
-    #            fold — the r5 window MUST start with those eight plus
-    #            whatever r5 adds or changes.
+    #   remainder - green in r3 and unchanged.  The 9 late-r4 additions
+    #            displace 9 tier-3 stale queries (topk_orders,
+    #            sort_limit_parts, doc_length_cdf, exact_dedup_docs,
+    #            hash_join_lineitem_orders, minhash_dedup_docs,
+    #            tpch_q1_pricing_summary, groupby_count_docs,
+    #            filter_project_events) below the fold — the r5 window
+    #            MUST start with those nine plus whatever r5 adds or
+    #            changes.  The full current first-50 was pre-validated
+    #            green vs DuckDB at sf0.01 on 2026-08-19 (~20:00).
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
