@@ -894,6 +894,47 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_star_join_revenue_nation(sf_dir: str):
+    """TPC-H-Q5-style 4-table star join: discounted revenue per nation.
+    Dimension joins ride hash_join's data-tied broadcast escape (nation,
+    customer⨝nation, then orders⨝that stay small); only
+    lineitem⨝orders is a genuine large-large exchange."""
+    from folkscope_ray.ops.relational import hash_join, map_combine_aggregate
+
+    def ren(to: dict[str, str]):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [to.get(n, n) for n in b.column_names])
+        return fn
+
+    nat = _rp(sf_dir, "nation").select_columns(["n_nationkey", "n_name"])
+    cust = (_rp(sf_dir, "customer")
+            .select_columns(["c_custkey", "c_nationkey"])
+            .map_batches(ren({"c_nationkey": "n_nationkey"}),
+                         batch_format="pyarrow"))
+    cn = hash_join(cust, nat, on="n_nationkey").map_batches(
+        lambda b: b.select(["c_custkey", "n_name"]), batch_format="pyarrow")
+    od = (_rp(sf_dir, "orders")
+          .select_columns(["o_orderkey", "o_custkey"])
+          .map_batches(ren({"o_custkey": "c_custkey"}),
+                       batch_format="pyarrow"))
+    oc = hash_join(od, cn, on="c_custkey").map_batches(
+        lambda b: b.select(["o_orderkey", "n_name"]), batch_format="pyarrow")
+
+    def rev(b: pa.Table) -> pa.Table:
+        r = pc.multiply(b.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), b.column("l_discount")))
+        return pa.table({"o_orderkey": b.column("l_orderkey"), "rev": r})
+
+    li = (_rp(sf_dir, "lineitem")
+          .select_columns(["l_orderkey", "l_extendedprice", "l_discount"])
+          .map_batches(rev, batch_format="pyarrow"))
+    out = map_combine_aggregate(
+        hash_join(li, oc, on="o_orderkey"), keys=["n_name"],
+        sums={"rev": "revenue"}, count_alias="n_items")
+    return _round_cols(out, {"revenue": 2})
+
+
 def _q_bfs_depths_lineitem(sf_dir: str):
     """K-hop BFS depths from supplier 1 over the undirected
     supplier-part bipartite graph (part nodes offset by 1,000,000) —
@@ -2148,6 +2189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regex_extract_docs": _q_regex_extract_docs,
         "retention_cohorts_events": _q_retention_cohorts_events,
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
+        "star_join_revenue_nation": _q_star_join_revenue_nation,
         "transition_counts_events": _q_transition_counts_events,
         "funnel_events": _q_funnel_events,
         "collect_topk_docs": _q_collect_topk_docs,
@@ -3123,6 +3165,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "star_join_revenue_nation": """
+            SELECT n.n_name, count(*) AS n_items,
+                   (round((sum(l.l_extendedprice * (1 - l.l_discount))) * 1e2)::BIGINT / 1e2)
+                     AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
         """,
         "bfs_depths_lineitem": """
             WITH RECURSIVE e0 AS (

@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "regex_extract_docs",
     "retention_cohorts_events",
     "bfs_depths_lineitem",
+    "star_join_revenue_nation",
 ]
 
 
