@@ -894,6 +894,40 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_streaks_events(sf_dir: str):
+    """Per-user activity streaks: maximal runs of consecutive active
+    calendar days (gaps-and-islands) — islands-bounded output."""
+    from folkscope_ray.ops.window import islands
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.floor(pc.divide(
+            pc.cast(b.column("ts"), pa.int64()), 86_400_000_000)),
+            pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "d": d})
+
+    ds = (_rp(sf_dir, "events").select_columns(["user_id", "ts"])
+          .map_batches(days, batch_format="pyarrow"))
+    return islands(ds, key_col="user_id", int_col="d")
+
+
+def _q_revenue_share_orders(sf_dir: str):
+    """RATIO_TO_REPORT: each order's share of its customer's total spend
+    (integer cents sums + one identical-operand IEEE division)."""
+    from folkscope_ray.ops.window import ratio_to_report
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"), "cents": c})
+
+    ds = (_rp(sf_dir, "orders")
+          .select_columns(["o_orderkey", "o_custkey", "o_totalprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return ratio_to_report(ds, key_col="o_custkey", int_value_col="cents",
+                           id_cols=["o_orderkey"], alias="share")
+
+
 def _q_star_join_revenue_nation(sf_dir: str):
     """TPC-H-Q5-style 4-table star join: discounted revenue per nation.
     Dimension joins ride hash_join's data-tied broadcast escape (nation,
@@ -2190,6 +2224,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": _q_retention_cohorts_events,
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
+        "streaks_events": _q_streaks_events,
+        "revenue_share_orders": _q_revenue_share_orders,
         "transition_counts_events": _q_transition_counts_events,
         "funnel_events": _q_funnel_events,
         "collect_topk_docs": _q_collect_topk_docs,
@@ -3165,6 +3201,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "streaks_events": """
+            WITH t AS (
+              SELECT DISTINCT user_id,
+                     date_diff('day', TIMESTAMP '1970-01-01',
+                               date_trunc('day', ts))::BIGINT AS d
+              FROM events
+            ), x AS (
+              SELECT user_id, d,
+                     d - row_number() OVER (
+                       PARTITION BY user_id ORDER BY d) AS grp
+              FROM t)
+            SELECT user_id, min(d) AS start_v, max(d) AS end_v,
+                   count(*) AS len
+            FROM x GROUP BY user_id, grp
+        """,
+        "revenue_share_orders": """
+            WITH t AS (
+              SELECT o_orderkey, o_custkey,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+            SELECT o_orderkey, o_custkey, cents,
+                   cents / sum(cents) OVER (PARTITION BY o_custkey)
+                     AS share
+            FROM t
         """,
         "star_join_revenue_nation": """
             SELECT n.n_name, count(*) AS n_items,

@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "retention_cohorts_events",
     "bfs_depths_lineitem",
     "star_join_revenue_nation",
+    "streaks_events",
+    "revenue_share_orders",
 ]
 
 

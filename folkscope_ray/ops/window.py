@@ -679,3 +679,74 @@ def retention_cohorts(ds: Dataset, key_col: str, ts_col: str,
     return (partials.groupby(dn_alias)
             .aggregate(agg.Sum(users_alias))
             .map_batches(finish, batch_format="pyarrow"))
+
+
+def islands(ds: Dataset, key_col: str, int_col: str,
+            start_alias: str = "start_v", end_alias: str = "end_v",
+            len_alias: str = "len",
+            n_buckets: int | None = None) -> Dataset:
+    """Gaps-and-islands: maximal runs of CONSECUTIVE integer values per
+    key (activity streaks, contiguous id ranges, hole detection).
+    Duplicate (key, value) rows collapse first, so each island is a run
+    of distinct consecutive values.  Returns one row per island:
+    ``(key, start_v, end_v, len)``.
+
+    Scale shape: bucketed per-key body — the classic
+    ``value - row_number()`` grouping trick vectorized across every key
+    in the bucket; output is islands-bounded, never row-bounded."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = (g[[key_col, int_col]].drop_duplicates()
+             .sort_values([key_col, int_col], kind="mergesort"))
+        rn = g.groupby(key_col, sort=False).cumcount()
+        grp = g[int_col].to_numpy() - rn.to_numpy()
+        out = (g.assign(__grp=grp)
+               .groupby([key_col, "__grp"], sort=False)[int_col]
+               .agg(["min", "max", "size"]).reset_index())
+        return pd.DataFrame({
+            key_col: out[key_col],
+            start_alias: out["min"].astype("int64"),
+            end_alias: out["max"].astype("int64"),
+            len_alias: out["size"].astype("int64")})
+
+    return _bucketed_groups(ds.select_columns([key_col, int_col]),
+                            key_col, body, n_buckets=n_buckets)
+
+
+def ratio_to_report(ds: Dataset, key_col: str, int_value_col: str,
+                    id_cols: list[str],
+                    alias: str = "share") -> Dataset:
+    """Each row's share of its key's total over an INTEGER value column
+    (RATIO_TO_REPORT / percent-of-total): integer per-key sums are
+    order-insensitive and the share is ONE IEEE division of identical
+    int64 operands on every engine — bit-equal doubles cross-engine.
+
+    Scale shape: one map-side-combined per-key sum (keys-bounded
+    broadcast table), then one stateless divide scan — no row shuffle."""
+    import ray
+
+    from .relational import map_combine_aggregate
+
+    totals = map_combine_aggregate(
+        ds.select_columns([key_col, int_value_col]),
+        keys=[key_col], sums={int_value_col: "__tot"},
+        count_alias="__tot").to_pandas()
+    tot_map = {k: int(v) for k, v in
+               zip(totals[key_col], totals["__tot"])}
+    tref = ray.put(tot_map)
+
+    def share(b: pa.Table) -> pa.Table:
+        m = ray.get(tref)
+        codes, uniq = pd.factorize(
+            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        tot = np.array([m[k] for k in uniq], dtype=np.int64)
+        v = b.column(int_value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = v / tot[codes]
+        out = b.select(list(dict.fromkeys(
+            id_cols + [key_col, int_value_col])))
+        return out.append_column(alias, pa.array(s, pa.float64()))
+
+    return ds.select_columns(list(dict.fromkeys(
+        id_cols + [key_col, int_value_col]))).map_batches(
+        share, batch_format="pyarrow")

@@ -427,3 +427,43 @@ def test_regex_extract_matches_duckdb():
     con.close()
     assert out["first_match"].tolist() == exp["first_match"].tolist()
     assert out["n_matches"].tolist() == exp["n"].tolist()
+
+
+def test_islands_planted_runs():
+    from folkscope_ray.ops.window import islands
+
+    # key 1: 1,2,3 | 7 | 9,10 (with dup 2); key 2: single value
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 1, 1, 2],
+        "v": [1, 2, 2, 3, 7, 9, 10, 4],
+    })
+    out = (islands(rd.from_pandas(df, override_num_blocks=3),
+                   key_col="k", int_col="v")
+           .to_pandas().sort_values(["k", "start_v"]).reset_index(drop=True))
+    assert out[["k", "start_v", "end_v", "len"]].values.tolist() == [
+        [1, 1, 3, 3], [1, 7, 7, 1], [1, 9, 10, 2], [2, 4, 4, 1]]
+
+
+def test_ratio_to_report_bit_exact():
+    import duckdb
+
+    from folkscope_ray.ops.window import ratio_to_report
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({
+        "i": np.arange(200, dtype=np.int64),
+        "k": rng.randint(0, 6, 200),
+        "v": rng.randint(1, 10_000, 200).astype(np.int64),
+    })
+    out = (ratio_to_report(rd.from_pandas(df, override_num_blocks=4),
+                           key_col="k", int_value_col="v", id_cols=["i"])
+           .to_pandas().sort_values("i").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT i, v / sum(v) OVER (PARTITION BY k) AS share
+        FROM t ORDER BY i
+    """).df()
+    con.close()
+    # identical int64 operands -> ONE IEEE division -> bit-equal doubles
+    assert (out["share"].to_numpy() == exp["share"].to_numpy()).all()
