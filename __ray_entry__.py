@@ -894,6 +894,40 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_table_diff_orders(sf_dir: str):
+    """CDC snapshot diff: orders vs a deterministically simulated next
+    snapshot (every 13th key deleted, every 7th repriced, every 17th
+    re-added under a shifted key) — ONE full-outer hash join + a
+    stateless status scan, counts by change type."""
+    from folkscope_ray.ops.relational import (map_combine_aggregate,
+                                              table_diff)
+
+    def cur_fn(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        return pa.table({"k": b.column("o_orderkey"), "cents": cents})
+
+    def nxt_fn(b: pa.Table) -> pa.Table:
+        t = cur_fn(b)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False).copy()
+        cents[k % 7 == 0] += 500
+        keep = k % 13 != 0
+        addm = k % 17 == 0
+        return pa.table({
+            "k": pa.array(np.concatenate([k[keep], k[addm] + 10_000_000]),
+                          pa.int64()),
+            "cents": pa.array(np.concatenate([cents[keep],
+                                              cents[addm]]), pa.int64())})
+
+    src = _rp(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    cur = src.map_batches(cur_fn, batch_format="pyarrow")
+    nxt = src.map_batches(nxt_fn, batch_format="pyarrow")
+    d = table_diff(cur, nxt, on="k", compare_cols=["cents"])
+    return map_combine_aggregate(d, keys=["status"], count_alias="n")
+
+
 def _q_streaks_events(sf_dir: str):
     """Per-user activity streaks: maximal runs of consecutive active
     calendar days (gaps-and-islands) — islands-bounded output."""
@@ -2224,6 +2258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": _q_retention_cohorts_events,
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
+        "table_diff_orders": _q_table_diff_orders,
         "streaks_events": _q_streaks_events,
         "revenue_share_orders": _q_revenue_share_orders,
         "transition_counts_events": _q_transition_counts_events,
@@ -3201,6 +3236,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "table_diff_orders": """
+            WITH cur AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), bumped AS (
+              SELECT k, CASE WHEN k % 7 = 0 THEN cents + 500
+                             ELSE cents END AS cents
+              FROM cur
+            ), nxt AS (
+              SELECT k, cents FROM bumped WHERE k % 13 <> 0
+              UNION ALL
+              SELECT k + 10000000, cents FROM bumped WHERE k % 17 = 0
+            ), j AS (
+              SELECT CASE WHEN c.k IS NULL THEN 'added'
+                          WHEN n.k IS NULL THEN 'removed'
+                          WHEN c.cents <> n.cents THEN 'changed'
+                          ELSE 'unchanged' END AS status
+              FROM cur c FULL OUTER JOIN nxt n ON c.k = n.k
+            )
+            SELECT status, count(*) AS n FROM j GROUP BY status
         """,
         "streaks_events": """
             WITH t AS (

@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "star_join_revenue_nation",
     "streaks_events",
     "revenue_share_orders",
+    "table_diff_orders",
 ]
 
 

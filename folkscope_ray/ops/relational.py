@@ -667,3 +667,53 @@ def distinct_count_by_key(ds: Dataset, key_col: str, value_col: str,
         keys=[key_col, value_col], count_alias="__n")
     return map_combine_aggregate(
         pairs.select_columns([key_col]), keys=[key_col], count_alias=alias)
+
+
+def table_diff(left: Dataset, right: Dataset, on: str,
+               compare_cols: list[str],
+               status_alias: str = "status") -> Dataset:
+    """CDC-style snapshot diff: one row per key present in EITHER
+    snapshot, labelled ``added`` (key only in ``right`` — the new
+    snapshot), ``removed`` (only in ``left``), ``changed`` (both, any
+    compare column differs — null-safe) or ``unchanged``.  The
+    incremental-build primitive: diff a checkpoint against a rebuild to
+    find exactly what moved (see pipelines/kg.build_kg_incremental for
+    the consumer shape).
+
+    Scale shape: ONE partitioned full-outer hash join on the key (rides
+    hash_join's data-tied broadcast escape when one side is small); the
+    status computation is a stateless vectorized scan of the joined
+    stream."""
+
+    def mark(name: str, renames: dict[str, str]):
+        def fn(b: pa.Table) -> pa.Table:
+            t = b.rename_columns([renames.get(c, c) for c in b.column_names])
+            return t.append_column(
+                name, pa.array(np.ones(t.num_rows, dtype=np.int8)))
+        return fn
+
+    l2 = left.select_columns([on] + compare_cols).map_batches(
+        mark("__lp", {}), batch_format="pyarrow")
+    r2 = right.select_columns([on] + compare_cols).map_batches(
+        mark("__rp", {c: f"__r_{c}" for c in compare_cols}),
+        batch_format="pyarrow")
+    j = hash_join(l2, r2, on=on, how="full_outer")
+
+    def status(b: pa.Table) -> pa.Table:
+        lp = pc.is_valid(b.column("__lp"))
+        rp = pc.is_valid(b.column("__rp"))
+        changed = pa.array(np.zeros(b.num_rows, dtype=bool))
+        for c in compare_cols:
+            a, r = b.column(c), b.column(f"__r_{c}")
+            null_mix = pc.xor(pc.is_null(a), pc.is_null(r))
+            neq = pc.fill_null(pc.not_equal(a, r), False)
+            changed = pc.or_(changed, pc.or_(null_mix, neq))
+        st = np.where(
+            ~lp.to_numpy(zero_copy_only=False), "added",
+            np.where(~rp.to_numpy(zero_copy_only=False), "removed",
+                     np.where(changed.to_numpy(zero_copy_only=False),
+                              "changed", "unchanged")))
+        return pa.table({on: b.column(on),
+                         status_alias: pa.array(st, pa.string())})
+
+    return j.map_batches(status, batch_format="pyarrow")

@@ -992,3 +992,29 @@ def test_dup_gram_counts_multibyte_shared_span_matches_sql():
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert got["n_dup_grams"].astype(int).tolist() \
         == want["n_dup_grams"].astype(int).tolist()
+
+
+def test_table_diff_statuses_and_null_safety():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import table_diff
+
+    left = pd.DataFrame({
+        "k": [1, 2, 3, 4, 5],
+        "v": pd.array([10, 20, None, 40, 50], dtype="Int64"),
+    })
+    right = pd.DataFrame({
+        # 1 unchanged, 2 changed, 3 null->value (changed), 4 value->null
+        # (changed), 5 removed, 6 added
+        "k": [1, 2, 3, 4, 6],
+        "v": pd.array([10, 21, 30, None, 60], dtype="Int64"),
+    })
+    out = (table_diff(rd.from_pandas(left, override_num_blocks=2),
+                      rd.from_pandas(right, override_num_blocks=2),
+                      on="k", compare_cols=["v"])
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    got = dict(zip(out["k"], out["status"]))
+    assert got == {1: "unchanged", 2: "changed", 3: "changed",
+                   4: "changed", 5: "removed", 6: "added"}
