@@ -156,8 +156,7 @@ def zscore_outliers_by_key(ds: Dataset, key_col: str, value_col: str,
         q = b.column("__q").to_numpy(zero_copy_only=False).astype(np.float64)
         # vectorized moment lookup: factorize the key column once, gather
         # the per-DISTINCT-key moments, index — no Python per row
-        codes, uniq = pd.factorize(
-            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        codes, uniq = pd.factorize(b.column(key_col).to_pandas())
         mu = np.array([m.get(k, (0, 0, 0)) for k in uniq],
                       dtype=np.float64).reshape(-1, 3)
         s1, s2, n = mu[codes, 0], mu[codes, 1], mu[codes, 2]
@@ -202,8 +201,7 @@ def winsorize_by_key(ds: Dataset, key_col: str, value_col: str,
 
     def clip(b: pa.Table) -> pa.Table:
         m = ray.get(bref)
-        codes, uniq = pd.factorize(
-            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        codes, uniq = pd.factorize(b.column(key_col).to_pandas())
         bounds = np.array([m[k] for k in uniq],
                           dtype=np.int64).reshape(-1, 2)
         v = b.column(value_col).to_numpy(zero_copy_only=False) \
@@ -273,8 +271,7 @@ def mad_by_key(ds: Dataset, key_col: str, value_col: str,
 
     def adev(b: pa.Table) -> pa.Table:
         m = ray.get(bref)
-        codes, uniq = pd.factorize(
-            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        codes, uniq = pd.factorize(b.column(key_col).to_pandas())
         meds = np.array([m[k] for k in uniq], dtype=np.int64)
         v = b.column(value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)

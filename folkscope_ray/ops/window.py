@@ -737,8 +737,7 @@ def ratio_to_report(ds: Dataset, key_col: str, int_value_col: str,
 
     def share(b: pa.Table) -> pa.Table:
         m = ray.get(tref)
-        codes, uniq = pd.factorize(
-            np.asarray(b.column(key_col).to_pylist(), dtype=object))
+        codes, uniq = pd.factorize(b.column(key_col).to_pandas())
         tot = np.array([m[k] for k in uniq], dtype=np.int64)
         v = b.column(int_value_col).to_numpy(zero_copy_only=False) \
             .astype(np.int64)
