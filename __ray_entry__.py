@@ -894,6 +894,23 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_quantile_cont_brand_parts(sf_dir: str):
+    """Per-brand INTERPOLATED quartiles of retail-price cents
+    (quantile_cont: exact Fraction ranks + one exact-dyadic
+    interpolation — bit-equal doubles)."""
+    from folkscope_ray.ops.sketch import quantile_cont_by_group
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("p_retailprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"p_brand": b.column("p_brand"), "cents": c})
+
+    ds = (_rp(sf_dir, "part").select_columns(["p_brand", "p_retailprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+    return quantile_cont_by_group(ds, "p_brand", "cents",
+                                  [0.25, 0.5, 0.75])
+
+
 def _q_table_diff_orders(sf_dir: str):
     """CDC snapshot diff: orders vs a deterministically simulated next
     snapshot (every 13th key deleted, every 7th repriced, every 17th
@@ -2258,6 +2275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention_cohorts_events": _q_retention_cohorts_events,
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
+        "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
         "table_diff_orders": _q_table_diff_orders,
         "streaks_events": _q_streaks_events,
         "revenue_share_orders": _q_revenue_share_orders,
@@ -3236,6 +3254,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "quantile_cont_brand_parts": """
+            WITH cents AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part)
+            SELECT p_brand, q, value FROM (
+              SELECT p_brand,
+                     0.25 AS q, quantile_cont(c, 0.25) AS value
+              FROM cents GROUP BY p_brand
+              UNION ALL
+              SELECT p_brand, 0.5, quantile_cont(c, 0.5)
+              FROM cents GROUP BY p_brand
+              UNION ALL
+              SELECT p_brand, 0.75, quantile_cont(c, 0.75)
+              FROM cents GROUP BY p_brand)
         """,
         "table_diff_orders": """
             WITH cur AS (

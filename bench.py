@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "streaks_events",
     "revenue_share_orders",
     "table_diff_orders",
+    "quantile_cont_brand_parts",
 ]
 
 

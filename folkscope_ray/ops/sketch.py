@@ -486,3 +486,48 @@ def countmin_freq_by_key(ds: Dataset, key_col: str, query_keys: np.ndarray,
     q = np.asarray(query_keys)
     return pd.DataFrame({key_col: q,
                          "est": countmin_estimate(sk, q).astype(np.int64)})
+
+
+def quantile_cont_by_group(ds: Dataset, key_col: str, value_col: str,
+                           qs: list[float]) -> Dataset:
+    """Exact per-group INTERPOLATED quantiles (SQL ``quantile_cont`` /
+    ``percentile_cont``) — the continuous sibling of
+    :func:`exact_quantiles_by_group`, same histogram-shuffle shape.
+
+    Rank arithmetic is exact (``h = (n-1) * Fraction(q)``); the
+    interpolation ``lo + (hi - lo) * frac`` is ONE float expression over
+    int64 values.  For integer values below ~2^51 and dyadic q (quartiles,
+    eighths), every term is exactly representable, so the double is the
+    exact rational on any engine — bit-equal hashes."""
+    from .relational import map_combine_aggregate
+
+    hist = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col, value_col], count_alias="n")
+
+    q_list = [float(q) for q in qs]
+
+    def walk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_col)
+        cum = g["n"].to_numpy(dtype=np.int64).cumsum()
+        values = g[value_col].to_numpy()
+        total = int(cum[-1])
+        out_q, out_v = [], []
+        for q in q_list:
+            h = Fraction(str(q)) * (total - 1)          # 0-based rank
+            ih = h.numerator // h.denominator
+            frac = float(h - ih)
+            # element at 0-based multiset position p: first idx with
+            # cum > p  (cum is 1-based counts)
+            lo_i = int(np.searchsorted(cum, ih, side="right"))
+            hi_i = int(np.searchsorted(cum, min(ih + 1, total - 1),
+                                       side="right"))
+            lo = float(values[lo_i])
+            hi = float(values[hi_i])
+            out_q.append(q)
+            out_v.append(lo + (hi - lo) * frac)
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]] * len(q_list),
+                             "q": out_q,
+                             "value": np.asarray(out_v, dtype=np.float64)})
+
+    return hist.groupby(key_col).map_groups(walk, batch_format="pandas")

@@ -212,3 +212,39 @@ def test_countmin_exact_when_wide():
         rd.from_pandas(pd.DataFrame({"k": keys})).repartition(3),
         "k", np.arange(10, dtype=np.int64), width=1 << 16, depth=4)
     assert got["est"].tolist() == list(range(1, 11))
+
+
+def test_quantile_cont_by_group_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.sketch import quantile_cont_by_group
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 5, 400),
+        # coarse domain forces heavy ties across the interpolation points
+        "v": rng.randint(0, 60, 400).astype(np.int64),
+    })
+    out = (quantile_cont_by_group(rd.from_pandas(df, override_num_blocks=6),
+                                  "k", "v", [0.25, 0.5, 0.75])
+           .to_pandas().sort_values(["k", "q"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT k, q, value FROM (
+          SELECT k, 0.25 AS q, quantile_cont(v, 0.25) AS value FROM t GROUP BY k
+          UNION ALL SELECT k, 0.5, quantile_cont(v, 0.5) FROM t GROUP BY k
+          UNION ALL SELECT k, 0.75, quantile_cont(v, 0.75) FROM t GROUP BY k)
+        ORDER BY k, q
+    """).df()
+    con.close()
+    # exact dyadic interpolation over small ints: bit-equal doubles
+    assert (out["value"].to_numpy() == exp["value"].to_numpy()).all()
+    # single-row group degenerates to the value itself at every q
+    one = pd.DataFrame({"k": [9], "v": [42]})
+    o1 = (quantile_cont_by_group(rd.from_pandas(one), "k", "v", [0.25, 0.75])
+          .to_pandas())
+    assert (o1["value"] == 42.0).all()
