@@ -894,6 +894,76 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_weighted_avg_price_lineitem(sf_dir: str):
+    """Quantity-weighted average price cents per returnflag — two integer
+    sums + one identical-operand IEEE division (bit-equal doubles)."""
+    from folkscope_ray.ops.stats import weighted_avg_by_key
+
+    def prep(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("l_extendedprice"),
+                                             100.0)), pa.int64())
+        qty = pc.cast(b.column("l_quantity"), pa.int64())
+        return pa.table({"l_returnflag": b.column("l_returnflag"),
+                         "cents": cents, "qty": qty})
+
+    ds = (_rp(sf_dir, "lineitem")
+          .select_columns(["l_returnflag", "l_extendedprice", "l_quantity"])
+          .map_batches(prep, batch_format="pyarrow"))
+    return weighted_avg_by_key(ds, key_col="l_returnflag",
+                               value_col="cents", weight_col="qty",
+                               alias="wavg")
+
+
+def _q_upsert_orders(sf_dir: str):
+    """MERGE/upsert: orders repriced by a simulated update set (every 5th
+    key +123 cents, every 19th re-added under a shifted key) — updates
+    win via one bucketed max-priority pick with map-side pre-prune."""
+    from folkscope_ray.ops.stats import upsert
+
+    def cur_fn(b: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"),
+                                             100.0)), pa.int64())
+        return pa.table({"k": b.column("o_orderkey"), "cents": cents})
+
+    def upd_fn(b: pa.Table) -> pa.Table:
+        t = cur_fn(b)
+        k = t.column("k").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        m5 = k % 5 == 0
+        m19 = k % 19 == 0
+        return pa.table({
+            "k": pa.array(np.concatenate([k[m5], k[m19] + 20_000_000]),
+                          pa.int64()),
+            "cents": pa.array(np.concatenate([cents[m5] + 123,
+                                              cents[m19]]), pa.int64())})
+
+    src = _rp(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_totalprice"])
+    return upsert(src.map_batches(cur_fn, batch_format="pyarrow"),
+                  src.map_batches(upd_fn, batch_format="pyarrow"),
+                  key_col="k")
+
+
+def _q_trending_types_daily_events(sf_dir: str):
+    """Top-2 trending event types per day (counts + deterministic
+    tiebreak) — map-combined (day, type) histogram, then cap_per_key."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.split import cap_per_key
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                              86_400_000_000), pa.int64())
+        return pa.table({"day": d, "event_type": b.column("event_type")})
+
+    counts = map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["ts", "event_type"])
+        .map_batches(days, batch_format="pyarrow"),
+        keys=["day", "event_type"], count_alias="n")
+    return cap_per_key(counts, key_col="day", n=2,
+                       order_cols=["n", "event_type"],
+                       ascending=[False, True])
+
+
 def _q_quantile_cont_brand_parts(sf_dir: str):
     """Per-brand INTERPOLATED quartiles of retail-price cents
     (quantile_cont: exact Fraction ranks + one exact-dyadic
@@ -2276,6 +2346,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "weighted_avg_price_lineitem": _q_weighted_avg_price_lineitem,
+        "upsert_orders": _q_upsert_orders,
+        "trending_types_daily_events": _q_trending_types_daily_events,
         "table_diff_orders": _q_table_diff_orders,
         "streaks_events": _q_streaks_events,
         "revenue_share_orders": _q_revenue_share_orders,
@@ -3254,6 +3327,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "weighted_avg_price_lineitem": """
+            WITH t AS (
+              SELECT l_returnflag,
+                     CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+                     CAST(l_quantity AS BIGINT) AS qty
+              FROM lineitem)
+            SELECT l_returnflag,
+                   sum(qty * cents) / sum(qty) AS wavg,
+                   sum(qty)::BIGINT AS total_w
+            FROM t GROUP BY l_returnflag
+        """,
+        "upsert_orders": """
+            WITH cur AS (
+              SELECT o_orderkey AS k,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders
+            ), upd AS (
+              SELECT k, cents + 123 AS cents FROM cur WHERE k % 5 = 0
+              UNION ALL
+              SELECT k + 20000000, cents FROM cur WHERE k % 19 = 0
+            )
+            SELECT COALESCE(u.k, c.k) AS k,
+                   COALESCE(u.cents, c.cents) AS cents
+            FROM cur c FULL OUTER JOIN upd u ON c.k = u.k
+        """,
+        "trending_types_daily_events": """
+            WITH c AS (
+              SELECT date_diff('day', TIMESTAMP '1970-01-01',
+                               date_trunc('day', ts))::BIGINT AS day,
+                     event_type, count(*) AS n
+              FROM events GROUP BY day, event_type
+            ), r AS (
+              SELECT *, row_number() OVER (
+                PARTITION BY day ORDER BY n DESC, event_type) AS rn
+              FROM c)
+            SELECT day, event_type, n FROM r WHERE rn <= 2
         """,
         "quantile_cont_brand_parts": """
             WITH cents AS (

@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "revenue_share_orders",
     "table_diff_orders",
     "quantile_cont_brand_parts",
+    "weighted_avg_price_lineitem",
+    "upsert_orders",
+    "trending_types_daily_events",
 ]
 
 

@@ -291,3 +291,87 @@ def mad_by_key(ds: Dataset, key_col: str, value_col: str,
 
     return rd.from_pandas(
         out[[key_col, med_alias, mad_alias]].reset_index(drop=True))
+
+
+def weighted_avg_by_key(ds: Dataset, key_col: str, value_col: str,
+                        weight_col: str,
+                        alias: str = "wavg") -> Dataset:
+    """Per-key weighted average over INTEGER value/weight columns:
+    ``sum(w*v) / sum(w)`` — two order-insensitive integer sums and ONE
+    IEEE division of identical operands, so doubles are bit-equal on any
+    engine at any parallelism.  One map-side-combined pass; the shuffle
+    moves per-key moment rows only.
+
+    Caller guarantees ``sum(|w*v|) < 2^63`` per key (quantize coarser if
+    a key's stream could exceed it; the per-row product is checked)."""
+    import pyarrow.compute as pc
+
+    from .relational import map_combine_aggregate
+
+    def prods(b: pa.Table) -> pa.Table:
+        v = b.column(value_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        w = b.column(weight_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        if len(v) and (int(np.abs(v).max()) * int(np.abs(w).max())
+                       >= (1 << 63)):
+            raise ValueError("per-row w*v may overflow int64; rescale")
+        return pa.table({key_col: b.column(key_col),
+                         "__wv": pa.array(w * v, pa.int64()),
+                         "__w": pa.array(w, pa.int64())})
+
+    m = map_combine_aggregate(
+        ds.select_columns([key_col, value_col, weight_col])
+        .map_batches(prods, batch_format="pyarrow"),
+        keys=[key_col], sums={"__wv": "__swv", "__w": "__sw"},
+        count_alias="__swv")
+
+    def finish(b: pa.Table) -> pa.Table:
+        swv = b.column("__swv").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sw = b.column("__sw").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({key_col: b.column(key_col),
+                         alias: pa.array(swv / sw, pa.float64()),
+                         "total_w": pa.array(sw, pa.int64())})
+
+    return m.map_batches(finish, batch_format="pyarrow")
+
+
+def upsert(base: Dataset, updates: Dataset, key_col: str,
+           n_buckets: int | None = None) -> Dataset:
+    """MERGE / upsert: every key of ``base`` with its row REPLACED by the
+    ``updates`` row when one exists, plus all new keys from ``updates``
+    (updates win; within a side, the smallest-key duplicate is the
+    caller's contract).  Schemas must match.
+
+    Scale shape: tag each side with an integer priority, union, and keep
+    the max-priority row per key via ONE bucketed vectorized head —
+    map-side pre-prune first, so the shuffle moves at most
+    ``blocks x keys`` rows (the cap_per_key discipline)."""
+    import pyarrow.compute as pc
+
+    from .window import _bucketed_groups
+
+    def tag(p: int):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "__prio", pa.array(np.full(b.num_rows, p, dtype=np.int8)))
+        return fn
+
+    u = (base.map_batches(tag(0), batch_format="pyarrow")
+         .union(updates.map_batches(tag(1), batch_format="pyarrow")))
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, "__prio"], ascending=[True, False],
+                          kind="mergesort")
+        return (g.groupby(key_col, sort=False).head(1)
+                .drop(columns=["__prio"]))
+
+    pruned = u.map_batches(
+        lambda df: df.sort_values([key_col, "__prio"],
+                                  ascending=[True, False],
+                                  kind="mergesort")
+        .groupby(key_col, sort=False).head(1),
+        batch_format="pandas")
+    return _bucketed_groups(pruned, key_col, pick, n_buckets=n_buckets)

@@ -426,3 +426,55 @@ def test_mad_by_key_matches_duckdb():
     con.close()
     assert out["med"].tolist() == exp["med"].tolist()
     assert out["mad"].tolist() == exp["mad"].tolist()
+
+
+def test_weighted_avg_by_key_matches_duckdb():
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import weighted_avg_by_key
+
+    rng = np.random.RandomState(21)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, 300),
+        "v": rng.randint(-100, 5000, 300).astype(np.int64),
+        "w": rng.randint(1, 60, 300).astype(np.int64),
+    })
+    out = (weighted_avg_by_key(rd.from_pandas(df, override_num_blocks=5),
+                               key_col="k", value_col="v", weight_col="w")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute("""
+        SELECT k, sum(w * v) / sum(w) AS wavg, sum(w)::BIGINT AS total_w
+        FROM t GROUP BY k ORDER BY k
+    """).df()
+    con.close()
+    assert (out["wavg"].to_numpy() == exp["wavg"].to_numpy()).all()
+    assert out["total_w"].tolist() == exp["total_w"].tolist()
+
+
+def test_weighted_avg_overflow_guard():
+    import pytest as _pytest
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import weighted_avg_by_key
+
+    df = pd.DataFrame({"k": [0], "v": [1 << 40], "w": [1 << 40]})
+    with _pytest.raises(Exception):
+        weighted_avg_by_key(rd.from_pandas(df), key_col="k",
+                            value_col="v", weight_col="w").to_pandas()
+
+
+def test_upsert_updates_win():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import upsert
+
+    base = pd.DataFrame({"k": [1, 2, 3], "cents": [10, 20, 30]})
+    upd = pd.DataFrame({"k": [2, 4], "cents": [99, 40]})
+    out = (upsert(rd.from_pandas(base, override_num_blocks=2),
+                  rd.from_pandas(upd, override_num_blocks=2), key_col="k")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["cents"].tolist() == [10, 99, 30, 40]
