@@ -894,6 +894,35 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_normalized_dedup_docs(sf_dir: str):
+    """Exact dedup over NORMALIZED text (lower + whitespace collapse +
+    trim, all Arrow kernels) — catches trivial reformatting duplicates
+    raw-hash dedup misses; the groupby moves (hash, id) pairs only."""
+    from folkscope_ray.ops.dedup import exact_dedup
+    from folkscope_ray.ops.text import normalize_text_batch
+
+    def norm(b: pa.Table) -> pa.Table:
+        t = normalize_text_batch(b, "text", alias="norm")
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "text": t.column("norm")})
+
+    ds = (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+          .map_batches(norm, batch_format="pyarrow"))
+    return exact_dedup(ds)
+
+
+def _q_activity_histogram_events(sf_dir: str):
+    """Histogram of per-user activity (how many users produced n events)
+    — two map-combined aggregates, both domain-bounded."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    per_user = map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["user_id"]),
+        keys=["user_id"], count_alias="n")
+    return map_combine_aggregate(per_user.select_columns(["n"]),
+                                 keys=["n"], count_alias="n_users")
+
+
 def _q_weighted_avg_price_lineitem(sf_dir: str):
     """Quantity-weighted average price cents per returnflag — two integer
     sums + one identical-operand IEEE division (bit-equal doubles)."""
@@ -2346,6 +2375,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "normalized_dedup_docs": _q_normalized_dedup_docs,
+        "activity_histogram_events": _q_activity_histogram_events,
         "weighted_avg_price_lineitem": _q_weighted_avg_price_lineitem,
         "upsert_orders": _q_upsert_orders,
         "trending_types_daily_events": _q_trending_types_daily_events,
@@ -3327,6 +3358,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "normalized_dedup_docs": """
+            SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                     AS content_hash,
+                   min(doc_id) AS keep_id, count(*) AS n_dupes
+            FROM documents
+            GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+        """,
+        "activity_histogram_events": """
+            WITH c AS (
+              SELECT user_id, count(*) AS n FROM events GROUP BY user_id)
+            SELECT n, count(*) AS n_users FROM c GROUP BY n
         """,
         "weighted_avg_price_lineitem": """
             WITH t AS (

@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     "weighted_avg_price_lineitem",
     "upsert_orders",
     "trending_types_daily_events",
+    "normalized_dedup_docs",
+    "activity_histogram_events",
 ]
 
 

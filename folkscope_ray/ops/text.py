@@ -431,3 +431,17 @@ def regex_extract_batch(batch: pa.Table, pattern: str,
     n = pc.cast(pc.count_substring_regex(col, pattern=pattern), pa.int64())
     return pa.table({id_col: batch.column(id_col),
                      first_alias: first, count_alias: n})
+
+
+def normalize_text_batch(batch: pa.Table, text_col: str = "text",
+                         alias: str = "norm") -> pa.Table:
+    """Canonical text normalization: lowercase, collapse whitespace runs
+    to one space, trim — entirely in Arrow kernels (utf8_lower +
+    RE2 replace), zero Python per row.  SQL parity:
+    ``trim(regexp_replace(lower(x), '\\s+', ' ', 'g'))`` (DuckDB is RE2
+    too, so the collapse behaves identically)."""
+    col = batch.column(text_col)
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(pc.utf8_lower(col),
+                                   pattern=r"\s+", replacement=" "))
+    return batch.append_column(alias, norm)

@@ -467,3 +467,20 @@ def test_ratio_to_report_bit_exact():
     con.close()
     # identical int64 operands -> ONE IEEE division -> bit-equal doubles
     assert (out["share"].to_numpy() == exp["share"].to_numpy()).all()
+
+
+def test_normalize_text_matches_duckdb():
+    import duckdb
+    import pyarrow as paw
+
+    from folkscope_ray.ops.text import normalize_text_batch
+
+    texts = ["  Hello\t\tWORLD  x ", "a", "", "No  Change", "MiXeD\ncase\r\n"]
+    t = paw.table({"doc_id": list(range(5)), "text": texts})
+    out = normalize_text_batch(t).column("norm").to_pylist()
+    con = duckdb.connect()
+    exp = [con.execute(
+        "SELECT trim(regexp_replace(lower(?), '\\s+', ' ', 'g'))",
+        [s]).fetchone()[0] for s in texts]
+    con.close()
+    assert out == exp
