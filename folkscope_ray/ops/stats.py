@@ -342,8 +342,9 @@ def upsert(base: Dataset, updates: Dataset, key_col: str,
            n_buckets: int | None = None) -> Dataset:
     """MERGE / upsert: every key of ``base`` with its row REPLACED by the
     ``updates`` row when one exists, plus all new keys from ``updates``
-    (updates win; within a side, the smallest-key duplicate is the
-    caller's contract).  Schemas must match.
+    (updates win; duplicate keys WITHIN a side resolve by the smallest
+    payload under a total column sort — deterministic at any block
+    layout).  Schemas must match.
 
     Scale shape: tag each side with an integer priority, union, and keep
     the max-priority row per key via ONE bucketed vectorized head —
@@ -362,16 +363,20 @@ def upsert(base: Dataset, updates: Dataset, key_col: str,
     u = (base.map_batches(tag(0), batch_format="pyarrow")
          .union(updates.map_batches(tag(1), batch_format="pyarrow")))
 
+    def total_sort(df: pd.DataFrame) -> pd.DataFrame:
+        # total order (key, prio desc, every payload column asc): picks
+        # among SAME-side duplicate keys deterministically regardless of
+        # block arrival order
+        rest = [c for c in df.columns if c not in (key_col, "__prio")]
+        return df.sort_values([key_col, "__prio"] + rest,
+                              ascending=[True, False] + [True] * len(rest),
+                              kind="mergesort")
+
     def pick(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values([key_col, "__prio"], ascending=[True, False],
-                          kind="mergesort")
-        return (g.groupby(key_col, sort=False).head(1)
+        return (total_sort(g).groupby(key_col, sort=False).head(1)
                 .drop(columns=["__prio"]))
 
     pruned = u.map_batches(
-        lambda df: df.sort_values([key_col, "__prio"],
-                                  ascending=[True, False],
-                                  kind="mergesort")
-        .groupby(key_col, sort=False).head(1),
+        lambda df: total_sort(df).groupby(key_col, sort=False).head(1),
         batch_format="pandas")
     return _bucketed_groups(pruned, key_col, pick, n_buckets=n_buckets)

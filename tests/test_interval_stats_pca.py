@@ -478,3 +478,22 @@ def test_upsert_updates_win():
            .to_pandas().sort_values("k").reset_index(drop=True))
     assert out["k"].tolist() == [1, 2, 3, 4]
     assert out["cents"].tolist() == [10, 99, 30, 40]
+
+
+def test_upsert_duplicate_update_keys_deterministic():
+    """Duplicate keys WITHIN the update side must resolve identically at
+    any block layout (total payload sort, not arrival order)."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import upsert
+
+    base = pd.DataFrame({"k": [1, 2], "cents": [10, 20]})
+    upd = pd.DataFrame({"k": [2, 2, 3], "cents": [77, 55, 30]})
+    outs = []
+    for nb in (1, 2, 3):
+        o = (upsert(rd.from_pandas(base, override_num_blocks=2),
+                    rd.from_pandas(upd, override_num_blocks=nb),
+                    key_col="k")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(o["cents"].tolist())
+    assert outs[0] == outs[1] == outs[2] == [10, 55, 30]
