@@ -894,6 +894,17 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_corr_by_brand_parts(sf_dir: str):
+    """Per-brand Pearson correlation of price vs size — grouped exact
+    integer moments, ONE float closed-form spelled identically in SQL."""
+    from folkscope_ray.ops.stats import corr_by_key
+
+    return corr_by_key(_rp(sf_dir, "part").select_columns(
+        ["p_brand", "p_retailprice", "p_size"]),
+        key_col="p_brand", col_a="p_retailprice", col_b="p_size",
+        scale_a=100, scale_b=1)
+
+
 def _q_normalized_dedup_docs(sf_dir: str):
     """Exact dedup over NORMALIZED text (lower + whitespace collapse +
     trim, all Arrow kernels) — catches trivial reformatting duplicates
@@ -2375,6 +2386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "corr_by_brand_parts": _q_corr_by_brand_parts,
         "normalized_dedup_docs": _q_normalized_dedup_docs,
         "activity_histogram_events": _q_activity_histogram_events,
         "weighted_avg_price_lineitem": _q_weighted_avg_price_lineitem,
@@ -3358,6 +3370,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "corr_by_brand_parts": """
+            WITH q AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS a,
+                     CAST(p_size AS BIGINT) AS b
+              FROM part
+            ), m AS (
+              SELECT p_brand, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+                     sum(a*a) AS paa, sum(b*b) AS pbb, sum(a*b) AS pab
+              FROM q GROUP BY p_brand
+            )
+            SELECT p_brand,
+                   CAST(n*pab - sa*sb AS DOUBLE)
+                     / (sqrt(CAST(n*paa - sa*sa AS DOUBLE))
+                        * sqrt(CAST(n*pbb - sb*sb AS DOUBLE))) AS corr
+            FROM m
         """,
         "normalized_dedup_docs": """
             SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "trending_types_daily_events",
     "normalized_dedup_docs",
     "activity_histogram_events",
+    "corr_by_brand_parts",
 ]
 
 

@@ -380,3 +380,58 @@ def upsert(base: Dataset, updates: Dataset, key_col: str,
         lambda df: total_sort(df).groupby(key_col, sort=False).head(1),
         batch_format="pandas")
     return _bucketed_groups(pruned, key_col, pick, n_buckets=n_buckets)
+
+
+def corr_by_key(ds: Dataset, key_col: str, col_a: str, col_b: str,
+                scale_a: int = 100, scale_b: int = 1,
+                alias: str = "corr") -> Dataset:
+    """Per-key Pearson correlation of two columns — the grouped sibling of
+    :func:`corr_matrix`, same fixed-point discipline: ONE map-side-combined
+    pass collects exact integer moments (n, Sa, Sb, Paa, Pbb, Pab) per key,
+    the keys-bounded moment table is finished driver-side with Python
+    bignums, and the closed form is ONE float expression spelled
+    identically in the SQL oracle — bit-equal doubles.
+
+    Values must be exact multiples of 1/scale; per-row |q| < 2^31 is
+    validated (so q*q and cross products stay in int64 per row); per-key
+    integer moment sums are assumed < 2^63 (shrink scale beyond ~1e14
+    rows per key).  Zero-variance keys emit NULL."""
+    import ray.data as rd
+
+    from .relational import map_combine_aggregate
+
+    def quantized(b: pa.Table) -> pa.Table:
+        qa = np.round(b.column(col_a).to_numpy(zero_copy_only=False)
+                      * scale_a).astype(np.int64)
+        qb = np.round(b.column(col_b).to_numpy(zero_copy_only=False)
+                      * scale_b).astype(np.int64)
+        for q in (qa, qb):
+            if len(q) and int(np.abs(q).max()) >= (1 << 31):
+                raise ValueError("quantized |value| >= 2^31; lower scale")
+        return pa.table({key_col: b.column(key_col),
+                         "__a": pa.array(qa, pa.int64()),
+                         "__b": pa.array(qb, pa.int64()),
+                         "__aa": pa.array(qa * qa, pa.int64()),
+                         "__bb": pa.array(qb * qb, pa.int64()),
+                         "__ab": pa.array(qa * qb, pa.int64())})
+
+    m = map_combine_aggregate(
+        ds.select_columns([key_col, col_a, col_b]).map_batches(
+            quantized, batch_format="pyarrow"),
+        keys=[key_col],
+        sums={"__a": "sa", "__b": "sb", "__aa": "paa",
+              "__bb": "pbb", "__ab": "pab"},
+        count_alias="n").to_pandas()
+
+    out_c = []
+    for _, r in m.iterrows():
+        n, sa, sb = int(r["n"]), int(r["sa"]), int(r["sb"])
+        num = n * int(r["pab"]) - sa * sb
+        den_a = n * int(r["paa"]) - sa * sa
+        den_b = n * int(r["pbb"]) - sb * sb
+        out_c.append(
+            float(num) / (math.sqrt(float(den_a)) * math.sqrt(float(den_b)))
+            if den_a > 0 and den_b > 0 else None)
+    return rd.from_pandas(pd.DataFrame({
+        key_col: m[key_col],
+        alias: pd.array(out_c, dtype="float64")}).reset_index(drop=True))

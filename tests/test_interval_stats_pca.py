@@ -497,3 +497,44 @@ def test_upsert_duplicate_update_keys_deterministic():
              .to_pandas().sort_values("k").reset_index(drop=True))
         outs.append(o["cents"].tolist())
     assert outs[0] == outs[1] == outs[2] == [10, 55, 30]
+
+
+def test_corr_by_key_matches_duckdb_corr():
+    """corr_by_key must agree with DuckDB's corr() to float tolerance
+    (the driver oracle uses the spelled-out identical formula; this test
+    cross-checks against the INDEPENDENT built-in implementation)."""
+    import duckdb
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import corr_by_key
+
+    rng = np.random.RandomState(13)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 4, 400),
+        "x": rng.randint(0, 1000, 400).astype(np.float64),
+    })
+    # y stays integer-valued: quantization at scale 1 must be lossless
+    df["y"] = df["x"] * 2.0 + rng.randint(0, 300, 400)
+    out = (corr_by_key(rd.from_pandas(df, override_num_blocks=5),
+                       key_col="k", col_a="x", col_b="y",
+                       scale_a=1, scale_b=1)
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, corr(x, y) AS c FROM t GROUP BY k ORDER BY k").df()
+    con.close()
+    assert np.allclose(out["corr"].to_numpy(), exp["c"].to_numpy(),
+                       rtol=1e-12)
+
+
+def test_corr_by_key_zero_variance_null():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import corr_by_key
+
+    df = pd.DataFrame({"k": [0, 0, 0], "x": [5.0, 5.0, 5.0],
+                       "y": [1.0, 2.0, 3.0]})
+    out = corr_by_key(rd.from_pandas(df), key_col="k", col_a="x",
+                      col_b="y", scale_a=1, scale_b=1).to_pandas()
+    assert out["corr"].isna().all()
