@@ -894,6 +894,32 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_compress_runs_events(sf_dir: str):
+    """Event-stream compaction: drop rows whose event_type equals the
+    user's previous event in time order (state-change log)."""
+    from folkscope_ray.ops.window import compress_runs
+
+    out = compress_runs(
+        _rp(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        value_col="event_type")
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """Most recent event per user (greatest-n-per-group, n=1) — rides
+    cap_per_key's map-side pre-prune."""
+    from folkscope_ray.ops.split import cap_per_key
+
+    out = cap_per_key(
+        _rp(sf_dir, "events").select_columns(
+            ["user_id", "ts", "event_id", "event_type"]),
+        key_col="user_id", n=1, order_cols=["ts", "event_id"],
+        ascending=[False, False])
+    return out.select_columns(["user_id", "event_id", "event_type"])
+
+
 def _q_corr_by_brand_parts(sf_dir: str):
     """Per-brand Pearson correlation of price vs size — grouped exact
     integer moments, ONE float closed-form spelled identically in SQL."""
@@ -2386,6 +2412,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "compress_runs_events": _q_compress_runs_events,
+        "latest_event_per_user": _q_latest_event_per_user,
         "corr_by_brand_parts": _q_corr_by_brand_parts,
         "normalized_dedup_docs": _q_normalized_dedup_docs,
         "activity_histogram_events": _q_activity_histogram_events,
@@ -3370,6 +3398,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "compress_runs_events": """
+            WITH x AS (
+              SELECT user_id, event_id, event_type,
+                     lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id) AS prev
+              FROM events)
+            SELECT user_id, event_id, event_type
+            FROM x WHERE prev IS NULL OR event_type <> prev
+        """,
+        "latest_event_per_user": """
+            WITH r AS (
+              SELECT user_id, event_id, event_type,
+                     row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events)
+            SELECT user_id, event_id, event_type FROM r WHERE rn = 1
         """,
         "corr_by_brand_parts": """
             WITH q AS (

@@ -85,6 +85,8 @@ BENCH_QUERIES = [
     "normalized_dedup_docs",
     "activity_histogram_events",
     "corr_by_brand_parts",
+    "compress_runs_events",
+    "latest_event_per_user",
 ]
 
 

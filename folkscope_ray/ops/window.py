@@ -749,3 +749,24 @@ def ratio_to_report(ds: Dataset, key_col: str, int_value_col: str,
     return ds.select_columns(list(dict.fromkeys(
         id_cols + [key_col, int_value_col]))).map_batches(
         share, batch_format="pyarrow")
+
+
+def compress_runs(ds: Dataset, key_col: str, order_cols: list[str],
+                  value_col: str,
+                  n_buckets: int | None = None) -> Dataset:
+    """Consecutive-duplicate collapse (event-stream compaction): keep each
+    key's row only where ``value_col`` DIFFERS from the previous row in
+    ``order_cols`` order (the first row always survives).  The state-change
+    log compression every event pipeline wants before long-term storage.
+
+    Scale shape: one bucketed vectorized LAG + filter per bucket; output
+    is state-changes-bounded."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        prev = g.groupby(key_col, sort=False)[value_col].shift(1)
+        keep = prev.isna().to_numpy() | (
+            g[value_col].to_numpy() != prev.to_numpy())
+        return g[keep]
+
+    return _bucketed_groups(ds, key_col, body, n_buckets=n_buckets)

@@ -484,3 +484,19 @@ def test_normalize_text_matches_duckdb():
         [s]).fetchone()[0] for s in texts]
     con.close()
     assert out == exp
+
+
+def test_compress_runs_planted():
+    from folkscope_ray.ops.window import compress_runs
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1, 1, 1, 2, 2],
+        "t": [1, 2, 3, 4, 5, 1, 2],
+        "v": ["a", "a", "b", "b", "a", "x", "x"],
+    })
+    out = (compress_runs(rd.from_pandas(df, override_num_blocks=3),
+                         key_col="k", order_cols=["t"], value_col="v")
+           .to_pandas().sort_values(["k", "t"]).reset_index(drop=True))
+    # key 1: a@1, b@3, a@5 survive; key 2: x@1
+    assert out["t"].tolist() == [1, 3, 5, 1]
+    assert out["v"].tolist() == ["a", "b", "a", "x"]
