@@ -894,6 +894,16 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_time_rollup_events(sf_dir: str):
+    """Hour/day/week event counts from ONE fan-out scan + one combined
+    histogram aggregate (no per-grain re-scan)."""
+    from folkscope_ray.ops.window import time_rollup
+
+    return time_rollup(_rp(sf_dir, "events"), ts_col="ts",
+                       grains={"hour": 3600, "day": 86400,
+                               "week": 604800})
+
+
 def _q_compress_runs_events(sf_dir: str):
     """Event-stream compaction: drop rows whose event_type equals the
     user's previous event in time order (state-change log)."""
@@ -2412,6 +2422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "time_rollup_events": _q_time_rollup_events,
         "compress_runs_events": _q_compress_runs_events,
         "latest_event_per_user": _q_latest_event_per_user,
         "corr_by_brand_parts": _q_corr_by_brand_parts,
@@ -3398,6 +3409,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "time_rollup_events": """
+            WITH s AS (
+              SELECT floor(epoch(ts))::BIGINT AS secs FROM events)
+            SELECT grain, bucket, count(*) AS n FROM (
+              SELECT 'hour' AS grain, secs // 3600 AS bucket FROM s
+              UNION ALL SELECT 'day', secs // 86400 FROM s
+              UNION ALL SELECT 'week', secs // 604800 FROM s)
+            GROUP BY grain, bucket
         """,
         "compress_runs_events": """
             WITH x AS (

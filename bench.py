@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "corr_by_brand_parts",
     "compress_runs_events",
     "latest_event_per_user",
+    "time_rollup_events",
 ]
 
 

@@ -770,3 +770,38 @@ def compress_runs(ds: Dataset, key_col: str, order_cols: list[str],
         return g[keep]
 
     return _bucketed_groups(ds, key_col, body, n_buckets=n_buckets)
+
+
+def time_rollup(ds: Dataset, ts_col: str, grains: dict[str, int],
+                grain_alias: str = "grain", bucket_alias: str = "bucket",
+                count_alias: str = "n") -> Dataset:
+    """Multi-granularity time rollup in ONE pass: every row fans out to
+    one (grain, floor(ts / grain_seconds)) key per requested grain and a
+    single map-side-combined aggregate counts all grains together — the
+    hour/day/week dashboard rollup without scanning the stream per grain.
+
+    ``grains``: name -> bucket width in seconds.  Scale shape: fan-out is
+    a vectorized constant-factor repeat; the one shuffle moves combined
+    histogram rows bounded by Σ (span / grain)."""
+    from .relational import map_combine_aggregate
+
+    names = sorted(grains)
+
+    def fan(b: pa.Table) -> pa.Table:
+        col = b.column(ts_col)
+        if pa.types.is_timestamp(col.type):
+            col = col.cast(pa.timestamp("us"))
+        secs = (col.cast(pa.int64()).to_numpy(
+            zero_copy_only=False) // 1_000_000)
+        n = len(secs)
+        gs, bs = [], []
+        for g in names:
+            gs.append(np.full(n, g, dtype=object))
+            bs.append(secs // grains[g])
+        return pa.table({
+            grain_alias: pa.array(np.concatenate(gs), pa.string()),
+            bucket_alias: pa.array(np.concatenate(bs), pa.int64())})
+
+    return map_combine_aggregate(
+        ds.select_columns([ts_col]).map_batches(fan, batch_format="pyarrow"),
+        keys=[grain_alias, bucket_alias], count_alias=count_alias)

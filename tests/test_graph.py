@@ -94,3 +94,23 @@ def test_bfs_depths_planted_and_mode_equivalence():
     multi = (bfs_depths(ds, seeds=[1, 9], max_depth=6, mode="broadcast")
              .to_pandas().sort_values("node").reset_index(drop=True))
     assert multi[multi["node"] == 10]["depth"].iloc[0] == 1
+
+
+def test_bfs_modes_equivalent_on_random_graph():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.graph import bfs_depths
+
+    rng = np.random.RandomState(23)
+    e = pd.DataFrame({"src": rng.randint(0, 150, 800),
+                      "dst": rng.randint(0, 150, 800)})
+    und = pd.concat([e, e.rename(columns={"src": "dst", "dst": "src"})])
+    ds = rd.from_pandas(und, override_num_blocks=5)
+    a = (bfs_depths(ds, seeds=[0, 77], max_depth=5, mode="broadcast")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    b = (bfs_depths(ds, seeds=[0, 77], max_depth=5, mode="shuffle")
+         .to_pandas().sort_values("node").reset_index(drop=True))
+    assert a["node"].tolist() == b["node"].tolist()
+    assert a["depth"].tolist() == b["depth"].tolist()

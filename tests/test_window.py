@@ -500,3 +500,21 @@ def test_compress_runs_planted():
     # key 1: a@1, b@3, a@5 survive; key 2: x@1
     assert out["t"].tolist() == [1, 3, 5, 1]
     assert out["v"].tolist() == ["a", "b", "a", "x"]
+
+
+def test_time_rollup_one_pass_matches_per_grain():
+    from folkscope_ray.ops.window import time_rollup
+
+    rng = np.random.RandomState(31)
+    ts = pd.to_datetime(rng.randint(0, 10 * 86400, 500), unit="s")
+    df = pd.DataFrame({"ts": ts})
+    out = (time_rollup(rd.from_pandas(df, override_num_blocks=4),
+                       ts_col="ts", grains={"day": 86400, "hour": 3600})
+           .to_pandas())
+    secs = ts.astype("int64") // 1_000_000_000
+    for grain, w in (("day", 86400), ("hour", 3600)):
+        exp = (secs // w).value_counts().sort_index()
+        got = (out[out["grain"] == grain]
+               .sort_values("bucket").set_index("bucket")["n"])
+        assert got.index.tolist() == exp.index.tolist()
+        assert got.tolist() == exp.tolist()
