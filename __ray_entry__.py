@@ -894,6 +894,61 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_bounce_rate_users(sf_dir: str):
+    """Per-user bounce rate: single-event sessions / total sessions —
+    composes the chunked sessionizer with one map-combined aggregate;
+    the rate is one identical-operand int/int division."""
+    from folkscope_ray.ops.relational import (map_combine_aggregate,
+                                              session_windows)
+
+    s = session_windows(_rp(sf_dir, "events"), ts_col="ts",
+                        key_col="user_id", id_col="event_id",
+                        gap_s=1800, chunk_s=6 * 3600)
+
+    def flags(b: pa.Table) -> pa.Table:
+        one = pc.cast(pc.equal(b.column("n_events"),
+                               pa.scalar(1, pa.int64())), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "__b": one})
+
+    agg = map_combine_aggregate(
+        s.map_batches(flags, batch_format="pyarrow"),
+        keys=["user_id"], sums={"__b": "n_bounces"},
+        count_alias="n_sessions")
+
+    def rate(b: pa.Table) -> pa.Table:
+        nb = b.column("n_bounces").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        ns = b.column("n_sessions").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"user_id": b.column("user_id"),
+                         "n_sessions": pa.array(ns, pa.int64()),
+                         "n_bounces": pa.array(nb, pa.int64()),
+                         "bounce_rate": pa.array(nb / ns, pa.float64())})
+
+    return agg.map_batches(rate, batch_format="pyarrow")
+
+
+def _q_wow_growth_events(sf_dir: str):
+    """Week-over-week event-count growth: weekly histogram (bounded by
+    span) + LAG ratio — one identical-operand int/int division."""
+    from folkscope_ray.ops.window import time_rollup
+
+    import pandas as pd
+
+    weekly = time_rollup(_rp(sf_dir, "events"), ts_col="ts",
+                         grains={"week": 604800}).to_pandas()
+    weekly = weekly.sort_values("bucket").reset_index(drop=True)
+    prev = weekly["n"].shift(1)
+    out = pd.DataFrame({
+        "week": weekly["bucket"].astype("int64"),
+        "n": weekly["n"].astype("int64"),
+        "growth": (weekly["n"].to_numpy().astype("float64")
+                   / prev.to_numpy().astype("float64")),
+    })
+    out.loc[prev.isna(), "growth"] = -1.0
+    return out
+
+
 def _q_time_rollup_events(sf_dir: str):
     """Hour/day/week event counts from ONE fan-out scan + one combined
     histogram aggregate (no per-grain re-scan)."""
@@ -2422,6 +2477,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "bounce_rate_users": _q_bounce_rate_users,
+        "wow_growth_events": _q_wow_growth_events,
         "time_rollup_events": _q_time_rollup_events,
         "compress_runs_events": _q_compress_runs_events,
         "latest_event_per_user": _q_latest_event_per_user,
@@ -3409,6 +3466,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "bounce_rate_users": """
+            WITH t0 AS (
+              SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS secs, ts
+              FROM events
+            ), t AS (
+              SELECT user_id, event_id, secs, ts,
+                     CASE WHEN secs - lag(secs) OVER w > 1800
+                          OR lag(secs) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+              FROM t0
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT user_id,
+                     sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM t
+            ), sess AS (
+              SELECT user_id, session_id, count(*) AS n
+              FROM s GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*) AS n_sessions,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_bounces,
+                   sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) / count(*)
+                     AS bounce_rate
+            FROM sess GROUP BY user_id
+        """,
+        "wow_growth_events": """
+            WITH s AS (
+              SELECT floor(epoch(ts))::BIGINT AS secs FROM events
+            ), w AS (
+              SELECT secs // 604800 AS week, count(*) AS n
+              FROM s GROUP BY week)
+            SELECT week, n,
+                   COALESCE(n / lag(n) OVER (ORDER BY week), -1.0)
+                     AS growth
+            FROM w
         """,
         "time_rollup_events": """
             WITH s AS (

@@ -88,6 +88,8 @@ BENCH_QUERIES = [
     "compress_runs_events",
     "latest_event_per_user",
     "time_rollup_events",
+    "bounce_rate_users",
+    "wow_growth_events",
 ]
 
 
