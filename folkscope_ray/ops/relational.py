@@ -625,31 +625,77 @@ def session_windows(events: Dataset, ts_col: str, key_col: str, id_col: str,
         out = batch.append_column("secs", pc.cast(secs, pa.int64()))
         return out.append_column("chunk", chunk)
 
-    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["secs", id_col])
-        out = _sessionize(g, g["secs"].astype("int64"))
-        return out.drop(columns=["session_id"])
+    # Both phases run ONE vectorized pandas body per hash BUCKET, never per
+    # (key, chunk) group: at sf0.1 the per-group form paid ~180k Python
+    # dispatches (1.5k keys x ~120 chunks) and ran 90+ s; bucketed it is
+    # ~2 s (the ops/window.py tiny-group discipline).  Phase-1 buckets on
+    # hash(key) ^ mix(chunk) so a hot key's history still SPREADS across
+    # buckets (the whole point of chunking); phase 2 buckets on hash(key)
+    # over session summaries, which are bounded by session count, not
+    # event count.
+    nb = 16
+    try:
+        nb = max(8, int(ray.cluster_resources().get("CPU", 8)) * 2)
+    except Exception:
+        pass
 
-    def stitch(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["start_epoch", "end_epoch"])
-        new_session = (
-            g["start_epoch"] - g["end_epoch"].shift(1)
-        ).fillna(gap_s + 1) > gap_s
-        sid = new_session.cumsum()
-        return (
-            g.assign(session_id=sid)
-            .groupby([key_col, "session_id"], sort=False)
-            .agg(n_events=("n_events", "sum"), start_epoch=("start_epoch", "min"),
-                 end_epoch=("end_epoch", "max"))
-            .reset_index()
-        )
+    MIX = np.uint64(0x9E3779B97F4A7C15)
+
+    def bucket_kc(b: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(
+            b.column(key_col).to_pandas().to_numpy(), categorize=False)
+        ch = b.column("chunk").to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        buck = ((kh ^ (ch * MIX)) % np.uint64(nb)).astype(np.int32)
+        return b.append_column("__b1", pa.array(buck, pa.int32()))
+
+    def local_sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__b1"]).sort_values(
+            [key_col, "chunk", "secs", id_col], kind="mergesort")
+        secs = g["secs"].astype("int64")
+        same = (g[key_col] == g[key_col].shift(1)) & \
+               (g["chunk"] == g["chunk"].shift(1))
+        new_s = (~same) | ((secs - secs.shift(1)) > gap_s)
+        sid = new_s.cumsum()
+        return (g.assign(__sid=sid)
+                .groupby([key_col, "__sid"], sort=False)
+                .agg(n_events=("secs", "size"),
+                     start_epoch=("secs", "min"),
+                     end_epoch=("secs", "max"))
+                .reset_index().drop(columns=["__sid"]))
+
+    def bucket_k(b: pa.Table) -> pa.Table:
+        kh = pd.util.hash_array(
+            b.column(key_col).to_pandas().to_numpy(), categorize=False)
+        return b.append_column(
+            "__b2", pa.array((kh % np.uint64(nb)).astype(np.int32),
+                             pa.int32()))
+
+    def stitch_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["__b2"]).sort_values(
+            [key_col, "start_epoch", "end_epoch"], kind="mergesort")
+        same = g[key_col] == g[key_col].shift(1)
+        new_s = (~same) | (
+            (g["start_epoch"] - g["end_epoch"].shift(1)) > gap_s)
+        sid = new_s.cumsum()
+        first = sid.groupby(g[key_col].to_numpy(), sort=False) \
+            .transform("min")
+        session_id = (sid - first + 1).astype("int64")
+        return (g.assign(session_id=session_id)
+                .groupby([key_col, "session_id"], sort=False)
+                .agg(n_events=("n_events", "sum"),
+                     start_epoch=("start_epoch", "min"),
+                     end_epoch=("end_epoch", "max"))
+                .reset_index())
 
     return (
         slim.map_batches(assign_chunk, batch_format="pyarrow")
-        .groupby([key_col, "chunk"])
-        .map_groups(local_sessions, batch_format="pandas")
-        .groupby(key_col)
-        .map_groups(stitch, batch_format="pandas")
+        .map_batches(bucket_kc, batch_format="pyarrow")
+        .groupby("__b1")
+        .map_groups(local_sessions_bucket, batch_format="pandas")
+        .map_batches(bucket_k, batch_format="pyarrow")
+        .groupby("__b2")
+        .map_groups(stitch_bucket, batch_format="pandas")
     )
 
 
