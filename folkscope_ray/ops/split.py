@@ -194,13 +194,16 @@ def sample_per_key(ds: Dataset, key_col: str, id_col: str, n: int,
         return pa.Table.from_pandas(pruned, preserve_index=False)
 
     def head_n(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["__md5", id_col], kind="mergesort").head(n)
+        # vectorized across every key in the bucket (one pandas dispatch
+        # per BUCKET, not per key — the tiny-group discipline)
+        return (g.sort_values(["__md5", id_col], kind="mergesort")
+                .groupby(key_col, sort=False).head(n))
 
-    return (
-        ds.map_batches(annotate_prune, batch_format="pyarrow")
-        .groupby(key_col)
-        .map_groups(head_n, batch_format="pandas")
-    )
+    from .window import _bucketed_groups
+
+    return _bucketed_groups(
+        ds.map_batches(annotate_prune, batch_format="pyarrow"),
+        key_col, head_n)
 
 
 def deterministic_shuffle(ds: Dataset, id_col: str, seed: int,
@@ -351,6 +354,9 @@ def cap_per_key(ds: Dataset, key_col: str, n: int,
         return (df.sort_values(order_cols, ascending=asc, kind="mergesort")
                 .groupby(key_col, sort=False).head(n))
 
-    return (ds.map_batches(prune, batch_format="pandas")
-            .groupby(key_col)
-            .map_groups(prune, batch_format="pandas"))
+    from .window import _bucketed_groups
+
+    # the prune body is already vectorized across keys, so the reduce side
+    # runs once per hash BUCKET (tiny-group discipline), not once per key
+    return _bucketed_groups(
+        ds.map_batches(prune, batch_format="pandas"), key_col, prune)
