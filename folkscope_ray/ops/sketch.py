@@ -413,7 +413,16 @@ def exact_quantiles_by_group(ds: Dataset, key_col: str, value_col: str,
         return pd.DataFrame({key_col: [g[key_col].iloc[0]] * len(q_list),
                              "q": out_q, "value": out_v})
 
-    return hist.groupby(key_col).map_groups(walk, batch_format="pandas")
+    def walk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        # one Ray dispatch per BUCKET; the per-key exact-rank walk loops
+        # inside (cheap: len(qs) searchsorteds over a tiny histogram)
+        return pd.concat([walk(g) for _, g in
+                          df.groupby(key_col, sort=False)],
+                         ignore_index=True)
+
+    from .window import _bucketed_groups
+
+    return _bucketed_groups(hist, key_col, walk_bucket)
 
 
 # ------------------------------------------------------- Count-Min sketch
@@ -530,4 +539,11 @@ def quantile_cont_by_group(ds: Dataset, key_col: str, value_col: str,
                              "q": out_q,
                              "value": np.asarray(out_v, dtype=np.float64)})
 
-    return hist.groupby(key_col).map_groups(walk, batch_format="pandas")
+    def walk_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.concat([walk(g) for _, g in
+                          df.groupby(key_col, sort=False)],
+                         ignore_index=True)
+
+    from .window import _bucketed_groups
+
+    return _bucketed_groups(hist, key_col, walk_bucket)
