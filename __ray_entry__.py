@@ -894,6 +894,15 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_profile_orders(sf_dir: str):
+    """Data-quality profile of the orders numerics: count / nulls /
+    exact distinct / min / max per column, bounded shuffles only."""
+    from folkscope_ray.ops.stats import profile_table
+
+    return profile_table(_rp(sf_dir, "orders"),
+                         ["o_orderkey", "o_custkey", "o_totalprice"])
+
+
 def _q_bounce_rate_users(sf_dir: str):
     """Per-user bounce rate: single-event sessions / total sessions —
     composes the chunked sessionizer with one map-combined aggregate;
@@ -2477,6 +2486,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "profile_orders": _q_profile_orders,
         "bounce_rate_users": _q_bounce_rate_users,
         "wow_growth_events": _q_wow_growth_events,
         "time_rollup_events": _q_time_rollup_events,
@@ -3466,6 +3476,26 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "profile_orders": """
+            SELECT 'o_custkey' AS col, count(*) AS n,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_null,
+                   count(DISTINCT o_custkey)::BIGINT AS n_distinct,
+                   min(o_custkey)::DOUBLE AS min_v,
+                   max(o_custkey)::DOUBLE AS max_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderkey', count(*),
+                   sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_orderkey)::BIGINT,
+                   min(o_orderkey)::DOUBLE, max(o_orderkey)::DOUBLE
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice', count(*),
+                   sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)::BIGINT,
+                   count(DISTINCT o_totalprice)::BIGINT,
+                   min(o_totalprice)::DOUBLE, max(o_totalprice)::DOUBLE
+            FROM orders
         """,
         "bounce_rate_users": """
             WITH t0 AS (

@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     "time_rollup_events",
     "bounce_rate_users",
     "wow_growth_events",
+    "profile_orders",
 ]
 
 

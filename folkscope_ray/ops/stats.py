@@ -435,3 +435,58 @@ def corr_by_key(ds: Dataset, key_col: str, col_a: str, col_b: str,
     return rd.from_pandas(pd.DataFrame({
         key_col: m[key_col],
         alias: pd.array(out_c, dtype="float64")}).reset_index(drop=True))
+
+
+def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
+    """Per-column data-quality profile over NUMERIC columns: row count,
+    null count, exact distinct count, min and max (as float64) — the
+    expectation/audit primitive run before a table enters a pipeline.
+
+    Scale shape: ONE fan-out scan (row -> one (col, value) pair per
+    profiled column) feeds a map-side-combined stats aggregate and a
+    two-phase exact-distinct count; both shuffles move histogram rows
+    bounded by columns x value-domain, never the stream."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .relational import map_combine_aggregate
+
+    names = list(cols)
+
+    def fan(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cs, vs = [], []
+        for c in names:
+            cs.append(np.full(n, c, dtype=object))
+            vs.append(b.column(c).cast(pa.float64()))
+        nulls = pa.chunked_array(
+            [ch for ca in vs for ch in ca.chunks])
+        return pa.table({
+            "col": pa.array(np.concatenate(cs), pa.string()),
+            "v": nulls,
+            "__isnull": pc.cast(pc.is_null(nulls), pa.int64())})
+
+    fanned = ds.select_columns(names).map_batches(
+        fan, batch_format="pyarrow")
+
+    stats = map_combine_aggregate(
+        fanned, keys=["col"], sums={"__isnull": "n_null"},
+        mins={"v": "min_v"}, maxs={"v": "max_v"},
+        count_alias="n").to_pandas()
+
+    distinct = map_combine_aggregate(
+        fanned.map_batches(
+            lambda b: b.filter(pc.is_valid(b.column("v")))
+            .select(["col", "v"]), batch_format="pyarrow"),
+        keys=["col", "v"], count_alias="__c")
+    nd = map_combine_aggregate(
+        distinct.select_columns(["col"]), keys=["col"],
+        count_alias="n_distinct").to_pandas()
+
+    out = stats.merge(nd, on="col")
+    out = out[["col", "n", "n_null", "n_distinct", "min_v", "max_v"]]
+    for c in ("n", "n_null", "n_distinct"):
+        out[c] = out[c].astype("int64")
+    for c in ("min_v", "max_v"):
+        out[c] = out[c].astype("float64")
+    return rd.from_pandas(out.sort_values("col").reset_index(drop=True))

@@ -538,3 +538,22 @@ def test_corr_by_key_zero_variance_null():
     out = corr_by_key(rd.from_pandas(df), key_col="k", col_a="x",
                       col_b="y", scale_a=1, scale_b=1).to_pandas()
     assert out["corr"].isna().all()
+
+
+def test_profile_table_with_nulls():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import profile_table
+
+    df = pd.DataFrame({
+        "a": pd.array([1, 2, 2, None, 5], dtype="Int64"),
+        "b": [1.5, 1.5, 1.5, 1.5, 1.5],
+    })
+    out = (profile_table(rd.from_pandas(df, override_num_blocks=2),
+                         ["a", "b"])
+           .to_pandas().sort_values("col").reset_index(drop=True))
+    a = out[out["col"] == "a"].iloc[0]
+    assert (a["n"], a["n_null"], a["n_distinct"]) == (5, 1, 3)
+    assert (a["min_v"], a["max_v"]) == (1.0, 5.0)
+    b = out[out["col"] == "b"].iloc[0]
+    assert (b["n"], b["n_null"], b["n_distinct"]) == (5, 0, 1)
