@@ -894,6 +894,20 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_composite_join_lineitem(sf_dir: str):
+    """COMPOSITE-key hash join: every lineitem row joined to its
+    (orderkey, returnflag) group count — bucket hashes mix both key
+    columns."""
+    from folkscope_ray.ops.relational import hash_join, map_combine_aggregate
+
+    slim = _rp(sf_dir, "lineitem").select_columns(
+        ["l_orderkey", "l_linenumber", "l_returnflag"])
+    agg = map_combine_aggregate(
+        slim.select_columns(["l_orderkey", "l_returnflag"]),
+        keys=["l_orderkey", "l_returnflag"], count_alias="n")
+    return hash_join(slim, agg, on=["l_orderkey", "l_returnflag"])
+
+
 def _q_profile_orders(sf_dir: str):
     """Data-quality profile of the orders numerics: count / nulls /
     exact distinct / min / max per column, bounded shuffles only."""
@@ -2486,6 +2500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "composite_join_lineitem": _q_composite_join_lineitem,
         "profile_orders": _q_profile_orders,
         "bounce_rate_users": _q_bounce_rate_users,
         "wow_growth_events": _q_wow_growth_events,
@@ -3476,6 +3491,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "composite_join_lineitem": """
+            WITH g AS (
+              SELECT l_orderkey, l_returnflag, count(*) AS n
+              FROM lineitem GROUP BY l_orderkey, l_returnflag)
+            SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag, g.n
+            FROM lineitem l
+            JOIN g ON l.l_orderkey = g.l_orderkey
+                  AND l.l_returnflag = g.l_returnflag
         """,
         "profile_orders": """
             SELECT 'o_custkey' AS col, count(*) AS n,

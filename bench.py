@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "bounce_rate_users",
     "wow_growth_events",
     "profile_orders",
+    "composite_join_lineitem",
 ]
 
 

@@ -110,9 +110,11 @@ def broadcast_join(large: Dataset, small_df: pd.DataFrame | pa.Table,
     return large.map_batches(join_batch, batch_format="pyarrow")
 
 
-def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = None,
+def hash_join(left: Dataset, right: Dataset, on: str | list[str],
+              n_buckets: int | None = None,
               how: str = "inner") -> Dataset:
-    """Partitioned hash join on ``on``.
+    """Partitioned hash join on ``on`` (a single column or a COMPOSITE
+    key list — buckets mix the per-column hashes).
 
     Uses the native hash-partitioned ``Dataset.join`` when this Ray version
     ships it (2.47+), falling back to the portable manual shape: bucket both
@@ -132,6 +134,7 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
     # right table broadcasts, and every batch re-probes it — profitable only
     # while the hash table stays cache-friendly); 0 disables both the probe
     # and the materialize for known-huge right sides.
+    keys = [on] if isinstance(on, str) else list(on)
     gate = int(_os.environ.get("FOLKSCOPE_JOIN_BROADCAST_MAX", 500_000))
     if gate and how in ("inner", "left", "left_outer"):
         right = right.materialize()
@@ -149,12 +152,20 @@ def hash_join(left: Dataset, right: Dataset, on: str, n_buckets: int | None = No
         except Exception:
             n_buckets = 8
     if hasattr(left, "join"):
-        return left.join(right, join_type=how, num_partitions=n_buckets, on=(on,))
+        return left.join(right, join_type=how, num_partitions=n_buckets,
+                         on=tuple(keys))
 
     def bucketize(side: str):
         def fn(batch: pa.Table) -> pa.Table:
+            h = None
+            for c in keys:
+                hc = pd.util.hash_array(
+                    batch.column(c).to_pandas().to_numpy(),
+                    categorize=False)
+                h = hc if h is None else (h * np.uint64(1_000_003)) ^ hc
             out = batch.append_column(
-                "__bucket", _bucket_ids(batch.column(on), n_buckets))
+                "__bucket", pa.array((h % n_buckets).astype(np.int32),
+                                     pa.int32()))
             return out.append_column(
                 "__side", pa.array([side] * batch.num_rows, pa.string()))
         return fn

@@ -238,3 +238,38 @@ def test_event_memo_path_matches_per_row_path(corpus_200, monkeypatch):
             assert [str(x) for x in a] == [str(x) for x in b], col
         else:
             assert a.tolist() == b.tolist(), col
+
+
+def test_composite_key_hash_join_paths_equivalent(monkeypatch):
+    """Composite-key join must be identical on the broadcast-escape path
+    and the forced-distributed (gate=0) path."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import hash_join
+
+    rng = np.random.RandomState(17)
+    left = pd.DataFrame({
+        "a": rng.randint(0, 30, 500),
+        "b": rng.choice(["x", "y", "z"], 500),
+        "i": np.arange(500, dtype=np.int64),
+    })
+    right = (left.groupby(["a", "b"], as_index=False)
+             .agg(n=("i", "size")))
+
+    def run():
+        out = hash_join(
+            rd.from_pandas(left, override_num_blocks=4),
+            rd.from_pandas(right, override_num_blocks=3),
+            on=["a", "b"]).to_pandas()
+        return (out.sort_values(["i"]).reset_index(drop=True)
+                [sorted(out.columns)])
+
+    bcast = run()
+    monkeypatch.setenv("FOLKSCOPE_JOIN_BROADCAST_MAX", "0")
+    dist = run()
+    pd.testing.assert_frame_equal(bcast, dist)
+    exp = left.merge(right, on=["a", "b"]).sort_values("i") \
+        .reset_index(drop=True)
+    assert bcast["n"].tolist() == exp["n"].tolist()
