@@ -894,6 +894,15 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_checksum_orders(sf_dir: str):
+    """Order-insensitive md5-prefix content checksum of (orderkey,
+    custkey) — the O(1)-output snapshot-equality probe."""
+    from folkscope_ray.ops.stats import table_checksum
+
+    return table_checksum(_rp(sf_dir, "orders"),
+                          ["o_orderkey", "o_custkey"])
+
+
 def _q_composite_join_lineitem(sf_dir: str):
     """COMPOSITE-key hash join: every lineitem row joined to its
     (orderkey, returnflag) group count — bucket hashes mix both key
@@ -2500,6 +2509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "checksum_orders": _q_checksum_orders,
         "composite_join_lineitem": _q_composite_join_lineitem,
         "profile_orders": _q_profile_orders,
         "bounce_rate_users": _q_bounce_rate_users,
@@ -3491,6 +3501,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "checksum_orders": """
+            SELECT count(*) AS n,
+                   (sum(('0x' || substr(md5(
+                        o_orderkey::VARCHAR || '|' || o_custkey::VARCHAR),
+                        1, 14))::BIGINT)
+                    % 2305843009213693951)::BIGINT AS checksum
+            FROM orders
         """,
         "composite_join_lineitem": """
             WITH g AS (

@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "wow_growth_events",
     "profile_orders",
     "composite_join_lineitem",
+    "checksum_orders",
 ]
 
 

@@ -490,3 +490,50 @@ def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
     for c in ("min_v", "max_v"):
         out[c] = out[c].astype("float64")
     return rd.from_pandas(out.sort_values("col").reset_index(drop=True))
+
+
+CHECKSUM_MOD = (1 << 61) - 1  # Mersenne prime: keeps the sum in int64
+
+
+def table_checksum(ds: Dataset, cols: list[str], sep: str = "|") -> Dataset:
+    """Order-insensitive table content checksum: per row, the first 7
+    bytes of ``md5(col1|col2|...)`` as an integer; integer-summed modulo
+    a Mersenne prime.  Addition commutes, so the checksum is identical at
+    any row order, block layout or parallelism — the O(1)-output snapshot
+    equality probe for resumable pipelines (compare a rebuilt partition
+    against its manifest without sorting either side).
+
+    Columns are stringified with Arrow casts (int -> "123"), matching SQL
+    ``col::VARCHAR``; stick to integer/string columns for cross-engine
+    parity (float formatting differs by engine).  Returns ONE row
+    ``(n, checksum)``.  Scale shape: per-block partial (python-int exact,
+    shipped as a string), tiny driver combine."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .split import _md5_digests
+
+    def part(b: pa.Table) -> pa.Table:
+        arrs = [b.column(c).cast(pa.string()) for c in cols]
+        joined = pc.binary_join_element_wise(
+            *arrs, pa.scalar(sep, pa.string()))
+        if isinstance(joined, pa.Array):
+            joined = pa.chunked_array([joined])
+        dig = _md5_digests(joined)
+        v = dig[:, :7].astype(np.uint64)
+        weights = (np.uint64(256) ** np.arange(6, -1, -1, dtype=np.uint64))
+        row_vals = (v * weights[None, :]).sum(axis=1, dtype=np.uint64)
+        # astype(object) -> Python ints: the block sum is exact at any
+        # block size (row values are 56-bit; a uint64 sum would wrap past
+        # ~128 rows)
+        total = int(row_vals.astype(object).sum()) if len(row_vals) else 0
+        return pa.table({"n": pa.array([b.num_rows], pa.int64()),
+                         "s": pa.array([str(total)], pa.string())})
+
+    parts = ds.select_columns(cols).map_batches(
+        part, batch_format="pyarrow").to_pandas()
+    n = int(parts["n"].sum()) if len(parts) else 0
+    total = sum(int(x) for x in parts["s"]) % CHECKSUM_MOD
+    return rd.from_pandas(pd.DataFrame(
+        {"n": np.array([n], dtype=np.int64),
+         "checksum": np.array([total], dtype=np.int64)}))

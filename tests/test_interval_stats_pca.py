@@ -557,3 +557,22 @@ def test_profile_table_with_nulls():
     assert (a["min_v"], a["max_v"]) == (1.0, 5.0)
     b = out[out["col"] == "b"].iloc[0]
     assert (b["n"], b["n_null"], b["n_distinct"]) == (5, 0, 1)
+
+
+def test_table_checksum_order_insensitive():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import table_checksum
+
+    df = pd.DataFrame({"a": np.arange(500, dtype=np.int64),
+                       "b": (np.arange(500) * 7 % 13).astype(np.int64)})
+    shuffled = df.sample(frac=1.0, random_state=4).reset_index(drop=True)
+    c1 = table_checksum(rd.from_pandas(df, override_num_blocks=2),
+                        ["a", "b"]).to_pandas()
+    c2 = table_checksum(rd.from_pandas(shuffled, override_num_blocks=7),
+                        ["a", "b"]).to_pandas()
+    assert c1.equals(c2)
+    # a single changed value changes the checksum
+    df2 = df.copy(); df2.loc[250, "b"] = 999
+    c3 = table_checksum(rd.from_pandas(df2), ["a", "b"]).to_pandas()
+    assert c3["checksum"][0] != c1["checksum"][0]
