@@ -2459,11 +2459,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
     #   tier 1 - queries never driver-verified in any round come first
-    #            (this round: the 15 early-r4 additions, then the 10
-    #            late-r4 additions rolling_median/transition/funnel/
-    #            collect_topk/mode/mad/regex_extract/retention and the
-    #            two stats ops — all pre-validated vs DuckDB at sf0.01
-    #            via tools/check_queries.py);
+    #            (this round: the 15 early-r4 additions, then the
+    #            closing-session additions — rolling_median, transition,
+    #            funnel, retention, islands, ratio_to_report,
+    #            collect_topk, mode, mad, weighted_avg, upsert,
+    #            table_diff, quantile_cont, regex_extract, bfs_depths,
+    #            star join, trending, normalized dedup, activity
+    #            histogram, corr_by_key, compress_runs, latest-per-key,
+    #            time_rollup, bounce rate, wow growth, profile,
+    #            composite join, checksum — ALL pre-validated vs DuckDB
+    #            at sf0.001 AND sf0.01 via tools/check_queries.py);
     #   tier 2 - every query whose code path changed since its last green
     #            CORRECTNESS row (the r3 lineage-rank/pack kg_* paths,
     #            the concept_triples/fuse_subj vectorization, the shared
@@ -2474,15 +2479,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            edge_features via the mean_vector_by_key rewrite);
     #   tier 3 - stalest-first fill: queries green only in r1/r2 rotate in
     #            so no query goes more than two rounds unverified;
-    #   remainder - green in r3 and unchanged.  The 9 late-r4 additions
-    #            displace 9 tier-3 stale queries (topk_orders,
-    #            sort_limit_parts, doc_length_cdf, exact_dedup_docs,
-    #            hash_join_lineitem_orders, minhash_dedup_docs,
-    #            tpch_q1_pricing_summary, groupby_count_docs,
-    #            filter_project_events) below the fold — the r5 window
-    #            MUST start with those nine plus whatever r5 adds or
-    #            changes.  The full current first-50 was pre-validated
-    #            green vs DuckDB at sf0.01 on 2026-08-19 (~20:00).
+    #   remainder - green in r3 and unchanged.  The 28 closing-session
+    #            additions displace the whole tier-3 stale fill below the
+    #            fold — the r5 window MUST start with the displaced
+    #            tier-3 set (topk_orders, sort_limit_parts,
+    #            doc_length_cdf, exact_dedup_docs, hash_join_lineitem_
+    #            orders, minhash_dedup_docs, tpch_q1_pricing_summary,
+    #            groupby_count_docs, filter_project_events, plus
+    #            every r4-window query pushed past position 50 by the
+    #            additions) and whatever r5 adds or changes.  The ENTIRE
+    #            141-query registry was pre-validated green vs DuckDB at
+    #            sf0.01 in this session (first-50 pass + positions-51+
+    #            pass + each later insertion individually).
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
