@@ -894,6 +894,62 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_churned_users_events(sf_dir: str):
+    """Churn scan: users not active on the corpus's final active day —
+    per-user max day (map-combined) vs one broadcast global scalar."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    def days(b: pa.Table) -> pa.Table:
+        d = pc.cast(pc.divide(pc.cast(b.column("ts"), pa.int64()),
+                              86_400_000_000), pa.int64())
+        return pa.table({"user_id": b.column("user_id"), "d": d})
+
+    per_user = map_combine_aggregate(
+        _rp(sf_dir, "events").select_columns(["user_id", "ts"])
+        .map_batches(days, batch_format="pyarrow"),
+        keys=["user_id"], maxs={"d": "last_day"}, count_alias="last_day")
+    df = per_user.to_pandas()  # bounded by distinct users
+    gmax = int(df["last_day"].max())
+    df["days_inactive"] = (gmax - df["last_day"]).astype("int64")
+    df["last_day"] = df["last_day"].astype("int64")
+    out = df[df["days_inactive"] > 0].sort_values("user_id") \
+        .reset_index(drop=True)
+    return out[["user_id", "last_day", "days_inactive"]]
+
+
+def _q_pct_change_orders(sf_dir: str):
+    """Per-customer consecutive order price ratio (LAG division of exact
+    integer cents — bit-equal doubles; first order gets -1)."""
+    from folkscope_ray.ops.window import _bucketed_groups
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"o_custkey": b.column("o_custkey"),
+                         "o_orderkey": b.column("o_orderkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "cents": c})
+
+    ds = (_rp(sf_dir, "orders")
+          .select_columns(["o_custkey", "o_orderkey", "o_orderdate",
+                           "o_totalprice"])
+          .map_batches(cents, batch_format="pyarrow"))
+
+    import pandas as pd
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        prev = g.groupby("o_custkey", sort=False)["cents"].shift(1)
+        ratio = np.where(prev.isna().to_numpy(), -1.0,
+                         g["cents"].to_numpy().astype("float64")
+                         / prev.to_numpy().astype("float64"))
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"],
+                             "ratio": ratio})
+
+    return _bucketed_groups(ds, "o_custkey", body)
+
+
 def _q_checksum_orders(sf_dir: str):
     """Order-insensitive md5-prefix content checksum of (orderkey,
     custkey) — the O(1)-output snapshot-equality probe."""
@@ -2517,6 +2573,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "churned_users_events": _q_churned_users_events,
+        "pct_change_orders": _q_pct_change_orders,
         "checksum_orders": _q_checksum_orders,
         "composite_join_lineitem": _q_composite_join_lineitem,
         "profile_orders": _q_profile_orders,
@@ -3509,6 +3567,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "churned_users_events": """
+            WITH d AS (
+              SELECT user_id,
+                     max(date_diff('day', TIMESTAMP '1970-01-01',
+                                   date_trunc('day', ts))::BIGINT)
+                       AS last_day
+              FROM events GROUP BY user_id)
+            SELECT user_id, last_day,
+                   ((SELECT max(last_day) FROM d) - last_day)::BIGINT
+                     AS days_inactive
+            FROM d
+            WHERE (SELECT max(last_day) FROM d) - last_day > 0
+        """,
+        "pct_change_orders": """
+            WITH c AS (
+              SELECT o_custkey, o_orderkey, o_orderdate,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+            SELECT o_orderkey,
+                   COALESCE(cents / lag(cents) OVER (
+                     PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey), -1.0) AS ratio
+            FROM c
         """,
         "checksum_orders": """
             SELECT count(*) AS n,

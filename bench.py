@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "profile_orders",
     "composite_join_lineitem",
     "checksum_orders",
+    "churned_users_events",
+    "pct_change_orders",
 ]
 
 
