@@ -894,6 +894,27 @@ def _q_collect_topk_docs(sf_dir: str):
                         list_alias="ids", count_alias="n")
 
 
+def _q_except_orders_pairs(sf_dir: str):
+    """SQL EXCEPT over composite tuples: (custkey, priority) pairs seen
+    among open orders but never among finished ones — distinct both
+    sides map-combined, one composite-key left-outer join."""
+    from folkscope_ray.ops.relational import except_distinct
+
+    src = _rp(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def status(v: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("o_orderstatus"), v)) \
+                .select(["o_custkey", "o_orderpriority"])
+        return fn
+
+    left = src.map_batches(status("O"), batch_format="pyarrow")
+    right = src.map_batches(status("F"), batch_format="pyarrow")
+    return except_distinct(left, right,
+                           cols=["o_custkey", "o_orderpriority"])
+
+
 def _q_churned_users_events(sf_dir: str):
     """Churn scan: users not active on the corpus's final active day —
     per-user max day (map-combined) vs one broadcast global scalar."""
@@ -2573,6 +2594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bfs_depths_lineitem": _q_bfs_depths_lineitem,
         "star_join_revenue_nation": _q_star_join_revenue_nation,
         "quantile_cont_brand_parts": _q_quantile_cont_brand_parts,
+        "except_orders_pairs": _q_except_orders_pairs,
         "churned_users_events": _q_churned_users_events,
         "pct_change_orders": _q_pct_change_orders,
         "checksum_orders": _q_checksum_orders,
@@ -3567,6 +3589,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST((1000000 * r) // (SELECT CAST(sum(r) AS BIGINT) FROM s) AS BIGINT)
                      AS weight_ppm
             FROM s ORDER BY source
+        """,
+        "except_orders_pairs": """
+            SELECT o_custkey, o_orderpriority FROM orders
+            WHERE o_orderstatus = 'O'
+            EXCEPT
+            SELECT o_custkey, o_orderpriority FROM orders
+            WHERE o_orderstatus = 'F'
         """,
         "churned_users_events": """
             WITH d AS (

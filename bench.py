@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "checksum_orders",
     "churned_users_events",
     "pct_change_orders",
+    "except_orders_pairs",
 ]
 
 

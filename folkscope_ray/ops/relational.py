@@ -774,3 +774,30 @@ def table_diff(left: Dataset, right: Dataset, on: str,
                          status_alias: pa.array(st, pa.string())})
 
     return j.map_batches(status, batch_format="pyarrow")
+
+
+def except_distinct(left: Dataset, right: Dataset,
+                    cols: list[str]) -> Dataset:
+    """SQL ``EXCEPT`` (distinct set difference): distinct ``cols`` tuples
+    of ``left`` that never appear in ``right``.
+
+    Scale shape: both sides first collapse to distinct tuples with
+    map-side combine (the shuffle moves distinct rows, never the
+    streams), then ONE composite-key left-outer hash join + a stateless
+    null-marker filter — no broadcast requirement on either side."""
+
+    def distinct(ds: Dataset) -> Dataset:
+        return map_combine_aggregate(ds.select_columns(cols), keys=cols,
+                                     count_alias="__c") \
+            .drop_columns(["__c"])
+
+    r = distinct(right).map_batches(
+        lambda b: b.append_column(
+            "__r", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    j = hash_join(distinct(left), r, on=cols, how="left_outer")
+
+    def only_left(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_null(b.column("__r"))).select(cols)
+
+    return j.map_batches(only_left, batch_format="pyarrow")

@@ -1018,3 +1018,29 @@ def test_table_diff_statuses_and_null_safety():
     got = dict(zip(out["k"], out["status"]))
     assert got == {1: "unchanged", 2: "changed", 3: "changed",
                    4: "changed", 5: "removed", 6: "added"}
+
+
+def test_except_distinct_matches_duckdb():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import except_distinct
+
+    rng = np.random.RandomState(27)
+    l = pd.DataFrame({"a": rng.randint(0, 20, 300),
+                      "b": rng.choice(["x", "y"], 300)})
+    r = pd.DataFrame({"a": rng.randint(0, 20, 200),
+                      "b": rng.choice(["x", "y"], 200)})
+    out = (except_distinct(rd.from_pandas(l, override_num_blocks=3),
+                           rd.from_pandas(r, override_num_blocks=2),
+                           cols=["a", "b"])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("l", l); con.register("r", r)
+    exp = con.execute(
+        "SELECT a, b FROM l EXCEPT SELECT a, b FROM r ORDER BY a, b").df()
+    con.close()
+    assert out["a"].tolist() == exp["a"].tolist()
+    assert out["b"].tolist() == exp["b"].tolist()
