@@ -1033,6 +1033,9 @@ def test_except_distinct_matches_duckdb():
                       "b": rng.choice(["x", "y"], 300)})
     r = pd.DataFrame({"a": rng.randint(0, 20, 200),
                       "b": rng.choice(["x", "y"], 200)})
+    # planted rows that can never appear in r: the difference is non-empty
+    l = pd.concat([l, pd.DataFrame({"a": [99, 98], "b": ["z", "z"]})],
+                  ignore_index=True)
     out = (except_distinct(rd.from_pandas(l, override_num_blocks=3),
                            rd.from_pandas(r, override_num_blocks=2),
                            cols=["a", "b"])
