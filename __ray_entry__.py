@@ -2565,9 +2565,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            groupby_count_docs, filter_project_events, plus
     #            every r4-window query pushed past position 50 by the
     #            additions) and whatever r5 adds or changes.  The ENTIRE
-    #            141-query registry was pre-validated green vs DuckDB at
-    #            sf0.01 in this session (first-50 pass + positions-51+
-    #            pass + each later insertion individually).
+    #            144-query registry was pre-validated green vs DuckDB at
+    #            sf0.01 in this session (first-50 passes + positions-51+
+    #            pass + each later insertion individually at sf0.001 AND
+    #            sf0.01).
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
