@@ -2532,6 +2532,18 @@ def _q_heavy_hitter_users(sf_dir: str):
                          top_k=10, capacity=2048)
 
 
+def _q_chunk_overlap_docs(sf_dir: str):
+    """Context-window sharding with overlap (size=16 tokens, stride=12 —
+    25% overlap): one stateless Arrow-RE2 + numpy scan emitting
+    (doc_id, chunk_idx, n_tokens, chunk) rows (ops/text.py
+    chunk_overlap_batch).  The LLM-training shard step after dedup."""
+    from folkscope_ray.ops.text import chunk_overlap_batch
+
+    return (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+            .map_batches(lambda b: chunk_overlap_batch(b, size=16, stride=12),
+                         batch_format="pyarrow"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2622,6 +2634,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eventualities": _q_kg_eventualities,
         "kg_concept_agg": _q_kg_concept_agg,
         "kg_concept_triples": _q_kg_concept_triples,
+        # ---- below the fold: this session's additions (pre-validated vs
+        # DuckDB at sf0.001 AND sf0.01 via tools/check_queries.py) — they
+        # lead the r5 window together with the displaced tier-3 fill
+        "chunk_overlap_docs": _q_chunk_overlap_docs,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3396,6 +3412,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "chunk_overlap_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            )
+            SELECT doc_id, ((i-1) / 12)::BIGINT AS chunk_idx,
+                   (LEAST(i+15, len(ts)) - i + 1)::BIGINT AS n_tokens,
+                   array_to_string(ts[i:i+15], ' ') AS chunk
+            FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
+            WHERE len(ts) > 0
         """,
         "pii_scrub_docs": """
             WITH aug AS (

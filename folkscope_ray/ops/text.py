@@ -445,3 +445,78 @@ def normalize_text_batch(batch: pa.Table, text_col: str = "text",
         pc.replace_substring_regex(pc.utf8_lower(col),
                                    pattern=r"\s+", replacement=" "))
     return batch.append_column(alias, norm)
+
+
+def chunk_overlap_batch(batch: pa.Table, size: int, stride: int,
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Context-window sharding for LLM training: split each document into
+    token windows of ``size`` tokens starting every ``stride`` tokens
+    (``stride < size`` ⇒ overlapping windows; the tail window may be
+    shorter).  Output one row per chunk: ``(doc_id, chunk_idx, n_tokens,
+    chunk)`` where ``chunk`` is the space-joined token window.
+
+    Semantics (SQL-reproducible): tokenize ``[a-z0-9]+`` on the lowercased
+    text (the chunk_dedup convention, ``ops/dedup.py``); window starts are
+    ``0, stride, 2·stride, …`` while ``start < n_tokens``; an empty doc
+    emits no chunks.  DuckDB parity: ``regexp_extract_all(lower(text),
+    '[a-z0-9]+')`` + ``generate_series(1, len(ts), stride)`` +
+    ``array_to_string(ts[i:i+size-1], ' ')``.
+
+    Execution shape: ONE stateless scan — tokenization is Arrow RE2
+    (``split_pattern_regex``), the window arithmetic is numpy over the
+    list offsets, and chunk strings are C-level slices of the per-doc
+    normalized text at precomputed char offsets (tokens are ascii, so
+    byte == codeunit).  No Python regex or join runs per chunk.  At 100 TB
+    this is embarrassingly parallel; output size is input × (size/stride)
+    overlap factor, which the streaming executor spills as it goes."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("chunk_overlap requires size > 0 and stride > 0")
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(batch.column(text_col)), "[^a-z0-9]+")
+    la = lists.combine_chunks() if isinstance(lists, pa.ChunkedArray) else lists
+    flat = la.flatten()
+    raw_off = la.offsets.to_numpy().astype(np.int64)
+    tok_len = pc.binary_length(flat).to_numpy().astype(np.int64)
+    keep = tok_len > 0  # splitting leaves '' at edges / between separators
+    n_docs = batch.num_rows
+    doc_of_tok = np.repeat(np.arange(n_docs), np.diff(raw_off))
+    k_per_doc = np.bincount(doc_of_tok[keep], minlength=n_docs)
+
+    # normalized per-doc text (kept tokens space-joined) via one Arrow join
+    kept_off = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(k_per_doc, out=kept_off[1:])
+    filt = pa.ListArray.from_arrays(pa.array(kept_off, pa.int32()),
+                                    flat.filter(pa.array(keep)))
+    norm = pc.binary_join(filt, " ").to_pylist()
+
+    # char offset of kept token j inside its doc: cumsum of (len+1), reset
+    # per doc by subtracting the doc's base
+    klen = tok_len[keep]
+    ends = np.cumsum(klen + 1)  # 1-past-token incl. trailing space, global
+    starts_g = ends - (klen + 1)
+    # per-doc windows: starts 0, stride, ... < k
+    n_chunks = (k_per_doc + stride - 1) // stride
+    total = int(n_chunks.sum())
+    if total == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "chunk_idx": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64()),
+                         "chunk": pa.array([], pa.string())})
+    doc_of_chunk = np.repeat(np.arange(n_docs), n_chunks)
+    chunk_idx = np.arange(total) - np.repeat(
+        np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks)
+    s_tok = chunk_idx * stride                       # window start (doc-rel)
+    e_tok = np.minimum(s_tok + size, k_per_doc[doc_of_chunk])
+    g0 = kept_off[doc_of_chunk]                      # doc's first kept token
+    a = starts_g[g0 + s_tok] - starts_g[g0]
+    b = ends[g0 + e_tok - 1] - 1 - starts_g[g0]      # drop trailing space
+    out_ids = ids[doc_of_chunk]
+    chunks = [norm[d][lo:hi]
+              for d, lo, hi in zip(doc_of_chunk.tolist(),
+                                   a.tolist(), b.tolist())]
+    return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                     "chunk_idx": pa.array(chunk_idx, pa.int64()),
+                     "n_tokens": pa.array(e_tok - s_tok, pa.int64()),
+                     "chunk": pa.array(chunks, pa.string())})

@@ -93,3 +93,51 @@ def test_chunk_dedup_partition_invariant():
                   for c in [" ".join(t.split()[i:i+2])
                             for i in range(0, len(t.split()), 2)]]
     assert len(all_chunks) == len(set(all_chunks))
+
+
+def test_chunk_overlap_windows_and_edges():
+    import pyarrow as pa
+
+    from folkscope_ray.ops.text import chunk_overlap_batch
+
+    b = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": ["one two three four five six seven",  # 7 toks
+                 "",                                   # empty: no chunks
+                 "  A b!c ",                           # separators/case
+                 "x"],                                 # single short tail
+    })
+    out = chunk_overlap_batch(b, size=3, stride=2).to_pandas()
+    d1 = out[out.doc_id == 1]
+    assert list(d1.chunk) == ["one two three", "three four five",
+                              "five six seven", "seven"]
+    assert list(d1.n_tokens) == [3, 3, 3, 1]
+    assert list(d1.chunk_idx) == [0, 1, 2, 3]
+    assert (out.doc_id != 2).all()  # empty doc emits nothing
+    assert list(out[out.doc_id == 3].chunk) == ["a b c", "c"]
+    assert list(out[out.doc_id == 4].chunk) == ["x"]
+    # stride == size degenerates to chunk_dedup's non-overlapping windows
+    nolap = chunk_overlap_batch(b, size=3, stride=3).to_pandas()
+    assert list(nolap[nolap.doc_id == 1].chunk) == [
+        "one two three", "four five six", "seven"]
+
+
+def test_chunk_overlap_partition_invariant():
+    import pyarrow as pa
+
+    from folkscope_ray.ops.text import chunk_overlap_batch
+
+    df = pd.read_parquet("/root/testdata/sf0.001/documents.parquet")[
+        ["doc_id", "text"]]
+    whole = chunk_overlap_batch(
+        pa.Table.from_pandas(df), size=16, stride=12).to_pandas()
+    outs = []
+    for nb in (1, 4):
+        ds = rd.from_pandas(df, override_num_blocks=nb).map_batches(
+            lambda b: chunk_overlap_batch(b, size=16, stride=12),
+            batch_format="pyarrow")
+        outs.append(ds.to_pandas().sort_values(["doc_id", "chunk_idx"])
+                    .reset_index(drop=True))
+    ref = whole.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    for o in outs:
+        pd.testing.assert_frame_equal(o, ref)
