@@ -2544,6 +2544,32 @@ def _q_chunk_overlap_docs(sf_dir: str):
                          batch_format="pyarrow"))
 
 
+def _q_impute_group_mean_orders(sf_dir: str):
+    """Per-priority mean imputation of a price column with planted nulls
+    (orderkey % 7 == 0): exact integer moments + one IEEE division of
+    identical operands, join-back rides hash_join's broadcast escape
+    (ops/stats.py impute_group_mean)."""
+    from folkscope_ray.ops.stats import impute_group_mean
+
+    def plant(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        null = pa.array(k % 7 == 0)  # this pyarrow ships no pc.modulo
+        price = pc.if_else(null, pa.scalar(None, pa.float64()),
+                           b.column("o_totalprice"))
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_orderpriority": b.column("o_orderpriority"),
+                         "price": price})
+
+    base = (_rp(sf_dir, "orders")
+            .select_columns(["o_orderkey", "o_orderpriority", "o_totalprice"])
+            .map_batches(plant, batch_format="pyarrow"))
+    out = impute_group_mean(base, key_col="o_orderpriority",
+                            value_col="price", scale=100,
+                            alias="price_filled")
+    return out.select_columns(["o_orderkey", "o_orderpriority",
+                               "price_filled"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2638,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB at sf0.001 AND sf0.01 via tools/check_queries.py) — they
         # lead the r5 window together with the displaced tier-3 fill
         "chunk_overlap_docs": _q_chunk_overlap_docs,
+        "impute_group_mean_orders": _q_impute_group_mean_orders,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3423,6 +3450,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "impute_group_mean_orders": """
+            WITH base AS (
+              SELECT o_orderkey, o_orderpriority,
+                     CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                          ELSE o_totalprice END AS price
+              FROM orders
+            ), m AS (
+              SELECT o_orderpriority,
+                     SUM(CAST(ROUND(price * 100) AS BIGINT)) AS s,
+                     COUNT(price) AS c
+              FROM base GROUP BY o_orderpriority
+            )
+            SELECT b.o_orderkey, b.o_orderpriority,
+                   COALESCE(b.price,
+                            CAST(m.s AS DOUBLE) / CAST(m.c * 100 AS DOUBLE))
+                     AS price_filled
+            FROM base b JOIN m USING (o_orderpriority)
         """,
         "pii_scrub_docs": """
             WITH aug AS (

@@ -537,3 +537,68 @@ def table_checksum(ds: Dataset, cols: list[str], sep: str = "|") -> Dataset:
     return rd.from_pandas(pd.DataFrame(
         {"n": np.array([n], dtype=np.int64),
          "checksum": np.array([total], dtype=np.int64)}))
+
+
+def impute_group_mean(ds: Dataset, key_col: str, value_col: str,
+                      scale: int = 100,
+                      alias: str | None = None) -> Dataset:
+    """Null imputation with the per-key mean — the classic ML-prep fill,
+    exact across engines: the mean is computed from EXACT integer moments
+    (sum of ``round(v*scale)`` over non-null rows as int64, count of
+    non-null rows) and finished with ONE IEEE division of identical
+    operands (``float(s) / float(c*scale)``), so the filled doubles are
+    bit-equal to SQL's ``CAST(s AS DOUBLE)/CAST(c*scale AS DOUBLE)`` at any
+    parallelism.  Non-null values pass through untouched; a key with NO
+    non-null values stays null (matches ``COALESCE(v, AVG(v) OVER ...)``).
+
+    Shape: one map-side-combined moments pass (shuffle moves per-key moment
+    rows only), then one join back — which rides ``hash_join``'s data-tied
+    broadcast escape when the key domain is small, and its partitioned path
+    beyond it.  Values must be exact multiples of ``1/scale`` for lossless
+    quantization (prices at scale=100)."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join, map_combine_aggregate
+
+    alias = alias or value_col + "_filled"
+
+    def widen(b: pa.Table) -> pa.Table:
+        # a block whose value column is ALL null infers Arrow type `null`,
+        # which join kernels reject — pin the column to float64 everywhere
+        i = b.column_names.index(value_col)
+        return b.set_column(i, value_col,
+                            pc.cast(b.column(value_col), pa.float64()))
+
+    ds = ds.map_batches(widen, batch_format="pyarrow")
+
+    def moments(b: pa.Table) -> pa.Table:
+        v = b.column(value_col)
+        q = pc.fill_null(
+            pc.cast(pc.round(pc.multiply(v, float(scale))), pa.int64()), 0)
+        nn = pc.cast(pc.is_valid(v), pa.int64())
+        return pa.table({key_col: b.column(key_col), "__q": q, "__c": nn})
+
+    m = map_combine_aggregate(
+        ds.select_columns([key_col, value_col])
+        .map_batches(moments, batch_format="pyarrow"),
+        keys=[key_col], sums={"__q": "__s", "__c": "__c"},
+        count_alias="__rows")
+
+    def mean(b: pa.Table) -> pa.Table:
+        s = b.column("__s").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("__c").to_numpy(zero_copy_only=False).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mu = s.astype(np.float64) / (c * scale).astype(np.float64)
+        return pa.table({key_col: b.column(key_col),
+                         "__mu": pa.array(mu, pa.float64(),
+                                          mask=(c == 0))})
+
+    means = m.map_batches(mean, batch_format="pyarrow")
+    j = hash_join(ds, means, on=key_col)
+
+    def fill(b: pa.Table) -> pa.Table:
+        out = b.append_column(
+            alias, pc.coalesce(b.column(value_col), b.column("__mu")))
+        return out.drop_columns(["__mu"])
+
+    return j.map_batches(fill, batch_format="pyarrow")

@@ -576,3 +576,45 @@ def test_table_checksum_order_insensitive():
     df2 = df.copy(); df2.loc[250, "b"] = 999
     c3 = table_checksum(rd.from_pandas(df2), ["a", "b"]).to_pandas()
     assert c3["checksum"][0] != c1["checksum"][0]
+
+
+def test_impute_group_mean_exact_and_all_null_key():
+    import numpy as np
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import impute_group_mean
+
+    df = pd.DataFrame({
+        "k": ["a"] * 4 + ["b"] * 3 + ["c"] * 2,
+        "v": [1.25, None, 2.75, 4.00, None, None, None, 7.50, None],
+    })
+    out = (impute_group_mean(rd.from_pandas(df, override_num_blocks=4),
+                             "k", "v", scale=100)
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    a = out[out.k == "a"]["v_filled"].to_numpy()
+    # filled value is EXACTLY float(sum_cents)/float(n*100)
+    assert float(800) / float(300) in a
+    assert np.isnan(out[out.k == "b"]["v_filled"]).all()  # no non-null → stays null
+    assert list(out[out.k == "c"].sort_values("v_filled")["v_filled"]) == [7.5, 7.5]
+
+
+def test_impute_group_mean_partition_invariant():
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 13, n).astype(str),
+        "v": np.round(rng.uniform(1, 100, n), 2),
+    })
+    df.loc[df.index % 5 == 0, "v"] = None
+    from folkscope_ray.ops.stats import impute_group_mean
+
+    outs = []
+    for nb in (1, 16):
+        o = (impute_group_mean(
+                rd.from_pandas(df.assign(i=np.arange(n)),
+                               override_num_blocks=nb), "k", "v")
+             .to_pandas().sort_values("i").reset_index(drop=True))
+        outs.append(o["v_filled"].to_numpy())
+    assert (outs[0] == outs[1]).all()  # bit-equal at any parallelism
