@@ -2570,6 +2570,40 @@ def _q_impute_group_mean_orders(sf_dir: str):
                                "price_filled"])
 
 
+def _q_union_by_name_orders(sf_dir: str):
+    """Schema-evolution UNION ALL BY NAME: an 'old snapshot' slice
+    (orderkey, totalprice) unioned with a 'new snapshot' slice (orderkey,
+    orderpriority) — name-matched columns, typed null fill, zero shuffle
+    (ops/relational.py union_by_name)."""
+    from folkscope_ray.ops.relational import union_by_name
+
+    orders = _rp(sf_dir, "orders")
+
+    def keep(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(pred(k)))
+        return fn
+
+    old = (orders.select_columns(["o_orderkey", "o_totalprice"])
+           .map_batches(keep(lambda k: k % 2 == 0), batch_format="pyarrow"))
+    new = (orders.select_columns(["o_orderkey", "o_orderpriority"])
+           .map_batches(keep(lambda k: k % 2 == 1), batch_format="pyarrow"))
+    u = union_by_name([old, new])
+
+    def sentinel(b: pa.Table) -> pa.Table:
+        # NaN != NaN under the driver's value hash — coalesce the
+        # null-filled columns to sentinels; null SEMANTICS are pytest-pinned
+        return pa.table({
+            "o_orderkey": b.column("o_orderkey"),
+            "o_totalprice": pc.fill_null(b.column("o_totalprice"), -1.0),
+            "o_orderpriority": pc.fill_null(b.column("o_orderpriority"),
+                                            "none"),
+        })
+
+    return u.map_batches(sentinel, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2665,6 +2699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead the r5 window together with the displaced tier-3 fill
         "chunk_overlap_docs": _q_chunk_overlap_docs,
         "impute_group_mean_orders": _q_impute_group_mean_orders,
+        "union_by_name_orders": _q_union_by_name_orders,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3450,6 +3485,13 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "union_by_name_orders": """
+            SELECT o_orderkey, o_totalprice, 'none' AS o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 0
+            UNION ALL
+            SELECT o_orderkey, -1.0 AS o_totalprice, o_orderpriority
+            FROM orders WHERE o_orderkey % 2 = 1
         """,
         "impute_group_mean_orders": """
             WITH base AS (

@@ -801,3 +801,46 @@ def except_distinct(left: Dataset, right: Dataset,
         return b.filter(pc.is_null(b.column("__r"))).select(cols)
 
     return j.map_batches(only_left, batch_format="pyarrow")
+
+
+def union_by_name(sides: list[Dataset]) -> Dataset:
+    """Schema-evolution union (SQL ``UNION ALL BY NAME``): concatenate
+    Datasets whose schemas only partially overlap — columns are matched by
+    NAME, each side's missing columns are null-filled with the TYPE the
+    column has where it exists, and the output column order is
+    first-appearance order across sides.
+
+    Zero shuffle: each side gets one stateless ``map_batches`` that appends
+    typed-null columns and reorders, then Ray's plan-level ``union``
+    concatenates block lists without moving data.  Type conflicts between
+    sides (same name, different type) raise — silently casting is how
+    schema drift corrupts 100-TB backfills.  This is the ingest-time
+    operator for merging heterogeneous snapshots (old parquet without a
+    column, new parquet with it)."""
+    if not sides:
+        raise ValueError("union_by_name needs at least one Dataset")
+    types: dict[str, pa.DataType] = {}
+    for s in sides:
+        sch = s.schema()
+        for name, typ in zip(sch.names, sch.types):
+            if name in types and types[name] != typ:
+                raise TypeError(
+                    f"union_by_name: column {name!r} is {types[name]} on one "
+                    f"side and {typ} on another — cast explicitly first")
+            types.setdefault(name, typ)
+    order = list(types)
+
+    def align(b: pa.Table) -> pa.Table:
+        cols = []
+        for name in order:
+            if name in b.column_names:
+                cols.append(b.column(name))
+            else:
+                cols.append(pa.nulls(b.num_rows, types[name]))
+        return pa.table(dict(zip(order, cols)))
+
+    aligned = [s.map_batches(align, batch_format="pyarrow") for s in sides]
+    out = aligned[0]
+    for s in aligned[1:]:
+        out = out.union(s)
+    return out

@@ -1047,3 +1047,23 @@ def test_except_distinct_matches_duckdb():
     con.close()
     assert out["a"].tolist() == exp["a"].tolist()
     assert out["b"].tolist() == exp["b"].tolist()
+
+
+def test_union_by_name_alignment_and_type_conflict():
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import union_by_name
+
+    a = rd.from_items([{"k": 1, "x": 1.5}, {"k": 2, "x": 2.5}])
+    b = rd.from_items([{"k": 3, "y": "hi"}])
+    out = union_by_name([a, b]).to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(out.columns) == ["k", "x", "y"]  # first-appearance order
+    assert out["x"].isna().tolist() == [False, False, True]
+    assert out["y"].isna().tolist() == [True, True, False]
+    assert out["y"].iloc[2] == "hi"
+    # same name, different type → loud failure, never a silent cast
+    c = rd.from_items([{"k": 4, "x": "oops"}])
+    with pytest.raises(TypeError):
+        union_by_name([a, c])
