@@ -2604,6 +2604,17 @@ def _q_union_by_name_orders(sf_dir: str):
     return u.map_batches(sentinel, batch_format="pyarrow")
 
 
+def _q_windowed_distinct_events(sf_dir: str):
+    """Unique users per 1-hour tumbling window: exact COUNT(DISTINCT) via
+    two map-side-combined phases — the shuffle moves distinct
+    (window, user) pairs per block, never events
+    (ops/relational.py windowed_distinct)."""
+    from folkscope_ray.ops.relational import windowed_distinct
+
+    return windowed_distinct(_rp(sf_dir, "events"), ts_col="ts",
+                             key_col="user_id", window_s=3600)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2700,6 +2711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_overlap_docs": _q_chunk_overlap_docs,
         "impute_group_mean_orders": _q_impute_group_mean_orders,
         "union_by_name_orders": _q_union_by_name_orders,
+        "windowed_distinct_events": _q_windowed_distinct_events,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3485,6 +3497,12 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "windowed_distinct_events": """
+            SELECT CAST(FLOOR(epoch(ts::TIMESTAMP) / 3600) AS BIGINT) * 3600
+                     AS window_start,
+                   COUNT(DISTINCT user_id)::BIGINT AS n_distinct
+            FROM events GROUP BY 1
         """,
         "union_by_name_orders": """
             SELECT o_orderkey, o_totalprice, 'none' AS o_orderpriority

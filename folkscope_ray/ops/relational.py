@@ -543,6 +543,37 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
     return agg.map_batches(add_mean, batch_format="pyarrow")
 
 
+def windowed_distinct(events: Dataset, ts_col: str, key_col: str,
+                      window_s: int,
+                      alias: str = "n_distinct") -> Dataset:
+    """Exact COUNT(DISTINCT key) per tumbling event-time window — the
+    unique-visitors shape.  Two map-side-combined phases: (window, key)
+    pairs first collapse to one row per DISTINCT pair (each block emits
+    in-block-distinct pairs, so the shuffle moves distinct pairs per block,
+    never events), then a count per window.  Shuffle volume is bounded by
+    the distinct-pair domain — the same discipline as exact_dedup; for
+    cluster-sized key universes the auto gate picks the shuffle final.
+    Output: (window_start, n_distinct)."""
+
+    def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
+        secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
+        t = pa.table({"window_start": pc.cast(win, pa.int64()),
+                      key_col: batch.column(key_col)})
+        return t.group_by(["window_start", key_col]).aggregate([])
+
+    pairs = map_combine_aggregate(
+        events.select_columns([ts_col, key_col])
+        .map_batches(assign, batch_format="pyarrow"),
+        keys=["window_start", key_col], count_alias="__n")
+    return map_combine_aggregate(
+        pairs.drop_columns(["__n"]), keys=["window_start"],
+        count_alias=alias)
+
+
 def sliding_window(events: Dataset, ts_col: str, key_col: str,
                    value_col: str, window_s: int, slide_s: int) -> Dataset:
     """Per-key sliding (hopping) event-time windows of width ``window_s``

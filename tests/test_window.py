@@ -518,3 +518,31 @@ def test_time_rollup_one_pass_matches_per_grain():
                .sort_values("bucket").set_index("bucket")["n"])
         assert got.index.tolist() == exp.index.tolist()
         assert got.tolist() == exp.tolist()
+
+
+def test_windowed_distinct_exact_and_partition_invariant():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import windowed_distinct
+
+    rng = np.random.default_rng(3)
+    n = 5000
+    df = pd.DataFrame({
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s"),
+        "user_id": rng.integers(0, 200, n),
+    })
+    expect = (df.assign(w=(df.ts.astype("int64") // 10**6 // 3600) * 3600)
+              .groupby("w")["user_id"].nunique())
+    outs = []
+    for nb in (1, 8):
+        o = (windowed_distinct(rd.from_pandas(df, override_num_blocks=nb),
+                               "ts", "user_id", 3600)
+             .to_pandas().sort_values("window_start").reset_index(drop=True))
+        outs.append(o)
+    for o in outs:
+        assert len(o) == len(expect)
+        assert (o.set_index("window_start")["n_distinct"] == expect).all()
+    pd.testing.assert_frame_equal(outs[0], outs[1])
