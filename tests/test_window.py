@@ -534,7 +534,7 @@ def test_windowed_distinct_exact_and_partition_invariant():
         + pd.to_timedelta(rng.integers(0, 48 * 3600, n), unit="s"),
         "user_id": rng.integers(0, 200, n),
     })
-    expect = (df.assign(w=(df.ts.astype("int64") // 10**6 // 3600) * 3600)
+    expect = (df.assign(w=(df.ts.astype("int64") // 10**9 // 3600) * 3600)
               .groupby("w")["user_id"].nunique())
     outs = []
     for nb in (1, 8):
