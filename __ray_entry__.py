@@ -2615,6 +2615,18 @@ def _q_windowed_distinct_events(sf_dir: str):
                              key_col="user_id", window_s=3600)
 
 
+def _q_collect_ordered_events(sf_dir: str):
+    """Per-user full event-type sequence ordered by (ts, event_id) — the
+    session-path exporter: one hash shuffle into bucketed vectorized
+    bodies (ops/window.py collect_ordered)."""
+    from folkscope_ray.ops.window import collect_ordered
+
+    return collect_ordered(_rp(sf_dir, "events"), key_col="user_id",
+                           val_col="event_type",
+                           order_cols=["ts", "event_id"],
+                           list_alias="path", count_alias="n")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2712,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "impute_group_mean_orders": _q_impute_group_mean_orders,
         "union_by_name_orders": _q_union_by_name_orders,
         "windowed_distinct_events": _q_windowed_distinct_events,
+        "collect_ordered_events": _q_collect_ordered_events,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3497,6 +3510,12 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "collect_ordered_events": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+                   COUNT(*)::BIGINT AS n
+            FROM events GROUP BY user_id
         """,
         "windowed_distinct_events": """
             SELECT CAST(FLOOR(epoch(ts::TIMESTAMP) / 3600) AS BIGINT) * 3600

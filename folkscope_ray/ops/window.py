@@ -805,3 +805,36 @@ def time_rollup(ds: Dataset, ts_col: str, grains: dict[str, int],
     return map_combine_aggregate(
         ds.select_columns([ts_col]).map_batches(fan, batch_format="pyarrow"),
         keys=[grain_alias, bucket_alias], count_alias=count_alias)
+
+
+def collect_ordered(ds: Dataset, key_col: str, val_col: str,
+                    order_cols: list[str],
+                    list_alias: str = "vals", count_alias: str = "n",
+                    sep: str = ",") -> Dataset:
+    """Full per-key ordered collect (SQL ``STRING_AGG(val, sep ORDER BY
+    ...)`` with NO top-k bound) — the event-sequence exporter feeding
+    session-path mining or behavioural LMs.  Order must be total (include
+    a unique id in ``order_cols``) for cross-engine determinism.
+
+    Scale shape: ONE hash shuffle on the key into bucketed bodies
+    (``_bucketed_groups`` — vectorized sort + one C-level groupby-join per
+    bucket, not one dispatch per key).  Unlike ``collect_topk`` there is no
+    map-side prune — the output row for a key is proportional to the key's
+    full stream, so the per-key payload must fit a worker's heap (the same
+    contract every SQL engine's STRING_AGG has).  For skew-prone keys cap
+    first with ``cap_per_key`` or use ``collect_topk``."""
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        vals = g[val_col].astype(str)
+        out = (vals.groupby(g[key_col], sort=False)
+               .agg(lambda s: sep.join(s)).reset_index())
+        out.columns = [key_col, list_alias]
+        out[count_alias] = (g.groupby(key_col, sort=False)[val_col]
+                            .size().to_numpy().astype("int64"))
+        return out
+
+    return _bucketed_groups(
+        ds.select_columns(list(dict.fromkeys([key_col, val_col]
+                                             + order_cols))),
+        key_col, body)

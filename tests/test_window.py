@@ -546,3 +546,33 @@ def test_windowed_distinct_exact_and_partition_invariant():
         assert len(o) == len(expect)
         assert (o.set_index("window_start")["n_distinct"] == expect).all()
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_collect_ordered_matches_string_agg_and_partition_invariant():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import collect_ordered
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 40, n),
+        "id": np.arange(n),
+        "v": rng.choice(list("abcde"), n),
+    })
+    con = duckdb.connect(); con.register("t", df)
+    exp = con.execute(
+        "SELECT k, string_agg(v, ',' ORDER BY id) AS vals,"
+        " COUNT(*)::BIGINT AS n FROM t GROUP BY k ORDER BY k").df()
+    con.close()
+    outs = []
+    for nb in (1, 8):
+        o = (collect_ordered(rd.from_pandas(df, override_num_blocks=nb),
+                             "k", "v", ["id"])
+             .to_pandas().sort_values("k").reset_index(drop=True))
+        outs.append(o)
+    pd.testing.assert_frame_equal(outs[0], exp.astype({"k": outs[0].k.dtype}))
+    pd.testing.assert_frame_equal(outs[0], outs[1])
