@@ -2627,6 +2627,37 @@ def _q_collect_ordered_events(sf_dir: str):
                            list_alias="path", count_alias="n")
 
 
+def _q_fk_violations_audit(sf_dir: str):
+    """Referential-integrity audit over three FK relations — parents
+    deterministically damaged (every 11th order / 5th-key customer
+    dropped) to plant orphans, plus one clean relation proving the zero
+    row (ops/relational.py fk_violations)."""
+    from folkscope_ray.ops.relational import fk_violations, union_by_name
+
+    def drop_mod(ds, col, m):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column(col).to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(k % m != 0))
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    orders = drop_mod(_rp(sf_dir, "orders").select_columns(["o_orderkey"]),
+                      "o_orderkey", 11)
+    cust = drop_mod(_rp(sf_dir, "customer").select_columns(["c_custkey"]),
+                    "c_custkey", 5)
+    li = _rp(sf_dir, "lineitem").select_columns(["l_orderkey"])
+    o_full = _rp(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey"])
+    nat = _rp(sf_dir, "nation").select_columns(["n_nationkey"])
+    sup = _rp(sf_dir, "supplier").select_columns(["s_nationkey"])
+    a = fk_violations(li, "l_orderkey", orders, "o_orderkey",
+                      "lineitem->orders")
+    b = fk_violations(o_full.select_columns(["o_custkey"]), "o_custkey",
+                      cust, "c_custkey", "orders->customer")
+    c = fk_violations(sup, "s_nationkey", nat, "n_nationkey",
+                      "supplier->nation")
+    return union_by_name([a, b, c])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2725,6 +2756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_by_name_orders": _q_union_by_name_orders,
         "windowed_distinct_events": _q_windowed_distinct_events,
         "collect_ordered_events": _q_collect_ordered_events,
+        "fk_violations_audit": _q_fk_violations_audit,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3510,6 +3542,24 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "fk_violations_audit": """
+            WITH po AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 0),
+                 pc AS (SELECT c_custkey FROM customer WHERE c_custkey % 5 <> 0)
+            SELECT 'lineitem->orders' AS relation,
+                   COUNT(*) FILTER (po.o_orderkey IS NULL)::BIGINT AS n_orphan_rows,
+                   COUNT(DISTINCT l_orderkey) FILTER (po.o_orderkey IS NULL)::BIGINT AS n_orphan_keys
+            FROM lineitem l LEFT JOIN po ON l.l_orderkey = po.o_orderkey
+            UNION ALL
+            SELECT 'orders->customer',
+                   COUNT(*) FILTER (pc.c_custkey IS NULL)::BIGINT,
+                   COUNT(DISTINCT o_custkey) FILTER (pc.c_custkey IS NULL)::BIGINT
+            FROM orders o LEFT JOIN pc ON o.o_custkey = pc.c_custkey
+            UNION ALL
+            SELECT 'supplier->nation',
+                   COUNT(*) FILTER (n.n_nationkey IS NULL)::BIGINT,
+                   COUNT(DISTINCT s_nationkey) FILTER (n.n_nationkey IS NULL)::BIGINT
+            FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
         """,
         "collect_ordered_events": """
             SELECT user_id,

@@ -875,3 +875,50 @@ def union_by_name(sides: list[Dataset]) -> Dataset:
     for s in aligned[1:]:
         out = out.union(s)
     return out
+
+
+def fk_violations(child: Dataset, fk_col: str, parent: Dataset, pk_col: str,
+                  relation: str) -> Dataset:
+    """Referential-integrity audit: ONE summary row ``(relation,
+    n_orphan_rows, n_orphan_keys)`` counting child rows whose ``fk_col``
+    has no match in the parent's ``pk_col`` — the ingest-gate data-quality
+    check before a 100-TB join pipeline trusts its keys.
+
+    Scale shape: both sides collapse to DISTINCT keys with map-side
+    combine (the shuffle moves per-block distinct keys, never rows — child
+    row counts ride along as an int per key), the probe is one
+    ``hash_join`` left-outer (broadcast escape under the gate, partitioned
+    beyond), and the summary is a narrow combine of per-block partials.
+    Zero full-table materialization anywhere."""
+
+    cc = map_combine_aggregate(child.select_columns([fk_col]),
+                               keys=[fk_col], count_alias="__rows")
+
+    def ren(b: pa.Table) -> pa.Table:
+        return pa.table({fk_col: b.column(pk_col),
+                         "__pk": pa.nulls(b.num_rows, pa.int8()).fill_null(1)})
+
+    pk = map_combine_aggregate(parent.select_columns([pk_col]),
+                               keys=[pk_col], count_alias="__p") \
+        .map_batches(ren, batch_format="pyarrow")
+    j = hash_join(cc, pk, on=fk_col, how="left_outer")
+
+    def partial(b: pa.Table) -> pa.Table:
+        miss = pc.is_null(b.column("__pk"))
+        rows = pc.if_else(miss, b.column("__rows"),
+                          pa.scalar(0, pa.int64()))
+        keys = pc.cast(miss, pa.int64())
+        return pa.table({
+            "relation": pa.array([relation], pa.string()),
+            "n_orphan_rows": pa.array(
+                [pc.sum(rows).as_py() or 0], pa.int64()),
+            "n_orphan_keys": pa.array(
+                [pc.sum(keys).as_py() or 0], pa.int64()),
+        })
+
+    parts = j.map_batches(partial, batch_format="pyarrow")
+    return map_combine_aggregate(
+        parts, keys=["relation"],
+        sums={"n_orphan_rows": "n_orphan_rows",
+              "n_orphan_keys": "n_orphan_keys"},
+        count_alias="__blocks").drop_columns(["__blocks"])

@@ -1067,3 +1067,22 @@ def test_union_by_name_alignment_and_type_conflict():
     c = rd.from_items([{"k": 4, "x": "oops"}])
     with pytest.raises(TypeError):
         union_by_name([a, c])
+
+
+def test_fk_violations_counts_and_clean_zero():
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import fk_violations
+
+    child = pd.DataFrame({"fk": [1, 1, 2, 3, 3, 3, 9]})
+    parent = pd.DataFrame({"pk": [1, 2, 4]})
+    out = fk_violations(rd.from_pandas(child, override_num_blocks=3), "fk",
+                        rd.from_pandas(parent), "pk", "c->p").to_pandas()
+    assert len(out) == 1
+    assert out.n_orphan_rows.iloc[0] == 4   # three 3s + one 9
+    assert out.n_orphan_keys.iloc[0] == 2   # {3, 9}
+    clean = fk_violations(rd.from_pandas(parent.rename(columns={"pk": "fk"})),
+                          "fk", rd.from_pandas(parent), "pk",
+                          "p->p").to_pandas()
+    assert clean.n_orphan_rows.iloc[0] == 0 and clean.n_orphan_keys.iloc[0] == 0
