@@ -2658,6 +2658,19 @@ def _q_fk_violations_audit(sf_dir: str):
     return union_by_name([a, b, c])
 
 
+def _q_regr_slope_brand_parts(sf_dir: str):
+    """Per-brand OLS trend line (price ~ size): grouped exact integer
+    moments, slope and intercept each ONE float closed form spelled
+    identically in SQL (ops/stats.py regr_slope_by_key)."""
+    from folkscope_ray.ops.stats import regr_slope_by_key
+
+    return regr_slope_by_key(
+        _rp(sf_dir, "part").select_columns(
+            ["p_brand", "p_size", "p_retailprice"]),
+        key_col="p_brand", x_col="p_size", y_col="p_retailprice",
+        scale_x=1, scale_y=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2757,6 +2770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_distinct_events": _q_windowed_distinct_events,
         "collect_ordered_events": _q_collect_ordered_events,
         "fk_violations_audit": _q_fk_violations_audit,
+        "regr_slope_brand_parts": _q_regr_slope_brand_parts,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3542,6 +3556,31 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "regr_slope_brand_parts": """
+            WITH q AS (
+              SELECT p_brand, CAST(p_size AS BIGINT) AS qx,
+                     CAST(ROUND(p_retailprice * 100) AS BIGINT) AS qy
+              FROM part
+            ), m AS (
+              SELECT p_brand, COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+                     SUM(qx * qx) AS pxx, SUM(qx * qy) AS pxy
+              FROM q GROUP BY p_brand
+            ), s AS (
+              SELECT p_brand, n, sx, sy,
+                     CASE WHEN n * pxx - sx * sx > 0 THEN
+                       (CAST(n * pxy - sx * sy AS DOUBLE)
+                        / CAST(n * pxx - sx * sx AS DOUBLE))
+                       * (CAST(1 AS DOUBLE) / CAST(100 AS DOUBLE))
+                     END AS slope
+              FROM m
+            )
+            SELECT p_brand, slope,
+                   CASE WHEN slope IS NOT NULL THEN
+                     CAST(sy AS DOUBLE) / CAST(n * 100 AS DOUBLE)
+                     - slope * (CAST(sx AS DOUBLE) / CAST(n * 1 AS DOUBLE))
+                   END AS icept
+            FROM s
         """,
         "fk_violations_audit": """
             WITH po AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 11 <> 0),

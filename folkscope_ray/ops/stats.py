@@ -602,3 +602,64 @@ def impute_group_mean(ds: Dataset, key_col: str, value_col: str,
         return out.drop_columns(["__mu"])
 
     return j.map_batches(fill, batch_format="pyarrow")
+
+
+def regr_slope_by_key(ds: Dataset, key_col: str, x_col: str, y_col: str,
+                      scale_x: int = 1, scale_y: int = 100,
+                      slope_alias: str = "slope",
+                      icept_alias: str = "icept") -> Dataset:
+    """Per-key simple OLS regression (slope + intercept) — the grouped
+    trend-line operator, same fixed-point discipline as :func:`corr_by_key`:
+    ONE map-side-combined pass collects exact integer moments (n, Sx, Sy,
+    Pxx, Pxy) per key, the keys-bounded moment table is finished
+    driver-side with Python bignums, and the closed forms
+
+        slope = (n·Pxy − Sx·Sy) / (n·Pxx − Sx²)       (× scale ratio)
+        icept = (Sy − slope·Sx·r) / (n · scale_y)      spelled identically
+
+    are each ONE float expression mirrored in the SQL oracle — bit-equal
+    doubles at any parallelism.  Zero-x-variance keys emit NULL for both."""
+    import ray.data as rd
+
+    from .relational import map_combine_aggregate
+
+    def quantized(b: pa.Table) -> pa.Table:
+        qx = np.round(b.column(x_col).to_numpy(zero_copy_only=False)
+                      * scale_x).astype(np.int64)
+        qy = np.round(b.column(y_col).to_numpy(zero_copy_only=False)
+                      * scale_y).astype(np.int64)
+        for q in (qx, qy):
+            if len(q) and int(np.abs(q).max()) >= (1 << 31):
+                raise ValueError("quantized |value| >= 2^31; lower scale")
+        return pa.table({key_col: b.column(key_col),
+                         "__x": pa.array(qx, pa.int64()),
+                         "__y": pa.array(qy, pa.int64()),
+                         "__xx": pa.array(qx * qx, pa.int64()),
+                         "__xy": pa.array(qx * qy, pa.int64())})
+
+    m = map_combine_aggregate(
+        ds.select_columns([key_col, x_col, y_col]).map_batches(
+            quantized, batch_format="pyarrow"),
+        keys=[key_col],
+        sums={"__x": "sx", "__y": "sy", "__xx": "pxx", "__xy": "pxy"},
+        count_alias="n").to_pandas()
+
+    slopes, icepts = [], []
+    for _, r in m.iterrows():
+        n, sx, sy = int(r["n"]), int(r["sx"]), int(r["sy"])
+        num = n * int(r["pxy"]) - sx * sy
+        den = n * int(r["pxx"]) - sx * sx
+        if den <= 0:
+            slopes.append(None); icepts.append(None)
+            continue
+        # slope in ORIGINAL units: (num/den) · (scale_x/scale_y); icept =
+        # mean_y − slope·mean_x, both as single float expressions
+        s = (float(num) / float(den)) * (float(scale_x) / float(scale_y))
+        slopes.append(s)
+        icepts.append(float(sy) / float(n * scale_y)
+                      - s * (float(sx) / float(n * scale_x)))
+    return rd.from_pandas(pd.DataFrame({
+        key_col: m[key_col],
+        slope_alias: pd.array(slopes, dtype="float64"),
+        icept_alias: pd.array(icepts, dtype="float64"),
+    }).reset_index(drop=True))

@@ -618,3 +618,28 @@ def test_impute_group_mean_partition_invariant():
              .to_pandas().sort_values("i").reset_index(drop=True))
         outs.append(o["v_filled"].to_numpy())
     assert (outs[0] == outs[1]).all()  # bit-equal at any parallelism
+
+
+def test_regr_slope_by_key_matches_numpy_and_degenerate():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import regr_slope_by_key
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    df = pd.DataFrame({
+        "k": rng.integers(0, 6, n).astype(str),
+        "x": rng.integers(1, 50, n).astype(np.int64),
+    })
+    df["y"] = np.round(3.5 * df.x + rng.normal(0, 4, n), 2)
+    # one zero-x-variance key
+    df = pd.concat([df, pd.DataFrame(
+        {"k": ["z"] * 5, "x": [7] * 5, "y": [1.0, 2.0, 3.0, 4.0, 5.0]})])
+    out = (regr_slope_by_key(rd.from_pandas(df, override_num_blocks=6),
+                             "k", "x", "y", scale_x=1, scale_y=100)
+           .to_pandas().set_index("k"))
+    for k, g in df[df.k != "z"].groupby("k"):
+        b, a = np.polyfit(g.x, g.y, 1)
+        assert abs(out.loc[k, "slope"] - b) < 1e-6
+        assert abs(out.loc[k, "icept"] - a) < 1e-4
+    assert pd.isna(out.loc["z", "slope"]) and pd.isna(out.loc["z", "icept"])
