@@ -2671,6 +2671,19 @@ def _q_regr_slope_brand_parts(sf_dir: str):
         scale_x=1, scale_y=100)
 
 
+def _q_minmax_normalize_parts(sf_dir: str):
+    """Per-brand 0-1 min-max scaling of retail price — exact extrema +
+    an IEEE op chain spelled identically in SQL
+    (ops/stats.py minmax_normalize)."""
+    from folkscope_ray.ops.stats import minmax_normalize
+
+    out = minmax_normalize(
+        _rp(sf_dir, "part").select_columns(["p_partkey", "p_brand",
+                                            "p_retailprice"]),
+        key_col="p_brand", value_col="p_retailprice", alias="price_norm")
+    return out.select_columns(["p_partkey", "p_brand", "price_norm"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2771,6 +2784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collect_ordered_events": _q_collect_ordered_events,
         "fk_violations_audit": _q_fk_violations_audit,
         "regr_slope_brand_parts": _q_regr_slope_brand_parts,
+        "minmax_normalize_parts": _q_minmax_normalize_parts,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3556,6 +3570,13 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "minmax_normalize_parts": """
+            SELECT p_partkey, p_brand,
+                   (p_retailprice - MIN(p_retailprice) OVER w)
+                   / NULLIF(MAX(p_retailprice) OVER w
+                            - MIN(p_retailprice) OVER w, 0) AS price_norm
+            FROM part WINDOW w AS (PARTITION BY p_brand)
         """,
         "regr_slope_brand_parts": """
             WITH q AS (

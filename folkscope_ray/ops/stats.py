@@ -663,3 +663,41 @@ def regr_slope_by_key(ds: Dataset, key_col: str, x_col: str, y_col: str,
         slope_alias: pd.array(slopes, dtype="float64"),
         icept_alias: pd.array(icepts, dtype="float64"),
     }).reset_index(drop=True))
+
+
+def minmax_normalize(ds: Dataset, key_col: str, value_col: str,
+                     alias: str | None = None) -> Dataset:
+    """Per-key min-max feature scaling: ``(v − min) / (max − min)`` within
+    each key, the classic 0-1 normalization before training.  Exact
+    cross-engine: min/max are exact comparisons over the SAME input
+    doubles, and the subtract/divide chain is spelled identically in the
+    SQL oracle — IEEE ops over identical operands are bit-equal.  Keys
+    with zero range (min == max) emit NULL, matching SQL's NULLIF guard.
+
+    Shape: one map-side-combined min/max pass (per-key extrema rows
+    shuffle, never values), join-back rides ``hash_join``'s data-tied
+    broadcast escape, then one stateless Arrow fill scan."""
+    import pyarrow.compute as pc
+
+    from .relational import hash_join, map_combine_aggregate
+
+    alias = alias or value_col + "_norm"
+    m = map_combine_aggregate(
+        ds.select_columns([key_col, value_col]),
+        keys=[key_col], mins={value_col: "__lo"},
+        maxs={value_col: "__hi"}, count_alias="__n")
+    j = hash_join(ds, m.drop_columns(["__n"]), on=key_col)
+
+    def norm(b: pa.Table) -> pa.Table:
+        v = b.column(value_col)
+        lo, hi = b.column("__lo"), b.column("__hi")
+        # cast AFTER the exact subtract for float inputs (bit-identical to
+        # SQL's v - MIN); for int inputs the cast is lossless either way
+        num = pc.cast(pc.subtract(v, lo), pa.float64())
+        rng = pc.cast(pc.subtract(hi, lo), pa.float64())
+        out = pc.if_else(pc.equal(rng, pa.scalar(0.0, pa.float64())),
+                         pa.scalar(None, pa.float64()),
+                         pc.divide(num, rng))
+        return b.append_column(alias, out).drop_columns(["__lo", "__hi"])
+
+    return j.map_batches(norm, batch_format="pyarrow")

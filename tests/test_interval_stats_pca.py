@@ -643,3 +643,17 @@ def test_regr_slope_by_key_matches_numpy_and_degenerate():
         assert abs(out.loc[k, "slope"] - b) < 1e-6
         assert abs(out.loc[k, "icept"] - a) < 1e-4
     assert pd.isna(out.loc["z", "slope"]) and pd.isna(out.loc["z", "icept"])
+
+
+def test_minmax_normalize_range_and_zero_range_key():
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import minmax_normalize
+
+    df = pd.DataFrame({"k": ["a", "a", "a", "b", "b"],
+                       "v": [10.0, 20.0, 30.0, 5.0, 5.0]})
+    out = (minmax_normalize(rd.from_pandas(df, override_num_blocks=2),
+                            "k", "v")
+           .to_pandas().sort_values(["k", "v"]).reset_index(drop=True))
+    assert list(out[out.k == "a"]["v_norm"]) == [0.0, 0.5, 1.0]
+    assert out[out.k == "b"]["v_norm"].isna().all()  # zero range → NULL
