@@ -2684,6 +2684,17 @@ def _q_minmax_normalize_parts(sf_dir: str):
     return out.select_columns(["p_partkey", "p_brand", "price_norm"])
 
 
+def _q_topk_ties_parts(sf_dir: str):
+    """Tie-aware top-3 sizes per brand (RANK, not ROW_NUMBER — every row
+    tied at a kept rank survives; ops/split.py topk_ties)."""
+    from folkscope_ray.ops.split import topk_ties
+
+    out = topk_ties(_rp(sf_dir, "part").select_columns(
+        ["p_partkey", "p_brand", "p_size"]),
+        key_col="p_brand", value_col="p_size", k=3, ascending=False)
+    return out.select_columns(["p_partkey", "p_brand", "p_size", "rnk"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2785,6 +2796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fk_violations_audit": _q_fk_violations_audit,
         "regr_slope_brand_parts": _q_regr_slope_brand_parts,
         "minmax_normalize_parts": _q_minmax_normalize_parts,
+        "topk_ties_parts": _q_topk_ties_parts,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3570,6 +3582,13 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "topk_ties_parts": """
+            SELECT p_partkey, p_brand, p_size,
+                   RANK() OVER (PARTITION BY p_brand ORDER BY p_size DESC)
+                     ::BIGINT AS rnk
+            FROM part
+            QUALIFY rnk <= 3
         """,
         "minmax_normalize_parts": """
             SELECT p_partkey, p_brand,

@@ -360,3 +360,39 @@ def cap_per_key(ds: Dataset, key_col: str, n: int,
     # runs once per hash BUCKET (tiny-group discipline), not once per key
     return _bucketed_groups(
         ds.map_batches(prune, batch_format="pandas"), key_col, prune)
+
+
+def topk_ties(ds: Dataset, key_col: str, value_col: str, k: int,
+              ascending: bool = False,
+              rank_alias: str = "rnk") -> Dataset:
+    """Tie-aware per-key top-k (SQL ``QUALIFY RANK() OVER (PARTITION BY key
+    ORDER BY value) <= k``): competition ranking, so ALL rows tied at a
+    kept rank survive — the output can exceed ``k`` rows per key, which is
+    exactly what distinguishes it from ``cap_per_key``/ROW_NUMBER.
+
+    Scale shape mirrors ``cap_per_key``: the map-side prune applies the
+    SAME tie-aware rank filter per in-block key — correct because a row's
+    block-local rank is a lower bound on its global rank (fewer
+    competitors in the block), so no survivor is ever dropped early — and
+    the bucketed reduce applies it once more over survivors, attaching the
+    final rank.  Shuffle volume is bounded by blocks × keys × (k + ties).
+    A pathological key where everything ties keeps everything — that is
+    the operator's semantics, not a skew bug; cap first if unacceptable."""
+    from .window import _bucketed_groups
+
+    asc = ascending
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby(key_col, sort=False)[value_col] \
+            .rank(method="min", ascending=asc)
+        return df[r <= k]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        r = df.groupby(key_col, sort=False)[value_col] \
+            .rank(method="min", ascending=asc)
+        out = df[r <= k].copy()
+        out[rank_alias] = r[r <= k].astype("int64")
+        return out
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    return _bucketed_groups(pruned, key_col, finish)

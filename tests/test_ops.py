@@ -1086,3 +1086,30 @@ def test_fk_violations_counts_and_clean_zero():
                           "fk", rd.from_pandas(parent), "pk",
                           "p->p").to_pandas()
     assert clean.n_orphan_rows.iloc[0] == 0 and clean.n_orphan_keys.iloc[0] == 0
+
+
+def test_topk_ties_keeps_all_tied_rows():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.split import topk_ties
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({"id": np.arange(500),
+                       "k": rng.integers(0, 5, 500).astype(str),
+                       "v": rng.integers(0, 10, 500)})
+    con = duckdb.connect(); con.register("t", df)
+    exp = con.execute(
+        "SELECT id, k, v, RANK() OVER (PARTITION BY k ORDER BY v DESC)"
+        "::BIGINT AS rnk FROM t QUALIFY rnk <= 2 ORDER BY id").df()
+    con.close()
+    for nb in (1, 8):
+        got = (topk_ties(rd.from_pandas(df, override_num_blocks=nb),
+                         "k", "v", k=2)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        pd.testing.assert_frame_equal(
+            got.astype({"rnk": "int64"}), exp.astype({"v": got.v.dtype}))
+    # ties can exceed k rows per key
+    assert (got.groupby("k").size() > 2).any()
