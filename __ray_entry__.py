@@ -2727,11 +2727,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            orders, minhash_dedup_docs, tpch_q1_pricing_summary,
     #            groupby_count_docs, filter_project_events, plus
     #            every r4-window query pushed past position 50 by the
-    #            additions) and whatever r5 adds or changes.  The ENTIRE
-    #            144-query registry was pre-validated green vs DuckDB at
-    #            sf0.01 in this session (first-50 passes + positions-51+
-    #            pass + each later insertion individually at sf0.001 AND
-    #            sf0.01).
+    #            additions), the NINE reopened-session additions parked
+    #            below the fold (chunk_overlap / impute_group_mean /
+    #            union_by_name / windowed_distinct / collect_ordered /
+    #            fk_violations / regr_slope / minmax_normalize /
+    #            topk_ties — each pre-validated at sf0.001 AND sf0.01,
+    #            kept out of the r4 window so the changed-path kg_*
+    #            queries keep their slots), and whatever r5 adds or
+    #            changes.  The ENTIRE registry (144 at closing-session
+    #            validation + 9 reopened-session additions = 153) is
+    #            DuckDB-green at sf0.01: first-50 passes, positions-51+
+    #            pass, and each later insertion individually at sf0.001
+    #            AND sf0.01.
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row

@@ -96,6 +96,15 @@ BENCH_QUERIES = [
     "churned_users_events",
     "pct_change_orders",
     "except_orders_pairs",
+    "chunk_overlap_docs",
+    "impute_group_mean_orders",
+    "union_by_name_orders",
+    "windowed_distinct_events",
+    "collect_ordered_events",
+    "fk_violations_audit",
+    "regr_slope_brand_parts",
+    "minmax_normalize_parts",
+    "topk_ties_parts",
 ]
 
 
