@@ -273,3 +273,42 @@ def test_composite_key_hash_join_paths_equivalent(monkeypatch):
     exp = left.merge(right, on=["a", "b"]).sort_values("i") \
         .reset_index(drop=True)
     assert bcast["n"].tolist() == exp["n"].tolist()
+
+
+def test_impute_and_minmax_broadcast_vs_partitioned_join(monkeypatch):
+    """The new join-backed stats ops ride hash_join's data-tied broadcast
+    escape; FOLKSCOPE_JOIN_BROADCAST_MAX=0 forces the partitioned join and
+    the filled / normalized outputs must be bit-equal."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.stats import impute_group_mean, minmax_normalize
+
+    rng = np.random.default_rng(21)
+    n = 3000
+    df = pd.DataFrame({
+        "i": np.arange(n),
+        "k": rng.integers(0, 9, n).astype(str),
+        "v": np.round(rng.uniform(1, 500, n), 2),
+    })
+    df.loc[df.index % 4 == 0, "v"] = None
+
+    def run_both(fn):
+        monkeypatch.delenv("FOLKSCOPE_JOIN_BROADCAST_MAX", raising=False)
+        a = fn().to_pandas().sort_values("i").reset_index(drop=True)
+        monkeypatch.setenv("FOLKSCOPE_JOIN_BROADCAST_MAX", "0")
+        b = fn().to_pandas().sort_values("i").reset_index(drop=True)
+        monkeypatch.delenv("FOLKSCOPE_JOIN_BROADCAST_MAX", raising=False)
+        return a, b
+
+    a, b = run_both(lambda: impute_group_mean(
+        rd.from_pandas(df, override_num_blocks=5), "k", "v"))
+    assert a["v_filled"].to_numpy().tobytes() == \
+        b["v_filled"].to_numpy().tobytes()
+
+    dn = df.dropna(subset=["v"]).reset_index(drop=True)
+    a, b = run_both(lambda: minmax_normalize(
+        rd.from_pandas(dn, override_num_blocks=5), "k", "v"))
+    assert a["v_norm"].to_numpy().tobytes() == \
+        b["v_norm"].to_numpy().tobytes()
