@@ -2695,6 +2695,31 @@ def _q_topk_ties_parts(sf_dir: str):
     return out.select_columns(["p_partkey", "p_brand", "p_size", "rnk"])
 
 
+def _q_trailing_range_sum_orders(sf_dir: str):
+    """7-day trailing revenue per customer (RANGE BETWEEN INTERVAL frame —
+    the time-window shape ROWS frames can't express): exact integer cents,
+    one vectorized searchsorted per bucket
+    (ops/window.py trailing_range_sum)."""
+    from folkscope_ray.ops.window import trailing_range_sum
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = pc.cast(pc.round(pc.multiply(b.column("o_totalprice"), 100.0)),
+                    pa.int64())
+        return pa.table({"o_orderkey": b.column("o_orderkey"),
+                         "o_custkey": b.column("o_custkey"),
+                         "o_orderdate": b.column("o_orderdate"),
+                         "cents": c})
+
+    base = (_rp(sf_dir, "orders")
+            .select_columns(["o_orderkey", "o_custkey", "o_orderdate",
+                             "o_totalprice"])
+            .map_batches(cents, batch_format="pyarrow"))
+    out = trailing_range_sum(base, key_col="o_custkey", ts_col="o_orderdate",
+                             int_value_col="cents", range_s=7 * 86400)
+    return out.select_columns(["o_orderkey", "o_custkey", "win_sum",
+                               "win_n"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2804,6 +2829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regr_slope_brand_parts": _q_regr_slope_brand_parts,
         "minmax_normalize_parts": _q_minmax_normalize_parts,
         "topk_ties_parts": _q_topk_ties_parts,
+        "trailing_range_sum_orders": _q_trailing_range_sum_orders,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3589,6 +3615,16 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "trailing_range_sum_orders": """
+            SELECT o_orderkey, o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w
+                     ::BIGINT AS win_sum,
+                   COUNT(*) OVER w::BIGINT AS win_n
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                         RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                         AND CURRENT ROW)
         """,
         "topk_ties_parts": """
             SELECT p_partkey, p_brand, p_size,

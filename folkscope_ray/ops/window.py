@@ -838,3 +838,69 @@ def collect_ordered(ds: Dataset, key_col: str, val_col: str,
         ds.select_columns(list(dict.fromkeys([key_col, val_col]
                                              + order_cols))),
         key_col, body)
+
+
+def trailing_range_sum(ds: Dataset, key_col: str, ts_col: str,
+                       int_value_col: str, range_s: int,
+                       sum_alias: str = "win_sum",
+                       cnt_alias: str = "win_n") -> Dataset:
+    """Time-based trailing window (SQL ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN range PRECEDING AND CURRENT ROW)``): for each
+    row, the sum/count of the key's rows with ``ts`` in
+    ``[row.ts − range_s, row.ts]`` — the 7-day-trailing-revenue shape that
+    ROWS-based frames can't express.  Integer value sums are exactly
+    representable, so the result hash-matches any engine computing the same
+    frame; TIES at the same timestamp all see the full tied group
+    (RANGE semantics, not ROWS).
+
+    Shape: one hash shuffle into bucketed bodies; per bucket the frame
+    bounds come from ONE vectorized ``searchsorted`` over the key-sorted
+    timestamp array (two prefix-sum lookups per row, no per-row loop).
+    Like every per-key window here, a key's history lands in one bucket —
+    the documented hash-bucket skew caveat applies."""
+
+    range_us = range_s * 1_000_000
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, ts_col], kind="mergesort")
+        # normalize to MICROSECONDS explicitly — pandas 2.x preserves the
+        # stored unit, so a bare .astype(int64) would be unit-dependent;
+        # µs keeps sub-second timestamps exact (DuckDB compares full ts)
+        ts = (pd.to_datetime(g[ts_col]).astype("datetime64[us]")
+              .astype("int64").to_numpy())
+        v = g[int_value_col].to_numpy().astype(np.int64)
+        keys = g[key_col].to_numpy()
+        # per-key segment bounds
+        starts = np.flatnonzero(np.r_[True, keys[1:] != keys[:-1]])
+        seg_of = np.repeat(np.arange(len(starts)),
+                           np.diff(np.r_[starts, len(keys)]))
+        seg_lo = starts[seg_of]
+        seg_hi = np.r_[starts[1:], len(keys)][seg_of]
+        csum = np.r_[0, np.cumsum(v)]
+        # ts is sorted only WITHIN key segments — lift each segment onto
+        # its own disjoint band so one global searchsorted answers every
+        # per-segment query (band > any reachable target offset)
+        band = (int(ts.max()) - int(ts.min()) + range_us + 2) if len(ts) else 1
+        if len(starts) * band < (1 << 62):
+            ts_adj = ts + seg_of * band
+            # lo = first index in the segment with ts >= row.ts - range
+            lo = np.searchsorted(ts_adj, ts_adj - range_us, side="left")
+            lo = np.maximum(lo, seg_lo)
+            # RANGE CURRENT ROW includes ALL rows tied at row.ts
+            hi = np.searchsorted(ts_adj, ts_adj, side="right")
+            hi = np.minimum(hi, seg_hi)
+        else:
+            # band lift would overflow int64 (astronomical span × segment
+            # count) — per-SEGMENT searchsorted, still vectorized per key
+            lo = np.empty(len(ts), np.int64)
+            hi = np.empty(len(ts), np.int64)
+            for s0, s1 in zip(starts, np.r_[starts[1:], len(ts)]):
+                seg = ts[s0:s1]
+                lo[s0:s1] = s0 + np.searchsorted(seg, seg - range_us, "left")
+                hi[s0:s1] = s0 + np.searchsorted(seg, seg, "right")
+        out = g.copy()
+        out[sum_alias] = (csum[hi] - csum[lo]).astype("int64")
+        out[cnt_alias] = (hi - lo).astype("int64")
+        return out
+
+    return _bucketed_groups(ds, key_col, body)

@@ -576,3 +576,40 @@ def test_collect_ordered_matches_string_agg_and_partition_invariant():
         outs.append(o)
     pd.testing.assert_frame_equal(outs[0], exp.astype({"k": outs[0].k.dtype}))
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_trailing_range_sum_matches_duckdb_and_ties():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.window import trailing_range_sum
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    df = pd.DataFrame({
+        "id": np.arange(n),
+        "k": rng.integers(0, 12, n),
+        # coarse second grid plants plenty of exact-timestamp TIES
+        "ts": pd.to_datetime("2024-03-01")
+        + pd.to_timedelta(rng.integers(0, 600, n) * 60, unit="s"),
+        "v": rng.integers(1, 1000, n).astype(np.int64),
+    })
+    con = duckdb.connect(); con.register("t", df)
+    exp = con.execute("""
+        SELECT id, SUM(v) OVER w::BIGINT AS win_sum,
+               COUNT(*) OVER w::BIGINT AS win_n
+        FROM t WINDOW w AS (PARTITION BY k ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY id""").df()
+    con.close()
+    for nb in (1, 8):
+        got = (trailing_range_sum(rd.from_pandas(df, override_num_blocks=nb),
+                                  "k", "ts", "v", range_s=3600)
+               .to_pandas().sort_values("id").reset_index(drop=True))
+        assert got["win_sum"].tolist() == exp["win_sum"].tolist()
+        assert got["win_n"].tolist() == exp["win_n"].tolist()
+    # ties at identical ts see the whole tied group (RANGE, not ROWS)
+    tied = df[df.duplicated(subset=["k", "ts"], keep=False)]
+    assert len(tied) > 0
