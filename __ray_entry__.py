@@ -2720,6 +2720,37 @@ def _q_trailing_range_sum_orders(sf_dir: str):
                                "win_n"])
 
 
+def _q_explode_tokens_docs(sf_dir: str):
+    """UNNEST WITH ORDINALITY: every doc exploded into (doc_id, token,
+     1-based position) — zero-copy Arrow list flatten + one vectorized
+    take (ops/relational.py explode_column)."""
+    from folkscope_ray.ops.relational import explode_column
+
+    def toks(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        # drop the empty strings the split leaves at edges
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        import numpy as _np
+
+        off = la.offsets.to_numpy().astype(_np.int64)
+        doc_of = _np.repeat(_np.arange(b.num_rows), _np.diff(off))
+        kept_per = _np.bincount(doc_of[keep], minlength=b.num_rows)
+        filt = pa.ListArray.from_arrays(
+            pa.array(_np.r_[0, _np.cumsum(kept_per)], pa.int32()),
+            flat.filter(pa.array(keep)))
+        return pa.table({"doc_id": b.column("doc_id"), "ts": filt})
+
+    lists = (_rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+             .map_batches(toks, batch_format="pyarrow"))
+    return explode_column(lists, "ts", keep_cols=["doc_id"],
+                          alias="token", pos_alias="pos")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2830,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minmax_normalize_parts": _q_minmax_normalize_parts,
         "topk_ties_parts": _q_topk_ties_parts,
         "trailing_range_sum_orders": _q_trailing_range_sum_orders,
+        "explode_tokens_docs": _q_explode_tokens_docs,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3615,6 +3647,14 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "explode_tokens_docs": """
+            WITH tok AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+              FROM documents
+            )
+            SELECT doc_id, ts[i] AS token, i::BIGINT AS pos
+            FROM tok, UNNEST(generate_series(1, len(ts))) AS t(i)
         """,
         "trailing_range_sum_orders": """
             SELECT o_orderkey, o_custkey,

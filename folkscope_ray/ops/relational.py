@@ -922,3 +922,40 @@ def fk_violations(child: Dataset, fk_col: str, parent: Dataset, pk_col: str,
         sums={"n_orphan_rows": "n_orphan_rows",
               "n_orphan_keys": "n_orphan_keys"},
         count_alias="__blocks").drop_columns(["__blocks"])
+
+
+def explode_column(ds: Dataset, list_col: str, keep_cols: list[str],
+                   alias: str = "item",
+                   pos_alias: str = "pos") -> Dataset:
+    """SQL ``UNNEST ... WITH ORDINALITY``: one output row per list element,
+    carrying ``keep_cols`` and the element's 1-based position.  Empty and
+    null lists emit no rows (UNNEST semantics).
+
+    One stateless scan, fully vectorized: elements come from the Arrow
+    list buffer (``flatten`` — zero-copy), row replication is one ``take``
+    with numpy ``repeat`` indices, and ordinals are an arange minus each
+    element's list start offset.  Output size is the total element count —
+    the streaming executor spills as it goes; no per-row Python."""
+
+    def fn(b: pa.Table) -> pa.Table:
+        col = b.column(list_col)
+        la = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        off = la.offsets.to_numpy().astype(np.int64)
+        # null lists share their offsets with an empty span only when the
+        # builder wrote them that way — mask explicitly to be safe
+        valid = ~np.asarray(la.is_null())
+        counts = np.where(valid, np.diff(off), 0)
+        idx = np.repeat(np.arange(b.num_rows), counts)
+        # flatten() concatenates the elements of non-null lists only, which
+        # lines up with counts (null lists contribute 0)
+        flat = la.flatten()
+        # 1-based ordinal within each list
+        pos = (np.arange(len(idx))
+               - np.repeat(np.cumsum(np.r_[0, counts[:-1]]), counts) + 1)
+        out = {c: b.column(c).take(pa.array(idx, pa.int64()))
+               for c in keep_cols}
+        out[alias] = flat
+        out[pos_alias] = pa.array(pos, pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1113,3 +1113,21 @@ def test_topk_ties_keeps_all_tied_rows():
             got.astype({"rnk": "int64"}), exp.astype({"v": got.v.dtype}))
     # ties can exceed k rows per key
     assert (got.groupby("k").size() > 2).any()
+
+
+def test_explode_column_ordinality_and_empty_null_lists():
+    import pyarrow as pa
+    import ray.data as rd
+
+    from folkscope_ray.ops.relational import explode_column
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ls": pa.array([["a", "b"], [], None, ["x", "y", "z"]],
+                       pa.list_(pa.string())),
+    })
+    out = (explode_column(rd.from_arrow(t), "ls", keep_cols=["id"])
+           .to_pandas().sort_values(["id", "pos"]).reset_index(drop=True))
+    assert out.id.tolist() == [1, 1, 4, 4, 4]   # empty + null emit nothing
+    assert out.item.tolist() == ["a", "b", "x", "y", "z"]
+    assert out.pos.tolist() == [1, 2, 1, 2, 3]  # 1-based per list
