@@ -2751,6 +2751,57 @@ def _q_explode_tokens_docs(sf_dir: str):
                           alias="token", pos_alias="pos")
 
 
+def _q_incremental_agg_orders(sf_dir: str):
+    """Incremental aggregate maintenance: a materialized per-customer
+    (n, sum_cents) aggregate over the 'base' 95% of orders is updated with
+    the 5% 'delta' WITHOUT rescanning base rows — aggregate the delta,
+    union the two partial tables, combine (sums/counts commute).  The
+    oracle aggregates the full table directly; equality proves the
+    maintenance algebra.  At 100 TB this is the nightly-ingest shape:
+    work is O(delta), never O(base)."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    def part(pred):
+        def fn(b: pa.Table) -> pa.Table:
+            k = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+            t = b.filter(pa.array(pred(k)))
+            cents = pc.cast(pc.round(pc.multiply(t.column("o_totalprice"),
+                                                 100.0)), pa.int64())
+            return pa.table({"o_custkey": t.column("o_custkey"),
+                             "cents": cents})
+        return fn
+
+    orders = _rp(sf_dir, "orders").select_columns(
+        ["o_orderkey", "o_custkey", "o_totalprice"])
+    base_agg = map_combine_aggregate(
+        orders.map_batches(part(lambda k: k % 20 != 0),
+                           batch_format="pyarrow"),
+        keys=["o_custkey"], sums={"cents": "sum_cents"}, count_alias="n")
+    delta_agg = map_combine_aggregate(
+        orders.map_batches(part(lambda k: k % 20 == 0),
+                           batch_format="pyarrow"),
+        keys=["o_custkey"], sums={"cents": "sum_cents"}, count_alias="n")
+    # the maintenance step: combine partial aggregates, touch no base rows
+    return map_combine_aggregate(
+        base_agg.union(delta_agg),
+        keys=["o_custkey"], sums={"sum_cents": "sum_cents", "n": "n"},
+        count_alias="__parts").drop_columns(["__parts"])
+
+
+def _q_pushdown_filter_orders(sf_dir: str):
+    """Prune at the read: row filter AND column projection pushed into the
+    parquet scan itself (only matching row groups / columns leave
+    storage) — the first discipline of a 100-TB read."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        filter=(pads.field("o_totalprice") > 400000.0))
+    return ds
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2862,6 +2913,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_ties_parts": _q_topk_ties_parts,
         "trailing_range_sum_orders": _q_trailing_range_sum_orders,
         "explode_tokens_docs": _q_explode_tokens_docs,
+        "incremental_agg_orders": _q_incremental_agg_orders,
+        "pushdown_filter_orders": _q_pushdown_filter_orders,
         "jaccard_selfjoin_docs": _q_jaccard_selfjoin_docs,
         "interval_join_orders_lineitem": _q_interval_join_orders_lineitem,
         "corr_matrix_lineitem": _q_corr_matrix_lineitem,
@@ -3647,6 +3700,17 @@ def oracle_sql() -> dict[str, str]:
                    array_to_string(ts[i:i+15], ' ') AS chunk
             FROM tok, UNNEST(generate_series(1, len(ts), 12)) AS t(i)
             WHERE len(ts) > 0
+        """,
+        "incremental_agg_orders": """
+            SELECT o_custkey,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))::BIGINT
+                     AS sum_cents,
+                   COUNT(*)::BIGINT AS n
+            FROM orders GROUP BY o_custkey
+        """,
+        "pushdown_filter_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            WHERE o_totalprice > 400000.0
         """,
         "explode_tokens_docs": """
             WITH tok AS (

@@ -105,6 +105,10 @@ BENCH_QUERIES = [
     "regr_slope_brand_parts",
     "minmax_normalize_parts",
     "topk_ties_parts",
+    "trailing_range_sum_orders",
+    "explode_tokens_docs",
+    "incremental_agg_orders",
+    "pushdown_filter_orders",
 ]
 
 
