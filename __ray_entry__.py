@@ -2838,14 +2838,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            below the fold (chunk_overlap / impute_group_mean /
     #            union_by_name / windowed_distinct / collect_ordered /
     #            fk_violations / regr_slope / minmax_normalize /
-    #            topk_ties — each pre-validated at sf0.001 AND sf0.01,
-    #            kept out of the r4 window so the changed-path kg_*
-    #            queries keep their slots), and whatever r5 adds or
-    #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 9 reopened-session additions = 153) is
-    #            DuckDB-green at sf0.01: first-50 passes, positions-51+
-    #            pass, and each later insertion individually at sf0.001
-    #            AND sf0.01.
+    #            topk_ties / trailing_range_sum / explode_tokens /
+    #            incremental_agg / pushdown_filter — each pre-validated
+    #            at sf0.001 AND sf0.01, kept out of the r4 window so the
+    #            changed-path kg_* queries keep their slots), and
+    #            whatever r5 adds or changes.  The ENTIRE registry (144
+    #            at closing-session validation + 13 reopened-session
+    #            additions = 157) is DuckDB-green at sf0.01: one full
+    #            153-query pass this session plus each later insertion
+    #            individually at sf0.001 AND sf0.01.
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
