@@ -2802,6 +2802,137 @@ def _q_pushdown_filter_orders(sf_dir: str):
     return ds
 
 
+def _q_seqmatch_events(sf_dir: str):
+    """MATCH_RECOGNIZE-lite sequence pattern matching: per user, count
+    non-overlapping 'view+ click+ purchase' funnels over the (ts, event_id)-
+    ordered one-char event-code sequence (ops/seq.py seq_match — one hash
+    shuffle into bucketed vectorized bodies, compiled-regex count)."""
+    from folkscope_ray.ops.seq import seq_match
+
+    return seq_match(
+        _rp(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        cat_col="event_type",
+        codes={"view": "v", "click": "c", "purchase": "p",
+               "signup": "s", "error": "e"},
+        pattern="v+c+p", default_code="x")
+
+
+def _q_feature_hash_docs(sf_dir: str):
+    """Hashing-trick bag-of-words (dim=64): sparse (doc_id, bucket, tf)
+    triples with bucket = md5(token)[:12 hex] mod 64 — the stateless
+    fixed-width featurizer in front of the finetune classifier
+    (ops/encode.py feature_hash; vectorized md5 kernel, map-side combined
+    term counts)."""
+    from folkscope_ray.ops.encode import feature_hash
+
+    return feature_hash(_rp(sf_dir, "documents"), id_col="doc_id",
+                        text_col="text", dim=64)
+
+
+def _q_target_encode_orders(sf_dir: str):
+    """Smoothed target (mean) encoding of o_orderpriority against order
+    value: enc = (sum_cents + 50 * global_mean) / (n + 50) from exact
+    integer moments (ops/encode.py target_encode — per-key map-combine +
+    one tree-reduced global moment, no second scan)."""
+    from folkscope_ray.ops.encode import target_encode
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_totalprice"]), "o_totalprice")
+    return target_encode(ds.select_columns(["o_orderpriority", "cents"]),
+                         key_col="o_orderpriority", int_value_col="cents",
+                         m=50.0)
+
+
+def _q_ordinal_encode_parts(sf_dir: str):
+    """Dictionary/ordinal encoding: dense contiguous ids for p_brand and
+    p_type in sorted-value order (DENSE_RANK - 1) — the label-encode step
+    in front of an embedding table (ops/encode.py ordinal_encode: one
+    distinct-aggregate per column, vocabulary broadcast once, hash-indexed
+    lookup per batch; FOLKSCOPE_ENCODE_BROADCAST_MAX-gated)."""
+    from folkscope_ray.ops.encode import ordinal_encode
+
+    return ordinal_encode(
+        _rp(sf_dir, "part").select_columns(["p_partkey", "p_brand", "p_type"]),
+        cols=["p_brand", "p_type"])
+
+
+def _q_kfold_split_docs(sf_dir: str):
+    """K-fold cross-validation audit: fold = md5(doc_id)[:8 hex] mod 5 (a
+    pure function of the id — reproducible across runs/parallelism/resume),
+    aggregated to per-(fold, lang) doc counts and char sums
+    (ops/encode.py kfold_assign + map-combined aggregate)."""
+    from folkscope_ray.ops.encode import kfold_assign
+    from folkscope_ray.ops.relational import map_combine_aggregate
+
+    ds = kfold_assign(
+        _rp(sf_dir, "documents").select_columns(["doc_id", "lang", "n_chars"]),
+        id_col="doc_id", k=5)
+    return map_combine_aggregate(
+        ds.select_columns(["fold", "lang", "n_chars"]),
+        keys=["fold", "lang"], sums={"n_chars": "sum_chars"},
+        count_alias="n_docs")
+
+
+def _q_rrf_fusion_docs(sf_dir: str):
+    """Reciprocal-rank fusion of two independent rankers (top-200 by char
+    length vs top-200 by token count): integer-exact consensus score
+    sum(1e6 // (60 + rank)) per doc (ops/index.py rrf_fuse — stateless
+    scoring scans + map-combined per-id sum).  The standard lexical+dense
+    list-merge a retrieval/curation pipeline runs."""
+    import ray.data as rd
+
+    from folkscope_ray.ops.index import rrf_fuse
+
+    docs = _rp(sf_dir, "documents")
+    k = 200
+
+    def ranked(ds, score_col):
+        # TOTAL sort order (score DESC, doc_id ASC) BEFORE the limit, so
+        # boundary ties cut the same rows as the oracle's row_number
+        top = (ds.sort([score_col, "doc_id"], descending=[True, False])
+               .limit(k).to_pandas())
+        top["rnk"] = np.arange(1, len(top) + 1, dtype=np.int64)
+        return rd.from_arrow(pa.Table.from_pandas(
+            top[["doc_id", "rnk"]], preserve_index=False))
+
+    def ntok(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        nt = np.bincount(doc_of[keep], minlength=b.num_rows)
+        return pa.table({"doc_id": b.column("doc_id"),
+                         "nt": pa.array(nt.astype(np.int64), pa.int64())})
+
+    list_a = ranked(docs.select_columns(["doc_id", "n_chars"]), "n_chars")
+    list_b = ranked(docs.select_columns(["doc_id", "text"])
+                    .map_batches(ntok, batch_format="pyarrow"), "nt")
+    return rrf_fuse([list_a, list_b], id_col="doc_id")
+
+
+def _q_trimmed_mean_parts(sf_dir: str):
+    """Per-brand 10-90% trimmed mean of retail price (tails DROPPED, not
+    clamped — complements winsorize): per-key quantile_disc bounds from
+    domain-bounded histograms, broadcast back, exact integer sums
+    (ops/split.py trimmed_mean_by_key)."""
+    from folkscope_ray.ops.split import trimmed_mean_by_key
+
+    ds = _cents_col(
+        _rp(sf_dir, "part").select_columns(["p_brand", "p_retailprice"]),
+        "p_retailprice")
+    return trimmed_mean_by_key(ds.select_columns(["p_brand", "cents"]),
+                               key_col="p_brand", int_value_col="cents",
+                               lo=0.1, hi=0.9)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -2839,14 +2970,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            union_by_name / windowed_distinct / collect_ordered /
     #            fk_violations / regr_slope / minmax_normalize /
     #            topk_ties / trailing_range_sum / explode_tokens /
-    #            incremental_agg / pushdown_filter — each pre-validated
-    #            at sf0.001 AND sf0.01, kept out of the r4 window so the
-    #            changed-path kg_* queries keep their slots), and
-    #            whatever r5 adds or changes.  The ENTIRE registry (144
-    #            at closing-session validation + 13 reopened-session
-    #            additions = 157) is DuckDB-green at sf0.01: one full
-    #            153-query pass this session plus each later insertion
-    #            individually at sf0.001 AND sf0.01.
+    #            incremental_agg / pushdown_filter, the SEVEN third-batch
+    #            additions (seqmatch / feature_hash / target_encode /
+    #            ordinal_encode / kfold_split / rrf_fusion / trimmed_mean)
+    #            — each pre-validated at sf0.001 AND sf0.01, kept out of
+    #            the r4 window so the changed-path kg_* queries keep
+    #            their slots), and whatever r5 adds or changes.  The
+    #            ENTIRE registry (144 at closing-session validation + 13
+    #            second-batch + 7 third-batch = 164) is DuckDB-green at
+    #            sf0.01: one full 153-query pass this session plus each
+    #            later insertion individually at sf0.001 AND sf0.01.
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
@@ -2903,6 +3036,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- below the fold: this session's additions (pre-validated vs
         # DuckDB at sf0.001 AND sf0.01 via tools/check_queries.py) — they
         # lead the r5 window together with the displaced tier-3 fill
+        "seqmatch_events": _q_seqmatch_events,
+        "feature_hash_docs": _q_feature_hash_docs,
+        "target_encode_orders": _q_target_encode_orders,
+        "ordinal_encode_parts": _q_ordinal_encode_parts,
+        "kfold_split_docs": _q_kfold_split_docs,
+        "rrf_fusion_docs": _q_rrf_fusion_docs,
+        "trimmed_mean_parts": _q_trimmed_mean_parts,
         "chunk_overlap_docs": _q_chunk_overlap_docs,
         "impute_group_mean_orders": _q_impute_group_mean_orders,
         "union_by_name_orders": _q_union_by_name_orders,
@@ -3690,6 +3830,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "seqmatch_events": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(CASE event_type
+                                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                                WHEN 'error' THEN 'e' ELSE 'x' END,
+                                '' ORDER BY ts, event_id) AS seq
+              FROM events GROUP BY user_id)
+            SELECT user_id, CAST(len(seq) AS BIGINT) AS seq_len,
+                   CAST(len(regexp_extract_all(seq, 'v+c+p')) AS BIGINT)
+                     AS n_matches
+            FROM s
+        """,
+        "feature_hash_docs": """
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents)
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 12))::BIGINT % 64 AS bucket,
+                   count(*) AS tf
+            FROM toks GROUP BY doc_id, bucket
+        """,
+        "target_encode_orders": """
+            WITH t AS (
+              SELECT o_orderpriority,
+                     CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders),
+            g AS (SELECT sum(cents)::BIGINT AS gs, count(*) AS gn FROM t)
+            SELECT o_orderpriority, count(*) AS n,
+                   sum(cents)::BIGINT AS sum_v,
+                   (sum(cents)::BIGINT
+                    + 50.0 * ((SELECT gs FROM g) / (SELECT gn FROM g)))
+                     / (count(*) + 50.0) AS enc
+            FROM t GROUP BY o_orderpriority
+        """,
+        "ordinal_encode_parts": """
+            SELECT p_partkey, p_brand, p_type,
+                   DENSE_RANK() OVER (ORDER BY p_brand) - 1 AS p_brand_idx,
+                   DENSE_RANK() OVER (ORDER BY p_type) - 1 AS p_type_idx
+            FROM part
+        """,
+        "kfold_split_docs": """
+            SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                     % 5 AS fold,
+                   lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY fold, lang
+        """,
+        "rrf_fusion_docs": """
+            WITH a AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id) AS r
+              FROM documents QUALIFY r <= 200),
+            tok AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS nt
+              FROM documents),
+            b AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY nt DESC, doc_id) AS r
+              FROM tok QUALIFY r <= 200),
+            u AS (
+              SELECT doc_id, 1000000 // (60 + r) AS s FROM a
+              UNION ALL
+              SELECT doc_id, 1000000 // (60 + r) AS s FROM b)
+            SELECT doc_id, sum(s)::BIGINT AS rrf_ppm, count(*) AS n_lists
+            FROM u GROUP BY doc_id
+        """,
+        "trimmed_mean_parts": """
+            WITH cents AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS c
+              FROM part),
+            b AS (
+              SELECT p_brand, quantile_disc(c, 0.1) AS lo,
+                     quantile_disc(c, 0.9) AS hi
+              FROM cents GROUP BY p_brand)
+            SELECT p_brand, count(*) AS n_kept, sum(c)::BIGINT AS sum_v,
+                   sum(c)::BIGINT / count(*) AS tmean
+            FROM cents JOIN b USING (p_brand)
+            WHERE c BETWEEN lo AND hi
+            GROUP BY p_brand
         """,
         "chunk_overlap_docs": """
             WITH tok AS (

@@ -1,0 +1,200 @@
+"""ML feature-encoding operators: the hashing-trick vectorizer, smoothed
+target (mean) encoding, ordinal/dictionary encoding, and k-fold
+cross-validation assignment.
+
+These are the feature-preparation stages a training-data pipeline runs
+after curation (the reference's closest analogues are the feature writers
+feeding its recommenders, src/baselines/run_WnD.py's categorical columns);
+each is expressed as a map-combined Dataset plan with an exact SQL-oracle
+contract:
+
+- ``feature_hash``: bucket = first 12 hex chars of md5(token) mod dim —
+  matches ``('0x' || substr(md5(token), 1, 12))::BIGINT % dim`` in DuckDB;
+- ``target_encode``: Bayesian-smoothed category mean
+  ``(sum_y + m * prior) / (n + m)`` from exact integer moments;
+- ``ordinal_encode``: dense contiguous ids in sorted-value order
+  (``DENSE_RANK() OVER (ORDER BY value) - 1``);
+- ``kfold_assign``: fold = first 8 hex chars of md5(id) mod k — a pure
+  function of the id, so folds are reproducible across runs, parallelism,
+  resume, and engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from .split import _md5_digests
+
+_BUCKET_POW = (256 ** np.arange(5, -1, -1)).astype(np.int64)  # 6 bytes, BE
+_FOLD_POW = (256 ** np.arange(3, -1, -1)).astype(np.int64)    # 4 bytes, BE
+_VOCAB_CACHE: dict[str, dict] = {}
+
+
+def md5_mod_array(col, mod: int, n_bytes: int = 6) -> np.ndarray:
+    """``int(md5(str(v))[: 2 * n_bytes], 16) % mod`` for every value, via the
+    vectorized digest kernel — the big-endian int of the first ``n_bytes``
+    digest bytes equals DuckDB's ``('0x' || substr(md5(v), 1, 2*n_bytes))``
+    hex-literal cast, so both engines draw the same bucket."""
+    dig = _md5_digests(col)
+    pw = {6: _BUCKET_POW, 4: _FOLD_POW}.get(n_bytes)
+    if pw is None:
+        pw = (256 ** np.arange(n_bytes - 1, -1, -1)).astype(np.int64)
+    return (dig[:, :n_bytes].astype(np.int64) @ pw) % mod
+
+
+def feature_hash(ds: Dataset, id_col: str, text_col: str,
+                 dim: int = 256,
+                 bucket_alias: str = "bucket",
+                 tf_alias: str = "tf") -> Dataset:
+    """Hashing-trick bag-of-words: every ``[a-z0-9]+`` token of the
+    lowercased text hashes into one of ``dim`` buckets; output is the
+    sparse term-frequency triple ``(id, bucket, tf)`` — the fixed-width
+    feature space linear classifiers and the finetune stage consume,
+    with NO vocabulary state (the whole point of the hashing trick:
+    nothing to broadcast, nothing to fit).
+
+    Scale shape: one stateless scan tokenizes and hashes (vectorized md5
+    kernel); the (id, bucket) occurrence stream is map-side combined per
+    block before the shuffle, so the all-to-all moves at most
+    ``rows x min(dim, tokens_per_doc)`` partial rows, never one row per
+    token occurrence."""
+    from .relational import map_combine_aggregate
+
+    def hash_tokens(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))[keep]
+        toks = flat.filter(pa.array(keep))
+        ids = b.column(id_col).take(pa.array(doc_of, pa.int64()))
+        return pa.table({
+            id_col: ids,
+            bucket_alias: pa.array(md5_mod_array(toks, dim), pa.int64()),
+        })
+
+    return map_combine_aggregate(
+        ds.select_columns([id_col, text_col])
+        .map_batches(hash_tokens, batch_format="pyarrow"),
+        keys=[id_col, bucket_alias], count_alias=tf_alias)
+
+
+def target_encode(ds: Dataset, key_col: str, int_value_col: str,
+                  m: float = 50.0,
+                  n_alias: str = "n", sum_alias: str = "sum_v",
+                  enc_alias: str = "enc") -> Dataset:
+    """Smoothed target (mean) encoding: per category,
+    ``enc = (sum_v + m * prior) / (n + m)`` where ``prior`` is the global
+    mean — the Bayesian shrinkage that keeps rare categories from memorizing
+    their few labels (micci-barreca 2001, the standard CTR/GBDT feature).
+
+    ``int_value_col`` must be integral (cents) so the per-key and global
+    moments are exact; the single float division at the end is performed
+    identically by DuckDB (``BIGINT / BIGINT -> DOUBLE``).  Global moments
+    come from the SAME per-key aggregate via a tree reduce — no second scan
+    of the data and no driver materialization of the key table."""
+    from ray.data.aggregate import Sum
+
+    from .relational import map_combine_aggregate
+
+    per_key = map_combine_aggregate(
+        ds.select_columns([key_col, int_value_col]),
+        keys=[key_col], sums={int_value_col: sum_alias},
+        count_alias=n_alias,
+    ).materialize()
+    tot = per_key.aggregate(Sum(sum_alias, alias_name="gs"),
+                            Sum(n_alias, alias_name="gn"))
+    prior = float(tot["gs"]) / float(tot["gn"])
+    mm = float(m)
+
+    def enc(b: pa.Table) -> pa.Table:
+        sv = b.column(sum_alias).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        n = b.column(n_alias).to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        return b.append_column(
+            enc_alias, pa.array((sv + mm * prior) / (n + mm), pa.float64()))
+
+    return per_key.map_batches(enc, batch_format="pyarrow")
+
+
+def ordinal_encode(ds: Dataset, cols: list[str],
+                   suffix: str = "_idx") -> Dataset:
+    """Dictionary/ordinal encoding: each categorical column gets a dense
+    contiguous id in sorted-value order (``DENSE_RANK() OVER (ORDER BY v)
+    - 1``) — the label-encoding step in front of every embedding table.
+
+    Scale shape: ONE distinct-aggregate per column (map-side combined — the
+    shuffle moves one row per distinct value per block), the sorted
+    vocabulary is ``ray.put`` broadcast once, and the id lookup is a
+    vectorized ``np.searchsorted`` per batch.  Vocabularies are bounded by
+    the operator's own semantics (an embedding table must hold them too);
+    the gate ``FOLKSCOPE_ENCODE_BROADCAST_MAX`` (default 2M distinct values
+    per column) fails fast with direction rather than silently shipping a
+    cluster-sized dictionary — beyond it, dense-contiguous ids are the
+    wrong tool and :func:`feature_hash` (stateless stable ids) or
+    frequency-capped vocabularies are the designated paths."""
+    from .relational import map_combine_aggregate
+
+    gate = int(os.environ.get("FOLKSCOPE_ENCODE_BROADCAST_MAX", 2_000_000))
+    vocabs: dict[str, np.ndarray] = {}
+    for c in cols:
+        v = map_combine_aggregate(
+            ds.select_columns([c]), keys=[c], count_alias="__n",
+        ).materialize()
+        nv = v.count()
+        if nv > gate:
+            raise ValueError(
+                f"ordinal_encode: column {c!r} has {nv} distinct values — "
+                f"above FOLKSCOPE_ENCODE_BROADCAST_MAX={gate}. Dense "
+                "contiguous ids require the vocabulary to be broadcastable "
+                "(an embedding table would have to hold it anyway); use "
+                "feature_hash for stateless stable ids at this cardinality.")
+        col = pa.concat_tables(
+            ray.get(list(v.to_arrow_refs())),
+            promote_options="default").column(c)
+        vocabs[c] = np.sort(col.to_pandas().to_numpy())
+    ref = ray.put(vocabs)
+
+    def lookup(b: pa.Table) -> pa.Table:
+        # hash-based C lookup (pd.Index.get_indexer), index built once per
+        # worker process and cached by broadcast ref — not once per batch
+        key = ref.hex()
+        idxs = _VOCAB_CACHE.get(key)
+        if idxs is None:
+            idxs = {c: pd.Index(v) for c, v in ray.get(ref).items()}
+            _VOCAB_CACHE[key] = idxs
+        for c in cols:
+            arr = b.column(c).to_pandas().to_numpy()
+            pos = idxs[c].get_indexer(arr)
+            b = b.append_column(c + suffix, pa.array(pos, pa.int64()))
+        return b
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+def kfold_assign(ds: Dataset, id_col: str, k: int = 5,
+                 fold_alias: str = "fold") -> Dataset:
+    """K-fold cross-validation assignment: ``fold = md5(id) mod k`` (first
+    4 digest bytes) — a pure function of the id, so the same row lands in
+    the same fold across runs, engines, parallelism, and resume (the same
+    determinism contract as ``hash_split_batch``).  One stateless scan."""
+
+    def assign(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            fold_alias,
+            pa.array(md5_mod_array(b.column(id_col), k, n_bytes=4),
+                     pa.int64()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")

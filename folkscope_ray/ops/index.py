@@ -26,6 +26,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -213,3 +214,45 @@ def bm25_topk(
     merged = merged.sort_values(["score", id_col], ascending=[False, True],
                                 kind="mergesort").head(k)
     return merged.reset_index(drop=True)
+
+
+def rrf_fuse(ranked: list[Dataset], id_col: str, rank_col: str = "rnk",
+             k0: int = 60, ppm: int = 1_000_000,
+             score_alias: str = "rrf_ppm",
+             lists_alias: str = "n_lists") -> Dataset:
+    """Reciprocal-rank fusion (Cormack et al. 2009): merge N independent
+    ranked lists into one consensus ranking with
+    ``score = sum_lists ppm // (k0 + rank)`` — the standard way a curation
+    pipeline combines a lexical ranker (BM25) with a dense one (ANN) or a
+    quality prior, with no score calibration between them.
+
+    Contract: each input Dataset carries ``(id, rank)`` with rank 1-based;
+    scores are integer micro-units (``ppm // (k0 + rank)``, floor division)
+    so the fused sum is hash-exact across engines and parallelism.
+
+    Scale shape: scoring is a stateless scan per list, the union is
+    block-level concat (no data movement), and the per-id sum is map-side
+    combined — the shuffle moves one partial row per (id, block), bounded
+    by the lists' lengths, never by corpus size."""
+    from .relational import map_combine_aggregate
+
+    if not ranked:
+        raise ValueError("rrf_fuse: need at least one ranked list")
+
+    def score(b: pa.Table) -> pa.Table:
+        r = b.column(rank_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(r) and r.min() < 1:
+            raise ValueError("rrf_fuse: ranks must be 1-based positive")
+        return pa.table({
+            id_col: b.column(id_col),
+            "__s": pa.array(ppm // (k0 + r), pa.int64()),
+        })
+
+    scored = ranked[0].select_columns([id_col, rank_col]).map_batches(
+        score, batch_format="pyarrow")
+    for ds in ranked[1:]:
+        scored = scored.union(ds.select_columns([id_col, rank_col])
+                              .map_batches(score, batch_format="pyarrow"))
+    return map_combine_aggregate(scored, keys=[id_col],
+                                 sums={"__s": score_alias},
+                                 count_alias=lists_alias)

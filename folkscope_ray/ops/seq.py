@@ -1,0 +1,74 @@
+"""Ordered event-sequence pattern matching (MATCH_RECOGNIZE-lite).
+
+SQL engines express "did this user view, then click, then purchase?" with
+``MATCH_RECOGNIZE``; the portable equivalent — and the one DuckDB can oracle
+— is a per-key ordered STRING_AGG of one-char event codes followed by a
+regex count over the encoded sequence.  This module implements exactly that
+contract so the Ray plan and the SQL plan are comparable bit-for-bit.
+
+The reference has no sequence-pattern operator (its closest shape is the
+ordered PR-curve sweep in src/evaluation/metrics.py); this extends the
+engine's §2.10 window/temporal family with the complex-event-processing
+primitive a behavioural training-data pipeline needs (funnel extraction,
+bot-pattern filtering, session-path labeling).
+
+Execution shape (100-TB contract):
+
+- ONE hash shuffle on the key into bucketed vectorized bodies
+  (``ops/window.py _bucketed_groups`` — one pandas dispatch per bucket,
+  never per key);
+- inside a bucket: one mergesort, one vectorized category→code map, one
+  C-level groupby join to build each key's code string, one compiled-regex
+  ``str.count`` over the (short) per-key strings;
+- like every full-history window operator (``collect_ordered``), a single
+  key's encoded sequence must fit a worker's heap — one char per event, so
+  a 10M-event key costs 10 MB.  Cap with ``cap_per_key`` upstream if keys
+  are unbounded.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+from ray.data import Dataset
+
+from .window import _bucketed_groups
+
+
+def seq_match(ds: Dataset, key_col: str, order_cols: list[str],
+              cat_col: str, codes: dict[str, str], pattern: str,
+              default_code: str = "x",
+              match_alias: str = "n_matches",
+              len_alias: str = "seq_len") -> Dataset:
+    """Count non-overlapping, leftmost-greedy regex matches of ``pattern``
+    over each key's ordered one-char event-code sequence.
+
+    ``codes`` maps category values to single-char codes (unmapped values
+    get ``default_code``); ``order_cols`` must give a TOTAL order (include
+    a unique id) so the sequence is deterministic across engines.  Match
+    semantics are Python ``re.findall`` == DuckDB ``regexp_extract_all``:
+    both scan left to right, greedy, non-overlapping.
+
+    Returns one row per key: ``(key, seq_len, n_matches)`` — every key
+    appears, including zero-match keys (the caller filters)."""
+    for v in codes.values():
+        if len(v) != 1:
+            raise ValueError(f"codes must be single chars, got {v!r}")
+    if len(default_code) != 1:
+        raise ValueError("default_code must be a single char")
+    pat = re.compile(pattern)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        code = g[cat_col].map(codes).fillna(default_code)
+        seq = (code.groupby(g[key_col], sort=True)
+               .agg("".join).rename("__seq").reset_index())
+        out = pd.DataFrame({key_col: seq[key_col]})
+        out[len_alias] = seq["__seq"].str.len().astype("int64")
+        out[match_alias] = seq["__seq"].str.count(pat).astype("int64")
+        return out
+
+    cols = list(dict.fromkeys([key_col, cat_col] + order_cols))
+    return _bucketed_groups(ds.select_columns(cols), key_col, body)

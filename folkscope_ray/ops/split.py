@@ -396,3 +396,48 @@ def topk_ties(ds: Dataset, key_col: str, value_col: str, k: int,
 
     pruned = ds.map_batches(prune, batch_format="pandas")
     return _bucketed_groups(pruned, key_col, finish)
+
+
+def trimmed_mean_by_key(ds: Dataset, key_col: str, int_value_col: str,
+                        lo: float = 0.1, hi: float = 0.9,
+                        n_alias: str = "n_kept", sum_alias: str = "sum_v",
+                        mean_alias: str = "tmean") -> Dataset:
+    """Per-key trimmed mean: the mean of values inside the [lo, hi]
+    discrete-quantile band (bounds INCLUSIVE, ``quantile_disc`` semantics)
+    — the outlier-robust location estimate feeding quality dashboards and
+    reward-model label cleaning.  Complements ``winsorize`` (which clamps)
+    by DROPPING the tails instead.
+
+    Two passes, both bounded: pass 1 builds per-key (value -> count)
+    histograms (map-side combined — the shuffle moves one row per distinct
+    (key, value), domain-bounded) and walks the per-key quantile bounds;
+    pass 2 re-scans with the tiny bounds table broadcast, filters, and
+    map-side combines exact integer sums.  The final mean is one
+    ``int64 / int64`` float division, identical in DuckDB."""
+    from .relational import broadcast_join, map_combine_aggregate
+
+    bounds = quantiles_by_key(ds, key_col, int_value_col, [lo, hi])
+    wide = bounds.pivot_table(index=key_col, columns="q", values="value",
+                              aggfunc="first").reset_index()
+    wide.columns = [key_col, "__lo", "__hi"]
+    joined = broadcast_join(
+        ds.select_columns([key_col, int_value_col]), wide, on=key_col)
+
+    def keep(b: pa.Table) -> pa.Table:
+        v = b.column(int_value_col)
+        mask = pc.and_(pc.greater_equal(v, b.column("__lo")),
+                       pc.less_equal(v, b.column("__hi")))
+        return b.filter(mask).select([key_col, int_value_col])
+
+    agg = map_combine_aggregate(
+        joined.map_batches(keep, batch_format="pyarrow"),
+        keys=[key_col], sums={int_value_col: sum_alias},
+        count_alias=n_alias)
+
+    def finish(b: pa.Table) -> pa.Table:
+        s = b.column(sum_alias).to_numpy(zero_copy_only=False)
+        n = b.column(n_alias).to_numpy(zero_copy_only=False)
+        return b.append_column(
+            mean_alias, pa.array(s / n, pa.float64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1,0 +1,202 @@
+"""Unit tests for ops/seq.py (sequence pattern matching) and
+ops/encode.py (feature hashing, target encoding, ordinal encoding, k-fold)
+plus rrf_fuse and trimmed_mean_by_key."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+def _events_df(n_users=40, n_events=400, seed=7):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n_events, dtype=np.int64),
+        "ts": np.sort(rng.integers(0, 10_000, n_events)).astype(np.int64),
+        "user_id": rng.integers(0, n_users, n_events).astype(np.int64),
+        "event_type": rng.choice(
+            ["view", "click", "purchase", "signup", "error"], n_events),
+    })
+
+
+CODES = {"view": "v", "click": "c", "purchase": "p",
+         "signup": "s", "error": "e"}
+
+
+def test_seq_match_equals_python_reference():
+    from folkscope_ray.ops.seq import seq_match
+
+    df = _events_df()
+    out = seq_match(rd.from_pandas(df).repartition(5),
+                    key_col="user_id", order_cols=["ts", "event_id"],
+                    cat_col="event_type", codes=CODES,
+                    pattern="v+c+p").to_pandas()
+    out = out.sort_values("user_id").reset_index(drop=True)
+
+    ref = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+    seqs = (ref["event_type"].map(CODES)
+            .groupby(ref["user_id"]).agg("".join))
+    exp_matches = seqs.apply(lambda s: len(re.findall("v+c+p", s)))
+    assert (out["seq_len"].to_numpy()
+            == seqs.str.len().to_numpy()).all()
+    assert (out["n_matches"].to_numpy() == exp_matches.to_numpy()).all()
+    assert out["user_id"].nunique() == len(out)
+
+
+def test_seq_match_unmapped_gets_default_code():
+    from folkscope_ray.ops.seq import seq_match
+
+    df = pd.DataFrame({
+        "k": [1, 1, 1], "o": [1, 2, 3],
+        "cat": ["view", "mystery", "purchase"],
+    })
+    out = seq_match(rd.from_pandas(df), key_col="k", order_cols=["o"],
+                    cat_col="cat", codes=CODES, pattern="vxp").to_pandas()
+    assert out["n_matches"].iloc[0] == 1
+
+
+def test_seq_match_rejects_multichar_codes():
+    from folkscope_ray.ops.seq import seq_match
+
+    with pytest.raises(ValueError):
+        seq_match(rd.from_pandas(pd.DataFrame({"k": [1], "o": [1],
+                                               "c": ["a"]})),
+                  key_col="k", order_cols=["o"], cat_col="c",
+                  codes={"a": "ab"}, pattern="a")
+
+
+def test_md5_mod_array_matches_hashlib():
+    from folkscope_ray.ops.encode import md5_mod_array
+
+    toks = pa.array(["hello", "world", "spark", "42"])
+    got = md5_mod_array(toks, 64)
+    exp = [int(hashlib.md5(t.encode()).hexdigest()[:12], 16) % 64
+           for t in ["hello", "world", "spark", "42"]]
+    assert got.tolist() == exp
+    ids = pa.array([1, 22, 333], pa.int64())
+    got4 = md5_mod_array(ids, 5, n_bytes=4)
+    exp4 = [int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16) % 5
+            for v in [1, 22, 333]]
+    assert got4.tolist() == exp4
+
+
+def test_feature_hash_counts_tokens():
+    from folkscope_ray.ops.encode import feature_hash, md5_mod_array
+
+    df = pd.DataFrame({
+        "doc_id": [1, 2],
+        "text": ["The cat cat sat", "dog DOG dog runs"],
+    })
+    out = (feature_hash(rd.from_pandas(df), "doc_id", "text", dim=16)
+           .to_pandas())
+    b_cat = md5_mod_array(pa.array(["cat"]), 16)[0]
+    b_dog = md5_mod_array(pa.array(["dog"]), 16)[0]
+    assert int(out[(out.doc_id == 1)
+                   & (out.bucket == b_cat)]["tf"].iloc[0]) >= 2
+    assert int(out[(out.doc_id == 2)
+                   & (out.bucket == b_dog)]["tf"].iloc[0]) == 3
+    # total tf equals total token count
+    assert out["tf"].sum() == 4 + 4
+
+
+def test_target_encode_shrinks_toward_prior():
+    from folkscope_ray.ops.encode import target_encode
+
+    df = pd.DataFrame({
+        "k": ["a"] * 1000 + ["rare"],
+        "v": [100] * 1000 + [100_000],
+    })
+    out = (target_encode(rd.from_pandas(df).repartition(4), "k", "v", m=50.0)
+           .to_pandas().set_index("k"))
+    prior = df["v"].sum() / len(df)
+    # frequent category ~ its own mean; rare category pulled hard to prior
+    assert abs(out.loc["a", "enc"] - 100) < 15
+    assert abs(out.loc["rare", "enc"]
+               - (100_000 + 50 * prior) / 51) < 1e-9
+    # exact formula parity
+    exp_a = (100 * 1000 + 50.0 * prior) / (1000 + 50.0)
+    assert out.loc["a", "enc"] == pytest.approx(exp_a, abs=0)
+
+
+def test_ordinal_encode_dense_sorted_ids():
+    from folkscope_ray.ops.encode import ordinal_encode
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "b": ["zeta", "alpha", "mid", "alpha"]})
+    out = (ordinal_encode(rd.from_pandas(df).repartition(2), ["b"])
+           .to_pandas().sort_values("id"))
+    assert out["b_idx"].tolist() == [2, 0, 1, 0]
+
+
+def test_ordinal_encode_gate_fails_fast(monkeypatch):
+    from folkscope_ray.ops.encode import ordinal_encode
+
+    monkeypatch.setenv("FOLKSCOPE_ENCODE_BROADCAST_MAX", "2")
+    df = pd.DataFrame({"b": ["a", "b", "c"]})
+    with pytest.raises(ValueError, match="feature_hash"):
+        ordinal_encode(rd.from_pandas(df), ["b"])
+
+
+def test_kfold_assign_deterministic_and_partition_invariant():
+    from folkscope_ray.ops.encode import kfold_assign
+
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64)})
+    a = (kfold_assign(rd.from_pandas(df), "id", k=5).to_pandas()
+         .sort_values("id")["fold"].to_numpy())
+    b = (kfold_assign(rd.from_pandas(df).repartition(7), "id", k=5)
+         .to_pandas().sort_values("id")["fold"].to_numpy())
+    assert (a == b).all()
+    assert set(np.unique(a)) <= set(range(5))
+    # roughly balanced (md5 is uniform)
+    counts = np.bincount(a, minlength=5)
+    assert counts.min() > 20
+
+
+def test_rrf_fuse_integer_scores():
+    from folkscope_ray.ops.index import rrf_fuse
+
+    a = rd.from_pandas(pd.DataFrame({"id": [1, 2, 3],
+                                     "rnk": [1, 2, 3]}))
+    b = rd.from_pandas(pd.DataFrame({"id": [3, 4],
+                                     "rnk": [1, 2]}))
+    out = (rrf_fuse([a, b], id_col="id").to_pandas()
+           .set_index("id").sort_index())
+    assert out.loc[1, "rrf_ppm"] == 1_000_000 // 61
+    assert out.loc[3, "rrf_ppm"] == 1_000_000 // 63 + 1_000_000 // 61
+    assert out.loc[3, "n_lists"] == 2
+    assert out.loc[4, "n_lists"] == 1
+
+
+def test_rrf_fuse_rejects_zero_rank():
+    from folkscope_ray.ops.index import rrf_fuse
+
+    bad = rd.from_pandas(pd.DataFrame({"id": [1], "rnk": [0]}))
+    with pytest.raises(Exception):
+        rrf_fuse([bad], id_col="id").to_pandas()
+
+
+def test_trimmed_mean_by_key_drops_tails():
+    from folkscope_ray.ops.split import trimmed_mean_by_key
+
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1000, 500).astype(np.int64)
+    df = pd.DataFrame({"k": ["x"] * 500, "v": vals})
+    out = (trimmed_mean_by_key(rd.from_pandas(df).repartition(4),
+                               "k", "v", lo=0.1, hi=0.9).to_pandas())
+    # duckdb-parity reference: quantile_disc bounds, inclusive band
+    import duckdb
+
+    exp = duckdb.sql("""
+        WITH b AS (SELECT quantile_disc(v, 0.1) lo, quantile_disc(v, 0.9) hi
+                   FROM df)
+        SELECT count(*) n, sum(v)::BIGINT s FROM df, b
+        WHERE v BETWEEN lo AND hi""").fetchone()
+    assert int(out["n_kept"].iloc[0]) == exp[0]
+    assert int(out["sum_v"].iloc[0]) == exp[1]
+    assert out["tmean"].iloc[0] == exp[1] / exp[0]
