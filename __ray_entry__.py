@@ -2933,6 +2933,82 @@ def _q_trimmed_mean_parts(sf_dir: str):
                                lo=0.1, hi=0.9)
 
 
+def _q_twohop_parts(sf_dir: str):
+    """Strict 2-hop (friends-of-friends) distinct-neighbor counts on the
+    co-purchase graph — link-prediction candidate generation
+    (ops/graph.py twohop_distinct_counts: symmetrize, ONE wedge hash join,
+    map-combined distinct collapse, aggregate-expressed anti-join)."""
+    from folkscope_ray.ops.graph import (
+        cooccurrence_edges,
+        twohop_distinct_counts,
+    )
+
+    edges = cooccurrence_edges(
+        _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"]),
+        group_col="l_orderkey", item_col="l_partkey")
+    return twohop_distinct_counts(edges)
+
+
+def _q_split_leakage_docs(sf_dir: str):
+    """Train/val/test leakage audit: content hashes appearing in >= 2
+    splits of the md5-by-id split — the contamination check before any
+    near-dup pass (ops/split.py split_leakage; one stateless scan +
+    map-combined per-(hash, split) counts).  The synthetic corpus has no
+    exact duplicates, so recrawl clones are PLANTED in-query (every 7th
+    doc re-appears under a new id — the fk_violations/except precedent),
+    guaranteeing the audit has real leaks to find."""
+    from folkscope_ray.ops.split import split_leakage
+
+    docs = _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def clones(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        t = b.filter(pa.array(ids % 7 == 0))
+        return pa.table({
+            "doc_id": pc.add(t.column("doc_id"), 100_000),
+            "text": t.column("text"),
+        })
+
+    corpus = docs.union(docs.map_batches(clones, batch_format="pyarrow"))
+    return split_leakage(corpus, id_col="doc_id", text_col="text")
+
+
+def _q_dup_rate_by_source_docs(sf_dir: str):
+    """Per-source exact-duplicate rate in ppm — the source-quality
+    dashboard feeding mixing weights (ops/dedup.py dup_rate_by_key; two
+    map-combined aggregates, shuffle bounded by distinct texts)."""
+    from folkscope_ray.ops.dedup import dup_rate_by_key
+
+    return dup_rate_by_key(_rp(sf_dir, "documents"), key_col="source")
+
+
+def _q_mutual_info_parts(sf_dir: str):
+    """Mutual information between p_brand and p_size (feature-selection
+    screen), per-cell terms quantized to integer microbits before summing
+    (the entropy_docs log-parity discipline) — ops/stats.py
+    mutual_information; cell table bounded by the categorical domain."""
+    from folkscope_ray.ops.stats import mutual_information
+
+    return mutual_information(
+        _rp(sf_dir, "part").select_columns(["p_brand", "p_size"]),
+        x_col="p_brand", y_col="p_size")
+
+
+def _q_ks_drift_orders(sf_dir: str):
+    """Exact two-sample Kolmogorov-Smirnov drift statistic between the
+    order-value distributions of URGENT vs LOW priority orders — integer
+    max |cum_a*n_b - cum_b*n_a| over the merged histogram, one final float
+    division (ops/stats.py ks_statistic)."""
+    from folkscope_ray.ops.stats import ks_statistic
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderpriority", "o_totalprice"]), "o_totalprice")
+    return ks_statistic(ds.select_columns(["o_orderpriority", "cents"]),
+                        group_col="o_orderpriority", int_value_col="cents",
+                        group_a="1-URGENT", group_b="5-LOW")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3037,6 +3113,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # DuckDB at sf0.001 AND sf0.01 via tools/check_queries.py) — they
         # lead the r5 window together with the displaced tier-3 fill
         "seqmatch_events": _q_seqmatch_events,
+        "twohop_parts": _q_twohop_parts,
+        "split_leakage_docs": _q_split_leakage_docs,
+        "dup_rate_by_source_docs": _q_dup_rate_by_source_docs,
+        "mutual_info_parts": _q_mutual_info_parts,
+        "ks_drift_orders": _q_ks_drift_orders,
         "feature_hash_docs": _q_feature_hash_docs,
         "target_encode_orders": _q_target_encode_orders,
         "ordinal_encode_parts": _q_ordinal_encode_parts,
@@ -3830,6 +3911,95 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "twohop_parts": """
+            WITH e AS (
+              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+              FROM lineitem x
+              JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+                             AND x.l_partkey < y.l_partkey),
+            u AS (SELECT a AS s, b AS d FROM e
+                  UNION ALL SELECT b AS s, a AS d FROM e),
+            h AS (SELECT DISTINCT u1.s AS node, u2.d AS w
+                  FROM u u1 JOIN u u2 ON u1.d = u2.s
+                  WHERE u1.s <> u2.d),
+            strict AS (
+              SELECT h.node, h.w FROM h
+              LEFT JOIN u ON u.s = h.node AND u.d = h.w
+              WHERE u.s IS NULL)
+            SELECT node, count(*)::BIGINT AS n_twohop
+            FROM strict GROUP BY node
+        """,
+        "split_leakage_docs": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 100000 AS doc_id, text FROM documents
+              WHERE doc_id % 7 = 0),
+            s AS (
+              SELECT md5(text) AS content_hash,
+                     CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'
+                            THEN 'train'
+                          WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'e6'
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM corpus)
+            SELECT content_hash,
+                   sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_train,
+                   sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_val,
+                   sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)::BIGINT
+                     AS n_test
+            FROM s GROUP BY content_hash
+            HAVING count(DISTINCT split) >= 2
+        """,
+        "dup_rate_by_source_docs": """
+            WITH d AS (
+              SELECT source, md5(text) AS h, count(*)::BIGINT AS c
+              FROM documents GROUP BY source, h)
+            SELECT source, sum(c)::BIGINT AS n_docs,
+                   count(*)::BIGINT AS n_distinct,
+                   ((sum(c)::BIGINT - count(*)::BIGINT) * 1000000)
+                     // sum(c)::BIGINT AS dup_ppm
+            FROM d GROUP BY source
+        """,
+        "mutual_info_parts": """
+            WITH c AS (
+              SELECT p_brand, p_size, count(*)::BIGINT AS c
+              FROM part GROUP BY p_brand, p_size),
+            m AS (
+              SELECT p_brand, p_size, c,
+                     sum(c) OVER (PARTITION BY p_brand)::BIGINT AS cx,
+                     sum(c) OVER (PARTITION BY p_size)::BIGINT AS cy,
+                     sum(c) OVER ()::BIGINT AS n
+              FROM c)
+            SELECT p_brand, sum(c)::BIGINT AS n_x,
+                   sum(CAST(floor(
+                     (c::DOUBLE / n) * log2((c::DOUBLE * n) / (cx::DOUBLE * cy))
+                     * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS mi_ub
+            FROM m GROUP BY p_brand
+        """,
+        "ks_drift_orders": """
+            WITH c AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+                     CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS g1,
+                     CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END
+                       AS g2
+              FROM orders
+              WHERE o_orderpriority IN ('1-URGENT', '5-LOW')),
+            h AS (SELECT v, sum(g1)::BIGINT AS c1, sum(g2)::BIGINT AS c2
+                  FROM c GROUP BY v),
+            w AS (SELECT v, sum(c1) OVER (ORDER BY v)::BIGINT AS f1,
+                         sum(c2) OVER (ORDER BY v)::BIGINT AS f2
+                  FROM h),
+            t AS (SELECT (SELECT sum(c1)::BIGINT FROM h) AS n1,
+                         (SELECT sum(c2)::BIGINT FROM h) AS n2)
+            SELECT n1, n2, max(abs(f1 * n2 - f2 * n1))::BIGINT AS d_num,
+                   max(abs(f1 * n2 - f2 * n1))::BIGINT
+                     / (n1 * n2) AS ks
+            FROM w, t GROUP BY n1, n2
         """,
         "seqmatch_events": """
             WITH s AS (

@@ -531,3 +531,39 @@ def dup_gram_counts(ds: Dataset, gram_len: int = 50,
                                  sums={"n": "n_dup_grams"},
                                  count_alias="__k").select_columns(
         [id_col, "n_dup_grams"])
+
+
+def dup_rate_by_key(ds: Dataset, key_col: str, text_col: str = "text",
+                    rate_alias: str = "dup_ppm") -> Dataset:
+    """Per-key (per-source / per-domain) exact-duplicate rate: how much of
+    each slice of the corpus is byte-identical repetition — the quality
+    dashboard number that decides which crawl sources get down-weighted
+    in the mixing step.
+
+    ``dup_ppm = (n_docs - n_distinct_texts) * 1e6 // n_docs`` (integer,
+    hash-exact).  Two map-side-combined aggregates: (key, md5(text)) ->
+    count (shuffle bounded by distinct texts per key), then key ->
+    (n_docs, n_distinct)."""
+    from .relational import map_combine_aggregate
+    from .split import md5_hex_array
+
+    def h(b: pa.Table) -> pa.Table:
+        return pa.table({key_col: b.column(key_col),
+                         "__h": md5_hex_array(b.column(text_col))})
+
+    per_hash = map_combine_aggregate(
+        ds.select_columns([key_col, text_col])
+        .map_batches(h, batch_format="pyarrow"),
+        keys=[key_col, "__h"], count_alias="__c")
+
+    agg = map_combine_aggregate(
+        per_hash, keys=[key_col], sums={"__c": "n_docs"},
+        count_alias="n_distinct")
+
+    def rate(b: pa.Table) -> pa.Table:
+        n = b.column("n_docs").to_numpy(zero_copy_only=False)
+        d = b.column("n_distinct").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            rate_alias, pa.array((n - d) * 1_000_000 // n, pa.int64()))
+
+    return agg.map_batches(rate, batch_format="pyarrow")

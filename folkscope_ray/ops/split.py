@@ -441,3 +441,50 @@ def trimmed_mean_by_key(ds: Dataset, key_col: str, int_value_col: str,
             mean_alias, pa.array(s / n, pa.float64()))
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def split_leakage(ds: Dataset, id_col: str, text_col: str,
+                  boundaries: tuple[int, ...] = (204, 230),
+                  names: tuple[str, ...] = ("train", "val", "test"),
+                  hash_alias: str = "content_hash") -> Dataset:
+    """Train/val/test LEAKAGE audit: content hashes (md5 of the exact
+    text) that appear in two or more different splits of the
+    ``hash_split_batch`` assignment — the cheap-but-mandatory check that a
+    random-by-id split did not put byte-identical duplicates on both
+    sides of the evaluation boundary (Lee et al. 2022's contamination
+    mechanism, before any near-dup pass).
+
+    Output: one row per leaking content hash with its per-split
+    occurrence counts.  Scale shape: one stateless scan assigns splits
+    (md5 of the id) and hashes content (vectorized digest kernel), the
+    per-(hash, split) indicator columns are map-side combined, so the
+    shuffle moves one partial row per distinct hash per block — exactly
+    the exact-dedup plan with a split dimension."""
+    from .relational import map_combine_aggregate
+
+    def tag(b: pa.Table) -> pa.Table:
+        t = hash_split_batch(b.select([id_col, text_col]), id_col,
+                             boundaries=boundaries, names=names)
+        cols = {hash_alias: md5_hex_array(b.column(text_col))}
+        sp = t.column("split")
+        for name in names:
+            cols["n_" + name] = pc.cast(
+                pc.equal(sp, pa.scalar(name)), pa.int64())
+        return pa.table(cols)
+
+    agg = map_combine_aggregate(
+        ds.select_columns([id_col, text_col])
+        .map_batches(tag, batch_format="pyarrow"),
+        keys=[hash_alias],
+        sums={"n_" + name: "n_" + name for name in names})
+
+    def leaking(b: pa.Table) -> pa.Table:
+        nz = None
+        for name in names:
+            ind = pc.cast(pc.greater(b.column("n_" + name), 0), pa.int64())
+            nz = ind if nz is None else pc.add(nz, ind)
+        # the redundant total (== sum of the per-split counts) is dropped
+        return b.filter(pc.greater_equal(nz, 2)).select(
+            [hash_alias] + ["n_" + name for name in names])
+
+    return agg.map_batches(leaking, batch_format="pyarrow")

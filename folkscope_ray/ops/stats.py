@@ -701,3 +701,85 @@ def minmax_normalize(ds: Dataset, key_col: str, value_col: str,
         return b.append_column(alias, out).drop_columns(["__lo", "__hi"])
 
     return j.map_batches(norm, batch_format="pyarrow")
+
+
+def mutual_information(ds: Dataset, x_col: str, y_col: str,
+                       mi_alias: str = "mi_ub") -> pd.DataFrame:
+    """Mutual information between two CATEGORICAL columns, the
+    feature-selection screen (which metadata field predicts which other):
+    ``MI = sum_xy p(x,y) * log2(p(x,y) / (p(x) p(y)))``.
+
+    Hash-exactness discipline (the entropy_docs convention): every
+    per-cell term is computed in float64 from EXACT integer counts and
+    quantized to integer microbits (``floor(term * 1e6 + 0.5)``) BEFORE
+    summing, so the result is identical at any parallelism and equal to
+    the SQL oracle bit-for-bit.  Returned per x-category (one row per x:
+    ``(x, n_x, mi_ub)`` — the sum over its cells), so the driver compare
+    has real rows to hash.
+
+    Scale shape: ONE map-side-combined count aggregate on (x, y); the
+    cell table is bounded by |X| x |Y| (a categorical-domain product,
+    never row count) — the marginals and terms are driver math on that
+    bounded table, the sketch-family contract."""
+    from .relational import map_combine_aggregate
+
+    cells = map_combine_aggregate(
+        ds.select_columns([x_col, y_col]),
+        keys=[x_col, y_col], count_alias="c",
+    ).to_pandas()
+    n = float(cells["c"].sum())
+    cx = cells.groupby(x_col)["c"].transform("sum").to_numpy().astype(
+        np.float64)
+    cy = cells.groupby(y_col)["c"].transform("sum").to_numpy().astype(
+        np.float64)
+    c = cells["c"].to_numpy().astype(np.float64)
+    term = (c / n) * np.log2((c * n) / (cx * cy))
+    cells["__ub"] = np.floor(term * 1e6 + 0.5).astype(np.int64)
+    out = (cells.groupby(x_col, sort=True)
+           .agg(n_x=("c", "sum"), **{mi_alias: ("__ub", "sum")})
+           .reset_index())
+    out["n_x"] = out["n_x"].astype(np.int64)
+    return out
+
+
+def ks_statistic(ds: Dataset, group_col: str, int_value_col: str,
+                 group_a, group_b) -> pd.DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the value
+    distributions of two groups — the drift / batch-effect detector a
+    data pipeline runs between sources, snapshots, or A/B arms.
+
+    ``D = max_v |F_a(v) - F_b(v)|`` is computed EXACTLY as the integer
+    ``max |cum_a * n_b - cum_b * n_a|`` over the merged value grid (no
+    float CDFs), then one final float division — identical in SQL via
+    window cumsums.  Scale shape: one map-side-combined (value -> count
+    per group) histogram; the walk runs on the domain-bounded histogram,
+    never the rows."""
+    import pyarrow.compute as pc
+
+    from .relational import map_combine_aggregate
+
+    def tag(b: pa.Table) -> pa.Table:
+        g = b.column(group_col)
+        a = pc.cast(pc.equal(g, pa.scalar(group_a)), pa.int64())
+        bb = pc.cast(pc.equal(g, pa.scalar(group_b)), pa.int64())
+        keep = pc.or_(pc.equal(g, pa.scalar(group_a)),
+                      pc.equal(g, pa.scalar(group_b)))
+        return pa.table({
+            "v": b.column(int_value_col), "g1": a, "g2": bb,
+        }).filter(keep)
+
+    hist = map_combine_aggregate(
+        ds.select_columns([group_col, int_value_col])
+        .map_batches(tag, batch_format="pyarrow"),
+        keys=["v"], sums={"g1": "c1", "g2": "c2"},
+    ).to_pandas().sort_values("v").reset_index(drop=True)
+    f1 = hist["c1"].cumsum().to_numpy().astype(np.int64)
+    f2 = hist["c2"].cumsum().to_numpy().astype(np.int64)
+    n1, n2 = int(f1[-1]), int(f2[-1])
+    d_num = int(np.abs(f1 * n2 - f2 * n1).max()) if len(hist) else 0
+    return pd.DataFrame({
+        "n1": pd.array([n1], dtype="int64"),
+        "n2": pd.array([n2], dtype="int64"),
+        "d_num": pd.array([d_num], dtype="int64"),
+        "ks": [d_num / (n1 * n2)] if n1 and n2 else [0.0],
+    })

@@ -1,0 +1,131 @@
+"""Unit tests for mutual_information, ks_statistic, twohop_distinct_counts,
+split_leakage and dup_rate_by_key."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+
+def test_mutual_information_independent_is_near_zero():
+    from folkscope_ray.ops.stats import mutual_information
+
+    # x and y independent uniform -> every cell term ~0
+    n = 4000
+    rng = np.random.default_rng(0)
+    df = pd.DataFrame({"x": rng.integers(0, 4, n),
+                       "y": rng.integers(0, 4, n)})
+    out = mutual_information(rd.from_pandas(df).repartition(4), "x", "y")
+    # total MI in microbits should be tiny relative to 1 bit = 1e6
+    assert abs(out["mi_ub"].sum()) < 30_000
+
+
+def test_mutual_information_deterministic_equals_entropy():
+    from folkscope_ray.ops.stats import mutual_information
+
+    # y = x exactly -> MI = H(X) = 2 bits for uniform 4 categories
+    x = np.repeat(np.arange(4), 250)
+    df = pd.DataFrame({"x": x, "y": x})
+    out = mutual_information(rd.from_pandas(df), "x", "y")
+    assert abs(out["mi_ub"].sum() - 2_000_000) < 10
+
+
+def test_ks_statistic_identical_and_disjoint():
+    from folkscope_ray.ops.stats import ks_statistic
+
+    v = np.arange(100, dtype=np.int64)
+    df = pd.DataFrame({
+        "g": ["a"] * 100 + ["b"] * 100,
+        "v": np.concatenate([v, v]),
+    })
+    out = ks_statistic(rd.from_pandas(df).repartition(3), "g", "v", "a", "b")
+    assert out["d_num"].iloc[0] == 0 and out["ks"].iloc[0] == 0.0
+
+    df2 = pd.DataFrame({
+        "g": ["a"] * 50 + ["b"] * 80,
+        "v": np.concatenate([np.arange(50), np.arange(1000, 1080)]),
+    })
+    out2 = ks_statistic(rd.from_pandas(df2), "g", "v", "a", "b")
+    assert out2["ks"].iloc[0] == 1.0
+    assert out2["n1"].iloc[0] == 50 and out2["n2"].iloc[0] == 80
+
+
+def test_ks_statistic_matches_scipy_style_reference():
+    from folkscope_ray.ops.stats import ks_statistic
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 50, 300)
+    b = rng.integers(10, 60, 200)
+    df = pd.DataFrame({"g": ["a"] * 300 + ["b"] * 200,
+                       "v": np.concatenate([a, b]).astype(np.int64)})
+    out = ks_statistic(rd.from_pandas(df).repartition(4), "g", "v", "a", "b")
+    grid = np.unique(np.concatenate([a, b]))
+    fa = np.searchsorted(np.sort(a), grid, side="right") / len(a)
+    fb = np.searchsorted(np.sort(b), grid, side="right") / len(b)
+    assert out["ks"].iloc[0] == np.abs(fa - fb).max()
+
+
+def test_twohop_strict_path_graph():
+    from folkscope_ray.ops.graph import twohop_distinct_counts
+
+    # path a-b-c-d: strict 2-hop(a)={c}, (b)={d}, (c)={a}, (d)={b}
+    edges = rd.from_pandas(pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]}))
+    out = (twohop_distinct_counts(edges).to_pandas()
+           .set_index("node")["n_twohop"].sort_index())
+    assert out.to_dict() == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_twohop_triangle_has_no_strict_twohop():
+    from folkscope_ray.ops.graph import twohop_distinct_counts
+
+    edges = rd.from_pandas(pd.DataFrame({"a": [1, 2, 1], "b": [2, 3, 3]}))
+    out = twohop_distinct_counts(edges).to_pandas()
+    assert len(out) == 0
+
+
+def test_twohop_star_graph():
+    from folkscope_ray.ops.graph import twohop_distinct_counts
+
+    # star: hub 0 with leaves 1..4 -> each leaf sees 3 others; hub none
+    edges = rd.from_pandas(pd.DataFrame({"a": [0, 0, 0, 0],
+                                         "b": [1, 2, 3, 4]}))
+    out = (twohop_distinct_counts(edges).to_pandas()
+           .set_index("node")["n_twohop"].sort_index())
+    assert out.to_dict() == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_split_leakage_finds_planted_cross_split_dup():
+    from folkscope_ray.ops.split import hash_split_batch, split_leakage
+    import pyarrow as pa
+
+    # find two ids landing in different splits, give them identical text
+    probe = pa.table({"id": pa.array(np.arange(200, dtype=np.int64))})
+    sp = hash_split_batch(probe, "id").column("split").to_pylist()
+    train_id = next(i for i, s in enumerate(sp) if s == "train")
+    test_id = next(i for i, s in enumerate(sp) if s == "test")
+    other = [i for i in range(200) if i not in (train_id, test_id)]
+
+    df = pd.DataFrame({
+        "id": np.array([train_id, test_id] + other, dtype=np.int64),
+        "text": ["LEAK", "LEAK"] + [f"unique {i}" for i in other],
+    })
+    out = (split_leakage(rd.from_pandas(df).repartition(3),
+                         id_col="id", text_col="text").to_pandas())
+    assert len(out) == 1
+    assert out["n_train"].iloc[0] == 1 and out["n_test"].iloc[0] == 1
+    assert list(out.columns) == ["content_hash", "n_train", "n_val", "n_test"]
+
+
+def test_dup_rate_by_key():
+    from folkscope_ray.ops.dedup import dup_rate_by_key
+
+    df = pd.DataFrame({
+        "src": ["a"] * 4 + ["b"] * 5,
+        "text": ["x", "x", "y", "z", "p", "q", "r", "s", "t"],
+    })
+    out = (dup_rate_by_key(rd.from_pandas(df).repartition(2), "src")
+           .to_pandas().set_index("src"))
+    assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 3
+    assert out.loc["a", "dup_ppm"] == 1_000_000 // 4
+    assert out.loc["b", "dup_ppm"] == 0
