@@ -2935,9 +2935,15 @@ def _q_trimmed_mean_parts(sf_dir: str):
 
 def _q_twohop_parts(sf_dir: str):
     """Strict 2-hop (friends-of-friends) distinct-neighbor counts on the
-    co-purchase graph — link-prediction candidate generation
-    (ops/graph.py twohop_distinct_counts: symmetrize, ONE wedge hash join,
-    map-combined distinct collapse, aggregate-expressed anti-join)."""
+    SUPPORT-FILTERED co-purchase graph (pairs co-occurring in >= 2 orders)
+    — link-prediction candidate generation (ops/graph.py
+    twohop_distinct_counts: symmetrize, ONE wedge hash join, map-combined
+    distinct collapse, aggregate-expressed anti-join).  The support filter
+    is the standard densification guard: the raw co-occurrence graph has
+    avg degree ~90 at sf0.1, and a 2-hop expansion is Theta(sum deg^2) =
+    quadratic OUTPUT — no plan fixes that; real co-purchase mining prunes
+    noise edges first (support thresholds), which is also what keeps the
+    wedge join bounded at 100 TB."""
     from folkscope_ray.ops.graph import (
         cooccurrence_edges,
         twohop_distinct_counts,
@@ -2945,7 +2951,7 @@ def _q_twohop_parts(sf_dir: str):
 
     edges = cooccurrence_edges(
         _rp(sf_dir, "lineitem").select_columns(["l_orderkey", "l_partkey"]),
-        group_col="l_orderkey", item_col="l_partkey")
+        group_col="l_orderkey", item_col="l_partkey").filter(expr="n >= 2")
     return twohop_distinct_counts(edges)
 
 
@@ -3914,10 +3920,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "twohop_parts": """
             WITH e AS (
-              SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
-              FROM lineitem x
-              JOIN lineitem y ON x.l_orderkey = y.l_orderkey
-                             AND x.l_partkey < y.l_partkey),
+              SELECT a, b FROM (
+                SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS n
+                FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+                JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+                  ON x.l_orderkey = y.l_orderkey
+                 AND x.l_partkey < y.l_partkey
+                GROUP BY a, b)
+              WHERE n >= 2),
             u AS (SELECT a AS s, b AS d FROM e
                   UNION ALL SELECT b AS s, a AS d FROM e),
             h AS (SELECT DISTINCT u1.s AS node, u2.d AS w

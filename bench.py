@@ -109,6 +109,18 @@ BENCH_QUERIES = [
     "explode_tokens_docs",
     "incremental_agg_orders",
     "pushdown_filter_orders",
+    "seqmatch_events",
+    "feature_hash_docs",
+    "target_encode_orders",
+    "ordinal_encode_parts",
+    "kfold_split_docs",
+    "rrf_fusion_docs",
+    "trimmed_mean_parts",
+    "twohop_parts",
+    "split_leakage_docs",
+    "dup_rate_by_source_docs",
+    "mutual_info_parts",
+    "ks_drift_orders",
 ]
 
 
