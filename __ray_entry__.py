@@ -3015,6 +3015,62 @@ def _q_ks_drift_orders(sf_dir: str):
                         group_a="1-URGENT", group_b="5-LOW")
 
 
+def _q_medoid_embeddings(sf_dir: str):
+    """Per-label medoid (exemplar selection after clustering): the vector
+    maximizing the integer dot product with its label's fixed-point SUM
+    vector — pure int64 arithmetic end to end, so the argmax can never be
+    flipped by float rounding (ops/vector.py medoid_by_key; two
+    shuffle-free scans with domain-bounded partials)."""
+    from folkscope_ray.ops.vector import medoid_by_key
+
+    return medoid_by_key(_rp(sf_dir, "embeddings"), key_col="label",
+                         vec_col="embedding", id_col="vec_id",
+                         fixed_point_digits=6)
+
+
+def _q_negative_sample_lineitem(sf_dir: str):
+    """Deterministic negative sampling for link prediction (the TransE/NCF
+    corruption step): per distinct (supplier, part) edge, 2 md5-drawn
+    candidate parts, true positives excluded via a flag-sum aggregate
+    anti-join (ops/encode.py negative_sample_pairs)."""
+    from folkscope_ray.ops.encode import negative_sample_pairs
+
+    n_parts = _rp(sf_dir, "part").count()
+    return negative_sample_pairs(
+        _rp(sf_dir, "lineitem").select_columns(["l_suppkey", "l_partkey"]),
+        user_col="l_suppkey", item_col="l_partkey",
+        n_items=n_parts, k=2, item_base=0)
+
+
+def _q_cohens_kappa_docs(sf_dir: str):
+    """Cohen's kappa between two deterministic binary labelers (is-long:
+    n_chars >= 310 vs is-token-rich: >= 56 tokens) — the inter-annotator
+    agreement gate before trusting auto-labels (ops/stats.py cohens_kappa;
+    exact 2x2 counts, float formula mirrored term-for-term in SQL)."""
+    from folkscope_ray.ops.stats import cohens_kappa
+
+    def flags(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        nt = np.bincount(doc_of[keep], minlength=b.num_rows)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "la": pa.array((nc >= 310).astype(np.int64), pa.int64()),
+            "lb": pa.array((nt >= 56).astype(np.int64), pa.int64()),
+        })
+
+    return cohens_kappa(
+        _rp(sf_dir, "documents").select_columns(["text", "n_chars"])
+        .map_batches(flags, batch_format="pyarrow"), "la", "lb")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3120,6 +3176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # lead the r5 window together with the displaced tier-3 fill
         "seqmatch_events": _q_seqmatch_events,
         "twohop_parts": _q_twohop_parts,
+        "medoid_embeddings": _q_medoid_embeddings,
+        "negative_sample_lineitem": _q_negative_sample_lineitem,
+        "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
         "dup_rate_by_source_docs": _q_dup_rate_by_source_docs,
         "mutual_info_parts": _q_mutual_info_parts,
@@ -3917,6 +3976,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "medoid_embeddings": """
+            WITH q AS (
+              SELECT vec_id, label,
+                     generate_subscripts(embedding, 1) - 1 AS dim,
+                     round(unnest(embedding::DOUBLE[]) * 1e6)::BIGINT AS qv
+              FROM embeddings),
+            s AS (SELECT label, dim, sum(qv)::BIGINT AS sv
+                  FROM q GROUP BY label, dim),
+            d AS (SELECT q.vec_id, q.label,
+                         sum(q.qv * s.sv)::BIGINT AS dot
+                  FROM q JOIN s USING (label, dim)
+                  GROUP BY q.vec_id, q.label)
+            SELECT label, vec_id, dot FROM d
+            QUALIFY row_number()
+              OVER (PARTITION BY label ORDER BY dot DESC, vec_id) = 1
+        """,
+        "negative_sample_lineitem": """
+            WITH pos AS (
+              SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem),
+            np AS (SELECT count(*)::BIGINT AS n FROM part),
+            cand AS (
+              SELECT s, p, t,
+                     ('0x' || substr(md5(s::VARCHAR || '|' || p::VARCHAR
+                                         || '|' || t::VARCHAR), 1, 12))
+                       ::BIGINT % (SELECT n FROM np) AS c
+              FROM pos, UNNEST([1, 2]) AS u(t))
+            SELECT cand.s AS l_suppkey, cand.c AS neg_item,
+                   count(*)::BIGINT AS n_draws
+            FROM cand LEFT JOIN pos p2
+              ON p2.s = cand.s AND p2.p = cand.c
+            WHERE p2.s IS NULL
+            GROUP BY cand.s, cand.c
+        """,
+        "cohens_kappa_docs": """
+            WITH f AS (
+              SELECT CASE WHEN n_chars >= 310 THEN 1 ELSE 0 END AS la,
+                     CASE WHEN len(regexp_extract_all(lower(text),
+                                                      '[a-z0-9]+')) >= 56
+                          THEN 1 ELSE 0 END AS lb
+              FROM documents),
+            c AS (
+              SELECT count(*)::BIGINT AS n,
+                     sum(CASE WHEN la = 0 AND lb = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n00,
+                     sum(CASE WHEN la = 0 AND lb = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n01,
+                     sum(CASE WHEN la = 1 AND lb = 0 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n10,
+                     sum(CASE WHEN la = 1 AND lb = 1 THEN 1 ELSE 0 END)
+                       ::BIGINT AS n11
+              FROM f)
+            SELECT n, n00, n01, n10, n11,
+                   (((n00 + n11) / n)
+                    - (((n00 + n01) * (n00 + n10)
+                        + (n10 + n11) * (n01 + n11)) / (n * n)))
+                   / (1 - (((n00 + n01) * (n00 + n10)
+                            + (n10 + n11) * (n01 + n11)) / (n * n)))
+                     AS kappa
+            FROM c
         """,
         "twohop_parts": """
             WITH e AS (

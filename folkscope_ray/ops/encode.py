@@ -198,3 +198,68 @@ def kfold_assign(ds: Dataset, id_col: str, k: int = 5,
                      pa.int64()))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def negative_sample_pairs(pos: Dataset, user_col: str, item_col: str,
+                          n_items: int, k: int = 2, item_base: int = 1,
+                          neg_alias: str = "neg_item",
+                          draws_alias: str = "n_draws") -> Dataset:
+    """Deterministic negative sampling for link-prediction / recommender
+    training (the corruption step of TransE's margin loss and NCF's
+    implicit-feedback negatives): for every DISTINCT positive (user, item)
+    edge, draw ``k`` candidate items ``md5(user|item|t) mod n_items +
+    item_base`` (t = 1..k) and keep those that are not true positives of
+    that user.  Pure function of the edge — the same negatives are drawn
+    across runs, parallelism, resume, and the SQL oracle.
+
+    Items must be the contiguous id range [item_base, item_base+n_items).
+    Output: ``(user, neg_item, n_draws)`` — n_draws counts duplicate draws
+    of the same negative (the caller may use it as a weight).
+
+    Scale shape: positives are made distinct by a map-side-combined
+    aggregate; candidate generation is one stateless scan (vectorized md5
+    kernel over a k-fold row repeat); the positive-exclusion anti-join is
+    expressed as a second flag-sum aggregate (candidates carry draw=1 /
+    pos=0, positives draw=0 / pos=1; groups with pos=0 survive) — no join
+    machinery, shuffle moves one row per distinct (user, item) pair."""
+    from .relational import map_combine_aggregate
+
+    distinct = map_combine_aggregate(
+        pos.select_columns([user_col, item_col]),
+        keys=[user_col, item_col], count_alias="__c")
+
+    def candidates(b: pa.Table) -> pa.Table:
+        u = b.column(user_col).to_numpy(zero_copy_only=False)
+        i = b.column(item_col).to_numpy(zero_copy_only=False)
+        n = len(u)
+        ur = np.repeat(u, k)
+        ir = np.repeat(i, k)
+        tr = np.tile(np.arange(1, k + 1, dtype=np.int64), n)
+        key = pc.binary_join_element_wise(
+            pa.array(ur.astype("U"), pa.string()), pa.scalar("|"),
+            pa.array(ir.astype("U"), pa.string()), pa.scalar("|"),
+            pa.array(tr.astype("U"), pa.string()), pa.scalar(""))
+        cand = md5_mod_array(key, n_items) + item_base
+        return pa.table({
+            user_col: pa.array(ur, pa.int64()),
+            neg_alias: pa.array(cand, pa.int64()),
+            "__draw": pa.array(np.ones(n * k, np.int64), pa.int64()),
+            "__pos": pa.array(np.zeros(n * k, np.int64), pa.int64()),
+        })
+
+    def pos_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table({
+            user_col: pc.cast(b.column(user_col), pa.int64()),
+            neg_alias: pc.cast(b.column(item_col), pa.int64()),
+            "__draw": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "__pos": pa.array(np.ones(n, np.int64), pa.int64()),
+        })
+
+    cand = distinct.map_batches(candidates, batch_format="pyarrow")
+    posm = distinct.map_batches(pos_rows, batch_format="pyarrow")
+    merged = map_combine_aggregate(
+        cand.union(posm), keys=[user_col, neg_alias],
+        sums={"__draw": draws_alias, "__pos": "__np"})
+    return (merged.filter(expr="__np == 0")
+            .select_columns([user_col, neg_alias, draws_alias]))

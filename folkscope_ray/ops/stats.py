@@ -783,3 +783,40 @@ def ks_statistic(ds: Dataset, group_col: str, int_value_col: str,
         "d_num": pd.array([d_num], dtype="int64"),
         "ks": [d_num / (n1 * n2)] if n1 and n2 else [0.0],
     })
+
+
+def cohens_kappa(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
+    """Cohen's kappa between two binary labelers (0/1 int columns) — the
+    inter-annotator / heuristic-vs-heuristic agreement score an eval
+    pipeline reports before trusting auto-labels.
+
+    ``kappa = (po - pe) / (1 - pe)`` with po, pe computed from the EXACT
+    2x2 contingency counts (one map-side-combined aggregate; the cell
+    table is 4 rows) — the float expression tree mirrors the SQL oracle
+    term for term.  Returns one row: the 4 cells, n, and kappa."""
+    from .relational import map_combine_aggregate
+
+    cells = map_combine_aggregate(
+        ds.select_columns([a_col, b_col]),
+        keys=[a_col, b_col], count_alias="c",
+    ).to_pandas()
+    n = int(cells["c"].sum())
+
+    def cell(a, b):
+        m = cells[(cells[a_col] == a) & (cells[b_col] == b)]
+        return int(m["c"].iloc[0]) if len(m) else 0
+
+    n00, n01 = cell(0, 0), cell(0, 1)
+    n10, n11 = cell(1, 0), cell(1, 1)
+    po = (n00 + n11) / n
+    pe = ((n00 + n01) * (n00 + n10)
+          + (n10 + n11) * (n01 + n11)) / (n * n)
+    kappa = (po - pe) / (1 - pe) if pe != 1 else 1.0
+    return pd.DataFrame({
+        "n": pd.array([n], dtype="int64"),
+        "n00": pd.array([n00], dtype="int64"),
+        "n01": pd.array([n01], dtype="int64"),
+        "n10": pd.array([n10], dtype="int64"),
+        "n11": pd.array([n11], dtype="int64"),
+        "kappa": [kappa],
+    })

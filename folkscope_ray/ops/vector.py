@@ -190,3 +190,86 @@ def pca_project(ds: Dataset, vec_col: str = "embedding",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow")
+
+
+def medoid_by_key(ds: Dataset, key_col: str, vec_col: str, id_col: str,
+                  fixed_point_digits: int = 6) -> pd.DataFrame:
+    """Per-key medoid-by-centroid: the row whose vector maximizes the dot
+    product with its key's SUM vector (same argmax as cosine-to-centroid
+    for same-key comparisons up to per-row norm; we use the raw dot — the
+    documented contract) — "the most representative document per cluster",
+    the exemplar-selection step after k-means/dedup clustering.
+
+    Exactness: elements are quantized to ``10^-digits`` fixed point ONCE;
+    both the per-key sum vectors and every row's dot product are pure
+    int64 arithmetic, so the argmax (ties broken by min id) is
+    bit-identical at any parallelism and in the SQL oracle — no float
+    rounding can flip a winner.
+
+    Scale shape: pass 1 accumulates per-key int sum vectors
+    (factorize + np.add.at per block; partials bounded by keys x dim);
+    pass 2 broadcasts the sum-vector table and reduces a per-block
+    (key, best_dot, best_id) partial — both shuffle-free scans with
+    domain-bounded partials (the sketch contract)."""
+    import ray
+
+    from .similarity import _as_matrix
+
+    scale = float(10 ** fixed_point_digits)
+
+    def sum_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.int64()))})
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        q = np.round(_as_matrix(batch.column(vec_col)) * scale).astype(
+            np.int64)
+        codes, uniq = pd.factorize(keys)
+        sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
+        np.add.at(sums, codes, q)
+        return pa.table({key_col: pa.array(uniq),
+                         "vsum": pa.array(list(sums), pa.list_(pa.int64()))})
+
+    parts = (ds.select_columns([key_col, vec_col])
+             .map_batches(sum_partial, batch_format="pyarrow").to_pandas())
+    svecs: dict = {}
+    for k, g in parts.groupby(key_col, sort=False):
+        svecs[k] = np.sum(np.stack(g["vsum"].to_numpy()), axis=0)
+    ref = ray.put(svecs)
+
+    def best_partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({key_col: pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "dot": pa.array([], pa.int64())})
+        sv = ray.get(ref)
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        q = np.round(_as_matrix(batch.column(vec_col)) * scale).astype(
+            np.int64)
+        codes, uniq = pd.factorize(keys)
+        smat = np.stack([sv[k] for k in uniq])          # (u, d) int64
+        # overflow guard (corr_matrix discipline): the dot must stay exact
+        mq = int(np.abs(q).max(initial=0))
+        ms = int(np.abs(smat).max(initial=0))
+        if mq and ms and mq * ms * q.shape[1] >= 2 ** 63:
+            raise ValueError(
+                "medoid_by_key: int64 dot would overflow — lower "
+                "fixed_point_digits or normalize the vectors")
+        dots = np.einsum("ij,ij->i", q, smat[codes])    # row-wise int dot
+        df = pd.DataFrame({key_col: keys, id_col: ids, "dot": dots})
+        best = (df.sort_values([key_col, "dot", id_col],
+                               ascending=[True, False, True],
+                               kind="mergesort")
+                .groupby(key_col, sort=False).head(1))
+        return pa.Table.from_pandas(best, preserve_index=False)
+
+    partials = (ds.select_columns([key_col, id_col, vec_col])
+                .map_batches(best_partial, batch_format="pyarrow")
+                .to_pandas())
+    out = (partials.sort_values([key_col, "dot", id_col],
+                                ascending=[True, False, True],
+                                kind="mergesort")
+           .groupby(key_col, sort=True).head(1).reset_index(drop=True))
+    out["dot"] = out["dot"].astype("int64")
+    return out
