@@ -3071,6 +3071,19 @@ def _q_cohens_kappa_docs(sf_dir: str):
         .map_batches(flags, batch_format="pyarrow"), "la", "lb")
 
 
+def _q_js_divergence_sources(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions (the corpus-similarity matrix behind mixing/dedup
+    decisions): per-common-token microbit terms + integer-mass residues,
+    bit-identical at any parallelism (ops/lm.py js_divergence_by_key;
+    token-bucketed all-pairs partials, domain-bounded key set)."""
+    from folkscope_ray.ops.lm import js_divergence_by_key
+
+    return js_divergence_by_key(
+        _rp(sf_dir, "documents").select_columns(["source", "text"]),
+        key_col="source")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3177,6 +3190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seqmatch_events": _q_seqmatch_events,
         "twohop_parts": _q_twohop_parts,
         "medoid_embeddings": _q_medoid_embeddings,
+        "js_divergence_sources": _q_js_divergence_sources,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -3976,6 +3990,48 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "js_divergence_sources": """
+            WITH w AS (
+              SELECT source,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents),
+            tc AS (SELECT source, tok, count(*)::BIGINT AS c
+                   FROM w GROUP BY source, tok),
+            tot AS (SELECT source, sum(c)::BIGINT AS n
+                    FROM tc GROUP BY source),
+            pairterm AS (
+              SELECT t1.source AS s1, t2.source AS s2,
+                     CAST(floor((
+                       0.5 * (t1.c::DOUBLE / n1.n)
+                           * log2(2 * (t1.c::DOUBLE / n1.n)
+                                  / ((t1.c::DOUBLE / n1.n)
+                                     + (t2.c::DOUBLE / n2.n)))
+                       + 0.5 * (t2.c::DOUBLE / n2.n)
+                           * log2(2 * (t2.c::DOUBLE / n2.n)
+                                  / ((t1.c::DOUBLE / n1.n)
+                                     + (t2.c::DOUBLE / n2.n)))
+                     ) * 1000000.0 + 0.5) AS BIGINT) AS ub,
+                     t1.c AS c1, t2.c AS c2
+              FROM tc t1
+              JOIN tc t2 ON t1.tok = t2.tok AND t1.source < t2.source
+              JOIN tot n1 ON n1.source = t1.source
+              JOIN tot n2 ON n2.source = t2.source),
+            agg AS (
+              SELECT s1, s2, sum(ub)::BIGINT AS tub,
+                     sum(c1)::BIGINT AS sc1, sum(c2)::BIGINT AS sc2
+              FROM pairterm GROUP BY s1, s2)
+            SELECT s1, s2, sc1, sc2,
+                   (tub
+                    + CAST(floor(0.5 * (1 - sc1::DOUBLE / n1.n)
+                                 * 1000000.0 + 0.5) AS BIGINT)
+                    + CAST(floor(0.5 * (1 - sc2::DOUBLE / n2.n)
+                                 * 1000000.0 + 0.5) AS BIGINT))::BIGINT
+                     AS js_ub
+            FROM agg
+            JOIN tot n1 ON n1.source = agg.s1
+            JOIN tot n2 ON n2.source = agg.s2
         """,
         "medoid_embeddings": """
             WITH q AS (

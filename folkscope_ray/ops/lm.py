@@ -374,3 +374,105 @@ def score_perplexity(ds: Dataset, model: dict,
         return scorer(batch)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def js_divergence_by_key(ds: Dataset, key_col: str, text_col: str = "text",
+                         js_alias: str = "js_ub") -> pd.DataFrame:
+    """Pairwise Jensen-Shannon divergence between the unigram token
+    distributions of every pair of corpus slices (sources / domains /
+    snapshots) — the corpus-similarity matrix that decides which sources
+    are redundant and how mixing weights should spread.
+
+    Hash-exactness (the entropy_docs / bigram-LM quantization discipline):
+    with p = c1/N1 and q = c2/N2 from EXACT integer counts,
+
+        JS = 0.5 sum_t p log2(2p / (p+q)) + 0.5 sum_t q log2(2q / (p+q))
+
+    splits into (a) per-COMMON-token terms, each quantized to integer
+    microbits BEFORE summing, and (b) the one-side-only residue — for a
+    token absent on the other side the log is exactly 1 bit, so the
+    residue per side is ``0.5 * (1 - common_mass)``, computed from integer
+    common-count sums and quantized ONCE per side.  Both engines evaluate
+    the same three quantized pieces with the same float expression tree,
+    so results are bit-identical at any parallelism.
+
+    Scale shape: token counts per (key, token) are map-side combined (the
+    shuffle moves vocabulary x keys rows, never occurrences); the pairwise
+    pass hash-buckets TOKENS and pivots each bucket into per-key count
+    columns, emitting one partial row per (pair, bucket) — keys are the
+    bounded categorical domain, the vocabulary streams through buckets.
+    Pairs sharing no token emit nothing (matching the SQL inner join).
+
+    Returns (s1, s2, sc1, sc2, js_ub) for s1 < s2 in sort order."""
+    import pyarrow.compute as pc
+
+    from .relational import map_combine_aggregate
+    from .window import _bucketed_groups
+
+    def toks(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))[keep]
+        return pa.table({
+            key_col: b.column(key_col).take(pa.array(doc_of, pa.int64())),
+            "tok": flat.filter(pa.array(keep)),
+        })
+
+    counts = map_combine_aggregate(
+        ds.select_columns([key_col, text_col])
+        .map_batches(toks, batch_format="pyarrow"),
+        keys=[key_col, "tok"], count_alias="c",
+    ).materialize()
+
+    totals = map_combine_aggregate(
+        counts.select_columns([key_col, "c"]),
+        keys=[key_col], sums={"c": "n"}).to_pandas()
+    keys_sorted = sorted(totals[key_col].tolist())
+    ntot = dict(zip(totals[key_col], totals["n"].astype(int)))
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        piv = (g.pivot_table(index="tok", columns=key_col, values="c",
+                             aggfunc="first", fill_value=0)
+               .reindex(columns=keys_sorted, fill_value=0))
+        mat = piv.to_numpy().astype(np.int64)
+        out = []
+        for i in range(len(keys_sorted)):
+            for j in range(i + 1, len(keys_sorted)):
+                c1, c2 = mat[:, i], mat[:, j]
+                common = (c1 > 0) & (c2 > 0)
+                if not common.any():
+                    continue
+                k1, k2 = keys_sorted[i], keys_sorted[j]
+                p = c1[common] / ntot[k1]
+                q = c2[common] / ntot[k2]
+                term = (0.5 * p * np.log2(2 * p / (p + q))
+                        + 0.5 * q * np.log2(2 * q / (p + q)))
+                out.append((k1, k2,
+                            int(np.floor(term * 1e6 + 0.5)
+                                .astype(np.int64).sum()),
+                            int(c1[common].sum()), int(c2[common].sum())))
+        return pd.DataFrame(out, columns=["s1", "s2", "tub", "sc1", "sc2"])
+
+    partials = _bucketed_groups(counts, "tok", body)
+    agg = map_combine_aggregate(
+        partials, keys=["s1", "s2"],
+        sums={"tub": "tub", "sc1": "sc1", "sc2": "sc2"},
+    ).to_pandas().sort_values(["s1", "s2"]).reset_index(drop=True)
+
+    n1 = agg["s1"].map(ntot).to_numpy().astype(np.float64)
+    n2 = agg["s2"].map(ntot).to_numpy().astype(np.float64)
+    r1 = np.floor(0.5 * (1 - agg["sc1"].to_numpy() / n1) * 1e6
+                  + 0.5).astype(np.int64)
+    r2 = np.floor(0.5 * (1 - agg["sc2"].to_numpy() / n2) * 1e6
+                  + 0.5).astype(np.int64)
+    out = agg[["s1", "s2", "sc1", "sc2"]].copy()
+    for c in ("sc1", "sc2"):
+        out[c] = out[c].astype("int64")
+    out[js_alias] = (agg["tub"].to_numpy() + r1 + r2).astype("int64")
+    return out

@@ -129,3 +129,44 @@ def test_dup_rate_by_key():
     assert out.loc["a", "n_docs"] == 4 and out.loc["a", "n_distinct"] == 3
     assert out.loc["a", "dup_ppm"] == 1_000_000 // 4
     assert out.loc["b", "dup_ppm"] == 0
+
+
+def test_js_divergence_identical_zero_disjoint_one_bit():
+    from folkscope_ray.ops.lm import js_divergence_by_key
+
+    df = pd.DataFrame({
+        "src": ["a"] * 3 + ["b"] * 3 + ["c"] * 2,
+        "text": ["cat dog", "cat dog", "cat dog",
+                 "cat dog", "cat dog", "cat dog",
+                 "zebra yak", "zebra yak"],
+    })
+    out = js_divergence_by_key(rd.from_pandas(df).repartition(3), "src")
+    out = out.set_index(["s1", "s2"])
+    # identical distributions -> JS = 0
+    assert out.loc[("a", "b"), "js_ub"] == 0
+    # fully disjoint vocab -> no common tokens -> pair emits NOTHING on
+    # either engine (inner-join semantics)
+    assert ("a", "c") not in out.index and ("b", "c") not in out.index
+
+
+def test_js_divergence_partition_invariant_and_known_value():
+    from folkscope_ray.ops.lm import js_divergence_by_key
+
+    df = pd.DataFrame({
+        "src": ["a", "a", "b", "b"],
+        "text": ["x x x y", "x y", "x y y y", "y y"],
+    })
+    a = js_divergence_by_key(rd.from_pandas(df), "src")
+    b = js_divergence_by_key(rd.from_pandas(df).repartition(7), "src")
+    pd.testing.assert_frame_equal(a, b)
+    # p = (4/6 x, 2/6 y), q = (1/6 x, 5/6 y): compute reference microbits
+    import numpy as np
+
+    p = np.array([4 / 6, 2 / 6])
+    q = np.array([1 / 6, 5 / 6])
+    term = (0.5 * p * np.log2(2 * p / (p + q))
+            + 0.5 * q * np.log2(2 * q / (p + q)))
+    exp = int(np.floor(term * 1e6 + 0.5).astype(np.int64).sum())
+    # all tokens common -> residues are floor(0.5*0*1e6+0.5) = 0
+    assert a["js_ub"].iloc[0] == exp
+    assert a["sc1"].iloc[0] == 6 and a["sc2"].iloc[0] == 6
