@@ -3084,6 +3084,24 @@ def _q_js_divergence_sources(sf_dir: str):
         key_col="source")
 
 
+def _q_grouping_sets_orders(sf_dir: str):
+    """GROUP BY GROUPING SETS ((status), (priority), ()) over order value
+    — the general form beside rollup/cube, same ONE-scan shape: every set
+    derives from the map-combined finest table
+    (ops/window.py grouping_sets_counts)."""
+    from folkscope_ray.ops.window import grouping_sets_counts
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderstatus", "o_orderpriority", "o_totalprice"]),
+        "o_totalprice")
+    return grouping_sets_counts(
+        ds.select_columns(["o_orderstatus", "o_orderpriority", "cents"]),
+        keys=["o_orderstatus", "o_orderpriority"],
+        sets=[("o_orderstatus",), ("o_orderpriority",), ()],
+        int_value_col="cents", sum_alias="total_cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3191,6 +3209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "twohop_parts": _q_twohop_parts,
         "medoid_embeddings": _q_medoid_embeddings,
         "js_divergence_sources": _q_js_divergence_sources,
+        "grouping_sets_orders": _q_grouping_sets_orders,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -3990,6 +4009,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "grouping_sets_orders": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   SUM(round(o_totalprice * 100)::BIGINT)::BIGINT
+                     AS total_cents,
+                   count(*) AS n
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """,
         "js_divergence_sources": """
             WITH w AS (

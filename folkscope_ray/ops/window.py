@@ -904,3 +904,48 @@ def trailing_range_sum(ds: Dataset, key_col: str, ts_col: str,
         return out
 
     return _bucketed_groups(ds, key_col, body)
+
+
+def grouping_sets_counts(ds: Dataset, keys: list[str],
+                         sets: list[tuple[str, ...]], int_value_col: str,
+                         sum_alias: str,
+                         all_sentinel: str = "ALL") -> Dataset:
+    """GROUP BY GROUPING SETS (...): aggregates at exactly the requested
+    key subsets — the general form of :func:`rollup_counts` /
+    :func:`cube_counts`, same one-scan execution shape: the stream is
+    touched ONCE by the map-side-combined finest aggregate and every
+    requested set is derived from that tiny finest table.  Keys absent
+    from a set carry ``all_sentinel`` (not SQL NULL) so cross-engine hash
+    comparison is exact."""
+    from .relational import map_combine_aggregate
+
+    for s in sets:
+        bad = [c for c in s if c not in keys]
+        if bad:
+            raise ValueError(f"grouping set {s} has non-key columns {bad}")
+
+    finest = map_combine_aggregate(
+        ds.select_columns(keys + [int_value_col]),
+        keys=keys, sums={int_value_col: sum_alias}, count_alias="n",
+    ).to_pandas()
+
+    levels = []
+    for kept in sets:
+        kept = list(kept)
+        if kept == keys:
+            g = finest.copy()
+        elif kept:
+            g = (finest.groupby(kept, as_index=False)
+                 .agg(**{sum_alias: (sum_alias, "sum"), "n": ("n", "sum")}))
+        else:
+            g = pd.DataFrame({sum_alias: [finest[sum_alias].sum()],
+                              "n": [finest["n"].sum()]})
+        for c in keys:
+            if c not in kept:
+                g[c] = all_sentinel
+        levels.append(g[keys + [sum_alias, "n"]])
+
+    out = pd.concat(levels, ignore_index=True)
+    import ray.data as rd
+
+    return rd.from_pandas(out)
