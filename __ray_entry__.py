@@ -3102,6 +3102,54 @@ def _q_grouping_sets_orders(sf_dir: str):
         int_value_col="cents", sum_alias="total_cents")
 
 
+def _q_vocab_coverage_docs(sf_dir: str):
+    """Vocabulary coverage curve (share of token occurrences covered by
+    the top-k types, k = 5/10/20) — the statistic behind tokenizer-budget
+    and min_df decisions (ops/lm.py vocab_coverage: map-combined counts,
+    tree-reduced total, total-order distributed top-k)."""
+    from folkscope_ray.ops.lm import vocab_coverage
+
+    return vocab_coverage(_rp(sf_dir, "documents"), ks=[5, 10, 20])
+
+
+def _q_weighted_median_parts(sf_dir: str):
+    """Per-brand lower weighted median of retail price, weighted by part
+    size (ops/split.py weighted_median_by_key: one map-combined weighted
+    histogram, domain-bounded walk — the quantiles_by_key contract with
+    weights)."""
+    from folkscope_ray.ops.split import weighted_median_by_key
+
+    ds = _cents_col(
+        _rp(sf_dir, "part").select_columns(
+            ["p_brand", "p_size", "p_retailprice"]), "p_retailprice")
+
+    def wcol(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_brand": b.column("p_brand"),
+            "cents": b.column("cents"),
+            "w": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    return weighted_median_by_key(
+        ds.map_batches(wcol, batch_format="pyarrow"),
+        key_col="p_brand", value_col="cents", weight_col="w")
+
+
+def _q_quota_topk_parts(sf_dir: str):
+    """Diversified global top-k: best 60 parts by price with at most 4
+    per brand (ops/split.py quota_topk: block-local quota prune, bucketed
+    per-key ranks, distributed total-order global cut)."""
+    from folkscope_ray.ops.split import quota_topk
+
+    ds = _cents_col(
+        _rp(sf_dir, "part").select_columns(
+            ["p_brand", "p_partkey", "p_retailprice"]), "p_retailprice")
+    out = quota_topk(ds.select_columns(["p_brand", "p_partkey", "cents"]),
+                     key_col="p_brand", value_col="cents",
+                     id_col="p_partkey", k_global=60, per_key_quota=4)
+    return out[["p_brand", "p_partkey", "cents", "rn"]]
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3139,16 +3187,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            union_by_name / windowed_distinct / collect_ordered /
     #            fk_violations / regr_slope / minmax_normalize /
     #            topk_ties / trailing_range_sum / explode_tokens /
-    #            incremental_agg / pushdown_filter, the SEVEN third-batch
-    #            additions (seqmatch / feature_hash / target_encode /
-    #            ordinal_encode / kfold_split / rrf_fusion / trimmed_mean)
-    #            — each pre-validated at sf0.001 AND sf0.01, kept out of
-    #            the r4 window so the changed-path kg_* queries keep
-    #            their slots), and whatever r5 adds or changes.  The
-    #            ENTIRE registry (144 at closing-session validation + 13
-    #            second-batch + 7 third-batch = 164) is DuckDB-green at
-    #            sf0.01: one full 153-query pass this session plus each
-    #            later insertion individually at sf0.001 AND sf0.01.
+    #            incremental_agg / pushdown_filter, and the SEVENTEEN
+    #            third-session additions (seqmatch / feature_hash /
+    #            target_encode / ordinal_encode / kfold_split /
+    #            rrf_fusion / trimmed_mean / twohop / split_leakage /
+    #            dup_rate_by_source / mutual_info / ks_drift / medoid /
+    #            negative_sample / cohens_kappa / js_divergence /
+    #            grouping_sets / vocab_coverage / weighted_median /
+    #            quota_topk) — each pre-validated at sf0.001 AND
+    #            sf0.01, kept out of the r4 window so the changed-path
+    #            kg_* queries keep their slots), and whatever r5 adds or
+    #            changes.  The ENTIRE registry (144 at closing-session
+    #            validation + 13 second-batch + 20 third-session = 177)
+    #            is DuckDB-green at sf0.01: one full 153-query pass, one
+    #            full 174-query pass (third session), plus each later
+    #            insertion individually at sf0.001 AND sf0.01.
     return {
         # ---- r4 window, tier 1+2: never driver-checked, then every
         # query whose code path changed since its last green row
@@ -3210,6 +3263,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "medoid_embeddings": _q_medoid_embeddings,
         "js_divergence_sources": _q_js_divergence_sources,
         "grouping_sets_orders": _q_grouping_sets_orders,
+        "vocab_coverage_docs": _q_vocab_coverage_docs,
+        "weighted_median_parts": _q_weighted_median_parts,
+        "quota_topk_parts": _q_quota_topk_parts,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4009,6 +4065,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "vocab_coverage_docs": """
+            WITH w AS (
+              SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                       AS tok
+              FROM documents),
+            tc AS (SELECT tok, count(*)::BIGINT AS c FROM w GROUP BY tok),
+            r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS rn
+                  FROM tc),
+            t AS (SELECT sum(c)::BIGINT AS total FROM tc)
+            SELECT k,
+                   sum(CASE WHEN rn <= k THEN c ELSE 0 END)::BIGINT
+                     AS covered,
+                   (SELECT total FROM t) AS total,
+                   sum(CASE WHEN rn <= k THEN c ELSE 0 END)::BIGINT
+                     / (SELECT total FROM t) AS share
+            FROM r, UNNEST([5, 10, 20]) AS u(k)
+            GROUP BY k
+        """,
+        "weighted_median_parts": """
+            WITH t AS (
+              SELECT p_brand,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS v,
+                     p_size::BIGINT AS w
+              FROM part),
+            h AS (SELECT p_brand, v, sum(w)::BIGINT AS w
+                  FROM t GROUP BY p_brand, v),
+            c AS (SELECT p_brand, v,
+                         sum(w) OVER (PARTITION BY p_brand ORDER BY v)
+                           ::BIGINT AS cw,
+                         sum(w) OVER (PARTITION BY p_brand)::BIGINT AS tw
+                  FROM h)
+            SELECT p_brand, min(v)::BIGINT AS wmedian
+            FROM c WHERE 2 * cw >= tw GROUP BY p_brand
+        """,
+        "quota_topk_parts": """
+            WITH c AS (
+              SELECT p_brand, p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS cents
+              FROM part),
+            r AS (
+              SELECT p_brand, p_partkey, cents,
+                     row_number() OVER (PARTITION BY p_brand
+                                        ORDER BY cents DESC, p_partkey)
+                       AS rn
+              FROM c QUALIFY rn <= 4)
+            SELECT p_brand, p_partkey, cents, rn
+            FROM r ORDER BY cents DESC, p_partkey LIMIT 60
         """,
         "grouping_sets_orders": """
             SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,

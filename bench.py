@@ -121,6 +121,14 @@ BENCH_QUERIES = [
     "dup_rate_by_source_docs",
     "mutual_info_parts",
     "ks_drift_orders",
+    "medoid_embeddings",
+    "negative_sample_lineitem",
+    "cohens_kappa_docs",
+    "js_divergence_sources",
+    "grouping_sets_orders",
+    "vocab_coverage_docs",
+    "weighted_median_parts",
+    "quota_topk_parts",
 ]
 
 

@@ -476,3 +476,54 @@ def js_divergence_by_key(ds: Dataset, key_col: str, text_col: str = "text",
         out[c] = out[c].astype("int64")
     out[js_alias] = (agg["tub"].to_numpy() + r1 + r2).astype("int64")
     return out
+
+
+def vocab_coverage(ds: Dataset, text_col: str = "text",
+                   ks: list[int] | None = None) -> pd.DataFrame:
+    """Vocabulary coverage curve: what share of all token OCCURRENCES the
+    top-k most frequent types cover, for each k — the corpus statistic
+    behind vocabulary-size choices (tokenizer budget, embedding-table cut,
+    min_df guards).
+
+    Scale shape: token counts are map-side combined (the shuffle moves
+    vocabulary rows, never occurrences); the total is a tree-reduced sum;
+    the top-max(k) slice is a distributed TOTAL-ORDER sort
+    (count DESC, token ASC — ties cut identically on both engines) with
+    an early limit, so the driver only ever holds max(k) rows.  Returns
+    (k, covered, total, share) with share = covered/total (one float
+    division over exact integers)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from .relational import map_combine_aggregate
+
+    ks = sorted(ks or [100, 1000, 10000])
+
+    def toks(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0)
+        return pa.table({"tok": flat.filter(keep)})
+
+    counts = map_combine_aggregate(
+        ds.select_columns([text_col])
+        .map_batches(toks, batch_format="pyarrow"),
+        keys=["tok"], count_alias="c",
+    ).materialize()
+    total = int(counts.aggregate(Sum("c", alias_name="t"))["t"])
+    top = (counts.sort(["c", "tok"], descending=[True, False])
+           .limit(ks[-1]).to_pandas())
+    cum = top["c"].cumsum().to_numpy()
+    rows = []
+    for k in ks:
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        rows.append({"k": k, "covered": covered, "total": total,
+                     "share": covered / total if total else 0.0})
+    out = pd.DataFrame(rows)
+    for c in ("k", "covered", "total"):
+        out[c] = out[c].astype("int64")
+    return out

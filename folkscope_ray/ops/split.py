@@ -411,17 +411,22 @@ def trimmed_mean_by_key(ds: Dataset, key_col: str, int_value_col: str,
     Two passes, both bounded: pass 1 builds per-key (value -> count)
     histograms (map-side combined — the shuffle moves one row per distinct
     (key, value), domain-bounded) and walks the per-key quantile bounds;
-    pass 2 re-scans with the tiny bounds table broadcast, filters, and
+    pass 2 re-scans with the bounds table joined back via ``hash_join``
+    (broadcast escape under FOLKSCOPE_JOIN_BROADCAST_MAX, partitioned
+    beyond — so a cluster-sized key set still works), filters, and
     map-side combines exact integer sums.  The final mean is one
     ``int64 / int64`` float division, identical in DuckDB."""
-    from .relational import broadcast_join, map_combine_aggregate
+    import ray.data as _rd
+
+    from .relational import hash_join, map_combine_aggregate
 
     bounds = quantiles_by_key(ds, key_col, int_value_col, [lo, hi])
     wide = bounds.pivot_table(index=key_col, columns="q", values="value",
                               aggfunc="first").reset_index()
     wide.columns = [key_col, "__lo", "__hi"]
-    joined = broadcast_join(
-        ds.select_columns([key_col, int_value_col]), wide, on=key_col)
+    joined = hash_join(
+        ds.select_columns([key_col, int_value_col]),
+        _rd.from_pandas(wide), on=key_col)
 
     def keep(b: pa.Table) -> pa.Table:
         v = b.column(int_value_col)
@@ -488,3 +493,73 @@ def split_leakage(ds: Dataset, id_col: str, text_col: str,
             [hash_alias] + ["n_" + name for name in names])
 
     return agg.map_batches(leaking, batch_format="pyarrow")
+
+
+def weighted_median_by_key(ds: Dataset, key_col: str, value_col: str,
+                           weight_col: str,
+                           alias: str = "wmedian") -> pd.DataFrame:
+    """Per-key lower weighted median: the smallest value whose cumulative
+    weight reaches half the key's total weight (``2 * cumw >= totw``,
+    discrete semantics — both engines pick the identical row) — the
+    robust center when rows carry importance weights (token counts,
+    sampling weights, dedup multiplicities).
+
+    Scale shape: ONE map-side-combined (key, value) -> sum(weight)
+    histogram (shuffle bounded by the value domain per key, never rows);
+    the median walk runs on that bounded histogram — the
+    quantiles_by_key contract with weights instead of counts."""
+    from .relational import map_combine_aggregate
+
+    hist = map_combine_aggregate(
+        ds.select_columns([key_col, value_col, weight_col]),
+        keys=[key_col, value_col], sums={weight_col: "__w"},
+    ).to_pandas().sort_values([key_col, value_col]).reset_index(drop=True)
+
+    out = []
+    for key, g in hist.groupby(key_col, sort=True):
+        w = g["__w"].to_numpy().astype(np.int64)
+        cw = np.cumsum(w)
+        tot = int(cw[-1])
+        idx = int(np.searchsorted(2 * cw, tot, side="left"))
+        out.append({key_col: key,
+                    alias: g[value_col].to_numpy()[idx]})
+    return pd.DataFrame(out)
+
+
+def quota_topk(ds: Dataset, key_col: str, value_col: str, id_col: str,
+               k_global: int, per_key_quota: int,
+               rank_alias: str = "rn") -> pd.DataFrame:
+    """Diversified global top-k: at most ``per_key_quota`` rows per key
+    (ROW_NUMBER by value DESC, id ASC), then the global top ``k_global``
+    by the same TOTAL order — the retrieval/result-diversity pattern
+    ("best 100 overall, max 5 per brand/domain").
+
+    Scale shape: a block-local prune keeps at most quota rows per key per
+    block (block-local rank lower-bounds the key-global rank, so no
+    survivor is dropped early — the topk_ties discipline), one bucketed
+    shuffle finishes the per-key ranks, and the global cut is a
+    distributed total-order sort + limit.  Driver holds k_global rows."""
+    from .window import _bucketed_groups
+
+    cols = list(dict.fromkeys([key_col, value_col, id_col]))
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        r = (df.sort_values([value_col, id_col], ascending=[False, True],
+                            kind="mergesort")
+             .groupby(key_col, sort=False).cumcount())
+        return df[r < per_key_quota]
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values([value_col, id_col], ascending=[False, True],
+                            kind="mergesort")
+        r = df.groupby(key_col, sort=False).cumcount() + 1
+        out = df[r <= per_key_quota].copy()
+        out[rank_alias] = r[r <= per_key_quota].astype("int64")
+        return out
+
+    pruned = ds.select_columns(cols).map_batches(
+        prune, batch_format="pandas")
+    ranked = _bucketed_groups(pruned, key_col, finish)
+    top = (ranked.sort([value_col, id_col], descending=[True, False])
+           .limit(k_global).to_pandas())
+    return top.reset_index(drop=True)

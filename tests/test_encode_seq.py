@@ -200,3 +200,66 @@ def test_trimmed_mean_by_key_drops_tails():
     assert int(out["n_kept"].iloc[0]) == exp[0]
     assert int(out["sum_v"].iloc[0]) == exp[1]
     assert out["tmean"].iloc[0] == exp[1] / exp[0]
+
+
+def test_vocab_coverage_known_counts():
+    from folkscope_ray.ops.lm import vocab_coverage
+
+    df = pd.DataFrame({"text": ["a a a a b b c", "a b c d"]})
+    out = vocab_coverage(rd.from_pandas(df).repartition(2), ks=[1, 2, 4])
+    out = out.set_index("k")
+    # counts: a=5, b=3, c=2, d=1 (total 11)
+    assert out.loc[1, "covered"] == 5
+    assert out.loc[2, "covered"] == 8
+    assert out.loc[4, "covered"] == 11 and out.loc[4, "share"] == 1.0
+    assert (out["total"] == 11).all()
+
+
+def test_vocab_coverage_k_beyond_vocab():
+    from folkscope_ray.ops.lm import vocab_coverage
+
+    df = pd.DataFrame({"text": ["x y", "x"]})
+    out = vocab_coverage(rd.from_pandas(df), ks=[10])
+    assert out["covered"].iloc[0] == 3 and out["share"].iloc[0] == 1.0
+
+
+def test_weighted_median_by_key():
+    from folkscope_ray.ops.split import weighted_median_by_key
+
+    # key a: values 1(w1), 2(w1), 3(w10) -> median 3; key b: 5(w2), 9(w1)
+    df = pd.DataFrame({
+        "k": ["a", "a", "a", "b", "b"],
+        "v": [1, 2, 3, 5, 9],
+        "w": [1, 1, 10, 2, 1],
+    })
+    out = (weighted_median_by_key(rd.from_pandas(df).repartition(3),
+                                  "k", "v", "w").set_index("k"))
+    assert out.loc["a", "wmedian"] == 3
+    assert out.loc["b", "wmedian"] == 5
+    # equal halves -> lower median (2*cw == tw picks the first value)
+    df2 = pd.DataFrame({"k": ["c"] * 2, "v": [10, 20], "w": [1, 1]})
+    out2 = weighted_median_by_key(rd.from_pandas(df2), "k", "v", "w")
+    assert out2["wmedian"].iloc[0] == 10
+
+
+def test_quota_topk_respects_quota_and_global_cut():
+    from folkscope_ray.ops.split import quota_topk
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "brand": np.repeat(["x", "y", "z"], 20),
+        "id": np.arange(60, dtype=np.int64),
+        "v": rng.permutation(60).astype(np.int64),
+    })
+    out = quota_topk(rd.from_pandas(df).repartition(5), "brand", "v",
+                     "id", k_global=7, per_key_quota=3)
+    assert len(out) == 7
+    assert out.groupby("brand").size().max() <= 3
+    # reference: pandas per-key head(3) then global top-7
+    ref = (df.sort_values(["v", "id"], ascending=[False, True])
+           .groupby("brand").head(3)
+           .sort_values(["v", "id"], ascending=[False, True]).head(7))
+    assert sorted(out["id"]) == sorted(ref["id"])
+    # ranks are per-key positions
+    top_row = out.iloc[0]
+    assert top_row["rn"] == 1
