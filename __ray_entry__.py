@@ -3150,6 +3150,22 @@ def _q_quota_topk_parts(sf_dir: str):
     return out[["p_brand", "p_partkey", "cents", "rn"]]
 
 
+def _q_global_rank_orders(sf_dir: str):
+    """Global contiguous row numbers over a total order (zipWithIndex —
+    the primitive Ray Data lacks): orders ranked by (value DESC, key) via
+    ONE distributed sort + a per-block metadata offset pass + zero-shuffle
+    tag tasks (ops/relational.py global_row_number, the documented
+    raw-Ray escape hatch)."""
+    from folkscope_ray.ops.relational import global_row_number
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderkey", "o_totalprice"]), "o_totalprice")
+    return global_row_number(
+        ds.select_columns(["o_orderkey", "cents"]),
+        order_cols=["cents", "o_orderkey"], descending=[True, False])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3194,11 +3210,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            dup_rate_by_source / mutual_info / ks_drift / medoid /
     #            negative_sample / cohens_kappa / js_divergence /
     #            grouping_sets / vocab_coverage / weighted_median /
-    #            quota_topk) — each pre-validated at sf0.001 AND
+    #            quota_topk / global_rank) — each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 20 third-session = 177)
+    #            validation + 13 second-batch + 21 third-session = 178)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3266,6 +3282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_docs": _q_vocab_coverage_docs,
         "weighted_median_parts": _q_weighted_median_parts,
         "quota_topk_parts": _q_quota_topk_parts,
+        "global_rank_orders": _q_global_rank_orders,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4065,6 +4082,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "global_rank_orders": """
+            SELECT o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   row_number() OVER (
+                     ORDER BY round(o_totalprice * 100) DESC, o_orderkey)
+                     AS rn
+            FROM orders
         """,
         "vocab_coverage_docs": """
             WITH w AS (

@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "vocab_coverage_docs",
     "weighted_median_parts",
     "quota_topk_parts",
+    "global_rank_orders",
 ]
 
 

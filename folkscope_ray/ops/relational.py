@@ -959,3 +959,46 @@ def explode_column(ds: Dataset, list_col: str, keep_cols: list[str],
         return pa.table(out)
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def global_row_number(ds: Dataset, order_cols: list[str],
+                      descending: list[bool] | None = None,
+                      alias: str = "rn", start: int = 1) -> Dataset:
+    """Global contiguous row numbers in a TOTAL order (SQL ``row_number()
+    OVER (ORDER BY ...)`` with no partition) — the zipWithIndex primitive
+    Ray Data does not ship, needed for ordinal exports, deterministic
+    pagination, and rank-based normalization.
+
+    ``order_cols`` must define a total order (include a unique id) or the
+    numbering of ties is block-layout-dependent.
+
+    This is one of the few operators that genuinely needs raw Ray tasks
+    (SURVEY.md's documented escape hatch): after the distributed sort, a
+    block's numbering offset is the row count of every block before it —
+    per-block metadata, not per-row data.  Plan: ONE distributed sort
+    (range-partitioned, so block order IS the sort order), one metadata
+    pass of per-block row counts (each count computed where the block
+    lives — no block ships to the driver), a driver-side prefix sum over
+    ~num_blocks ints, then a zero-shuffle per-block tag task.  Total data
+    movement beyond the sort: one int per block each way."""
+    import ray as _ray
+    import ray.data as _rd
+
+    desc = descending if descending is not None else [False] * len(order_cols)
+    sorted_ds = ds.sort(order_cols, descending=desc).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @_ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @_ray.remote
+    def _tag(t: pa.Table, off: int) -> pa.Table:
+        return t.append_column(
+            alias, pa.array(np.arange(off, off + t.num_rows,
+                                      dtype=np.int64), pa.int64()))
+
+    sizes = _ray.get([_nrows.remote(r) for r in refs])
+    offs = np.cumsum([0] + sizes[:-1]) + start
+    return _rd.from_arrow_refs(
+        [_tag.remote(r, int(o)) for r, o in zip(refs, offs)])

@@ -170,3 +170,41 @@ def test_js_divergence_partition_invariant_and_known_value():
     # all tokens common -> residues are floor(0.5*0*1e6+0.5) = 0
     assert a["js_ub"].iloc[0] == exp
     assert a["sc1"].iloc[0] == 6 and a["sc2"].iloc[0] == 6
+
+
+def test_global_row_number_total_order_and_partition_invariance():
+    from folkscope_ray.ops.relational import global_row_number
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame({"id": np.arange(500, dtype=np.int64),
+                       "v": rng.integers(0, 50, 500).astype(np.int64)})
+    out = (global_row_number(rd.from_pandas(df).repartition(9),
+                             ["v", "id"], descending=[True, False])
+           .to_pandas().sort_values("rn").reset_index(drop=True))
+    ref = df.sort_values(["v", "id"], ascending=[False, True],
+                         kind="mergesort").reset_index(drop=True)
+    assert out["rn"].tolist() == list(range(1, 501))
+    assert out["id"].tolist() == ref["id"].tolist()
+    # partition invariance
+    out2 = (global_row_number(rd.from_pandas(df), ["v", "id"],
+                              descending=[True, False])
+            .to_pandas().sort_values("rn").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_trimmed_mean_forced_partitioned_join_bit_equal(monkeypatch):
+    from folkscope_ray.ops.split import trimmed_mean_by_key
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({"k": rng.choice(["a", "b", "c"], 400),
+                       "v": rng.integers(0, 500, 400).astype(np.int64)})
+    base = (trimmed_mean_by_key(rd.from_pandas(df).repartition(4),
+                                "k", "v").to_pandas()
+            .sort_values("k").reset_index(drop=True))
+    monkeypatch.setenv("FOLKSCOPE_JOIN_BROADCAST_MAX", "0")
+    forced = (trimmed_mean_by_key(rd.from_pandas(df).repartition(4),
+                                  "k", "v").to_pandas()
+              .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        base[["k", "n_kept", "sum_v", "tmean"]],
+        forced[["k", "n_kept", "sum_v", "tmean"]])
