@@ -3166,6 +3166,21 @@ def _q_global_rank_orders(sf_dir: str):
         order_cols=["cents", "o_orderkey"], descending=[True, False])
 
 
+def _q_quantile_normalize_docs(sf_dir: str):
+    """Quantile normalization of doc length across sources (batch-effect
+    correction before cross-source filtering): each row mapped to the
+    GLOBAL value at its within-source percentile — per-source ranks, the
+    zipWithIndex global rank table, ONE gated hash join on the computed
+    rank (ops/stats.py quantile_normalize)."""
+    from folkscope_ray.ops.stats import quantile_normalize
+
+    return quantile_normalize(
+        _rp(sf_dir, "documents").select_columns(
+            ["doc_id", "source", "n_chars"]),
+        key_col="source", value_col="n_chars", id_col="doc_id",
+        alias="norm_chars")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3210,11 +3225,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            dup_rate_by_source / mutual_info / ks_drift / medoid /
     #            negative_sample / cohens_kappa / js_divergence /
     #            grouping_sets / vocab_coverage / weighted_median /
-    #            quota_topk / global_rank) — each pre-validated at sf0.001 AND
+    #            quota_topk / global_rank / quantile_normalize) —
+    #            each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 21 third-session = 178)
+    #            validation + 13 second-batch + 22 third-session = 179)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3283,6 +3299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_median_parts": _q_weighted_median_parts,
         "quota_topk_parts": _q_quota_topk_parts,
         "global_rank_orders": _q_global_rank_orders,
+        "quantile_normalize_docs": _q_quantile_normalize_docs,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4082,6 +4099,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "quantile_normalize_docs": """
+            WITH r AS (
+              SELECT doc_id, source, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars, doc_id) AS rs,
+                     count(*) OVER (PARTITION BY source) AS ns
+              FROM documents),
+            g AS (
+              SELECT n_chars AS norm_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS rg
+              FROM documents),
+            t AS (SELECT count(*) AS n FROM documents),
+            m AS (
+              SELECT doc_id, source, n_chars,
+                     CASE WHEN ns = 1 THEN 1
+                          ELSE CAST(floor((rs - 1)::DOUBLE / (ns - 1)
+                                          * ((SELECT n FROM t) - 1) + 0.5)
+                               AS BIGINT) + 1
+                     END AS gidx
+              FROM r)
+            SELECT m.doc_id, m.source, m.n_chars, g.norm_chars
+            FROM m JOIN g ON g.rg = m.gidx
         """,
         "global_rank_orders": """
             SELECT o_orderkey,

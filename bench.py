@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "weighted_median_parts",
     "quota_topk_parts",
     "global_rank_orders",
+    "quantile_normalize_docs",
 ]
 
 

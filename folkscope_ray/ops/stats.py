@@ -820,3 +820,67 @@ def cohens_kappa(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
         "n11": pd.array([n11], dtype="int64"),
         "kappa": [kappa],
     })
+
+
+def quantile_normalize(ds: Dataset, key_col: str, value_col: str,
+                       id_col: str,
+                       alias: str = "norm_v") -> Dataset:
+    """Quantile normalization across slices: each row's value is replaced
+    by the GLOBAL value at the same within-slice percentile — the
+    batch-effect correction that makes per-source scores comparable
+    before cross-source filtering/mixing (the genomics-standard transform
+    applied to corpus quality signals).
+
+    Mapping contract (integer-exact on both engines): within-slice rank
+    ``r_s`` of ``n_s`` maps to global rank
+    ``floor((r_s - 1) / (n_s - 1) * (N - 1) + 0.5) + 1`` (a slice with a
+    single row maps to global rank 1); ranks are ROW_NUMBER over the
+    total order (value, id), so ties never depend on block layout.
+
+    Plan: per-slice ranks via one bucketed shuffle; global ranks via
+    :func:`~folkscope_ray.ops.relational.global_row_number` (sort +
+    per-block offset metadata); the mapping is a stateless scan; the
+    final lookup is ONE partitioned hash join on the computed global
+    rank (broadcast escape under the gate)."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count
+
+    from .relational import global_row_number, hash_join
+    from .window import row_number
+
+    cols = [id_col, key_col, value_col]
+    ranked = row_number(ds.select_columns(cols), key_col,
+                        [value_col, id_col], alias="__rs")
+    counts = (ds.groupby(key_col).aggregate(Count(alias_name="__ns"))
+              .to_pandas())
+    total = int(counts["__ns"].sum())
+    ns = dict(zip(counts[key_col], counts["__ns"].astype(int)))
+
+    import ray as _ray
+    nref = _ray.put(ns)
+
+    def gidx(b: pa.Table) -> pa.Table:
+        m = _ray.get(nref)
+        keys = b.column(key_col).to_pandas()
+        nsv = keys.map(m).to_numpy().astype(np.float64)
+        rs = b.column("__rs").to_numpy(zero_copy_only=False).astype(
+            np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.floor((rs - 1) / (nsv - 1) * (total - 1) + 0.5) + 1
+        idx = np.where(nsv == 1, 1, idx).astype(np.int64)
+        return b.append_column("__gidx", pa.array(idx, pa.int64()))
+
+    mapped = ranked.map_batches(gidx, batch_format="pyarrow")
+
+    g = global_row_number(
+        ds.select_columns([value_col, id_col]),
+        order_cols=[value_col, id_col], alias="__gidx")
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"__gidx": b.column("__gidx"),
+                         alias: b.column(value_col)})
+
+    lookup = g.map_batches(slim, batch_format="pyarrow")
+    joined = hash_join(mapped, lookup, on="__gidx")
+    return joined.select_columns([id_col, key_col, value_col, alias])

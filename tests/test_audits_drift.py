@@ -208,3 +208,43 @@ def test_trimmed_mean_forced_partitioned_join_bit_equal(monkeypatch):
     pd.testing.assert_frame_equal(
         base[["k", "n_kept", "sum_v", "tmean"]],
         forced[["k", "n_kept", "sum_v", "tmean"]])
+
+
+def test_quantile_normalize_mapping_properties():
+    from folkscope_ray.ops.stats import quantile_normalize
+
+    rng = np.random.default_rng(31)
+    # source "hot" has systematically larger values; after normalization
+    # each source's distribution equals the global one at its percentiles
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "src": ["cold"] * 150 + ["hot"] * 150,
+        "v": np.concatenate([rng.integers(0, 100, 150),
+                             rng.integers(200, 300, 150)]).astype(np.int64),
+    })
+    out = (quantile_normalize(rd.from_pandas(df).repartition(5),
+                              "src", "v", "id", alias="nv")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    assert len(out) == 300
+    # min of each source maps to the global minimum; max to global max
+    gmin, gmax = df["v"].min(), df["v"].max()
+    for s in ("cold", "hot"):
+        sub = out[out["src"] == s]
+        dd = df[df["src"] == s]
+        assert sub.loc[sub["v"].idxmin(), "nv"] == gmin
+        assert sub.loc[sub["v"].idxmax(), "nv"] == gmax
+    # after normalization the two sources' sorted values are identical
+    a = np.sort(out[out["src"] == "cold"]["nv"].to_numpy())
+    b = np.sort(out[out["src"] == "hot"]["nv"].to_numpy())
+    assert (a == b).all()
+
+
+def test_quantile_normalize_singleton_source_maps_to_global_min():
+    from folkscope_ray.ops.stats import quantile_normalize
+
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "src": ["a", "a", "a", "lone"],
+                       "v": [10, 20, 30, 999]})
+    out = (quantile_normalize(rd.from_pandas(df), "src", "v", "id",
+                              alias="nv").to_pandas().set_index("id"))
+    assert out.loc[4, "nv"] == 10  # global rank 1 value
