@@ -164,6 +164,12 @@ def ordinal_encode(ds: Dataset, cols: list[str],
         col = pa.concat_tables(
             ray.get(list(v.to_arrow_refs())),
             promote_options="default").column(c)
+        if col.null_count:
+            # NULL has no position in a sorted dictionary (and DENSE_RANK
+            # over NULL is engine-specific) — fail fast like the md5 kernel
+            raise ValueError(
+                f"ordinal_encode: column {c!r} contains nulls — impute or "
+                "filter before encoding")
         vocabs[c] = np.sort(col.to_pandas().to_numpy())
     ref = ray.put(vocabs)
 

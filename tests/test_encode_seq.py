@@ -263,3 +263,11 @@ def test_quota_topk_respects_quota_and_global_cut():
     # ranks are per-key positions
     top_row = out.iloc[0]
     assert top_row["rn"] == 1
+
+
+def test_ordinal_encode_rejects_nulls():
+    from folkscope_ray.ops.encode import ordinal_encode
+
+    df = pd.DataFrame({"b": ["x", None, "y"]})
+    with pytest.raises(ValueError, match="nulls"):
+        ordinal_encode(rd.from_pandas(df), ["b"])
