@@ -3181,6 +3181,29 @@ def _q_quantile_normalize_docs(sf_dir: str):
         alias="norm_chars")
 
 
+def _q_fuzzy_decontam_docs(sf_dir: str):
+    """Fuzzy decontamination: word-set Jaccard >= 1/2 R-S join between the
+    training slice (doc_id % 13 != 0) and the held-out benchmark slice
+    (doc_id % 13 == 0) — the near-dup sibling of the verbatim n-gram
+    decontam; exact integer threshold (t_den*inter >= t_num*union), masks
+    + broadcast benchmark, no shuffle after the vocabulary aggregate
+    (ops/decontam.py jaccard_cross_join)."""
+    from folkscope_ray.ops.decontam import jaccard_cross_join
+
+    docs = _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+
+    def side(keep_bench: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % 13 == 0) if keep_bench else (ids % 13 != 0)
+            return b.filter(pa.array(mask))
+        return docs.map_batches(fn, batch_format="pyarrow")
+
+    return jaccard_cross_join(side(False), side(True), id_col="doc_id",
+                              text_col="text", t_num=1, t_den=2,
+                              left_alias="train_id", right_alias="bench_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3225,12 +3248,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            dup_rate_by_source / mutual_info / ks_drift / medoid /
     #            negative_sample / cohens_kappa / js_divergence /
     #            grouping_sets / vocab_coverage / weighted_median /
-    #            quota_topk / global_rank / quantile_normalize) —
-    #            each pre-validated at sf0.001 AND
+    #            quota_topk / global_rank / quantile_normalize /
+    #            fuzzy_decontam) — each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 22 third-session = 179)
+    #            validation + 13 second-batch + 23 third-session = 180)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3300,6 +3323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quota_topk_parts": _q_quota_topk_parts,
         "global_rank_orders": _q_global_rank_orders,
         "quantile_normalize_docs": _q_quantile_normalize_docs,
+        "fuzzy_decontam_docs": _q_fuzzy_decontam_docs,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4099,6 +4123,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "fuzzy_decontam_docs": """
+            WITH dt AS (
+              SELECT DISTINCT doc_id, tok FROM (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                         AS tok
+                FROM documents)),
+            sz AS (SELECT doc_id, count(*)::BIGINT AS c
+                   FROM dt GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS train_id, b.doc_id AS bench_id,
+                     count(*)::BIGINT AS inter
+              FROM dt a JOIN dt b ON a.tok = b.tok
+              WHERE a.doc_id % 13 <> 0 AND b.doc_id % 13 = 0
+              GROUP BY train_id, bench_id)
+            SELECT train_id, bench_id, inter,
+                   (sa.c + sb.c - inter)::BIGINT AS uni
+            FROM inter
+            JOIN sz sa ON sa.doc_id = train_id
+            JOIN sz sb ON sb.doc_id = bench_id
+            WHERE 2 * inter >= sa.c + sb.c - inter
         """,
         "quantile_normalize_docs": """
             WITH r AS (

@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "quota_topk_parts",
     "global_rank_orders",
     "quantile_normalize_docs",
+    "fuzzy_decontam_docs",
 ]
 
 

@@ -109,3 +109,145 @@ def ngram_contamination(
     return docs.select_columns([id_col, text_col]).map_batches(
         scan_batch, batch_format="pyarrow"
     )
+
+
+def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
+                       text_col: str, t_num: int = 1, t_den: int = 2,
+                       left_alias: str = "left_id",
+                       right_alias: str = "right_id") -> Dataset:
+    """FUZZY decontamination: exact word-set Jaccard R-S join between a
+    big corpus (left) and a benchmark/eval set (right) — every pair with
+    ``jaccard >= t_num / t_den`` (an exact INTEGER comparison,
+    ``t_den * inter >= t_num * union``, so no float threshold can
+    tie-flip).  The near-dup sibling of :func:`ngram_contamination`
+    (which only catches verbatim n-gram hits).
+
+    Plan (the setjoin bitmask discipline, ops/setjoin.py): ONE distinct
+    aggregate builds the shared vocabulary (gated at
+    ``FOLKSCOPE_SETJOIN_BITMASK_MAX`` terms, default 4096 -> <= 64-word
+    masks; beyond it exact masks are the wrong tool and the MinHash-LSH
+    family is the designated path); both sides collapse to per-doc
+    W-word bitmasks in one stateless scan; the benchmark masks broadcast
+    ONCE (benchmarks are small by definition — gated at
+    ``FOLKSCOPE_XJOIN_BROADCAST_MAX`` rows, default 200k); the left side
+    streams, scoring each batch against the benchmark in slabbed
+    AND+popcount matmuls — no shuffle after the vocabulary aggregate."""
+    import os
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from .relational import map_combine_aggregate
+    from .setjoin import _popcount_rows
+
+    def toks(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0)
+        return pa.table({"tok": flat.filter(keep)})
+
+    both = (left.select_columns([id_col, text_col])
+            .union(right.select_columns([id_col, text_col])))
+    vocab_ds = map_combine_aggregate(
+        both.map_batches(toks, batch_format="pyarrow"),
+        keys=["tok"], count_alias="__c").materialize()
+    nv = vocab_ds.count()
+    vocab_gate = int(os.environ.get("FOLKSCOPE_SETJOIN_BITMASK_MAX", 4096))
+    if nv > vocab_gate:
+        raise ValueError(
+            f"jaccard_cross_join: vocabulary has {nv} terms — above "
+            f"FOLKSCOPE_SETJOIN_BITMASK_MAX={vocab_gate}; exact bitmasks "
+            "are the wrong tool at this vocabulary, use the MinHash-LSH "
+            "near-dup family (ops/dedup.py) instead")
+    terms_sorted = np.sort(pa.concat_tables(
+        ray.get(list(vocab_ds.to_arrow_refs())),
+        promote_options="default").column("tok").to_pandas().to_numpy())
+    w = max(1, (len(terms_sorted) + 63) // 64)
+    tref = ray.put(terms_sorted)
+
+    def masks(b: pa.Table) -> pa.Table:
+        ts = ray.get(tref)
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        n = b.num_rows
+        flat = la.flatten().to_numpy(zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(off))
+        ok = flat != ""
+        flat, row = flat[ok], row[ok]
+        bits = np.searchsorted(ts, flat).astype(np.int64)
+        m = np.zeros((n, w), dtype=np.uint64)
+        np.bitwise_or.at(
+            m.reshape(-1), row * w + (bits >> 6),
+            np.left_shift(np.uint64(1), (bits & 63).astype(np.uint64)))
+        return pa.table({
+            id_col: b.column(id_col),
+            "__m": pa.array(list(m.view(np.int64)), pa.list_(pa.int64())),
+        })
+
+    r_masked = (right.select_columns([id_col, text_col])
+                .map_batches(masks, batch_format="pyarrow").materialize())
+    nr = r_masked.count()
+    bgate = int(os.environ.get("FOLKSCOPE_XJOIN_BROADCAST_MAX", 200_000))
+    if nr > bgate:
+        raise ValueError(
+            f"jaccard_cross_join: right side has {nr} rows — above "
+            f"FOLKSCOPE_XJOIN_BROADCAST_MAX={bgate}; a benchmark set this "
+            "large should go through the MinHash-LSH band join instead")
+    rt = pa.concat_tables(ray.get(list(r_masked.to_arrow_refs())),
+                          promote_options="default")
+    r_ids = rt.column(id_col).to_numpy(zero_copy_only=False)
+    r_m = np.stack(
+        [np.asarray(x, dtype=np.int64) for x in rt.column("__m").to_pylist()]
+    ).view(np.uint64) if nr else np.zeros((0, w), np.uint64)
+    r_len = _popcount_rows(r_m)
+    rref = ray.put((r_ids, r_m, r_len))
+
+    slab = 4096
+
+    def score(b: pa.Table) -> pa.Table:
+        rids, rm, rlen = ray.get(rref)
+        ts = ray.get(tref)
+        mb = masks(b)
+        lids = mb.column(id_col).to_numpy(zero_copy_only=False)
+        lm = np.stack([np.asarray(x, dtype=np.int64)
+                       for x in mb.column("__m").to_pylist()]
+                      ).view(np.uint64) if b.num_rows else np.zeros(
+                          (0, w), np.uint64)
+        llen = _popcount_rows(lm)
+        out_l, out_r, out_i, out_u = [], [], [], []
+        for st in range(0, len(rids), slab):
+            en = min(st + slab, len(rids))
+            inter = np.zeros((len(lids), en - st), dtype=np.int64)
+            for wi in range(w):
+                andm = lm[:, wi:wi + 1] & rm[None, st:en, wi]
+                inter += _POP8_XJ[andm.view(np.uint8)].reshape(
+                    len(lids), en - st, 8).sum(axis=2, dtype=np.int64)
+            uni = llen[:, None] + rlen[None, st:en] - inter
+            hit = (t_den * inter >= t_num * uni) & (uni > 0)
+            li, ri = np.nonzero(hit)
+            out_l.append(lids[li])
+            out_r.append(rids[st + ri])
+            out_i.append(inter[li, ri])
+            out_u.append(uni[li, ri])
+        cat = (lambda xs: np.concatenate(xs) if xs else np.array([], np.int64))
+        return pa.table({
+            left_alias: pa.array(cat(out_l), pa.int64()),
+            right_alias: pa.array(cat(out_r), pa.int64()),
+            "inter": pa.array(cat(out_i), pa.int64()),
+            "uni": pa.array(cat(out_u), pa.int64()),
+        })
+
+    return left.select_columns([id_col, text_col]).map_batches(
+        score, batch_format="pyarrow")
+
+
+import numpy as _np_xj
+
+_POP8_XJ = _np_xj.array([bin(i).count("1") for i in range(256)],
+                        dtype=_np_xj.uint8)

@@ -248,3 +248,46 @@ def test_quantile_normalize_singleton_source_maps_to_global_min():
     out = (quantile_normalize(rd.from_pandas(df), "src", "v", "id",
                               alias="nv").to_pandas().set_index("id"))
     assert out.loc[4, "nv"] == 10  # global rank 1 value
+
+
+def _xjoin(left, right, **kw):
+    from folkscope_ray.ops.decontam import jaccard_cross_join
+
+    return jaccard_cross_join(
+        rd.from_pandas(left).repartition(2), rd.from_pandas(right),
+        id_col="id", text_col="text", **kw).to_pandas()
+
+
+def test_jaccard_cross_join_exact_pairs_and_boundary():
+    # L1={a,b,c}, R1={a,b,d}: inter 2, union 4 -> J = 1/2 (INCLUDED)
+    # L2={x}, R1: inter 0 -> excluded; L2 vs R2={x,y}: J=1/2 included
+    left = pd.DataFrame({"id": [1, 2], "text": ["a b c", "x"]})
+    right = pd.DataFrame({"id": [10, 20], "text": ["a b d", "x y"]})
+    out = _xjoin(left, right, t_num=1, t_den=2)
+    got = {(r.left_id, r.right_id): (r.inter, r.uni)
+           for r in out.itertuples()}
+    assert got == {(1, 10): (2, 4), (2, 20): (1, 2)}
+
+
+def test_jaccard_cross_join_gates(monkeypatch):
+    import pytest as _pytest
+
+    left = pd.DataFrame({"id": [1], "text": ["a b c"]})
+    right = pd.DataFrame({"id": [2], "text": ["a b"]})
+    monkeypatch.setenv("FOLKSCOPE_SETJOIN_BITMASK_MAX", "2")
+    with _pytest.raises(ValueError, match="MinHash"):
+        _xjoin(left, right)
+    monkeypatch.delenv("FOLKSCOPE_SETJOIN_BITMASK_MAX")
+    monkeypatch.setenv("FOLKSCOPE_XJOIN_BROADCAST_MAX", "0")
+    with _pytest.raises(ValueError, match="band join"):
+        _xjoin(left, right)
+
+
+def test_jaccard_cross_join_multiword_mask():
+    # force W > 1: 70 distinct tokens -> 2 mask words
+    toks = [f"t{i:02d}" for i in range(70)]
+    left = pd.DataFrame({"id": [1], "text": [" ".join(toks)]})
+    right = pd.DataFrame({"id": [2], "text": [" ".join(toks[:35])]})
+    out = _xjoin(left, right, t_num=1, t_den=2)
+    assert len(out) == 1
+    assert out["inter"].iloc[0] == 35 and out["uni"].iloc[0] == 70
