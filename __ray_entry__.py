@@ -3204,6 +3204,49 @@ def _q_fuzzy_decontam_docs(sf_dir: str):
                               left_alias="train_id", right_alias="bench_id")
 
 
+def _q_bernoulli_sample_docs(sf_dir: str):
+    """Deterministic row-level Bernoulli downsampling with per-language
+    rates (en 80% / others 35%): md5(seed|id) uniform draw vs rate_ppm —
+    exact integer compare, one stateless scan, no shuffle
+    (ops/split.py bernoulli_sample)."""
+    from folkscope_ray.ops.split import bernoulli_sample
+
+    def rate(b: pa.Table) -> pa.Table:
+        lang = b.column("lang")
+        r = pc.if_else(pc.equal(lang, pa.scalar("en")),
+                       pa.scalar(800_000, pa.int64()),
+                       pa.scalar(350_000, pa.int64()))
+        return b.append_column("rate_ppm", r)
+
+    ds = (_rp(sf_dir, "documents")
+          .select_columns(["doc_id", "lang", "n_chars"])
+          .map_batches(rate, batch_format="pyarrow"))
+    out = bernoulli_sample(ds, id_col="doc_id", rate_ppm_col="rate_ppm",
+                           seed=42)
+    return out.select_columns(["doc_id", "lang", "n_chars"])
+
+
+def _q_pareto_front_parts(sf_dir: str):
+    """2-D Pareto front over parts (maximize retail price AND size) — the
+    multi-objective selection primitive; associative block-local fronts,
+    zero shuffles (ops/split.py pareto_front)."""
+    from folkscope_ray.ops.split import pareto_front
+
+    ds = _cents_col(
+        _rp(sf_dir, "part").select_columns(
+            ["p_partkey", "p_size", "p_retailprice"]), "p_retailprice")
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "p_partkey": b.column("p_partkey"),
+            "cents": b.column("cents"),
+            "psize": pc.cast(b.column("p_size"), pa.int64()),
+        })
+
+    return pareto_front(ds.map_batches(prep, batch_format="pyarrow"),
+                        x_col="cents", y_col="psize")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3249,11 +3292,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            negative_sample / cohens_kappa / js_divergence /
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
-    #            fuzzy_decontam) — each pre-validated at sf0.001 AND
+    #            fuzzy_decontam / bernoulli_sample / pareto_front) —
+    #            each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 23 third-session = 180)
+    #            validation + 13 second-batch + 25 third-session = 182)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3324,6 +3368,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_rank_orders": _q_global_rank_orders,
         "quantile_normalize_docs": _q_quantile_normalize_docs,
         "fuzzy_decontam_docs": _q_fuzzy_decontam_docs,
+        "bernoulli_sample_docs": _q_bernoulli_sample_docs,
+        "pareto_front_parts": _q_pareto_front_parts,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4123,6 +4169,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "bernoulli_sample_docs": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 8))
+                    ::BIGINT * 1000000
+                  < (CASE WHEN lang = 'en' THEN 800000 ELSE 350000 END)
+                    * 4294967296
+        """,
+        "pareto_front_parts": """
+            WITH c AS (
+              SELECT p_partkey,
+                     CAST(round(p_retailprice * 100) AS BIGINT) AS cents,
+                     p_size::BIGINT AS psize
+              FROM part)
+            SELECT p_partkey, cents, psize FROM c t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM c d
+              WHERE d.cents >= t.cents AND d.psize >= t.psize
+                AND (d.cents > t.cents OR d.psize > t.psize))
         """,
         "fuzzy_decontam_docs": """
             WITH dt AS (

@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "global_rank_orders",
     "quantile_normalize_docs",
     "fuzzy_decontam_docs",
+    "bernoulli_sample_docs",
+    "pareto_front_parts",
 ]
 
 

@@ -563,3 +563,96 @@ def quota_topk(ds: Dataset, key_col: str, value_col: str, id_col: str,
     top = (ranked.sort([value_col, id_col], descending=[True, False])
            .limit(k_global).to_pandas())
     return top.reset_index(drop=True)
+
+
+def bernoulli_sample(ds: Dataset, id_col: str, rate_ppm_col: str,
+                     seed: int = 42) -> Dataset:
+    """Deterministic row-level Bernoulli sampling: keep a row iff
+    ``md5(seed|id)``'s first 4 digest bytes (a uniform 32-bit draw) fall
+    under its per-row acceptance rate — ``draw * 1e6 < rate_ppm * 2^32``,
+    an exact integer comparison.  The row-level form of the split/sample
+    family's md5 discipline: reproducible across runs, parallelism,
+    resume, and engines, with NO shuffle (one stateless scan) — the
+    down-sampling primitive behind per-source mixing rates.
+
+    ``rate_ppm_col`` carries each row's acceptance rate in parts-per-
+    million (compute it upstream from a broadcast rate table or a CASE
+    over row attributes)."""
+
+    def keep(b: pa.Table) -> pa.Table:
+        dig = _md5_digests(b.column(id_col), prefix=f"{seed}|")
+        draw = (dig[:, :4].astype(np.int64)
+                @ (256 ** np.arange(3, -1, -1)).astype(np.int64))
+        rate = b.column(rate_ppm_col).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(draw * 1_000_000 < rate * (1 << 32)))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def pareto_front(ds: Dataset, x_col: str, y_col: str) -> Dataset:
+    """2-D Pareto front (maximize both columns): rows not strictly
+    dominated by any other row — the multi-objective selection step
+    (quality vs diversity, score vs length) a curation pipeline runs
+    instead of a single-metric top-k.
+
+    Dominance: a row is dominated iff some row has ``x' >= x`` and
+    ``y' >= y`` with at least one strict.  Duplicate points dominate
+    nothing and survive together (SQL NOT EXISTS semantics).
+
+    Scale shape: the front operator is ASSOCIATIVE — the front of a union
+    is contained in the union of the fronts — so each block reduces to
+    its local front over DISTINCT (x, y) points (a sort + one cummax
+    walk), the final front is computed over those tiny partials, and
+    winners are broadcast back as a semi-join filter.  The stream is
+    scanned twice, shuffled never; the front itself must be small (it is
+    the output)."""
+    import ray
+
+    def _front_points(x: np.ndarray, y: np.ndarray):
+        pts = np.unique(np.stack([x, y], axis=1), axis=0)
+        # same x: only the max y survives; then walk x DESC keeping
+        # strictly increasing y
+        order = np.lexsort((-pts[:, 1], -pts[:, 0]))
+        pts = pts[order]
+        keep_first = np.r_[True, pts[1:, 0] != pts[:-1, 0]]
+        pts = pts[keep_first]
+        best = np.maximum.accumulate(pts[:, 1])
+        keep = np.r_[True, pts[1:, 1] > best[:-1]]
+        return pts[keep]
+
+    def local_front(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table({x_col: pa.array([], pa.int64()),
+                             y_col: pa.array([], pa.int64())})
+        x = b.column(x_col).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).to_numpy(zero_copy_only=False)
+        pts = _front_points(x, y)
+        return pa.table({x_col: pa.array(pts[:, 0], pa.int64()),
+                         y_col: pa.array(pts[:, 1], pa.int64())})
+
+    partials = (ds.select_columns([x_col, y_col])
+                .map_batches(local_front, batch_format="pyarrow")
+                .to_pandas())
+    if len(partials):
+        pts = _front_points(partials[x_col].to_numpy(),
+                            partials[y_col].to_numpy())
+    else:
+        pts = np.zeros((0, 2), dtype=np.int64)
+    fref = ray.put(pts)
+
+    def winners(b: pa.Table) -> pa.Table:
+        f = ray.get(fref)
+        if not len(f):
+            return b.slice(0, 0)
+        x = b.column(x_col).to_numpy(zero_copy_only=False)
+        y = b.column(y_col).to_numpy(zero_copy_only=False)
+        # membership in the front point set: front xs are unique and
+        # sorted descending from the walk — search on x, compare y
+        fx, fy = f[:, 0], f[:, 1]
+        o = np.argsort(fx)
+        pos = np.searchsorted(fx[o], x)
+        pos = np.clip(pos, 0, len(fx) - 1)
+        hit = (fx[o][pos] == x) & (fy[o][pos] == y)
+        return b.filter(pa.array(hit))
+
+    return ds.map_batches(winners, batch_format="pyarrow")

@@ -271,3 +271,63 @@ def test_ordinal_encode_rejects_nulls():
     df = pd.DataFrame({"b": ["x", None, "y"]})
     with pytest.raises(ValueError, match="nulls"):
         ordinal_encode(rd.from_pandas(df), ["b"])
+
+
+def test_bernoulli_sample_rates_and_determinism():
+    from folkscope_ray.ops.split import bernoulli_sample
+
+    n = 4000
+    df = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                       "rate_ppm": np.full(n, 250_000, dtype=np.int64)})
+    a = (bernoulli_sample(rd.from_pandas(df).repartition(5), "id",
+                          "rate_ppm").to_pandas())
+    b = bernoulli_sample(rd.from_pandas(df), "id", "rate_ppm").to_pandas()
+    assert sorted(a["id"]) == sorted(b["id"])          # layout-invariant
+    assert abs(len(a) / n - 0.25) < 0.03               # ~25% kept
+    # rate 0 keeps nothing, rate 1e6 keeps everything
+    df["rate_ppm"] = 0
+    assert len(bernoulli_sample(rd.from_pandas(df), "id",
+                                "rate_ppm").to_pandas()) == 0
+    df["rate_ppm"] = 1_000_000
+    assert len(bernoulli_sample(rd.from_pandas(df), "id",
+                                "rate_ppm").to_pandas()) == n
+    # reference draw for one row
+    d = int(hashlib.md5(b"42|7").hexdigest()[:8], 16)
+    df2 = pd.DataFrame({"id": [7], "rate_ppm": [250_000]})
+    kept = len(bernoulli_sample(rd.from_pandas(df2), "id",
+                                "rate_ppm").to_pandas()) == 1
+    assert kept == (d * 1_000_000 < 250_000 * (1 << 32))
+
+
+def test_pareto_front_small_cases():
+    from folkscope_ray.ops.split import pareto_front
+
+    df = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "x": [10, 10, 5, 9, 1, 10],
+        "y": [1, 5, 9, 9, 10, 5],
+    })
+    out = (pareto_front(rd.from_pandas(df).repartition(4), "x", "y")
+           .to_pandas().sort_values("id"))
+    # (10,5) appears twice -> both kept; (10,1) dominated by (10,5);
+    # (9,9) kept; (5,9) dominated by (9,9); (1,10) kept
+    assert out["id"].tolist() == [2, 4, 5, 6]
+
+
+def test_pareto_front_partition_invariant():
+    from folkscope_ray.ops.split import pareto_front
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame({"id": np.arange(600, dtype=np.int64),
+                       "x": rng.integers(0, 100, 600).astype(np.int64),
+                       "y": rng.integers(0, 100, 600).astype(np.int64)})
+    a = (pareto_front(rd.from_pandas(df), "x", "y").to_pandas()
+         .sort_values("id").reset_index(drop=True))
+    b = (pareto_front(rd.from_pandas(df).repartition(11), "x", "y")
+         .to_pandas().sort_values("id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+    # brute-force reference
+    x, y = df["x"].to_numpy(), df["y"].to_numpy()
+    dom = [(((x >= x[i]) & (y >= y[i])
+             & ((x > x[i]) | (y > y[i]))).any()) for i in range(len(df))]
+    assert a["id"].tolist() == df["id"][~np.array(dom)].tolist()
