@@ -185,10 +185,12 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
         np.bitwise_or.at(
             m.reshape(-1), row * w + (bits >> 6),
             np.left_shift(np.uint64(1), (bits & 63).astype(np.uint64)))
-        return pa.table({
-            id_col: b.column(id_col),
-            "__m": pa.array(list(m.view(np.int64)), pa.list_(pa.int64())),
-        })
+        # zero-copy list column: one offsets array + one flat values view,
+        # no per-row Python lists
+        lst = pa.ListArray.from_arrays(
+            pa.array((np.arange(n + 1) * w).astype(np.int32), pa.int32()),
+            pa.array(m.reshape(-1).view(np.int64), pa.int64()))
+        return pa.table({id_col: b.column(id_col), "__m": lst})
 
     r_masked = (right.select_columns([id_col, text_col])
                 .map_batches(masks, batch_format="pyarrow").materialize())
@@ -202,9 +204,8 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
     rt = pa.concat_tables(ray.get(list(r_masked.to_arrow_refs())),
                           promote_options="default")
     r_ids = rt.column(id_col).to_numpy(zero_copy_only=False)
-    r_m = np.stack(
-        [np.asarray(x, dtype=np.int64) for x in rt.column("__m").to_pylist()]
-    ).view(np.uint64) if nr else np.zeros((0, w), np.uint64)
+    r_m = (_mask_matrix(rt.column("__m"), w)
+           if nr else np.zeros((0, w), np.uint64))
     r_len = _popcount_rows(r_m)
     rref = ray.put((r_ids, r_m, r_len))
 
@@ -215,10 +216,8 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
         ts = ray.get(tref)
         mb = masks(b)
         lids = mb.column(id_col).to_numpy(zero_copy_only=False)
-        lm = np.stack([np.asarray(x, dtype=np.int64)
-                       for x in mb.column("__m").to_pylist()]
-                      ).view(np.uint64) if b.num_rows else np.zeros(
-                          (0, w), np.uint64)
+        lm = (_mask_matrix(mb.column("__m"), w)
+              if b.num_rows else np.zeros((0, w), np.uint64))
         llen = _popcount_rows(lm)
         out_l, out_r, out_i, out_u = [], [], [], []
         for st in range(0, len(rids), slab):
@@ -245,6 +244,17 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
 
     return left.select_columns([id_col, text_col]).map_batches(
         score, batch_format="pyarrow")
+
+
+def _mask_matrix(col, w: int):
+    """list<int64> mask column -> (n, W) uint64 matrix, zero-copy via the
+    flat child values (uniform width by construction)."""
+    import numpy as np
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat.reshape(len(col), w)).view(np.uint64)
 
 
 import numpy as _np_xj
