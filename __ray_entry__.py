@@ -3247,6 +3247,43 @@ def _q_pareto_front_parts(sf_dir: str):
                         x_col="cents", y_col="psize")
 
 
+def _q_asof_forward_events(sf_dir: str):
+    """FORWARD as-of join (next-scheduled-event lookup): every click
+    matched to the same user's NEXT purchase at-or-after it — the
+    direction="forward" variant of the bucketed merge_asof
+    (ops/relational.py asof_join; DuckDB ASOF with l.ts <= r.ts)."""
+    from folkscope_ray.ops.relational import asof_join
+
+    def typed(t: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("event_type"), t)).select(
+                ["event_id", "user_id", "ts"])
+        return fn
+
+    ev = _rp(sf_dir, "events")
+    joined = asof_join(
+        ev.map_batches(typed("click"), batch_format="pyarrow"),
+        ev.map_batches(typed("purchase"), batch_format="pyarrow"),
+        key_col="user_id", on_col="ts", direction="forward",
+    )
+
+    def project(b: pa.Table) -> pa.Table:
+        secs = pc.cast(pc.floor(pc.divide(pc.cast(
+            pc.cast(b.column("ts"), pa.timestamp("us")), pa.int64()), 1e6)),
+            pa.int64())
+        nxt = pc.cast(pc.floor(pc.divide(pc.cast(
+            pc.cast(b.column("ts_asof"), pa.timestamp("us")), pa.int64()),
+            1e6)), pa.int64())
+        return pa.table({
+            "event_id": b.column("event_id"),
+            "user_id": b.column("user_id"),
+            "secs": secs,
+            "next_secs": pc.fill_null(nxt, -1),
+        })
+
+    return joined.map_batches(project, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3292,12 +3329,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            negative_sample / cohens_kappa / js_divergence /
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
-    #            fuzzy_decontam / bernoulli_sample / pareto_front) —
-    #            each pre-validated at sf0.001 AND
+    #            fuzzy_decontam / bernoulli_sample / pareto_front /
+    #            asof_forward) — each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 25 third-session = 182)
+    #            validation + 13 second-batch + 26 third-session = 183)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3370,6 +3407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_decontam_docs": _q_fuzzy_decontam_docs,
         "bernoulli_sample_docs": _q_bernoulli_sample_docs,
         "pareto_front_parts": _q_pareto_front_parts,
+        "asof_forward_events": _q_asof_forward_events,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4169,6 +4207,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "asof_forward_events": """
+            SELECT c.event_id, c.user_id,
+                   floor(epoch(c.ts))::BIGINT AS secs,
+                   COALESCE(floor(epoch(p.ts))::BIGINT, -1) AS next_secs
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF LEFT JOIN (SELECT * FROM events
+                            WHERE event_type = 'purchase') p
+              ON c.user_id = p.user_id AND c.ts <= p.ts
         """,
         "bernoulli_sample_docs": """
             SELECT doc_id, lang, n_chars FROM documents

@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "fuzzy_decontam_docs",
     "bernoulli_sample_docs",
     "pareto_front_parts",
+    "asof_forward_events",
 ]
 
 

@@ -196,11 +196,13 @@ def hash_join(left: Dataset, right: Dataset, on: str | list[str],
 
 def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
               n_buckets: int | None = None, right_cols: list[str] | None = None,
-              suffix: str = "_asof") -> Dataset:
+              suffix: str = "_asof", direction: str = "backward") -> Dataset:
     """Distributed as-of join: for every left row, the right row with the
     greatest ``on_col`` <= left's ``on_col`` within the same ``key_col``
-    (backward direction, exact matches allowed — DuckDB ``ASOF LEFT JOIN``
-    semantics).  Ray Data ships no as-of join; the portable shape is the
+    (``direction="backward"``, exact matches allowed — DuckDB ``ASOF LEFT
+    JOIN`` with ``l.on >= r.on``), or with ``direction="forward"`` the
+    SMALLEST right ``on_col`` >= left's (DuckDB ``l.on <= r.on`` — the
+    next-scheduled-event lookup).  Ray Data ships no as-of join; the portable shape is the
     same one hash_join uses: hash-bucket BOTH sides on key (co-location by
     construction), then one vectorized ``pandas.merge_asof`` per bucket —
     no sort shuffle of the full stream, per-bucket sort only.  Hot keys land
@@ -256,7 +258,7 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
                                 for c in rename.values()})
         return pd.merge_asof(
             lg, rg, left_on=on_col, right_on=on_col + suffix, by=key_col,
-            direction="backward", allow_exact_matches=True,
+            direction=direction, allow_exact_matches=True,
         )
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")

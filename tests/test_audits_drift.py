@@ -291,3 +291,19 @@ def test_jaccard_cross_join_multiword_mask():
     out = _xjoin(left, right, t_num=1, t_den=2)
     assert len(out) == 1
     assert out["inter"].iloc[0] == 35 and out["uni"].iloc[0] == 70
+
+
+def test_asof_join_forward_direction():
+    from folkscope_ray.ops.relational import asof_join
+
+    left = pd.DataFrame({"k": [1, 1, 2], "t": [5, 11, 3]})
+    right = pd.DataFrame({"k": [1, 1, 2], "t": [7, 12, 1], "v": [70, 120, 10]})
+    out = (asof_join(rd.from_pandas(left), rd.from_pandas(right),
+                     key_col="k", on_col="t", right_cols=["v"],
+                     direction="forward").to_pandas()
+           .sort_values(["k", "t"]).reset_index(drop=True))
+    # k=1 t=5 -> next right t=7 (v 70); t=11 -> 12 (v 120);
+    # k=2 t=3 -> no right at-or-after -> null
+    assert out["t_asof"].tolist()[:2] == [7, 12]
+    assert out["v_asof"].tolist()[:2] == [70, 120]
+    assert pd.isna(out["t_asof"].iloc[2])
