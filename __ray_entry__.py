@@ -3284,6 +3284,27 @@ def _q_asof_forward_events(sf_dir: str):
     return joined.map_batches(project, batch_format="pyarrow")
 
 
+def _q_intersect_orders_pairs(sf_dir: str):
+    """SQL INTERSECT over composite tuples: (custkey, priority) pairs seen
+    among BOTH open and finished orders — except_distinct's complement
+    (ops/relational.py intersect_distinct)."""
+    from folkscope_ray.ops.relational import intersect_distinct
+
+    src = _rp(sf_dir, "orders").select_columns(
+        ["o_custkey", "o_orderpriority", "o_orderstatus"])
+
+    def status(v: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b.column("o_orderstatus"), v)) \
+                .select(["o_custkey", "o_orderpriority"])
+        return fn
+
+    left = src.map_batches(status("O"), batch_format="pyarrow")
+    right = src.map_batches(status("F"), batch_format="pyarrow")
+    return intersect_distinct(left, right,
+                              cols=["o_custkey", "o_orderpriority"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3330,11 +3351,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
-    #            asof_forward) — each pre-validated at sf0.001 AND
+    #            asof_forward / intersect) — each pre-validated at
+    #            sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 26 third-session = 183)
+    #            validation + 13 second-batch + 27 third-session = 184)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3408,6 +3430,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bernoulli_sample_docs": _q_bernoulli_sample_docs,
         "pareto_front_parts": _q_pareto_front_parts,
         "asof_forward_events": _q_asof_forward_events,
+        "intersect_orders_pairs": _q_intersect_orders_pairs,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4207,6 +4230,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "intersect_orders_pairs": """
+            SELECT o_custkey, o_orderpriority FROM orders
+            WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey, o_orderpriority FROM orders
+            WHERE o_orderstatus = 'F'
         """,
         "asof_forward_events": """
             SELECT c.event_id, c.user_id,

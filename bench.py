@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "bernoulli_sample_docs",
     "pareto_front_parts",
     "asof_forward_events",
+    "intersect_orders_pairs",
 ]
 
 

@@ -836,6 +836,30 @@ def except_distinct(left: Dataset, right: Dataset,
     return j.map_batches(only_left, batch_format="pyarrow")
 
 
+def intersect_distinct(left: Dataset, right: Dataset,
+                       cols: list[str]) -> Dataset:
+    """SQL ``INTERSECT`` (distinct set intersection): distinct ``cols``
+    tuples present on BOTH sides — except_distinct's complement, same
+    scale shape (distinct-collapse with map-side combine, ONE composite
+    hash join, stateless marker filter)."""
+
+    def distinct(ds: Dataset) -> Dataset:
+        return map_combine_aggregate(ds.select_columns(cols), keys=cols,
+                                     count_alias="__c") \
+            .drop_columns(["__c"])
+
+    r = distinct(right).map_batches(
+        lambda b: b.append_column(
+            "__r", pa.array(np.ones(b.num_rows, dtype=np.int8))),
+        batch_format="pyarrow")
+    j = hash_join(distinct(left), r, on=cols, how="left_outer")
+
+    def in_both(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("__r"))).select(cols)
+
+    return j.map_batches(in_both, batch_format="pyarrow")
+
+
 def union_by_name(sides: list[Dataset]) -> Dataset:
     """Schema-evolution union (SQL ``UNION ALL BY NAME``): concatenate
     Datasets whose schemas only partially overlap — columns are matched by

@@ -727,6 +727,9 @@ def mutual_information(ds: Dataset, x_col: str, y_col: str,
         ds.select_columns([x_col, y_col]),
         keys=[x_col, y_col], count_alias="c",
     ).to_pandas()
+    if not len(cells):
+        return pd.DataFrame({x_col: [], "n_x": pd.array([], dtype="int64"),
+                             mi_alias: pd.array([], dtype="int64")})
     n = float(cells["c"].sum())
     cx = cells.groupby(x_col)["c"].transform("sum").to_numpy().astype(
         np.float64)

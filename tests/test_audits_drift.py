@@ -307,3 +307,23 @@ def test_asof_join_forward_direction():
     assert out["t_asof"].tolist()[:2] == [7, 12]
     assert out["v_asof"].tolist()[:2] == [70, 120]
     assert pd.isna(out["t_asof"].iloc[2])
+
+
+def test_intersect_distinct_composite():
+    from folkscope_ray.ops.relational import intersect_distinct
+
+    left = pd.DataFrame({"a": [1, 1, 2, 3], "b": ["x", "x", "y", "z"]})
+    right = pd.DataFrame({"a": [1, 2, 9], "b": ["x", "q", "z"]})
+    out = (intersect_distinct(rd.from_pandas(left).repartition(2),
+                              rd.from_pandas(right), cols=["a", "b"])
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert out.to_dict("records") == [{"a": 1, "b": "x"}]
+
+
+def test_mutual_information_empty_input():
+    from folkscope_ray.ops.stats import mutual_information
+
+    df = pd.DataFrame({"x": pd.array([], dtype="int64"),
+                       "y": pd.array([], dtype="int64")})
+    out = mutual_information(rd.from_pandas(df), "x", "y")
+    assert len(out) == 0 and list(out.columns) == ["x", "n_x", "mi_ub"]
