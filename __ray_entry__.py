@@ -3305,6 +3305,31 @@ def _q_intersect_orders_pairs(sf_dir: str):
                               cols=["o_custkey", "o_orderpriority"])
 
 
+def _q_chi2_parts(sf_dir: str):
+    """Pearson chi-square independence between p_brand and p_size —
+    mutual_info's frequentist sibling, same microquantized-term discipline
+    (ops/stats.py chi2_independence)."""
+    from folkscope_ray.ops.stats import chi2_independence
+
+    return chi2_independence(
+        _rp(sf_dir, "part").select_columns(["p_brand", "p_size"]),
+        x_col="p_brand", y_col="p_size")
+
+
+def _q_gini_customer_spend(sf_dir: str):
+    """Gini concentration of per-customer spend (how unequal is revenue
+    across customers): exact per-key integer totals, zipWithIndex global
+    ranks, map-combined rank-weighted sum, one mirrored float expression
+    (ops/stats.py gini_coefficient; post-hoc overflow proof)."""
+    from folkscope_ray.ops.stats import gini_coefficient
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(["o_custkey", "o_totalprice"]),
+        "o_totalprice")
+    return gini_coefficient(ds.select_columns(["o_custkey", "cents"]),
+                            key_col="o_custkey", int_value_col="cents")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3351,12 +3376,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
-    #            asof_forward / intersect) — each pre-validated at
-    #            sf0.001 AND
+    #            asof_forward / intersect / chi2 / gini) — each
+    #            pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 27 third-session = 184)
+    #            validation + 13 second-batch + 29 third-session = 186)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3431,6 +3456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_front_parts": _q_pareto_front_parts,
         "asof_forward_events": _q_asof_forward_events,
         "intersect_orders_pairs": _q_intersect_orders_pairs,
+        "chi2_parts": _q_chi2_parts,
+        "gini_customer_spend": _q_gini_customer_spend,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4230,6 +4257,46 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "chi2_parts": """
+            WITH obs AS (
+              SELECT p_brand, p_size, count(*)::BIGINT AS c
+              FROM part GROUP BY p_brand, p_size),
+            c AS (
+              SELECT g.p_brand, g.p_size, COALESCE(obs.c, 0)::BIGINT AS c
+              FROM (SELECT DISTINCT a.p_brand, b.p_size
+                    FROM part a CROSS JOIN part b) g
+              LEFT JOIN obs ON obs.p_brand = g.p_brand
+                           AND obs.p_size = g.p_size),
+            m AS (
+              SELECT p_brand, p_size, c,
+                     sum(c) OVER (PARTITION BY p_brand)::BIGINT AS cx,
+                     sum(c) OVER (PARTITION BY p_size)::BIGINT AS cy,
+                     sum(c) OVER ()::BIGINT AS n
+              FROM c)
+            SELECT p_brand, sum(c)::BIGINT AS n_x,
+                   sum(CAST(floor(
+                     (c::DOUBLE - cx::DOUBLE * cy / n)
+                     * (c::DOUBLE - cx::DOUBLE * cy / n)
+                     / (cx::DOUBLE * cy / n)
+                     * 1000000.0 + 0.5) AS BIGINT))::BIGINT AS chi2_micro
+            FROM m GROUP BY p_brand
+        """,
+        "gini_customer_spend": """
+            WITH t AS (
+              SELECT o_custkey,
+                     SUM(CAST(round(o_totalprice * 100) AS BIGINT))::BIGINT
+                       AS v
+              FROM orders GROUP BY o_custkey),
+            r AS (SELECT v,
+                         row_number() OVER (ORDER BY v, o_custkey) AS rn
+                  FROM t),
+            s AS (SELECT count(*)::BIGINT AS n, sum(v)::BIGINT AS sv,
+                         sum(rn * v)::BIGINT AS rv
+                  FROM r)
+            SELECT n AS n_keys, sv AS sum_v, rv AS weighted_rank_sum,
+                   (2 * rv) / (n * sv) - (n + 1) / n AS gini
+            FROM s
         """,
         "intersect_orders_pairs": """
             SELECT o_custkey, o_orderpriority FROM orders

@@ -136,6 +136,8 @@ BENCH_QUERIES = [
     "pareto_front_parts",
     "asof_forward_events",
     "intersect_orders_pairs",
+    "chi2_parts",
+    "gini_customer_spend",
 ]
 
 

@@ -887,3 +887,100 @@ def quantile_normalize(ds: Dataset, key_col: str, value_col: str,
     lookup = g.map_batches(slim, batch_format="pyarrow")
     joined = hash_join(mapped, lookup, on="__gidx")
     return joined.select_columns([id_col, key_col, value_col, alias])
+
+
+def chi2_independence(ds: Dataset, x_col: str, y_col: str,
+                      chi2_alias: str = "chi2_micro") -> pd.DataFrame:
+    """Pearson chi-square independence statistic between two CATEGORICAL
+    columns — mutual_information's frequentist sibling (drift tests,
+    feature screens): ``chi2 = sum_cells (observed - expected)^2 /
+    expected`` with ``expected = row_total * col_total / n``.
+
+    Same exactness discipline as :func:`mutual_information`: every
+    per-cell term is float64 over EXACT integer counts, quantized to
+    integer micro-units before summing; the cell table is bounded by the
+    categorical domain product.  Returns one row per x-category
+    ``(x, n_x, chi2_micro)`` — sum the column for the full statistic."""
+    from .relational import map_combine_aggregate
+
+    cells = map_combine_aggregate(
+        ds.select_columns([x_col, y_col]),
+        keys=[x_col, y_col], count_alias="c",
+    ).to_pandas()
+    if not len(cells):
+        return pd.DataFrame({x_col: [], "n_x": pd.array([], dtype="int64"),
+                             chi2_alias: pd.array([], dtype="int64")})
+    # chi-square needs the FULL grid: an unobserved (x, y) cell still
+    # contributes (0 - e)^2 / e = e (unlike MI, where 0*log0 = 0 makes
+    # omitting empty cells correct) — complete the domain product with
+    # zero counts before computing terms
+    grid = pd.MultiIndex.from_product(
+        [np.sort(cells[x_col].unique()), np.sort(cells[y_col].unique())],
+        names=[x_col, y_col])
+    cells = (cells.set_index([x_col, y_col])
+             .reindex(grid, fill_value=0).reset_index())
+    n = float(cells["c"].sum())
+    cx = cells.groupby(x_col)["c"].transform("sum").to_numpy().astype(
+        np.float64)
+    cy = cells.groupby(y_col)["c"].transform("sum").to_numpy().astype(
+        np.float64)
+    o = cells["c"].to_numpy().astype(np.float64)
+    e = cx * cy / n
+    term = (o - e) * (o - e) / e
+    cells["__t"] = np.floor(term * 1e6 + 0.5).astype(np.int64)
+    out = (cells.groupby(x_col, sort=True)
+           .agg(n_x=("c", "sum"), **{chi2_alias: ("__t", "sum")})
+           .reset_index())
+    out["n_x"] = out["n_x"].astype(np.int64)
+    return out
+
+
+def gini_coefficient(ds: Dataset, key_col: str, int_value_col: str,
+                     alias: str = "gini") -> pd.DataFrame:
+    """Gini concentration coefficient over per-key totals (how
+    concentrated is spend / traffic / token mass across customers,
+    sources, domains) — the inequality number on every curation
+    dashboard.
+
+    ``G = (2 * sum_i i * x_(i)) / (n * sum x) - (n + 1) / n`` over the
+    ascending-sorted totals, all from EXACT integer sums: one map-side-
+    combined per-key aggregate, global ranks from
+    :func:`~folkscope_ray.ops.relational.global_row_number` (total order
+    (total, key)), one map-combined sum of ``rank * total``, then a
+    single float expression mirrored in SQL.  Returns one row
+    ``(n_keys, sum_v, weighted_rank_sum, gini)``."""
+    from ray.data.aggregate import Sum
+
+    from .relational import global_row_number, map_combine_aggregate
+
+    per_key = map_combine_aggregate(
+        ds.select_columns([key_col, int_value_col]),
+        keys=[key_col], sums={int_value_col: "__v"})
+    ranked = global_row_number(per_key.select_columns([key_col, "__v"]),
+                               order_cols=["__v", key_col], alias="__r")
+
+    def prod(b: pa.Table) -> pa.Table:
+        v = b.column("__v").to_numpy(zero_copy_only=False)
+        r = b.column("__r").to_numpy(zero_copy_only=False)
+        return pa.table({"rv": pa.array(r * v, pa.int64()),
+                         "v": pa.array(v, pa.int64()),
+                         "one": pa.array(np.ones(len(v), np.int64),
+                                         pa.int64())})
+
+    tot = (ranked.map_batches(prod, batch_format="pyarrow")
+           .aggregate(Sum("rv", alias_name="rv"), Sum("v", alias_name="v"),
+                      Sum("one", alias_name="n")))
+    n, sv, rv = int(tot["n"]), int(tot["v"]), int(tot["rv"])
+    # rv <= n * sv, so this post-hoc bound proves no int64 wrap occurred
+    # in the distributed rank*v sums (n and sv themselves are exact)
+    if n * sv >= 2 ** 63:
+        raise ValueError(
+            "gini_coefficient: n_keys * sum_v >= 2^63 — the rank-weighted "
+            "sum may have overflowed int64; rescale the value column")
+    gini = (2 * rv) / (n * sv) - (n + 1) / n if n and sv else 0.0
+    return pd.DataFrame({
+        "n_keys": pd.array([n], dtype="int64"),
+        "sum_v": pd.array([sv], dtype="int64"),
+        "weighted_rank_sum": pd.array([rv], dtype="int64"),
+        alias: [gini],
+    })

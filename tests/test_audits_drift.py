@@ -327,3 +327,45 @@ def test_mutual_information_empty_input():
                        "y": pd.array([], dtype="int64")})
     out = mutual_information(rd.from_pandas(df), "x", "y")
     assert len(out) == 0 and list(out.columns) == ["x", "n_x", "mi_ub"]
+
+
+def test_chi2_independence_values():
+    from folkscope_ray.ops.stats import chi2_independence
+
+    # perfectly dependent 2x2 with equal margins: chi2 = n
+    x = np.repeat([0, 1], 100)
+    df = pd.DataFrame({"x": x, "y": x})
+    out = chi2_independence(rd.from_pandas(df).repartition(3), "x", "y")
+    assert out["chi2_micro"].sum() == 200 * 1_000_000
+    # independence -> ~0
+    rng = np.random.default_rng(2)
+    df2 = pd.DataFrame({"x": rng.integers(0, 2, 4000),
+                        "y": rng.integers(0, 2, 4000)})
+    out2 = chi2_independence(rd.from_pandas(df2), "x", "y")
+    assert out2["chi2_micro"].sum() < 4_000_000  # well under df=1 critical
+
+
+def test_gini_coefficient_extremes():
+    from folkscope_ray.ops.stats import gini_coefficient
+
+    # perfectly equal totals -> gini 0
+    df = pd.DataFrame({"k": np.arange(10), "v": [100] * 10})
+    out = gini_coefficient(rd.from_pandas(df).repartition(3), "k", "v")
+    assert out["gini"].iloc[0] == 0.0
+    # one key holds everything -> gini -> (n-1)/n
+    df2 = pd.DataFrame({"k": np.arange(10),
+                        "v": [0] * 9 + [1000]})
+    out2 = gini_coefficient(rd.from_pandas(df2), "k", "v")
+    assert out2["gini"].iloc[0] == (2 * 10 * 1000) / (10 * 1000) - 11 / 10
+    # reference formula on random data, layout-invariant
+    rng = np.random.default_rng(4)
+    df3 = pd.DataFrame({"k": np.arange(200),
+                        "v": rng.integers(0, 1000, 200).astype(np.int64)})
+    a = gini_coefficient(rd.from_pandas(df3), "k", "v")["gini"].iloc[0]
+    b = gini_coefficient(rd.from_pandas(df3).repartition(7), "k",
+                         "v")["gini"].iloc[0]
+    v = np.sort(df3["v"].to_numpy())
+    n = len(v)
+    exp = (2 * int((np.arange(1, n + 1) * v).sum())) / (n * int(v.sum())) \
+        - (n + 1) / n
+    assert a == b == exp
