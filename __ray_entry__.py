@@ -3330,6 +3330,26 @@ def _q_gini_customer_spend(sf_dir: str):
                             key_col="o_custkey", int_value_col="cents")
 
 
+def _q_autocorr_events(sf_dir: str):
+    """Lag-1 autocorrelation of each user's event-value series (the
+    time-series diagnostic for feedback/burst behaviour): LAG via the
+    bucketed window op, then per-key Pearson from exact integer moments
+    (ops/window.py lag_gap + ops/stats.py corr_by_key)."""
+    from folkscope_ray.ops.stats import corr_by_key
+    from folkscope_ray.ops.window import lag_gap
+
+    ev = _rp(sf_dir, "events").select_columns(
+        ["event_id", "ts", "user_id", "value"])
+    lagged = lag_gap(ev, key_col="user_id", order_cols=["ts", "event_id"],
+                     value_col="value", ts_us_col="ts")
+    # drop each user's first row (sentinel prev); real gaps are >= 0
+    f = lagged.filter(expr="gap_us != -1")
+    return corr_by_key(
+        f.select_columns(["user_id", "value", "prev_value"]),
+        key_col="user_id", col_a="value", col_b="prev_value",
+        scale_a=100, scale_b=100)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3376,12 +3396,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
-    #            asof_forward / intersect / chi2 / gini) — each
-    #            pre-validated at sf0.001 AND
+    #            asof_forward / intersect / chi2 / gini / autocorr) —
+    #            each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 29 third-session = 186)
+    #            validation + 13 second-batch + 30 third-session = 187)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3458,6 +3478,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "intersect_orders_pairs": _q_intersect_orders_pairs,
         "chi2_parts": _q_chi2_parts,
         "gini_customer_spend": _q_gini_customer_spend,
+        "autocorr_events": _q_autocorr_events,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4257,6 +4278,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "autocorr_events": """
+            WITH l AS (
+              SELECT user_id,
+                     CAST(round(value * 100) AS BIGINT) AS a,
+                     LAG(CAST(round(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS b
+              FROM events),
+            q AS (SELECT user_id, a, b FROM l WHERE b IS NOT NULL),
+            m AS (
+              SELECT user_id, count(*) AS n, sum(a) AS sa, sum(b) AS sb,
+                     sum(a*a) AS paa, sum(b*b) AS pbb, sum(a*b) AS pab
+              FROM q GROUP BY user_id)
+            SELECT user_id,
+                   CAST(n*pab - sa*sb AS DOUBLE)
+                     / (sqrt(CAST(n*paa - sa*sa AS DOUBLE))
+                        * sqrt(CAST(n*pbb - sb*sb AS DOUBLE))) AS corr
+            FROM m
         """,
         "chi2_parts": """
             WITH obs AS (

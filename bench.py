@@ -138,6 +138,7 @@ BENCH_QUERIES = [
     "intersect_orders_pairs",
     "chi2_parts",
     "gini_customer_spend",
+    "autocorr_events",
 ]
 
 
