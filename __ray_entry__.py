@@ -3350,6 +3350,24 @@ def _q_autocorr_events(sf_dir: str):
         scale_a=100, scale_b=100)
 
 
+def _q_path_trigrams_events(sf_dir: str):
+    """Frequent sequential path patterns: event-code trigrams appearing in
+    >= 5 distinct users' ordered paths (contiguous PrefixSpan cut) —
+    stride-tricks window extraction over concatenated per-key code
+    buffers, distinct-key support adds across key-partitioned buckets
+    (ops/seq.py frequent_path_ngrams)."""
+    from folkscope_ray.ops.seq import frequent_path_ngrams
+
+    return frequent_path_ngrams(
+        _rp(sf_dir, "events").select_columns(
+            ["event_id", "ts", "user_id", "event_type"]),
+        key_col="user_id", order_cols=["ts", "event_id"],
+        cat_col="event_type",
+        codes={"view": "v", "click": "c", "purchase": "p",
+               "signup": "s", "error": "e"},
+        n=3, min_support=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3396,12 +3414,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            grouping_sets / vocab_coverage / weighted_median /
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
-    #            asof_forward / intersect / chi2 / gini / autocorr) —
-    #            each pre-validated at sf0.001 AND
+    #            asof_forward / intersect / chi2 / gini / autocorr /
+    #            path_trigrams) — each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 30 third-session = 187)
+    #            validation + 13 second-batch + 31 third-session = 188)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3479,6 +3497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chi2_parts": _q_chi2_parts,
         "gini_customer_spend": _q_gini_customer_spend,
         "autocorr_events": _q_autocorr_events,
+        "path_trigrams_events": _q_path_trigrams_events,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4278,6 +4297,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "path_trigrams_events": """
+            WITH s AS (
+              SELECT user_id,
+                     string_agg(CASE event_type
+                                WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+                                WHEN 'purchase' THEN 'p'
+                                WHEN 'signup' THEN 's'
+                                WHEN 'error' THEN 'e' ELSE 'x' END,
+                                '' ORDER BY ts, event_id) AS p
+              FROM events GROUP BY user_id),
+            t AS (
+              SELECT DISTINCT user_id, substr(p, i, 3) AS gram
+              FROM s, UNNEST(generate_series(1, len(p) - 2)) AS u(i)
+              WHERE len(p) >= 3)
+            SELECT gram, count(*)::BIGINT AS n_keys
+            FROM t GROUP BY gram HAVING count(*) >= 5
         """,
         "autocorr_events": """
             WITH l AS (

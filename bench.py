@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "chi2_parts",
     "gini_customer_spend",
     "autocorr_events",
+    "path_trigrams_events",
 ]
 
 

@@ -72,3 +72,63 @@ def seq_match(ds: Dataset, key_col: str, order_cols: list[str],
 
     cols = list(dict.fromkeys([key_col, cat_col] + order_cols))
     return _bucketed_groups(ds.select_columns(cols), key_col, body)
+
+
+def frequent_path_ngrams(ds: Dataset, key_col: str, order_cols: list[str],
+                         cat_col: str, codes: dict[str, str], n: int = 3,
+                         min_support: int = 5,
+                         default_code: str = "x",
+                         gram_alias: str = "gram",
+                         support_alias: str = "n_keys") -> Dataset:
+    """Frequent contiguous sequential patterns: the event-code n-grams
+    that appear in at least ``min_support`` DISTINCT keys' ordered paths —
+    the sequential-pattern-mining primitive (contiguous PrefixSpan cut)
+    behind funnel discovery and bot-path detection.
+
+    Support counts KEYS (one per key per gram, however often it repeats
+    within a path) — the standard sequence-mining support definition.
+
+    Scale shape: ONE hash shuffle on the key into bucketed bodies; inside
+    a bucket the per-key code strings concatenate into one byte buffer
+    and every n-gram window is extracted with a single stride-tricks view
+    (windows crossing a path boundary masked out) — no per-key Python.
+    Each bucket emits one row per (gram) with its distinct-key count;
+    buckets partition keys, so the counts ADD — one map-combined sum and
+    a support filter finish it."""
+    import numpy as np
+
+    from .relational import map_combine_aggregate
+    from .window import _bucketed_groups
+
+    for v in codes.values():
+        if len(v) != 1 or ord(v) > 127:
+            raise ValueError("codes must be single ASCII chars")
+    pw = (256 ** np.arange(n - 1, -1, -1)).astype(np.int64)
+
+    def body(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order_cols, kind="mergesort")
+        code = g[cat_col].map(codes).fillna(default_code)
+        seqs = (code.groupby(g[key_col], sort=True).agg("".join))
+        lens = seqs.str.len().to_numpy()
+        buf = np.frombuffer("".join(seqs.tolist()).encode("ascii"),
+                            np.uint8)
+        if len(buf) < n:
+            return pd.DataFrame({gram_alias: [],
+                                 "__s": pd.array([], dtype="int64")})
+        win = np.lib.stride_tricks.sliding_window_view(buf, n)
+        owner = np.repeat(np.arange(len(seqs)), lens)
+        valid = owner[: len(buf) - n + 1] == owner[n - 1:]
+        gi = (win[valid].astype(np.int64) @ pw)
+        pairs = np.unique(np.stack([owner[: len(buf) - n + 1][valid], gi],
+                                   axis=1), axis=0)
+        grams, counts = np.unique(pairs[:, 1], return_counts=True)
+        strs = [int(v).to_bytes(n, "big").decode("ascii") for v in grams]
+        return pd.DataFrame({gram_alias: strs,
+                             "__s": counts.astype("int64")})
+
+    cols = list(dict.fromkeys([key_col, cat_col] + order_cols))
+    partials = _bucketed_groups(ds.select_columns(cols), key_col, body)
+    agg = map_combine_aggregate(partials, keys=[gram_alias],
+                                sums={"__s": support_alias})
+    return (agg.filter(expr=f"{support_alias} >= {int(min_support)}")
+            .select_columns([gram_alias, support_alias]))

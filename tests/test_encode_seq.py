@@ -331,3 +331,30 @@ def test_pareto_front_partition_invariant():
     dom = [(((x >= x[i]) & (y >= y[i])
              & ((x > x[i]) | (y > y[i]))).any()) for i in range(len(df))]
     assert a["id"].tolist() == df["id"][~np.array(dom)].tolist()
+
+
+def test_frequent_path_ngrams_counts_distinct_keys():
+    from folkscope_ray.ops.seq import frequent_path_ngrams
+
+    # user 1 path "vvcp" -> trigrams vvc, vcp; user 2 "vcpvcp" -> vcp,
+    # cpv, pvc (vcp twice but counted ONCE); user 3 "vc" -> none
+    rows = []
+    for uid, path in [(1, "vvcp"), (2, "vcpvcp"), (3, "vc")]:
+        for i, ch in enumerate(path):
+            rows.append({"k": uid, "o": i,
+                         "cat": {"v": "view", "c": "click",
+                                 "p": "purchase"}[ch]})
+    df = pd.DataFrame(rows)
+    out = (frequent_path_ngrams(
+        rd.from_pandas(df).repartition(3), key_col="k", order_cols=["o"],
+        cat_col="cat",
+        codes={"view": "v", "click": "c", "purchase": "p"},
+        n=3, min_support=1).to_pandas()
+        .set_index("gram")["n_keys"].sort_index())
+    assert out.to_dict() == {"cpv": 1, "pvc": 1, "vcp": 2, "vvc": 1}
+    # support filter
+    out2 = (frequent_path_ngrams(
+        rd.from_pandas(df), key_col="k", order_cols=["o"], cat_col="cat",
+        codes={"view": "v", "click": "c", "purchase": "p"},
+        n=3, min_support=2).to_pandas())
+    assert out2["gram"].tolist() == ["vcp"]
