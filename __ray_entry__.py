@@ -3368,6 +3368,32 @@ def _q_path_trigrams_events(sf_dir: str):
         n=3, min_support=5)
 
 
+def _q_psi_orders(sf_dir: str):
+    """Population Stability Index of order value, pre-1998 reference vs
+    1998+ current (THE standard ML-monitoring drift score): reference
+    decile edges from exact quantiles, integer bucket assignment, +1
+    Laplace-smoothed shares, per-bucket microquantized terms
+    (ops/stats.py population_stability)."""
+    from folkscope_ray.ops.stats import population_stability
+
+    ds = _cents_col(
+        _rp(sf_dir, "orders").select_columns(
+            ["o_orderdate", "o_totalprice"]), "o_totalprice")
+
+    def side(is_ref: bool):
+        import numpy as np
+
+        def fn(b: pa.Table) -> pa.Table:
+            d = b.column("o_orderdate").to_numpy(zero_copy_only=False)
+            cut = np.datetime64("1998-01-01T00:00:00", "us")
+            mask = d < cut if is_ref else d >= cut
+            return b.filter(pa.array(mask)).select(["cents"])
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    return population_stability(side(True), side(False),
+                                int_value_col="cents", n_bins=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3415,11 +3441,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
     #            asof_forward / intersect / chi2 / gini / autocorr /
-    #            path_trigrams) — each pre-validated at sf0.001 AND
+    #            path_trigrams / psi) — each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 31 third-session = 188)
+    #            validation + 13 second-batch + 32 third-session = 189)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3498,6 +3524,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gini_customer_spend": _q_gini_customer_spend,
         "autocorr_events": _q_autocorr_events,
         "path_trigrams_events": _q_path_trigrams_events,
+        "psi_orders": _q_psi_orders,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4297,6 +4324,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "psi_orders": """
+            WITH refc AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'),
+            curc AS (
+              SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+              FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
+            e AS (SELECT unnest(quantile_disc(v,
+                    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]))
+                    AS edge FROM refc),
+            rv AS (SELECT v, count(*)::BIGINT AS cnt FROM refc GROUP BY v),
+            cv AS (SELECT v, count(*)::BIGINT AS cnt FROM curc GROUP BY v),
+            rb AS (SELECT (SELECT count(*) FROM e WHERE edge < rv.v)::BIGINT
+                            AS bucket,
+                          sum(cnt)::BIGINT AS ref_n
+                   FROM rv GROUP BY bucket),
+            cb AS (SELECT (SELECT count(*) FROM e WHERE edge < cv.v)::BIGINT
+                            AS bucket,
+                          sum(cnt)::BIGINT AS cur_n
+                   FROM cv GROUP BY bucket),
+            g AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+            j AS (SELECT g.bucket,
+                         COALESCE(rb.ref_n, 0)::BIGINT AS ref_n,
+                         COALESCE(cb.cur_n, 0)::BIGINT AS cur_n
+                  FROM g LEFT JOIN rb USING (bucket)
+                         LEFT JOIN cb USING (bucket)),
+            t AS (SELECT (SELECT sum(ref_n) FROM j)::BIGINT AS rn,
+                         (SELECT sum(cur_n) FROM j)::BIGINT AS cn)
+            SELECT bucket, ref_n, cur_n,
+                   CAST(floor(
+                     (((ref_n + 1)::DOUBLE / (rn + 10))
+                      - ((cur_n + 1)::DOUBLE / (cn + 10)))
+                     * ln(((ref_n + 1)::DOUBLE / (rn + 10))
+                          / ((cur_n + 1)::DOUBLE / (cn + 10)))
+                     * 1000000.0 + 0.5) AS BIGINT) AS psi_micro
+            FROM j, t
         """,
         "path_trigrams_events": """
             WITH s AS (

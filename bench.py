@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "gini_customer_spend",
     "autocorr_events",
     "path_trigrams_events",
+    "psi_orders",
 ]
 
 

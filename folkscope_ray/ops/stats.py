@@ -984,3 +984,72 @@ def gini_coefficient(ds: Dataset, key_col: str, int_value_col: str,
         "weighted_rank_sum": pd.array([rv], dtype="int64"),
         alias: [gini],
     })
+
+
+def population_stability(ref: Dataset, cur: Dataset, int_value_col: str,
+                         n_bins: int = 10,
+                         term_alias: str = "psi_micro") -> pd.DataFrame:
+    """Population Stability Index between a reference and a current
+    period — the standard ML-monitoring drift score: bin the reference
+    into ``n_bins`` quantile buckets, then
+    ``PSI = sum_b (p_b - q_b) * ln(p_b / q_b)``.
+
+    Exactness: bucket edges are the reference's exact discrete quantiles;
+    a row's bucket is the INTEGER count of edges strictly below its value
+    (identical on both engines, ties included); bucket shares use +1
+    Laplace smoothing (``(c + 1) / (n + n_bins)``) so empty buckets are
+    well-defined without epsilon hacks; every per-bucket term is
+    quantized to integer micro-units before summing.  Returns one row per
+    bucket ``(bucket, ref_n, cur_n, psi_micro)`` — sum the column for the
+    full index.
+
+    Scale shape: one domain-bounded histogram pass for the edges
+    (``exact_quantiles_by_counting``), then ONE stateless bucket scan
+    over both periods with map-combined (bucket, period) counts — the
+    shuffle moves n_bins rows per block."""
+    import ray
+
+    from .relational import map_combine_aggregate
+    from .sketch import exact_quantiles_by_counting
+
+    qs = [i / n_bins for i in range(1, n_bins)]
+    edges = np.sort(exact_quantiles_by_counting(
+        ref, int_value_col, qs)["value"].to_numpy().astype(np.int64))
+    eref = ray.put(edges)
+
+    def bucketize(r_flag: int):
+        def fn(b: pa.Table) -> pa.Table:
+            e = ray.get(eref)
+            v = b.column(int_value_col).to_numpy(zero_copy_only=False)
+            bk = np.searchsorted(e, v, side="left").astype(np.int64)
+            n = len(v)
+            return pa.table({
+                "bucket": pa.array(bk, pa.int64()),
+                "__r": pa.array(np.full(n, r_flag, np.int64), pa.int64()),
+                "__c": pa.array(np.full(n, 1 - r_flag, np.int64),
+                                pa.int64()),
+            })
+        return fn
+
+    both = (ref.select_columns([int_value_col])
+            .map_batches(bucketize(1), batch_format="pyarrow")
+            .union(cur.select_columns([int_value_col])
+                   .map_batches(bucketize(0), batch_format="pyarrow")))
+    counts = map_combine_aggregate(
+        both, keys=["bucket"], sums={"__r": "ref_n", "__c": "cur_n"},
+    ).to_pandas().set_index("bucket")
+    counts = counts.reindex(range(n_bins), fill_value=0)
+    rc = counts["ref_n"].to_numpy().astype(np.int64)
+    cc = counts["cur_n"].to_numpy().astype(np.int64)
+    rn, cn = int(rc.sum()), int(cc.sum())
+    p = (rc + 1) / (rn + n_bins)
+    q = (cc + 1) / (cn + n_bins)
+    term = (p - q) * np.log(p / q)
+    out = pd.DataFrame({
+        "bucket": pd.array(range(n_bins), dtype="int64"),
+        "ref_n": pd.array(rc, dtype="int64"),
+        "cur_n": pd.array(cc, dtype="int64"),
+        term_alias: pd.array(
+            np.floor(term * 1e6 + 0.5).astype(np.int64), dtype="int64"),
+    })
+    return out

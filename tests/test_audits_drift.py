@@ -369,3 +369,22 @@ def test_gini_coefficient_extremes():
     exp = (2 * int((np.arange(1, n + 1) * v).sum())) / (n * int(v.sum())) \
         - (n + 1) / n
     assert a == b == exp
+
+
+def test_population_stability_identical_and_shifted():
+    from folkscope_ray.ops.stats import population_stability
+
+    rng = np.random.default_rng(8)
+    base = rng.integers(0, 1000, 2000).astype(np.int64)
+    ref = rd.from_pandas(pd.DataFrame({"v": base})).repartition(4)
+    same = rd.from_pandas(pd.DataFrame({"v": base}))
+    out = population_stability(ref, same, "v")
+    # identical distributions -> PSI ~ 0 (smoothing keeps it tiny)
+    assert out["psi_micro"].sum() < 1000
+    assert len(out) == 10 and out["ref_n"].sum() == 2000
+    # hard shift -> large PSI (rule of thumb: > 0.25 means drift)
+    shifted = rd.from_pandas(pd.DataFrame({"v": base + 5000}))
+    out2 = population_stability(ref, shifted, "v")
+    assert out2["psi_micro"].sum() > 250_000
+    # current mass all lands in the top bucket
+    assert out2["cur_n"].iloc[9] == 2000
