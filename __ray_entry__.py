@@ -3394,6 +3394,40 @@ def _q_psi_orders(sf_dir: str):
                                 int_value_col="cents", n_bins=10)
 
 
+def _q_ndcg_docs(sf_dir: str):
+    """nDCG@50 of the length ranking against a deterministic graded
+    relevance label (en-docs + token-rich get higher grades) — the
+    ranking-quality eval op; one distributed total-order sort + limit,
+    microquantized per-rank terms (ops/index.py ndcg_at_k)."""
+    from folkscope_ray.ops.index import ndcg_at_k
+
+    def grade(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        nt = np.bincount(doc_of[keep], minlength=b.num_rows)
+        en = pc.equal(b.column("lang"), pa.scalar("en")).to_numpy(
+            zero_copy_only=False)
+        rel = 2 * en.astype(np.int64) + (nt >= 56).astype(np.int64)
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "n_chars": b.column("n_chars"),
+            "rel": pa.array(rel, pa.int64()),
+        })
+
+    ds = (_rp(sf_dir, "documents")
+          .select_columns(["doc_id", "text", "lang", "n_chars"])
+          .map_batches(grade, batch_format="pyarrow"))
+    return ndcg_at_k(ds, id_col="doc_id", score_col="n_chars",
+                     rel_col="rel", k=50)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3441,11 +3475,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
     #            asof_forward / intersect / chi2 / gini / autocorr /
-    #            path_trigrams / psi) — each pre-validated at sf0.001 AND
+    #            path_trigrams / psi / ndcg) — each pre-validated at
+    #            sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 32 third-session = 189)
+    #            validation + 13 second-batch + 33 third-session = 190)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3525,6 +3560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_events": _q_autocorr_events,
         "path_trigrams_events": _q_path_trigrams_events,
         "psi_orders": _q_psi_orders,
+        "ndcg_docs": _q_ndcg_docs,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4324,6 +4360,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "ndcg_docs": """
+            WITH f AS (
+              SELECT doc_id, n_chars,
+                     (CASE WHEN lang = 'en' THEN 2 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) >= 56
+                             THEN 1 ELSE 0 END)::BIGINT AS rel
+              FROM documents),
+            top AS (
+              SELECT doc_id, rel,
+                     row_number() OVER (ORDER BY n_chars DESC, doc_id)
+                       AS rnk
+              FROM f QUALIFY rnk <= 50),
+            ideal AS (
+              SELECT rel AS irel,
+                     row_number() OVER (ORDER BY rel DESC) AS rnk
+              FROM top)
+            SELECT t.rnk, t.rel,
+                   CAST(floor(t.rel::DOUBLE / log2(t.rnk + 1)
+                              * 1000000.0 + 0.5) AS BIGINT) AS dcg_micro,
+                   CAST(floor(i.irel::DOUBLE / log2(i.rnk + 1)
+                              * 1000000.0 + 0.5) AS BIGINT) AS idcg_micro
+            FROM top t JOIN ideal i USING (rnk)
         """,
         "psi_orders": """
             WITH refc AS (

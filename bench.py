@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "autocorr_events",
     "path_trigrams_events",
     "psi_orders",
+    "ndcg_docs",
 ]
 
 

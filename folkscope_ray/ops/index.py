@@ -256,3 +256,40 @@ def rrf_fuse(ranked: list[Dataset], id_col: str, rank_col: str = "rnk",
     return map_combine_aggregate(scored, keys=[id_col],
                                  sums={"__s": score_alias},
                                  count_alias=lists_alias)
+
+
+def ndcg_at_k(ds: Dataset, id_col: str, score_col: str, rel_col: str,
+              k: int = 50) -> pd.DataFrame:
+    """nDCG@k of a ranking against graded relevance labels — the standard
+    retrieval/eval metric a curation pipeline reports when it reorders
+    documents (by quality, BM25, or a reward model).
+
+    ``DCG = sum_i rel_i / log2(i + 1)`` over the top-k by
+    ``(score DESC, id ASC)`` (a TOTAL order — boundary ties cut
+    identically on both engines); ``IDCG`` uses the ideal ordering of the
+    SAME top-k's relevance grades (the within-window convention, so both
+    engines sort the identical multiset).  Every per-rank term is
+    quantized to integer micro-units before summing (the entropy_docs
+    discipline).  Returns one row per rank ``(rnk, rel, dcg_micro,
+    idcg_micro)`` — column sums give DCG/IDCG, their ratio the nDCG.
+
+    Scale shape: ONE distributed total-order sort with an early limit —
+    the driver only ever holds k rows; relevance grading is part of the
+    upstream scan."""
+
+    top = (ds.select_columns([id_col, score_col, rel_col])
+           .sort([score_col, id_col], descending=[True, False])
+           .limit(k).to_pandas())
+    r = np.arange(1, len(top) + 1, dtype=np.int64)
+    rel = top[rel_col].to_numpy().astype(np.float64)
+    dcg = rel / np.log2(r + 1)
+    ideal = np.sort(rel)[::-1]
+    idcg = ideal / np.log2(r + 1)
+    return pd.DataFrame({
+        "rnk": pd.array(r, dtype="int64"),
+        "rel": pd.array(rel.astype(np.int64), dtype="int64"),
+        "dcg_micro": pd.array(
+            np.floor(dcg * 1e6 + 0.5).astype(np.int64), dtype="int64"),
+        "idcg_micro": pd.array(
+            np.floor(idcg * 1e6 + 0.5).astype(np.int64), dtype="int64"),
+    })

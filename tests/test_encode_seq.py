@@ -358,3 +358,26 @@ def test_frequent_path_ngrams_counts_distinct_keys():
         codes={"view": "v", "click": "c", "purchase": "p"},
         n=3, min_support=2).to_pandas())
     assert out2["gram"].tolist() == ["vcp"]
+
+
+def test_ndcg_at_k_known_values():
+    from folkscope_ray.ops.index import ndcg_at_k
+
+    # scores rank ids 4,3,2,1; rels in that order: 0, 3, 1, 2
+    df = pd.DataFrame({"id": [1, 2, 3, 4],
+                       "score": [10, 20, 30, 40],
+                       "rel": [2, 1, 3, 0]})
+    out = ndcg_at_k(rd.from_pandas(df).repartition(2), "id", "score",
+                    "rel", k=4)
+    assert out["rel"].tolist() == [0, 3, 1, 2]
+    r = np.arange(1, 5)
+    dcg = np.array([0, 3, 1, 2]) / np.log2(r + 1)
+    idcg = np.array([3, 2, 1, 0]) / np.log2(r + 1)
+    assert out["dcg_micro"].tolist() == list(
+        np.floor(dcg * 1e6 + 0.5).astype(int))
+    assert out["idcg_micro"].tolist() == list(
+        np.floor(idcg * 1e6 + 0.5).astype(int))
+    # perfect ordering -> dcg == idcg
+    df2 = pd.DataFrame({"id": [1, 2], "score": [2, 1], "rel": [3, 1]})
+    out2 = ndcg_at_k(rd.from_pandas(df2), "id", "score", "rel", k=2)
+    assert (out2["dcg_micro"] == out2["idcg_micro"]).all()
