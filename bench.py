@@ -4,7 +4,7 @@ Plain run (one JSON line, driver contract):
     RAY_GRAFT_CPUS=32 GRAFT_SF_DIR=/root/testdata/sf0.1 python bench.py
 
 Scaling run (north rule: two parallelism levels in fresh processes):
-    python bench.py --scaling       # 8 vs 32 CPUs on the same input
+    python bench.py --scaling       # 4 vs 16 CPUs (N and 4N) on the same input
 """
 
 from __future__ import annotations
