@@ -388,3 +388,27 @@ def test_population_stability_identical_and_shifted():
     assert out2["psi_micro"].sum() > 250_000
     # current mass all lands in the top bucket
     assert out2["cur_n"].iloc[9] == 2000
+
+
+def test_grouping_sets_counts():
+    from folkscope_ray.ops.window import grouping_sets_counts
+
+    df = pd.DataFrame({"a": ["x", "x", "y"], "b": ["p", "q", "p"],
+                       "v": [1, 2, 4]})
+    out = (grouping_sets_counts(rd.from_pandas(df).repartition(2),
+                                keys=["a", "b"],
+                                sets=[("a",), ("b",), ()],
+                                int_value_col="v", sum_alias="s")
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    recs = {(r.a, r.b): (r.s, r.n) for r in out.itertuples()}
+    assert recs == {
+        ("x", "ALL"): (3, 2), ("y", "ALL"): (4, 1),
+        ("ALL", "p"): (5, 2), ("ALL", "q"): (2, 1),
+        ("ALL", "ALL"): (7, 3),
+    }
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-key"):
+        grouping_sets_counts(rd.from_pandas(df), keys=["a"],
+                             sets=[("b",)], int_value_col="v",
+                             sum_alias="s")
