@@ -3428,6 +3428,54 @@ def _q_ndcg_docs(sf_dir: str):
                      rel_col="rel", k=50)
 
 
+def _q_gap_cv_users(sf_dir: str):
+    """Inter-event burstiness per user: coefficient of variation of the
+    gap-seconds series (bot/burst detection — cv >> 1 means bursty) from
+    exact integer moments: cv = sqrt(n*s2 - s1^2) / s1, one float
+    expression mirrored in SQL (lag_gap + map-combined moments).  Gaps
+    quantize to SECONDS so per-key squares stay far inside int64."""
+    from folkscope_ray.ops.relational import map_combine_aggregate
+    from folkscope_ray.ops.window import lag_gap
+
+    ev = _rp(sf_dir, "events").select_columns(["event_id", "ts", "user_id"])
+    lagged = lag_gap(ev.map_batches(
+        lambda b: b.append_column("value", pc.cast(
+            pa.nulls(b.num_rows, pa.int64()).fill_null(0), pa.int64())),
+        batch_format="pyarrow"),
+        key_col="user_id", order_cols=["ts", "event_id"], value_col="value",
+        ts_us_col="ts")
+
+    def gsec(b: pa.Table) -> pa.Table:
+        g = b.column("gap_us").to_numpy(zero_copy_only=False)
+        keep = g != -1
+        gs = g[keep] // 1_000_000
+        return pa.table({
+            "user_id": b.column("user_id").filter(pa.array(keep)),
+            "g": pa.array(gs, pa.int64()),
+            "g2": pa.array(gs * gs, pa.int64()),
+        })
+
+    m = map_combine_aggregate(
+        lagged.map_batches(gsec, batch_format="pyarrow"),
+        keys=["user_id"], sums={"g": "s1", "g2": "s2"}, count_alias="n")
+
+    def cv(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        s1 = b.column("s1").to_numpy(zero_copy_only=False)
+        s2 = b.column("s2").to_numpy(zero_copy_only=False)
+        keep = (n >= 2) & (s1 > 0)
+        n, s1, s2 = n[keep], s1[keep], s2[keep]
+        out = np.sqrt((n * s2 - s1 * s1).astype(np.float64)) / s1
+        return pa.table({
+            "user_id": b.column("user_id").filter(pa.array(keep)),
+            "n_gaps": pa.array(n, pa.int64()),
+            "sum_gap_s": pa.array(s1, pa.int64()),
+            "cv": pa.array(out, pa.float64()),
+        })
+
+    return m.map_batches(cv, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3475,12 +3523,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
     #            asof_forward / intersect / chi2 / gini / autocorr /
-    #            path_trigrams / psi / ndcg) — each pre-validated at
-    #            sf0.001 AND
+    #            path_trigrams / psi / ndcg / gap_cv) — each
+    #            pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 33 third-session = 190)
+    #            validation + 13 second-batch + 34 third-session = 191)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3561,6 +3609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "path_trigrams_events": _q_path_trigrams_events,
         "psi_orders": _q_psi_orders,
         "ndcg_docs": _q_ndcg_docs,
+        "gap_cv_users": _q_gap_cv_users,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4360,6 +4409,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "gap_cv_users": """
+            WITH l AS (
+              SELECT user_id,
+                     (epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id))
+                       AS gap_us
+              FROM events),
+            g AS (SELECT user_id, (gap_us // 1000000)::BIGINT AS g
+                  FROM l WHERE gap_us IS NOT NULL),
+            m AS (SELECT user_id, count(*) AS n, sum(g)::BIGINT AS s1,
+                         sum(g*g)::BIGINT AS s2
+                  FROM g GROUP BY user_id)
+            SELECT user_id, n AS n_gaps, s1 AS sum_gap_s,
+                   sqrt(CAST(n*s2 - s1*s1 AS DOUBLE)) / s1 AS cv
+            FROM m WHERE n >= 2 AND s1 > 0
         """,
         "ndcg_docs": """
             WITH f AS (

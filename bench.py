@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "path_trigrams_events",
     "psi_orders",
     "ndcg_docs",
+    "gap_cv_users",
 ]
 
 

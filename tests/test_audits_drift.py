@@ -412,3 +412,26 @@ def test_grouping_sets_counts():
         grouping_sets_counts(rd.from_pandas(df), keys=["a"],
                              sets=[("b",)], int_value_col="v",
                              sum_alias="s")
+
+
+def test_gap_cv_matches_reference():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_test", "__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = (mod.queries()["gap_cv_users"]("/root/testdata/sf0.001")
+           .to_pandas().set_index("user_id"))
+    # reference: pandas per-user gap CV on the same data
+    import pyarrow.parquet as pq
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pandas()
+    ev = ev.sort_values(["user_id", "ts", "event_id"])
+    g = (ev["ts"].astype("datetime64[us]").astype("int64")
+         .groupby(ev["user_id"]).diff().dropna() // 1_000_000).astype(int)
+    for uid, gg in g.groupby(ev["user_id"]):
+        n, s1, s2 = len(gg), int(gg.sum()), int((gg * gg).sum())
+        if n >= 2 and s1 > 0:
+            exp = (n * s2 - s1 * s1) ** 0.5 / s1
+            assert out.loc[uid, "cv"] == exp
