@@ -3476,6 +3476,39 @@ def _q_gap_cv_users(sf_dir: str):
     return m.map_batches(cv, batch_format="pyarrow")
 
 
+def _q_fleiss_kappa_docs(sf_dir: str):
+    """Fleiss' kappa across THREE deterministic binary labelers (is-en,
+    is-long, is-token-rich) — multi-rater agreement from three exact
+    integer totals, closed form mirrored in SQL
+    (ops/stats.py fleiss_kappa_binary)."""
+    from folkscope_ray.ops.stats import fleiss_kappa_binary
+
+    def flags(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern_regex(
+            pc.utf8_lower(b.column("text")), "[^a-z0-9]+")
+        la = (lists.combine_chunks()
+              if isinstance(lists, pa.ChunkedArray) else lists)
+        flat = la.flatten()
+        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        off = la.offsets.to_numpy().astype(np.int64)
+        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))
+        nt = np.bincount(doc_of[keep], minlength=b.num_rows)
+        nc = b.column("n_chars").to_numpy(zero_copy_only=False)
+        en = pc.equal(b.column("lang"), pa.scalar("en")).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "r1": pa.array(en.astype(np.int64), pa.int64()),
+            "r2": pa.array((nc >= 310).astype(np.int64), pa.int64()),
+            "r3": pa.array((nt >= 56).astype(np.int64), pa.int64()),
+        })
+
+    return fleiss_kappa_binary(
+        _rp(sf_dir, "documents").select_columns(["text", "lang", "n_chars"])
+        .map_batches(flags, batch_format="pyarrow"),
+        rater_cols=["r1", "r2", "r3"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Rotation policy (matches reality; the driver checks the FIRST 50
     # entries each round):
@@ -3523,12 +3556,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #            quota_topk / global_rank / quantile_normalize /
     #            fuzzy_decontam / bernoulli_sample / pareto_front /
     #            asof_forward / intersect / chi2 / gini / autocorr /
-    #            path_trigrams / psi / ndcg / gap_cv) — each
-    #            pre-validated at sf0.001 AND
+    #            path_trigrams / psi / ndcg / gap_cv / fleiss_kappa) —
+    #            each pre-validated at sf0.001 AND
     #            sf0.01, kept out of the r4 window so the changed-path
     #            kg_* queries keep their slots), and whatever r5 adds or
     #            changes.  The ENTIRE registry (144 at closing-session
-    #            validation + 13 second-batch + 34 third-session = 191)
+    #            validation + 13 second-batch + 35 third-session = 192)
     #            is DuckDB-green at sf0.01: one full 153-query pass, one
     #            full 174-query pass (third session), plus each later
     #            insertion individually at sf0.001 AND sf0.01.
@@ -3610,6 +3643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "psi_orders": _q_psi_orders,
         "ndcg_docs": _q_ndcg_docs,
         "gap_cv_users": _q_gap_cv_users,
+        "fleiss_kappa_docs": _q_fleiss_kappa_docs,
         "negative_sample_lineitem": _q_negative_sample_lineitem,
         "cohens_kappa_docs": _q_cohens_kappa_docs,
         "split_leakage_docs": _q_split_leakage_docs,
@@ -4409,6 +4443,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, count(*)::BIGINT AS n_kept,
                    string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup
             FROM keepers GROUP BY doc_id
+        """,
+        "fleiss_kappa_docs": """
+            WITH f AS (
+              SELECT (CASE WHEN lang = 'en' THEN 1 ELSE 0 END
+                      + CASE WHEN n_chars >= 310 THEN 1 ELSE 0 END
+                      + CASE WHEN len(regexp_extract_all(lower(text),
+                                                         '[a-z0-9]+')) >= 56
+                             THEN 1 ELSE 0 END)::BIGINT AS k
+              FROM documents),
+            t AS (SELECT count(*)::BIGINT AS n, sum(k)::BIGINT AS sk,
+                         sum(k*k + (3-k)*(3-k))::BIGINT AS ss2
+                  FROM f)
+            SELECT n AS n_items, sk AS sum_pos, ss2 AS sum_sq,
+                   (((ss2 - 3*n) / (6*n))
+                    - ((1 - sk / (3*n)) * (1 - sk / (3*n))
+                       + (sk / (3*n)) * (sk / (3*n))))
+                   / (1 - ((1 - sk / (3*n)) * (1 - sk / (3*n))
+                           + (sk / (3*n)) * (sk / (3*n)))) AS kappa
+            FROM t
         """,
         "gap_cv_users": """
             WITH l AS (

@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "psi_orders",
     "ndcg_docs",
     "gap_cv_users",
+    "fleiss_kappa_docs",
 ]
 
 

@@ -1053,3 +1053,52 @@ def population_stability(ref: Dataset, cur: Dataset, int_value_col: str,
             np.floor(term * 1e6 + 0.5).astype(np.int64), dtype="int64"),
     })
     return out
+
+
+def fleiss_kappa_binary(ds: Dataset, rater_cols: list[str],
+                        alias: str = "kappa") -> pd.DataFrame:
+    """Fleiss' kappa for n binary raters (0/1 int columns) — the
+    multi-rater generalization of :func:`cohens_kappa`, the agreement gate
+    when SEVERAL heuristic labelers vote on the same rows.
+
+    With r raters and per-item positive count k:
+    ``P_i = (k^2 + (r-k)^2 - r) / (r(r-1))``, ``p1 = sum k / (rN)``,
+    ``Pe = p0^2 + p1^2``, ``kappa = (Pbar - Pe) / (1 - Pe)`` — all from
+    THREE exact integer totals (N, sum k, sum of squared cell counts),
+    gathered by one stateless scan + a narrow combine; the float closed
+    form is mirrored term-for-term in SQL."""
+    from .relational import map_combine_aggregate
+
+    r = len(rater_cols)
+    if r < 2:
+        raise ValueError("fleiss_kappa_binary needs >= 2 rater columns")
+
+    def per_item(b: pa.Table) -> pa.Table:
+        k = np.zeros(b.num_rows, dtype=np.int64)
+        for c in rater_cols:
+            k += b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+        s2 = k * k + (r - k) * (r - k)
+        one = np.ones(b.num_rows, np.int64)
+        return pa.table({"__g": pa.array(one, pa.int64()),
+                         "k": pa.array(k, pa.int64()),
+                         "s2": pa.array(s2, pa.int64()),
+                         "one": pa.array(one, pa.int64())})
+
+    tot = map_combine_aggregate(
+        ds.select_columns(rater_cols).map_batches(
+            per_item, batch_format="pyarrow"),
+        keys=["__g"], sums={"k": "sk", "s2": "ss2", "one": "n"},
+    ).to_pandas()
+    n = int(tot["n"].iloc[0])
+    sk = int(tot["sk"].iloc[0])
+    ss2 = int(tot["ss2"].iloc[0])
+    pbar = (ss2 - r * n) / (r * (r - 1) * n)
+    p1 = sk / (r * n)
+    pe = (1 - p1) * (1 - p1) + p1 * p1
+    kappa = (pbar - pe) / (1 - pe) if pe != 1 else 1.0
+    return pd.DataFrame({
+        "n_items": pd.array([n], dtype="int64"),
+        "sum_pos": pd.array([sk], dtype="int64"),
+        "sum_sq": pd.array([ss2], dtype="int64"),
+        alias: [kappa],
+    })

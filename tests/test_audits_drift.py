@@ -435,3 +435,24 @@ def test_gap_cv_matches_reference():
         if n >= 2 and s1 > 0:
             exp = (n * s2 - s1 * s1) ** 0.5 / s1
             assert out.loc[uid, "cv"] == exp
+
+
+def test_fleiss_kappa_binary_extremes():
+    from folkscope_ray.ops.stats import fleiss_kappa_binary
+
+    # perfect agreement (mixed marginals) -> kappa == 1
+    df = pd.DataFrame({"r1": [1, 0, 1, 0], "r2": [1, 0, 1, 0],
+                       "r3": [1, 0, 1, 0]})
+    out = fleiss_kappa_binary(rd.from_pandas(df).repartition(2),
+                              ["r1", "r2", "r3"])
+    assert out["kappa"].iloc[0] == 1.0
+    # independent coin raters -> near 0
+    rng = np.random.default_rng(6)
+    df2 = pd.DataFrame({c: rng.integers(0, 2, 3000)
+                        for c in ("r1", "r2", "r3")})
+    out2 = fleiss_kappa_binary(rd.from_pandas(df2), ["r1", "r2", "r3"])
+    assert abs(out2["kappa"].iloc[0]) < 0.05
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        fleiss_kappa_binary(rd.from_pandas(df), ["r1"])
