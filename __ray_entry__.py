@@ -2962,16 +2962,19 @@ def _q_split_leakage_docs(sf_dir: str):
     map-combined per-(hash, split) counts).  The synthetic corpus has no
     exact duplicates, so recrawl clones are PLANTED in-query (every 7th
     doc re-appears under a new id — the fk_violations/except precedent),
-    guaranteeing the audit has real leaks to find."""
+    guaranteeing the audit has real leaks to find.  Clone ids offset by
+    max(doc_id) + 1 (computed identically in SQL), so they can never
+    collide with a real id at ANY scale factor."""
     from folkscope_ray.ops.split import split_leakage
 
     docs = _rp(sf_dir, "documents").select_columns(["doc_id", "text"])
+    offset = int(docs.max("doc_id")) + 1
 
     def clones(b: pa.Table) -> pa.Table:
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         t = b.filter(pa.array(ids % 7 == 0))
         return pa.table({
-            "doc_id": pc.add(t.column("doc_id"), 100_000),
+            "doc_id": pc.add(t.column("doc_id"), offset),
             "text": t.column("text"),
         })
 
@@ -3036,6 +3039,8 @@ def _q_negative_sample_lineitem(sf_dir: str):
     from folkscope_ray.ops.encode import negative_sample_pairs
 
     n_parts = _rp(sf_dir, "part").count()
+    # item_base=0: the synthetic p_partkey range is [0, n_parts) —
+    # verified 0-based, unlike classic 1-based TPC-H
     return negative_sample_pairs(
         _rp(sf_dir, "lineitem").select_columns(["l_suppkey", "l_partkey"]),
         user_col="l_suppkey", item_col="l_partkey",
@@ -4889,8 +4894,9 @@ def oracle_sql() -> dict[str, str]:
             WITH corpus AS (
               SELECT doc_id, text FROM documents
               UNION ALL
-              SELECT doc_id + 100000 AS doc_id, text FROM documents
-              WHERE doc_id % 7 = 0),
+              SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents)
+                       AS doc_id, text
+              FROM documents WHERE doc_id % 7 = 0),
             s AS (
               SELECT md5(text) AS content_hash,
                      CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < 'cc'

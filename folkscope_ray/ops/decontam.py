@@ -138,7 +138,7 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
     import pyarrow.compute as pc
 
     from .relational import map_combine_aggregate
-    from .setjoin import _popcount_rows
+    from .setjoin import _POP8, _popcount_rows
 
     def toks(b: pa.Table) -> pa.Table:
         lists = pc.split_pattern_regex(
@@ -225,7 +225,7 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
             inter = np.zeros((len(lids), en - st), dtype=np.int64)
             for wi in range(w):
                 andm = lm[:, wi:wi + 1] & rm[None, st:en, wi]
-                inter += _POP8_XJ[andm.view(np.uint8)].reshape(
+                inter += _POP8[andm.view(np.uint8)].reshape(
                     len(lids), en - st, 8).sum(axis=2, dtype=np.int64)
             uni = llen[:, None] + rlen[None, st:en] - inter
             hit = (t_den * inter >= t_num * uni) & (uni > 0)
@@ -256,8 +256,3 @@ def _mask_matrix(col, w: int):
     flat = col.flatten().to_numpy(zero_copy_only=False)
     return np.ascontiguousarray(flat.reshape(len(col), w)).view(np.uint64)
 
-
-import numpy as _np_xj
-
-_POP8_XJ = _np_xj.array([bin(i).count("1") for i in range(256)],
-                        dtype=_np_xj.uint8)

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
+from ..util import broadcast_cache_put
 from .split import _md5_digests
 
 _BUCKET_POW = (256 ** np.arange(5, -1, -1)).astype(np.int64)  # 6 bytes, BE
@@ -180,7 +181,7 @@ def ordinal_encode(ds: Dataset, cols: list[str],
         idxs = _VOCAB_CACHE.get(key)
         if idxs is None:
             idxs = {c: pd.Index(v) for c, v in ray.get(ref).items()}
-            _VOCAB_CACHE[key] = idxs
+            broadcast_cache_put(_VOCAB_CACHE, key, idxs)
         for c in cols:
             arr = b.column(c).to_pandas().to_numpy()
             pos = idxs[c].get_indexer(arr)

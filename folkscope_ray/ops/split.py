@@ -420,10 +420,16 @@ def trimmed_mean_by_key(ds: Dataset, key_col: str, int_value_col: str,
 
     from .relational import hash_join, map_combine_aggregate
 
+    if not lo < hi:
+        raise ValueError("trimmed_mean_by_key needs lo < hi "
+                         "(for a single quantile use quantiles_by_key)")
     bounds = quantiles_by_key(ds, key_col, int_value_col, [lo, hi])
-    wide = bounds.pivot_table(index=key_col, columns="q", values="value",
-                              aggfunc="first").reset_index()
-    wide.columns = [key_col, "__lo", "__hi"]
+    piv = bounds.pivot_table(index=key_col, columns="q", values="value",
+                             aggfunc="first")
+    # select by LABEL, not position — q column order must not matter
+    wide = pd.DataFrame({key_col: piv.index,
+                         "__lo": piv[float(lo)].to_numpy(),
+                         "__hi": piv[float(hi)].to_numpy()})
     joined = hash_join(
         ds.select_columns([key_col, int_value_col]),
         _rd.from_pandas(wide), on=key_col)

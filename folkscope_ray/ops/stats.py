@@ -775,11 +775,18 @@ def ks_statistic(ds: Dataset, group_col: str, int_value_col: str,
         ds.select_columns([group_col, int_value_col])
         .map_batches(tag, batch_format="pyarrow"),
         keys=["v"], sums={"g1": "c1", "g2": "c2"},
-    ).to_pandas().sort_values("v").reset_index(drop=True)
+    ).to_pandas()
+    if not len(hist):
+        # neither group present (mistyped label / empty stream)
+        return pd.DataFrame({"n1": pd.array([0], dtype="int64"),
+                             "n2": pd.array([0], dtype="int64"),
+                             "d_num": pd.array([0], dtype="int64"),
+                             "ks": [0.0]})
+    hist = hist.sort_values("v").reset_index(drop=True)
     f1 = hist["c1"].cumsum().to_numpy().astype(np.int64)
     f2 = hist["c2"].cumsum().to_numpy().astype(np.int64)
     n1, n2 = int(f1[-1]), int(f2[-1])
-    d_num = int(np.abs(f1 * n2 - f2 * n1).max()) if len(hist) else 0
+    d_num = int(np.abs(f1 * n2 - f2 * n1).max())
     return pd.DataFrame({
         "n1": pd.array([n1], dtype="int64"),
         "n2": pd.array([n2], dtype="int64"),
@@ -803,7 +810,11 @@ def cohens_kappa(ds: Dataset, a_col: str, b_col: str) -> pd.DataFrame:
         ds.select_columns([a_col, b_col]),
         keys=[a_col, b_col], count_alias="c",
     ).to_pandas()
-    n = int(cells["c"].sum())
+    n = int(cells["c"].sum()) if len(cells) else 0
+    if n == 0:
+        return pd.DataFrame({c: pd.array([0], dtype="int64")
+                             for c in ("n", "n00", "n01", "n10", "n11")}
+                            ).assign(kappa=[0.0])
 
     def cell(a, b):
         m = cells[(cells[a_col] == a) & (cells[b_col] == b)]
@@ -970,6 +981,12 @@ def gini_coefficient(ds: Dataset, key_col: str, int_value_col: str,
     tot = (ranked.map_batches(prod, batch_format="pyarrow")
            .aggregate(Sum("rv", alias_name="rv"), Sum("v", alias_name="v"),
                       Sum("one", alias_name="n")))
+    if tot is None or tot.get("n") is None:
+        return pd.DataFrame({"n_keys": pd.array([0], dtype="int64"),
+                             "sum_v": pd.array([0], dtype="int64"),
+                             "weighted_rank_sum": pd.array([0],
+                                                           dtype="int64"),
+                             alias: [0.0]})
     n, sv, rv = int(tot["n"]), int(tot["v"]), int(tot["rv"])
     # rv <= n * sv, so this post-hoc bound proves no int64 wrap occurred
     # in the distributed rank*v sums (n and sv themselves are exact)
@@ -1089,6 +1106,11 @@ def fleiss_kappa_binary(ds: Dataset, rater_cols: list[str],
             per_item, batch_format="pyarrow"),
         keys=["__g"], sums={"k": "sk", "s2": "ss2", "one": "n"},
     ).to_pandas()
+    if not len(tot):
+        return pd.DataFrame({"n_items": pd.array([0], dtype="int64"),
+                             "sum_pos": pd.array([0], dtype="int64"),
+                             "sum_sq": pd.array([0], dtype="int64"),
+                             alias: [0.0]})
     n = int(tot["n"].iloc[0])
     sk = int(tot["sk"].iloc[0])
     ss2 = int(tot["ss2"].iloc[0])

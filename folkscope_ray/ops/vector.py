@@ -219,8 +219,9 @@ def medoid_by_key(ds: Dataset, key_col: str, vec_col: str, id_col: str,
 
     def sum_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
-                             "vsum": pa.array([], pa.list_(pa.int64()))})
+            return pa.table({
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                "vsum": pa.array([], pa.list_(pa.int64()))})
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         q = np.round(_as_matrix(batch.column(vec_col)) * scale).astype(
             np.int64)
@@ -239,9 +240,10 @@ def medoid_by_key(ds: Dataset, key_col: str, vec_col: str, id_col: str,
 
     def best_partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table({key_col: pa.array([], pa.int64()),
-                             id_col: pa.array([], pa.int64()),
-                             "dot": pa.array([], pa.int64())})
+            return pa.table({
+                key_col: pa.array([], batch.schema.field(key_col).type),
+                id_col: pa.array([], batch.schema.field(id_col).type),
+                "dot": pa.array([], pa.int64())})
         sv = ray.get(ref)
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)

@@ -923,6 +923,24 @@ def grouping_sets_counts(ds: Dataset, keys: list[str],
         bad = [c for c in s if c not in keys]
         if bad:
             raise ValueError(f"grouping set {s} has non-key columns {bad}")
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name not in keys:
+            continue
+        # schema types are Arrow DataTypes for Arrow-backed datasets but
+        # plain Python/numpy dtypes for pandas-backed ones — accept the
+        # string-ish forms of both
+        if isinstance(typ, pa.DataType):
+            ok = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        else:
+            ok = typ is object or str(typ) in ("object", "string", "str")
+        if not ok:
+            # the sentinel is a STRING; writing it into an int key column
+            # would produce a mixed object column that Arrow rejects
+            raise TypeError(
+                f"grouping_sets_counts: key column {name!r} is {typ} — the "
+                f"{all_sentinel!r} sentinel requires string keys; cast the "
+                "column to string upstream")
 
     finest = map_combine_aggregate(
         ds.select_columns(keys + [int_value_col]),

@@ -456,3 +456,40 @@ def test_fleiss_kappa_binary_extremes():
 
     with _pytest.raises(ValueError):
         fleiss_kappa_binary(rd.from_pandas(df), ["r1"])
+
+
+def test_grouping_sets_rejects_int_keys():
+    from folkscope_ray.ops.window import grouping_sets_counts
+    import pyarrow as pa
+    import ray.data as _rd
+    import pytest as _pytest
+
+    t = pa.table({"k": pa.array([1, 2], pa.int64()),
+                  "v": pa.array([1, 2], pa.int64())})
+    with _pytest.raises(TypeError, match="string keys"):
+        grouping_sets_counts(_rd.from_arrow(t), keys=["k"],
+                             sets=[()], int_value_col="v", sum_alias="s")
+
+
+def test_empty_input_guards():
+    from folkscope_ray.ops.stats import (
+        cohens_kappa,
+        fleiss_kappa_binary,
+        gini_coefficient,
+        ks_statistic,
+    )
+
+    empty2 = pd.DataFrame({"a": pd.array([], dtype="int64"),
+                           "b": pd.array([], dtype="int64")})
+    assert cohens_kappa(rd.from_pandas(empty2), "a", "b")["n"].iloc[0] == 0
+    e3 = pd.DataFrame({c: pd.array([], dtype="int64")
+                       for c in ("r1", "r2", "r3")})
+    assert fleiss_kappa_binary(rd.from_pandas(e3),
+                               ["r1", "r2", "r3"])["n_items"].iloc[0] == 0
+    ek = pd.DataFrame({"k": pd.array([], dtype="int64"),
+                       "v": pd.array([], dtype="int64")})
+    assert gini_coefficient(rd.from_pandas(ek), "k", "v")["gini"].iloc[0] == 0.0
+    # ks with absent group labels
+    df = pd.DataFrame({"g": ["z", "z"], "v": [1, 2]})
+    out = ks_statistic(rd.from_pandas(df), "g", "v", "a", "b")
+    assert out["ks"].iloc[0] == 0.0 and out["n1"].iloc[0] == 0
