@@ -4461,11 +4461,18 @@ def oracle_sql() -> dict[str, str]:
                          sum(k*k + (3-k)*(3-k))::BIGINT AS ss2
                   FROM f)
             SELECT n AS n_items, sk AS sum_pos, ss2 AS sum_sq,
-                   (((ss2 - 3*n) / (6*n))
-                    - ((1 - sk / (3*n)) * (1 - sk / (3*n))
-                       + (sk / (3*n)) * (sk / (3*n))))
-                   / (1 - ((1 - sk / (3*n)) * (1 - sk / (3*n))
-                           + (sk / (3*n)) * (sk / (3*n)))) AS kappa
+                   -- pe = 1 (all raters unanimous on every item) is 0/0 in
+                   -- the raw formula; the engine returns kappa = 1.0 there,
+                   -- so the oracle mirrors the branch explicitly
+                   CASE WHEN ((1 - sk / (3*n)) * (1 - sk / (3*n))
+                              + (sk / (3*n)) * (sk / (3*n))) = 1
+                        THEN 1.0
+                        ELSE (((ss2 - 3*n) / (6*n))
+                              - ((1 - sk / (3*n)) * (1 - sk / (3*n))
+                                 + (sk / (3*n)) * (sk / (3*n))))
+                             / (1 - ((1 - sk / (3*n)) * (1 - sk / (3*n))
+                                     + (sk / (3*n)) * (sk / (3*n))))
+                   END AS kappa
             FROM t
         """,
         "gap_cv_users": """
@@ -4860,12 +4867,18 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT AS n11
               FROM f)
             SELECT n, n00, n01, n10, n11,
-                   (((n00 + n11) / n)
-                    - (((n00 + n01) * (n00 + n10)
-                        + (n10 + n11) * (n01 + n11)) / (n * n)))
-                   / (1 - (((n00 + n01) * (n00 + n10)
-                            + (n10 + n11) * (n01 + n11)) / (n * n)))
-                     AS kappa
+                   -- pe = 1 (all labels identical) is 0/0 in the raw
+                   -- formula; the engine returns kappa = 1.0 there, so the
+                   -- oracle mirrors the branch explicitly
+                   CASE WHEN (((n00 + n01) * (n00 + n10)
+                              + (n10 + n11) * (n01 + n11)) / (n * n)) = 1
+                        THEN 1.0
+                        ELSE (((n00 + n11) / n)
+                              - (((n00 + n01) * (n00 + n10)
+                                  + (n10 + n11) * (n01 + n11)) / (n * n)))
+                             / (1 - (((n00 + n01) * (n00 + n10)
+                                      + (n10 + n11) * (n01 + n11)) / (n * n)))
+                   END AS kappa
             FROM c
         """,
         "twohop_parts": """

@@ -505,6 +505,25 @@ def salted_aggregate(ds: Dataset, key: str, value: str, n_salts: int = 16) -> Da
     )
 
 
+def _epoch_window_start(ts_col_arr, window_s: int):
+    """Exact event-time window start (seconds, int64) from a timestamp
+    column: floor(epoch_us / (window_s * 1e6)) * window_s in ONE int64
+    floor division.  pc.divide on int64 truncates toward zero, which for
+    pre-1970 (negative) timestamps rounds UP and lands events in the wrong
+    window vs SQL's FLOOR(epoch/window); the negative-adjust trick
+    (subtract d-1 before the truncating divide) makes it a true floor for
+    both signs with no float round-trip."""
+    import pyarrow.compute as pc
+
+    us = pc.cast(pc.cast(ts_col_arr, pa.timestamp("us")), pa.int64())
+    d = int(window_s) * 1_000_000
+    adj = pc.if_else(pc.less(us, pa.scalar(0, pa.int64())),
+                     pa.scalar(d - 1, pa.int64()),
+                     pa.scalar(0, pa.int64()))
+    q = pc.divide(pc.subtract(us, adj), pa.scalar(d, pa.int64()))
+    return pc.multiply(q, pa.scalar(int(window_s), pa.int64()))
+
+
 def tumbling_window(events: Dataset, ts_col: str, key_col: str,
                     value_col: str, window_s: int) -> Dataset:
     """Per-key tumbling event-time windows: (key, window_start, n, sum, mean).
@@ -514,14 +533,11 @@ def tumbling_window(events: Dataset, ts_col: str, key_col: str,
     stream-replay job would use."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        # normalize to us first: pandas-native ns timestamps would otherwise
-        # yield millisecond-granularity "seconds" and per-event windows
-        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
-        secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
-        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+        # _epoch_window_start normalizes to us first: pandas-native ns
+        # timestamps would otherwise yield millisecond-granularity
+        # "seconds" and per-event windows
+        win = _epoch_window_start(batch.column(ts_col), window_s)
+        return batch.append_column("window_start", win)
 
     # (key, window) groupby via map-side combine: each block collapses to
     # one partial row per in-block group, and the data-tied auto gate picks
@@ -558,12 +574,8 @@ def windowed_distinct(events: Dataset, ts_col: str, key_col: str,
     Output: (window_start, n_distinct)."""
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        ts = pc.cast(batch.column(ts_col), pa.timestamp("us"))
-        secs = pc.divide(pc.cast(ts, pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(secs, window_s)), window_s)
-        t = pa.table({"window_start": pc.cast(win, pa.int64()),
+        win = _epoch_window_start(batch.column(ts_col), window_s)
+        t = pa.table({"window_start": win,
                       key_col: batch.column(key_col)})
         return t.group_by(["window_start", key_col]).aggregate([])
 

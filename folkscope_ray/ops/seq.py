@@ -103,6 +103,11 @@ def frequent_path_ngrams(ds: Dataset, key_col: str, order_cols: list[str],
     for v in codes.values():
         if len(v) != 1 or ord(v) > 127:
             raise ValueError("codes must be single ASCII chars")
+    if len(default_code) != 1 or ord(default_code) > 127:
+        # same contract seq_match enforces: a non-ASCII default would crash
+        # .encode("ascii") inside a remote task, and a multi-char default
+        # would silently corrupt the fixed-width n-gram windows
+        raise ValueError("default_code must be a single ASCII char")
     pw = (256 ** np.arange(n - 1, -1, -1)).astype(np.int64)
 
     def body(g: pd.DataFrame) -> pd.DataFrame:

@@ -786,6 +786,13 @@ def ks_statistic(ds: Dataset, group_col: str, int_value_col: str,
     f1 = hist["c1"].cumsum().to_numpy().astype(np.int64)
     f2 = hist["c2"].cumsum().to_numpy().astype(np.int64)
     n1, n2 = int(f1[-1]), int(f2[-1])
+    # every |f1*n2 - f2*n1| term is bounded by n1*n2 (f1 <= n1, f2 <= n2),
+    # so this pre-check proves the numpy int64 products below cannot wrap
+    # (the gini_coefficient post-hoc-bound discipline)
+    if n1 * n2 >= 2 ** 63:
+        raise ValueError(
+            "ks_statistic: n1 * n2 >= 2^63 — the integer D numerator "
+            "would overflow int64; subsample either group")
     d_num = int(np.abs(f1 * n2 - f2 * n1).max())
     return pd.DataFrame({
         "n1": pd.array([n1], dtype="int64"),

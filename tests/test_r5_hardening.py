@@ -1,0 +1,166 @@
+"""Round-5 hardening: pins for the four r4 ADVICE findings.
+
+1. ks_statistic overflow guard (stats.py) — n1*n2 >= 2^63 must raise, not
+   silently wrap the int64 D numerator.
+2. frequent_path_ngrams default_code validation (seq.py) — non-ASCII or
+   multi-char defaults must raise up front, same contract as seq_match.
+3. cohens_kappa / fleiss_kappa_binary pe == 1 — engine returns 1.0 and the
+   committed oracle SQL must mirror the branch (no 0/0 NULL divergence).
+4. tumbling_window / windowed_distinct floor-division — pre-1970
+   (negative) timestamps land in the FLOOR(epoch/w) window, matching SQL.
+"""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+
+# ------------------------------------------------------ ks overflow guard
+
+def test_ks_statistic_overflow_guard(monkeypatch):
+    from folkscope_ray.ops import relational, stats
+
+    big = int(np.sqrt(2 ** 63)) + 1  # big * big >= 2^63
+
+    class FakeAgg:
+        def to_pandas(self):
+            return pd.DataFrame({"v": [0, 1],
+                                 "c1": [big, 0], "c2": [0, big]})
+
+    monkeypatch.setattr(relational, "map_combine_aggregate",
+                        lambda *a, **k: FakeAgg())
+    ds = rd.from_pandas(pd.DataFrame({"g": ["a", "b"], "v": [0, 1]}))
+    with pytest.raises(ValueError, match="2\\^63"):
+        stats.ks_statistic(ds, "g", "v", "a", "b")
+
+
+def test_ks_statistic_small_unchanged():
+    from folkscope_ray.ops.stats import ks_statistic
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "g": ["a"] * 4 + ["b"] * 4,
+        "v": [1, 2, 3, 4, 3, 4, 5, 6],
+    }))
+    out = ks_statistic(ds, "g", "v", "a", "b")
+    # F_a - F_b maximal at v=2: |2*4 - 0*4| = 8, D = 8/16 = 0.5
+    assert int(out["d_num"].iloc[0]) == 8
+    assert out["ks"].iloc[0] == pytest.approx(0.5)
+
+
+# ------------------------------------------------- default_code validation
+
+def test_path_ngrams_rejects_bad_default_code():
+    from folkscope_ray.ops.seq import frequent_path_ngrams
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 1], "t": [1, 2, 3], "c": ["a", "b", "a"]}))
+    for bad in ("", "xy", "é"):
+        with pytest.raises(ValueError, match="default_code"):
+            frequent_path_ngrams(ds, "k", ["t"], "c",
+                                 codes={"a": "A", "b": "B"}, n=2,
+                                 min_support=1, default_code=bad)
+
+
+def test_path_ngrams_default_code_applied():
+    from folkscope_ray.ops.seq import frequent_path_ngrams
+
+    # category "z" has no code -> default "x"; both keys share "Ax"
+    ds = rd.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2, 2], "t": [1, 2, 1, 2],
+        "c": ["a", "z", "a", "z"]}))
+    out = frequent_path_ngrams(ds, "k", ["t"], "c", codes={"a": "A"},
+                               n=2, min_support=2).to_pandas()
+    assert out["gram"].tolist() == ["Ax"]
+    assert out["n_keys"].tolist() == [2]
+
+
+# --------------------------------------------------- kappa pe == 1 branch
+
+def _kappa_oracle(name: str) -> str:
+    import __ray_entry__ as E
+
+    return E.oracle_sql()[name]
+
+
+def test_cohens_kappa_degenerate_matches_oracle_branch(tmp_path):
+    from folkscope_ray.ops.stats import cohens_kappa
+
+    # all labels identical -> pe == 1; engine returns 1.0
+    df = pd.DataFrame({"la": [1] * 8, "lb": [1] * 8})
+    out = cohens_kappa(rd.from_pandas(df), "la", "lb")
+    assert out["kappa"].iloc[0] == 1.0
+    # the committed oracle's CASE WHEN pe=1 branch agrees (run the same
+    # algebra on a degenerate contingency in DuckDB)
+    con = duckdb.connect()
+    row = con.execute("""
+        WITH c AS (SELECT 8::BIGINT n, 0::BIGINT n00, 0::BIGINT n01,
+                          0::BIGINT n10, 8::BIGINT n11)
+        SELECT CASE WHEN (((n00 + n01) * (n00 + n10)
+                          + (n10 + n11) * (n01 + n11)) / (n * n)) = 1
+                    THEN 1.0
+                    ELSE (((n00 + n11) / n)
+                          - (((n00 + n01) * (n00 + n10)
+                              + (n10 + n11) * (n01 + n11)) / (n * n)))
+                         / (1 - (((n00 + n01) * (n00 + n10)
+                                  + (n10 + n11) * (n01 + n11)) / (n * n)))
+               END FROM c""").fetchone()
+    assert row[0] == 1.0
+    # and the registry SQL actually contains the branch
+    assert "CASE WHEN" in _kappa_oracle("cohens_kappa_docs")
+
+
+def test_fleiss_kappa_degenerate_is_one_and_oracle_has_branch():
+    from folkscope_ray.ops.stats import fleiss_kappa_binary
+
+    df = pd.DataFrame({"r1": [1] * 6, "r2": [1] * 6, "r3": [1] * 6})
+    out = fleiss_kappa_binary(rd.from_pandas(df), ["r1", "r2", "r3"])
+    assert out["kappa"].iloc[0] == 1.0
+    assert "CASE WHEN" in _kappa_oracle("fleiss_kappa_docs")
+
+
+# --------------------------------------- negative-timestamp window floors
+
+def test_tumbling_window_negative_timestamps_floor():
+    from folkscope_ray.ops.relational import tumbling_window
+
+    # 1969-12-31 23:30:00 = -1800 s -> window floor(-1800/3600)*3600 = -3600
+    ts = pd.to_datetime([-1800, -3600, 10, 3605], unit="s")
+    df = pd.DataFrame({"ts": ts, "k": ["u"] * 4, "v": [1, 2, 3, 4]})
+    out = (tumbling_window(rd.from_pandas(df), "ts", "k", "v", 3600)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out["window_start"].tolist() == [-3600, 0, 3600]
+    assert out["n_events"].tolist() == [2, 1, 1]
+    # SQL oracle: FLOOR(epoch/3600)*3600 on the same rows
+    con = duckdb.connect()
+    con.register("e", df.assign(ts=df["ts"]))
+    sql = con.execute("""
+        SELECT (FLOOR(epoch(ts) / 3600) * 3600)::BIGINT w, count(*) n
+        FROM e GROUP BY 1 ORDER BY 1""").df()
+    assert sql["w"].tolist() == out["window_start"].tolist()
+    assert sql["n"].tolist() == out["n_events"].tolist()
+
+
+def test_windowed_distinct_negative_timestamps_floor():
+    from folkscope_ray.ops.relational import windowed_distinct
+
+    ts = pd.to_datetime([-1, -3600, 1, 3600], unit="s")
+    df = pd.DataFrame({"ts": ts, "k": ["a", "b", "a", "a"]})
+    out = (windowed_distinct(rd.from_pandas(df), "ts", "k", 3600)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    # -1 s and -3600 s both floor into window -3600 (distinct keys a, b)
+    assert out["window_start"].tolist() == [-3600, 0, 3600]
+    assert out["n_distinct"].tolist() == [2, 1, 1]
+
+
+def test_positive_timestamp_windows_unchanged():
+    from folkscope_ray.ops.relational import tumbling_window
+
+    ts = pd.to_datetime([0, 1799, 1800, 3600], unit="s")
+    df = pd.DataFrame({"ts": ts, "k": ["u"] * 4, "v": [1.0] * 4})
+    out = (tumbling_window(rd.from_pandas(df), "ts", "k", "v", 1800)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out["window_start"].tolist() == [0, 1800, 3600]
+    assert out["n_events"].tolist() == [2, 1, 1]
