@@ -7,30 +7,38 @@ names/titles, near-identical record detection, label canonicalization.
 
 Execution shape (sound and complete, FastSS / deletion-neighborhood):
 
-1. SIGNATURES — every string emits hashes of all variants obtained by
-   deleting <= k characters (k=1: L+1 variants; k=2: O(L^2)).  If
-   lev(a, b) <= k the two deletion neighborhoods intersect (Bocek et al.
-   2007, "Fast Similarity Search in Large Dictionaries"), so bucketing by
-   variant hash NEVER misses a true pair.  Variant hashes are computed in
-   O(L) total per string from prefix/suffix rolling hashes (no variant
+0. EXACT PRE-DEDUP — identical strings collapse to one representative
+   (min id per md5 group) BEFORE signature generation, and the verified
+   representative pairs re-expand to member pairs afterwards (two
+   partitioned joins; intra-group dist-0 pairs from a per-group
+   triangular explode).  This bounds candidate volume by construction:
+   a deletion-variant group holds at most the number of DISTINCT strings
+   within distance k of that variant, so a hot value occupying 50% of the
+   corpus contributes ONE row to candidate generation instead of an
+   O(m^2) in-bucket blow-up (the r4-flagged FastSS residual).  The
+   re-expansion emits exactly the output pairs — O(output), distributed.
+1. SIGNATURES — every distinct string emits hashes of all variants
+   obtained by deleting <= k characters (k=1: L+1 variants; k=2: O(L^2)).
+   If lev(a, b) <= k the two deletion neighborhoods intersect (Bocek et
+   al. 2007, "Fast Similarity Search in Large Dictionaries"), so bucketing
+   by variant hash NEVER misses a true pair.  Variant hashes are computed
+   in O(L) total per string from prefix/suffix rolling hashes (no variant
    string is ever materialized), double-modded into one int64 like
    ops/dedup dup-gram keys (~2^-62 pairwise collision odds).
 2. CANDIDATES — variants co-locate by HASH BUCKET (not one group per
    variant — the tiny-group discipline); one vectorized body per bucket
    emits in-variant (a < b) id pairs via the repeat/arange explode, then
-   pairs dedup with a map-side-combined groupby.  Candidate work is
-   O(sum variant-group^2) — bounded because a variant group is the set of
-   strings within distance k of one deletion variant, not a corpus-scale
-   bucket; a pathological hot variant (e.g. millions of identical short
-   strings) is the operator's documented residual risk — pre-dedup exact
-   duplicates first (ops/dedup.exact) if the corpus has them.
-3. VERIFY — candidates join back to their strings through a broadcast
-   id -> string map (gated by ``FOLKSCOPE_EDITJOIN_BROADCAST_MAX`` rows,
-   default 2M, the neardup gate discipline) and a BATCHED Levenshtein DP
-   verifies all pairs at once: the column-order dependency of the unit-cost
-   DP is folded into a vectorized min-plus prefix scan
-   (``minimum.accumulate`` of cand_j - j, plus j back), so the whole block
-   of pairs advances one DP row per step with zero Python per pair.
+   pairs dedup with a map-side-combined groupby.
+3. VERIFY — two data-tied paths sharing ONE batched kernel
+   (:func:`_pair_dists`: k=1 is a DP-free vectorized check, k=2 a
+   length-band prefilter plus the batched min-plus Levenshtein DP).
+   Under ``FOLKSCOPE_EDITJOIN_BROADCAST_MAX`` distinct strings (default
+   2M) the id -> padded-char-matrix map broadcasts once via ``ray.put``
+   and verify is pure numpy gathers; BEYOND the gate candidates join back
+   to their strings through two partitioned ``hash_join``s (on ``a`` then
+   ``b`` — the canonicalize/neardup beyond-broadcast discipline) and the
+   same kernel runs per joined batch.  Both paths are bit-identical
+   (forced-path ``*_BROADCAST_MAX=0`` pytest).
 
 Reference analogue: none (the reference matches eventualities exactly);
 this is the §2.4 approximate-join extension.  SQL oracle: DuckDB
@@ -44,6 +52,7 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -151,43 +160,80 @@ def batched_levenshtein(a_strs: list[str], b_strs: list[str]) -> np.ndarray:
     return _lev_mat(A, la, B, lb)
 
 
-def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
-                           k: int = 1) -> Dataset:
-    """All (a < b by id) row pairs with Levenshtein(text_a, text_b) <= k.
-    Signatures are implemented for k in {1, 2} (the entity-resolution
-    radii); k=1 verifies DP-free, k=2 through the batched DP kernel.
-    Candidate volume grows with k (the <= k-deletion neighborhood is
-    O(L^k) variants per string) — the standard FastSS trade."""
-    if k not in (1, 2):
-        raise NotImplementedError(
-            "deletion-neighborhood signatures implemented for k in {1, 2}; "
-            "compose with a coarser prefilter for larger radii")
+def _pair_dists(A: np.ndarray, la: np.ndarray, B: np.ndarray,
+                lb: np.ndarray, k: int) -> np.ndarray:
+    """Levenshtein distances (clamped to k+1 when > k) for n row-aligned
+    pairs of EQUAL-WIDTH padded uint32 char matrices — the one verify
+    kernel both the broadcast and the distributed paths call.
 
-    from .relational import map_combine_aggregate
+    k=1 is DP-free, all-numpy — after swapping rows so la <= lb:
+      la == lb : dist <= 1  <=>  hamming <= 1 (a lone substitution);
+      lb-la==1 : dist == 1  <=>  b is a one-char insertion into a,
+                 i.e. chars match up to the first mismatch p and
+                 a[p:] == b[p+1:]  (vectorized shifted comparison);
+      else     : dist > 1.
+    k=2: length-band prefilter, then the batched DP kernel."""
+    n = len(la)
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    if A.shape[1] != B.shape[1]:
+        raise ValueError("_pair_dists needs equal-width matrices")
+    swap = la > lb
+    if swap.any():
+        sw = swap[:, None]
+        A, B = np.where(sw, B, A), np.where(sw, A, B)
+        la, lb = np.where(swap, lb, la), np.where(swap, la, lb)
+    dist = np.full(n, k + 1, dtype=np.int64)
+    dlen = lb - la
+    if k == 1:
+        W1 = A.shape[1]
+        mism = A != B
+        ham = mism.sum(axis=1)
+        eq = dlen == 0
+        dist[eq & (ham <= 1)] = ham[eq & (ham <= 1)]
+        one = dlen == 1
+        if one.any():
+            cols = np.arange(W1)
+            # first mismatch position (la if none — the insertion is
+            # then the trailing char of b and the pair matches)
+            p = np.where(mism[one].any(axis=1),
+                         mism[one].argmax(axis=1), la[one])
+            # a[p:la] must equal b[p+1:lb]  ==  no mismatch between
+            # A[:, j] and B[:, j+1] for p <= j < la
+            sh = A[one][:, :W1 - 1] != B[one][:, 1:]
+            bad = (sh & (cols[:W1 - 1] >= p[:, None])
+                   & (cols[:W1 - 1] < la[one][:, None])).any(axis=1)
+            d1 = dist[one]
+            d1[~bad] = 1
+            dist[one] = d1
+    else:
+        cand = np.flatnonzero(dlen <= k)
+        if len(cand):
+            dist[cand] = _lev_mat(A[cand], la[cand], B[cand], lb[cand])
+    return dist
 
-    limit = int(os.environ.get("FOLKSCOPE_EDITJOIN_BROADCAST_MAX",
-                               2_000_000))
-    strings = ds.select_columns([id_col, text_col]).to_pandas()
-    if len(strings) > limit:
-        raise ValueError(
-            f"corpus exceeds FOLKSCOPE_EDITJOIN_BROADCAST_MAX={limit}; "
-            "shard the corpus (e.g. by length band) and join shards, or "
-            "raise the gate")
-    # broadcast ONE padded uint32 char matrix (id-sorted) — verify is then
-    # pure numpy gathers, no dict and no Python per pair.  Size is bounded
-    # by the gate (rows x max-len x 4B); NUL pad never occurs in real text.
-    order = np.argsort(strings[id_col].to_numpy(), kind="stable")
-    sids = strings[id_col].to_numpy()[order].astype(np.int64)
-    stxt = strings[text_col].to_numpy()[order]
-    slen = np.fromiter((len(t) for t in stxt), dtype=np.int64,
-                       count=len(stxt))
-    W = int(slen.max()) if len(slen) else 1
-    smat = np.zeros((len(stxt), max(W, 1)), dtype=np.uint32)
-    for r, t in enumerate(stxt):
+
+def _char_matrix(texts, W: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n, W) uint32 padded char matrix + int64 lengths for a string
+    sequence (NUL pad never occurs in real text)."""
+    n = len(texts)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64, count=n)
+    mat = np.zeros((n, max(W, 1)), dtype=np.uint32)
+    for r, t in enumerate(texts):
         if t:
-            smat[r, :len(t)] = np.frombuffer(t.encode("utf-32-le"),
-                                             dtype=np.uint32)
-    corpus_ref = ray.put((sids, slen, smat))
+            mat[r, :len(t)] = np.frombuffer(t.encode("utf-32-le"),
+                                            dtype=np.uint32)
+    return mat, lens
+
+
+def _fastss_candidates(strings: Dataset, text_col: str, id_col: str,
+                       k: int, n_buckets: int = 64) -> Dataset:
+    """Stages 1+2: deletion-neighborhood signatures over ``strings``
+    (assumed DISTINCT texts — the pre-dedup contract), bucketed by variant
+    hash, one vectorized triangular explode per bucket -> (a < b) candidate
+    id pairs.  Candidate volume is O(sum over variant groups of group^2)
+    where a group holds only the distinct strings within distance k of one
+    deletion variant — duplicates cannot inflate it."""
 
     def signatures(b: pa.Table) -> pa.Table:
         ids = b.column(id_col).to_numpy(zero_copy_only=False)
@@ -203,8 +249,6 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
             "vkey": pa.array(np.concatenate(keys_l), pa.int64()),
             id_col: pa.array(np.concatenate(ids_l), pa.int64()),
         })
-
-    n_buckets = 64
 
     def add_bucket(b: pa.Table) -> pa.Table:
         g = b.column("vkey").to_numpy(zero_copy_only=False)
@@ -245,69 +289,186 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
         base = np.repeat(starts, npairs)
         return pd.DataFrame({"a": ids[base + i], "b": ids[base + j]})
 
-    cands = (ds.select_columns([id_col, text_col])
-             .map_batches(signatures, batch_format="pyarrow")
-             .map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("__b")
-             .map_groups(bucket_pairs, batch_format="pandas"))
+    return (strings.select_columns([id_col, text_col])
+            .map_batches(signatures, batch_format="pyarrow")
+            .map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("__b")
+            .map_groups(bucket_pairs, batch_format="pandas"))
 
-    def verify(b: pa.Table) -> pa.Table:
-        # k=1: DP-free exact check, all-numpy — after swapping so la <= lb,
-        #   la == lb : dist <= 1  <=>  hamming <= 1 (a lone substitution);
-        #   lb-la==1 : dist == 1  <=>  b is a one-char insertion into a,
-        #              i.e. chars match up to the first mismatch p and
-        #              a[p:] == b[p+1:]  (vectorized shifted comparison);
-        #   else     : dist > 1.
-        # k=2: length-band prefilter, then the batched DP kernel.
-        sids, slen, smat = ray.get(corpus_ref)
-        aa = b.column("a").to_numpy(zero_copy_only=False).astype(np.int64)
-        bb = b.column("b").to_numpy(zero_copy_only=False).astype(np.int64)
-        ai = np.searchsorted(sids, aa)
-        bi = np.searchsorted(sids, bb)
-        la, lb = slen[ai], slen[bi]
-        swap = la > lb
-        ai2 = np.where(swap, bi, ai)
-        bi2 = np.where(swap, ai, bi)
-        la2, lb2 = slen[ai2], slen[bi2]
-        A, B = smat[ai2], smat[bi2]
-        dist = np.full(len(aa), k + 1, dtype=np.int64)
-        dlen = lb2 - la2
-        if k == 1:
-            mism = A != B
-            ham = mism.sum(axis=1)
-            eq = dlen == 0
-            dist[eq & (ham <= 1)] = ham[eq & (ham <= 1)]
-            one = dlen == 1
-            if one.any():
-                W1 = smat.shape[1]
-                cols = np.arange(W1)
-                # first mismatch position (la if none — the insertion is
-                # then the trailing char of b and the pair matches)
-                p = np.where(mism[one].any(axis=1),
-                             mism[one].argmax(axis=1), la2[one])
-                # a[p:la] must equal b[p+1:lb]  ==  no mismatch between
-                # A[:, j] and B[:, j+1] for p <= j < la
-                sh = A[one][:, :W1 - 1] != B[one][:, 1:]
-                bad = (sh & (cols[:W1 - 1] >= p[:, None])
-                       & (cols[:W1 - 1] < la2[one][:, None])).any(axis=1)
-                d1 = dist[one]
-                d1[~bad] = 1
-                dist[one] = d1
-        else:
-            cand = np.flatnonzero(dlen <= k)
-            if len(cand):
-                dist[cand] = _lev_mat(A[cand], la2[cand],
-                                      B[cand], lb2[cand])
-        keep = np.flatnonzero(dist <= k)
-        idx = pa.array(keep, pa.int64())
-        out = b.select(["a", "b"]).take(idx)
-        return out.append_column("dist",
-                                 pa.array(dist[keep], pa.int64()))
+
+def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
+                           k: int = 1) -> Dataset:
+    """All (a < b by id) row pairs with Levenshtein(text_a, text_b) <= k.
+    Signatures are implemented for k in {1, 2} (the entity-resolution
+    radii); k=1 verifies DP-free, k=2 through the batched DP kernel.
+    Candidate volume grows with k (the <= k-deletion neighborhood is
+    O(L^k) variants per string) — the standard FastSS trade.
+
+    Exact duplicates are collapsed automatically before candidate
+    generation and re-expanded after verification, so hot values cannot
+    blow up in-bucket candidate work; the per-group intra expansion emits
+    m(m-1)/2 dist-0 pairs for a duplicate group of size m — that is the
+    operator's OUTPUT, inherent to its contract, not candidate waste."""
+    if k not in (1, 2):
+        raise NotImplementedError(
+            "deletion-neighborhood signatures implemented for k in {1, 2}; "
+            "compose with a coarser prefilter for larger radii")
+
+    from .relational import hash_join, map_combine_aggregate
+    from .split import md5_hex_array
+
+    limit = int(os.environ.get("FOLKSCOPE_EDITJOIN_BROADCAST_MAX",
+                               2_000_000))
+
+    # ---- stage 0: exact pre-dedup (md5 text groups -> min-id rep)
+    def add_gkey(b: pa.Table) -> pa.Table:
+        return b.append_column("__g", md5_hex_array(b.column(text_col)))
+
+    withg = (ds.select_columns([id_col, text_col])
+             .map_batches(add_gkey, batch_format="pyarrow")).materialize()
+    n_rows = withg.count()
+    groups = map_combine_aggregate(
+        withg.select_columns(["__g", id_col]),
+        keys=["__g"], mins={id_col: "__rep"}, count_alias="__gn",
+    ).materialize()
+    n_reps = groups.count()
+
+    if n_reps == n_rows:
+        # no exact duplicates anywhere — every row is its own
+        # representative, so the collapse join and the stage-4 re-expansion
+        # would be identity work; skip both (data-tied, like the join gate)
+        members = None
+        reps = withg.map_batches(
+            lambda b: pa.table({id_col: pc.cast(b.column(id_col),
+                                                pa.int64()),
+                                text_col: b.column(text_col)}),
+            batch_format="pyarrow").materialize()
+    else:
+        members = hash_join(withg, groups, on="__g")
+
+        def rep_rows(b: pa.Table) -> pa.Table:
+            keep = pc.equal(b.column(id_col), b.column("__rep"))
+            t = b.filter(keep)
+            return pa.table({id_col: pc.cast(t.column(id_col), pa.int64()),
+                             text_col: t.column(text_col)})
+
+        reps = members.map_batches(rep_rows, batch_format="pyarrow") \
+            .materialize()
+
+    # ---- stages 1+2 over DISTINCT strings only
+    cands = _fastss_candidates(reps, text_col, id_col, k)
+
+    # ---- stage 3: verify — broadcast matrix under the gate, partitioned
+    # string joins beyond it (bit-identical; forced-path pytest)
+    if n_reps <= limit:
+        strings = reps.to_pandas()
+        order = np.argsort(strings[id_col].to_numpy(), kind="stable")
+        sids = strings[id_col].to_numpy()[order].astype(np.int64)
+        stxt = strings[text_col].to_numpy()[order]
+        slen = np.fromiter((len(t) for t in stxt), dtype=np.int64,
+                           count=len(stxt))
+        W = int(slen.max()) if len(slen) else 1
+        smat, _ = _char_matrix(stxt, W)
+        corpus_ref = ray.put((sids, smat if len(stxt) else smat, slen))
+
+        def verify(b: pa.Table) -> pa.Table:
+            sids, smat, slen = ray.get(corpus_ref)
+            aa = b.column("a").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            bb = b.column("b").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            ai = np.searchsorted(sids, aa)
+            bi = np.searchsorted(sids, bb)
+            dist = _pair_dists(smat[ai], slen[ai], smat[bi], slen[bi], k)
+            keep = np.flatnonzero(dist <= k)
+            out = b.select(["a", "b"]).take(pa.array(keep, pa.int64()))
+            return out.append_column("dist",
+                                     pa.array(dist[keep], pa.int64()))
+
+        verified = cands.map_batches(verify, batch_format="pyarrow")
+    else:
+        def ren(old: str, new_id: str, new_txt: str):
+            def fn(b: pa.Table) -> pa.Table:
+                return pa.table({new_id: b.column(id_col),
+                                 new_txt: b.column(text_col)})
+            return fn
+
+        sa = reps.map_batches(ren(id_col, "a", "__ta"),
+                              batch_format="pyarrow")
+        sb = reps.map_batches(ren(id_col, "b", "__tb"),
+                              batch_format="pyarrow")
+        joined = hash_join(hash_join(cands, sa, on="a"), sb, on="b")
+
+        def verify_joined(b: pa.Table) -> pa.Table:
+            ta = b.column("__ta").to_pylist()
+            tb = b.column("__tb").to_pylist()
+            if not ta:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64()),
+                                 "dist": pa.array([], pa.int64())})
+            W = max(max(len(t) for t in ta), max(len(t) for t in tb), 1)
+            A, la = _char_matrix(ta, W)
+            B, lb = _char_matrix(tb, W)
+            dist = _pair_dists(A, la, B, lb, k)
+            keep = np.flatnonzero(dist <= k)
+            out = b.select(["a", "b"]).take(pa.array(keep, pa.int64()))
+            return out.append_column("dist",
+                                     pa.array(dist[keep], pa.int64()))
+
+        verified = joined.map_batches(verify_joined, batch_format="pyarrow")
 
     # dedup AFTER verify: candidate multiplicity is small (a true pair is
     # found under each shared variant), and this keeps the only (a, b)
     # combine on the verified-pair stream instead of the candidate stream
-    return map_combine_aggregate(
-        cands.map_batches(verify, batch_format="pyarrow"),
-        keys=["a", "b"], mins={"dist": "dist"}, count_alias="__c",
+    rep_pairs = map_combine_aggregate(
+        verified, keys=["a", "b"], mins={"dist": "dist"}, count_alias="__c",
     ).select_columns(["a", "b", "dist"])
+
+    if members is None:
+        return rep_pairs
+
+    # ---- stage 4: re-expand duplicates.  Inter-group: two partitioned
+    # joins map each rep pair to the cross product of its member sets
+    # (exactly the output pairs).  Intra-group: per-group triangular
+    # explode of dist-0 pairs for groups of size >= 2.
+    def mem(new_key: str, new_id: str):
+        def fn(b: pa.Table) -> pa.Table:
+            return pa.table({
+                new_key: pc.cast(b.column("__rep"), pa.int64()),
+                new_id: pc.cast(b.column(id_col), pa.int64())})
+        return fn
+
+    members_slim = members.select_columns([id_col, "__rep", "__gn"]) \
+        .materialize()
+    ma = members_slim.map_batches(mem("a", "__ma"), batch_format="pyarrow")
+    mb = members_slim.map_batches(mem("b", "__mb"), batch_format="pyarrow")
+    expanded = hash_join(hash_join(rep_pairs, ma, on="a"), mb, on="b")
+
+    def finish(b: pa.Table) -> pa.Table:
+        x = b.column("__ma").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        y = b.column("__mb").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({"a": pa.array(np.minimum(x, y), pa.int64()),
+                         "b": pa.array(np.maximum(x, y), pa.int64()),
+                         "dist": pc.cast(b.column("dist"), pa.int64())})
+
+    inter = expanded.map_batches(finish, batch_format="pyarrow")
+
+    dup_members = members_slim.filter(expr="__gn >= 2") \
+        .select_columns([id_col, "__rep"])
+
+    def intra_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g[id_col].to_numpy().astype(np.int64))
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "dist": pd.Series([], dtype="int64")})
+        iu, ju = np.triu_indices(m, 1)
+        return pd.DataFrame({"a": ids[iu], "b": ids[ju],
+                             "dist": np.zeros(len(iu), dtype=np.int64)})
+
+    intra = dup_members.groupby("__rep").map_groups(
+        intra_pairs, batch_format="pandas")
+    return inter.union(intra)

@@ -220,7 +220,8 @@ def cooccurrence_edges(ds: Dataset, group_col: str, item_col: str,
 
 
 def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
-                   n_buckets: int | None = None) -> pa.Table:
+                   n_buckets: int | None = None,
+                   max_degree: int | None = None) -> pa.Table:
     """Exact global triangle count over an undirected edge list stored in
     canonical form (a < b, distinct).
 
@@ -232,6 +233,14 @@ def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
     hash-partitioned otherwise — so the wedge stream never lands on the
     driver.  Node ids must fit 31 bits (the composite (a, c) key packs two
     ids into one int64); raise to string keys beyond that.
+
+    ``max_degree`` bounds the sum(deg^2) wedge cost by construction: each
+    middle vertex keeps at most ``max_degree`` smallest-id rows per wedge
+    role (deterministic ``cap_per_key`` truncation) before the wedge join,
+    so the per-mid fan-out is <= max_degree^2.  The closing join always
+    probes the FULL edge-key set.  Bit-identical to uncapped when no
+    vertex exceeds the cap (pytest-pinned); a deterministic undercount of
+    hub-centered triangles when it binds.
 
     Returns a one-row Arrow table {triangles: int64} (a scalar aggregate)."""
     from .relational import hash_join
@@ -248,6 +257,13 @@ def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
                              batch_format="pyarrow")
     second = slim.map_batches(ren({a_col: "mid", b_col: "wc"}),
                               batch_format="pyarrow")
+    if max_degree is not None:
+        from .split import cap_per_key
+
+        first = cap_per_key(first, "mid", int(max_degree),
+                            order_cols=["wa"])
+        second = cap_per_key(second, "mid", int(max_degree),
+                             order_cols=["wc"])
     wedges = hash_join(first, second, on="mid", n_buckets=n_buckets)
 
     def _check_ids(*cols: np.ndarray) -> None:
@@ -383,7 +399,8 @@ def bfs_depths(edges: Dataset, seeds: list[int], src_col: str = "src",
 def twohop_distinct_counts(edges: Dataset, a_col: str = "a",
                            b_col: str = "b",
                            node_alias: str = "node",
-                           count_alias: str = "n_twohop") -> Dataset:
+                           count_alias: str = "n_twohop",
+                           max_degree: int | None = None) -> Dataset:
     """Strict 2-hop (friends-of-friends) distinct-neighbor counts on an
     undirected simple graph: for each node, how many distinct nodes are
     reachable in exactly two hops but are NOT direct neighbors (and not
@@ -396,8 +413,16 @@ def twohop_distinct_counts(edges: Dataset, a_col: str = "a",
     anti-join against the direct edges expressed as a second map-combined
     aggregate (direct rows carry a flag; groups whose flag-sum is zero
     survive).  The join fan-out is sum(deg(mid)^2) — the standard wedge
-    cost; skewed hubs dominate it, so cap or sample hub neighborhoods
-    upstream when degrees are unbounded (same caveat as triangle_count)."""
+    cost; skewed hubs dominate it.  ``max_degree`` makes that caveat
+    enforceable BY CONSTRUCTION: each node's adjacency list is truncated
+    to its ``max_degree`` smallest-id neighbors (deterministic — the
+    ``cap_per_key`` map-side prune) before wedge generation, bounding the
+    per-mid join fan-out at ``max_degree^2``.  Direct-edge exclusion
+    always uses the FULL edge set, so capped output never reports a
+    direct neighbor as a 2-hop.  When no node exceeds the cap the output
+    is bit-identical to the uncapped run (pytest-pinned); when the cap
+    binds the counts are a deterministic underestimate over the sampled
+    neighborhoods — the standard hub-truncation trade."""
     from .relational import hash_join, map_combine_aggregate
 
     def sym(b: pa.Table) -> pa.Table:
@@ -411,12 +436,30 @@ def twohop_distinct_counts(edges: Dataset, a_col: str = "a",
     und = edges.select_columns([a_col, b_col]).map_batches(
         sym, batch_format="pyarrow")
 
-    left = und.map_batches(
-        lambda b: pa.table({node_alias: b.column("s"), "mid": b.column("d")}),
-        batch_format="pyarrow")
-    right = und.map_batches(
-        lambda b: pa.table({"mid": b.column("s"), "w": b.column("d")}),
-        batch_format="pyarrow")
+    if max_degree is not None:
+        from .split import cap_per_key
+
+        # truncated adjacency: per node, its max_degree smallest-id
+        # neighbors.  Both wedge roles read the SAME capped list (left is
+        # its reversal), so the per-mid fan-out on each side is <=
+        # max_degree and the join emits <= max_degree^2 rows per mid.
+        adj = cap_per_key(und, "s", int(max_degree),
+                          order_cols=["d"]).materialize()
+        left = adj.map_batches(
+            lambda b: pa.table({node_alias: b.column("d"),
+                                "mid": b.column("s")}),
+            batch_format="pyarrow")
+        right = adj.map_batches(
+            lambda b: pa.table({"mid": b.column("s"), "w": b.column("d")}),
+            batch_format="pyarrow")
+    else:
+        left = und.map_batches(
+            lambda b: pa.table({node_alias: b.column("s"),
+                                "mid": b.column("d")}),
+            batch_format="pyarrow")
+        right = und.map_batches(
+            lambda b: pa.table({"mid": b.column("s"), "w": b.column("d")}),
+            batch_format="pyarrow")
     wedges = hash_join(left, right, on="mid")
 
     def ends(b: pa.Table) -> pa.Table:

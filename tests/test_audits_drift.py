@@ -493,3 +493,104 @@ def test_empty_input_guards():
     df = pd.DataFrame({"g": ["z", "z"], "v": [1, 2]})
     out = ks_statistic(rd.from_pandas(df), "g", "v", "a", "b")
     assert out["ks"].iloc[0] == 0.0 and out["n1"].iloc[0] == 0
+
+
+# ------------------------------------------------ max_degree hub cap (r5)
+
+def _random_graph(seed: int, n_nodes: int, n_edges: int,
+                  hub_frac: float = 0.0) -> pd.DataFrame:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, n_nodes, n_edges)
+    b = rng.integers(0, n_nodes, n_edges)
+    if hub_frac:
+        hot = rng.random(n_edges) < hub_frac
+        a = np.where(hot, 0, a)  # node 0 becomes the hub
+    lo, hi = np.minimum(a, b), np.maximum(a, b)
+    df = (pd.DataFrame({"a": lo, "b": hi})
+          .query("a < b").drop_duplicates().reset_index(drop=True))
+    return df.astype({"a": "int64", "b": "int64"})
+
+
+def test_twohop_max_degree_noop_when_cap_does_not_bind():
+    from folkscope_ray.ops.graph import twohop_distinct_counts
+
+    df = _random_graph(21, 40, 120)
+    edges = rd.from_pandas(df).repartition(3)
+    base = (twohop_distinct_counts(edges).to_pandas()
+            .sort_values("node").reset_index(drop=True))
+    # max degree in this graph is far below 1000 -> bit-identical
+    capped = (twohop_distinct_counts(edges, max_degree=1000).to_pandas()
+              .sort_values("node").reset_index(drop=True))
+    assert base.equals(capped)
+
+
+def test_twohop_planted_hub_candidates_bounded():
+    """One node in ~40% of edges: the capped wedge join's per-mid fan-out
+    must be bounded by max_degree^2, and counts for nodes whose
+    neighborhoods survive intact must be exact."""
+    from folkscope_ray.ops.graph import twohop_distinct_counts
+    from folkscope_ray.ops.relational import hash_join
+    from folkscope_ray.ops.split import cap_per_key
+    import pyarrow as pa
+
+    df = _random_graph(22, 60, 400, hub_frac=0.4)
+    deg = pd.concat([df["a"], df["b"]]).value_counts()
+    assert deg.loc[0] > 20  # the hub really is hot
+    cap = 8
+    edges = rd.from_pandas(df).repartition(4)
+
+    # reproduce the capped wedge stage and measure its fan-out directly
+    und = pd.DataFrame({
+        "s": np.concatenate([df["a"], df["b"]]),
+        "d": np.concatenate([df["b"], df["a"]])}).astype("int64")
+    adj = cap_per_key(rd.from_pandas(und), "s", cap,
+                      order_cols=["d"]).materialize()
+    left = adj.map_batches(
+        lambda b: pa.table({"node": b.column("d"), "mid": b.column("s")}),
+        batch_format="pyarrow")
+    right = adj.map_batches(
+        lambda b: pa.table({"mid": b.column("s"), "w": b.column("d")}),
+        batch_format="pyarrow")
+    n_wedges = hash_join(left, right, on="mid").count()
+    n_nodes = int(und["s"].nunique())
+    assert n_wedges <= n_nodes * cap * cap  # bounded BY CONSTRUCTION
+    # uncapped wedge volume through the hub alone exceeds that bound's
+    # hub share, i.e. the cap actually cut work
+    assert int(deg.loc[0]) ** 2 > cap * cap
+
+    out = (twohop_distinct_counts(edges, max_degree=cap).to_pandas()
+           .set_index("node")["n_twohop"])
+    # exact expectation on the capped adjacency: strict 2-hop over kept
+    # neighbor lists minus FULL direct edges
+    kept = (und.sort_values(["s", "d"], kind="mergesort")
+            .groupby("s").head(cap))
+    nbr = kept.groupby("s")["d"].agg(set).to_dict()
+    direct = und.groupby("s")["d"].agg(set).to_dict()
+    for node in set(und["s"]):
+        two = set()
+        for mid, mids in nbr.items():
+            if node in mids:
+                two |= mids
+        two -= {node}
+        two -= direct.get(node, set())
+        want = len(two)
+        got = int(out.get(node, 0))
+        assert got == want, (node, got, want)
+
+
+def test_triangle_count_max_degree_noop_and_caps():
+    from folkscope_ray.ops.graph import triangle_count
+
+    df = _random_graph(23, 30, 150)
+    edges = rd.from_pandas(df).repartition(3)
+    base = triangle_count(edges).column("triangles").to_pylist()[0]
+    same = triangle_count(edges, max_degree=1000) \
+        .column("triangles").to_pylist()[0]
+    assert base == same
+    # binding cap: deterministic undercount, never an overcount
+    capped = triangle_count(edges, max_degree=2) \
+        .column("triangles").to_pylist()[0]
+    assert 0 <= capped <= base
+    again = triangle_count(edges, max_degree=2) \
+        .column("triangles").to_pylist()[0]
+    assert capped == again

@@ -103,3 +103,85 @@ def test_edit_distance_selfjoin_k2_matches_bruteforce():
                                   text_col="name", id_col="rid", k=2)
            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
     assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_edit_distance_selfjoin_forced_distributed_bit_identical(
+        monkeypatch):
+    """FOLKSCOPE_EDITJOIN_BROADCAST_MAX=0 forces the partitioned-join
+    verify path; output must be bit-identical to the broadcast path."""
+    import random
+
+    random.seed(11)
+    names = list({"".join(random.choice("abc") for _ in range(random.randint(3, 8)))
+                  for _ in range(80)})
+    names += [names[0], names[1], names[1]]  # exact dups exercise expansion
+    df = pd.DataFrame({"rid": np.arange(len(names), dtype="int64"),
+                       "name": names})
+    ds = rd.from_pandas(df).repartition(4)
+    base = (edit_distance_selfjoin(ds, text_col="name", id_col="rid", k=1)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    monkeypatch.setenv("FOLKSCOPE_EDITJOIN_BROADCAST_MAX", "0")
+    forced = (edit_distance_selfjoin(ds, text_col="name", id_col="rid", k=1)
+              .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    assert base.equals(forced)
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names)) for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 1)
+    assert [tuple(r) for r in base.to_numpy()] == want
+
+
+def test_edit_distance_selfjoin_forced_distributed_k2(monkeypatch):
+    import random
+
+    random.seed(12)
+    names = list({"".join(random.choice("pq") for _ in range(random.randint(3, 7)))
+                  for _ in range(30)})
+    df = pd.DataFrame({"rid": np.arange(len(names), dtype="int64"),
+                       "name": names})
+    ds = rd.from_pandas(df).repartition(3)
+    monkeypatch.setenv("FOLKSCOPE_EDITJOIN_BROADCAST_MAX", "0")
+    got = (edit_distance_selfjoin(ds, text_col="name", id_col="rid", k=2)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = sorted(
+        (i, j, _lev(names[i], names[j]))
+        for i in range(len(names)) for j in range(i + 1, len(names))
+        if _lev(names[i], names[j]) <= 2)
+    assert [tuple(r) for r in got.to_numpy()] == want
+
+
+def test_hot_variant_candidates_bounded_by_distinct_strings():
+    """The r4-flagged FastSS residual: one exact value in 40% of rows must
+    NOT inflate candidate generation — pre-dedup collapses it to one rep,
+    so candidate pairs are bounded by the distinct-string triangular."""
+    import random
+
+    from folkscope_ray.ops.editjoin import _fastss_candidates
+
+    random.seed(13)
+    distinct = list({"".join(random.choice("mn") for _ in range(4))
+                     for _ in range(200)})
+    hot = distinct[0]
+    rows = [hot] * 120 + distinct  # hot value = 120/(120+D) of the corpus
+    df = pd.DataFrame({"rid": np.arange(len(rows), dtype="int64"),
+                       "name": rows})
+    # candidate stage runs over reps only (distinct strings, min id each)
+    reps = (df.groupby("name", as_index=False)
+            .agg(rid=("rid", "min"))[["rid", "name"]])
+    n_cand = _fastss_candidates(
+        rd.from_pandas(reps.astype({"rid": "int64"})),
+        "name", "rid", k=1).count()
+    d = len(distinct)
+    assert n_cand <= d * (d - 1) // 2
+    # and the full operator still returns the complete (hot) answer:
+    # 120 copies + the original produce C(121, 2) dist-0 pairs plus every
+    # cross pair within distance 1 of the hot text
+    got = (edit_distance_selfjoin(
+               rd.from_pandas(df).repartition(4),
+               text_col="name", id_col="rid", k=1)
+           .to_pandas())
+    want_n = sum(
+        1 for i in range(len(rows)) for j in range(i + 1, len(rows))
+        if _lev(rows[i], rows[j]) <= 1)
+    assert len(got) == want_n
+    assert (got["dist"] == 0).sum() == 121 * 120 // 2
