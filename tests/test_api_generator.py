@@ -163,3 +163,50 @@ def test_actor_pool_deployment_seam():
     sample = out.sort_values(["pair_key", "gen_idx"]).iloc[0]
     i = int(sample["pair_key"][1:])
     assert sample["assertion"] == f"prompt number {i}|0"
+
+
+def test_default_urllib_transport_against_local_http_server():
+    """End-to-end over a REAL socket: a loopback http.server speaking the
+    reference's JSON contract ({prompt, max_tokens, temperature,
+    num_return_sequences} in, {choices: [{text}]} out) exercises the
+    default _urllib_transport — no fake injected."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    seen: list[dict] = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"])))
+            seen.append(body)
+            n_gens = body["num_return_sequences"]
+            choices = [{"text": f"{p}|g{g}"}
+                       for p in body["prompt"] for g in range(n_gens)]
+            out = json.dumps({"choices": choices}).encode()
+            self.send_response(200)
+            self.send_header("content-type", "application/json")
+            self.send_header("content-length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):  # keep pytest output clean
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/v1/completions"
+        out = ApiGenerator(url, n_gens=2, max_tokens=64,
+                           temperature=0.7)(_prompt_batch(4))
+        assert out.num_rows == 8
+        assert out.column("assertion").to_pylist() == [
+            f"prompt number {i}|g{g}" for i in range(4) for g in range(2)]
+        assert seen and seen[0]["max_tokens"] == 64
+        assert seen[0]["temperature"] == 0.7
+        assert seen[0]["prompt"] == [f"prompt number {i}" for i in range(4)]
+    finally:
+        srv.shutdown()
+        srv.server_close()
