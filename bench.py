@@ -222,6 +222,17 @@ def run_bench() -> dict:
         "files_per_sec": round(n_files / t_kg, 2),
     }
     ray.shutdown()
+    # busy-loop hardware calibration recorded WITH the bench row (r4 verdict
+    # ask 7): two aggregate throughputs (8-proc and NCPU-proc, M iters/s)
+    # taken in the same window make this row comparable across the shared
+    # VM's 2-7x load swings — a low hw_calib_hi/hw_calib_lo ratio means the
+    # window was contended and absolute times here read slow.
+    calib_lo = min(8, NCPU)
+    out["hw_calib_lo"] = round(
+        cpu_aggregate_throughput(calib_lo, n=8_000_000), 1)
+    out["hw_calib_hi"] = round(
+        cpu_aggregate_throughput(NCPU, n=8_000_000), 1)
+    out["hw_calib_procs"] = [calib_lo, NCPU]
     return out
 
 
