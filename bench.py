@@ -230,7 +230,10 @@ def run_bench() -> dict:
     calib_lo = min(8, NCPU)
     out["hw_calib_lo"] = round(
         cpu_aggregate_throughput(calib_lo, n=8_000_000), 1)
-    out["hw_calib_hi"] = round(
+    # when NCPU <= 8 the two levels coincide — reuse the measurement
+    # instead of re-running the identical busy-loop (the ratio is then
+    # uninformative by construction and reads as exactly 1.0)
+    out["hw_calib_hi"] = out["hw_calib_lo"] if NCPU == calib_lo else round(
         cpu_aggregate_throughput(NCPU, n=8_000_000), 1)
     out["hw_calib_procs"] = [calib_lo, NCPU]
     return out

@@ -209,7 +209,10 @@ def _pair_dists(A: np.ndarray, la: np.ndarray, B: np.ndarray,
     else:
         cand = np.flatnonzero(dlen <= k)
         if len(cand):
-            dist[cand] = _lev_mat(A[cand], la[cand], B[cand], lb[cand])
+            # clamp to the documented k+1 "too far" sentinel: _lev_mat
+            # returns the true distance, which can exceed k+1
+            dist[cand] = np.minimum(
+                _lev_mat(A[cand], la[cand], B[cand], lb[cand]), k + 1)
     return dist
 
 
@@ -344,7 +347,10 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
                                 text_col: b.column(text_col)}),
             batch_format="pyarrow").materialize()
     else:
-        members = hash_join(withg, groups, on="__g")
+        # materialize: BOTH reps (below) and the stage-4 members_slim read
+        # this join — without the pin the withg-by-groups join would
+        # execute twice, once per consuming lineage
+        members = hash_join(withg, groups, on="__g").materialize()
 
         def rep_rows(b: pa.Table) -> pa.Table:
             keep = pc.equal(b.column(id_col), b.column("__rep"))
@@ -369,7 +375,7 @@ def edit_distance_selfjoin(ds: Dataset, text_col: str, id_col: str,
                            count=len(stxt))
         W = int(slen.max()) if len(slen) else 1
         smat, _ = _char_matrix(stxt, W)
-        corpus_ref = ray.put((sids, smat if len(stxt) else smat, slen))
+        corpus_ref = ray.put((sids, smat, slen))
 
         def verify(b: pa.Table) -> pa.Table:
             sids, smat, slen = ray.get(corpus_ref)

@@ -601,9 +601,9 @@ def sliding_window(events: Dataset, ts_col: str, key_col: str,
     fan = window_s // slide_s
 
     def assign(batch: pa.Table) -> pa.Table:
-        secs = pc.divide(pc.cast(pc.cast(batch.column(ts_col),
-                                         pa.timestamp("us")), pa.int64()),
-                         1_000_000).to_numpy(zero_copy_only=False)
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        secs = us // 1_000_000  # numpy floor division: exact for pre-1970
         base = (secs // slide_s) * slide_s
         n = len(secs)
         idx = np.repeat(np.arange(n, dtype=np.int64), fan)
@@ -669,17 +669,15 @@ def session_windows(events: Dataset, ts_col: str, key_col: str, id_col: str,
         return slim.groupby(key_col).map_groups(per_key, batch_format="pandas")
 
     def assign_chunk(batch: pa.Table) -> pa.Table:
-        secs = pc.floor(
-            pc.divide(
-                pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
-                        pa.int64()),
-                1_000_000,
-            )
-        )
-        chunk = pc.cast(pc.floor(pc.divide(pc.cast(secs, pa.float64()),
-                                           float(chunk_s))), pa.int64())
-        out = batch.append_column("secs", pc.cast(secs, pa.int64()))
-        return out.append_column("chunk", chunk)
+        # numpy floor division twice: pc.divide truncates toward zero, which
+        # would put pre-1970 events one second/chunk late vs the per_key
+        # path's ``// 1_000_000`` — the paths must stay bit-identical
+        us = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")),
+                     pa.int64()).to_numpy(zero_copy_only=False)
+        secs = us // 1_000_000
+        chunk = secs // int(chunk_s)
+        out = batch.append_column("secs", pa.array(secs, pa.int64()))
+        return out.append_column("chunk", pa.array(chunk, pa.int64()))
 
     # Both phases run ONE vectorized pandas body per hash BUCKET, never per
     # (key, chunk) group: at sf0.1 the per-group form paid ~180k Python

@@ -164,3 +164,50 @@ def test_positive_timestamp_windows_unchanged():
            .to_pandas().sort_values("window_start").reset_index(drop=True))
     assert out["window_start"].tolist() == [0, 1800, 3600]
     assert out["n_events"].tolist() == [2, 1, 1]
+
+
+def test_sliding_window_negative_timestamps_floor():
+    from folkscope_ray.ops.relational import sliding_window
+
+    # -1 s with window 4, slide 2: floor(-1/2)*2 = -2, so the event lands
+    # in windows starting at -2 and -4 (fan = 2)
+    ts = pd.to_datetime([-1, 3], unit="s")
+    df = pd.DataFrame({"ts": ts, "k": ["u", "u"], "v": [1.0, 2.0]})
+    out = (sliding_window(rd.from_pandas(df), "ts", "k", "v", 4, 2)
+           .to_pandas().sort_values("window_start").reset_index(drop=True))
+    assert out["window_start"].tolist() == [-4, -2, 0, 2]
+    assert out["n_events"].tolist() == [1, 1, 1, 1]
+
+
+def test_session_windows_chunked_path_negative_ts_bit_identical():
+    from folkscope_ray.ops.relational import session_windows
+
+    # events straddling 1970 with sub-second offsets: the truncating path
+    # would put -1.5 s at secs=-1 in the chunked assign but secs=-2 in the
+    # single-phase pandas path — both must floor identically
+    ts = pd.to_datetime([-1_500_000, -500_000, 500_000, 10_000_000,
+                         -7_200_000_000], unit="us")
+    df = pd.DataFrame({"ts": ts, "k": ["u"] * 5,
+                       "eid": np.arange(5, dtype="int64")})
+    ds = rd.from_pandas(df).repartition(2)
+    one = (session_windows(ds, "ts", "k", "eid", gap_s=5)
+           .to_pandas().sort_values(["k", "session_id"])
+           .reset_index(drop=True))
+    two = (session_windows(ds, "ts", "k", "eid", gap_s=5, chunk_s=7)
+           .to_pandas().sort_values(["k", "session_id"])
+           .reset_index(drop=True))
+    assert one.equals(two)
+    # floor semantics: -1.5 s and -0.5 s both floor to secs -2/-1 and chain
+    # with 0.5 s into one session
+    assert one["start_epoch"].min() == -7200
+
+
+def test_pair_dists_k2_clamps_to_sentinel():
+    from folkscope_ray.ops.editjoin import _char_matrix, _pair_dists
+
+    a, b = ["abcd", "abcd"], ["wxyz", "abcd"]
+    W = 4
+    A, la = _char_matrix(a, W)
+    B, lb = _char_matrix(b, W)
+    d = _pair_dists(A, la, B, lb, k=2)
+    assert d.tolist() == [3, 0]  # true distance 4 clamps to k+1 = 3
