@@ -75,3 +75,67 @@ def test_pattern_dedup_idempotent(rels):
     assert {p.key for p in once} == {p.key for p in twice}
     # supports preserved in total
     assert sum(p.support for p in once) == len(pats)
+
+
+# ----------------------------------------------------- editjoin kernels (r5)
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.tuples(st.text(alphabet="abßc", max_size=8),
+                          st.text(alphabet="abßc", max_size=8)),
+                min_size=1, max_size=20))
+def test_pair_dists_matches_scalar_dp_clamped(pairs):
+    import numpy as np
+
+    from folkscope_ray.ops.editjoin import _char_matrix, _pair_dists
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                dp[j], prev = min(dp[j] + 1, dp[j - 1] + 1,
+                                  prev + (ca != cb)), dp[j]
+        return dp[len(b)]
+
+    a = [p[0] for p in pairs]
+    b = [p[1] for p in pairs]
+    W = max(1, max(len(s) for s in a + b))
+    A, la = _char_matrix(a, W)
+    B, lb = _char_matrix(b, W)
+    for k in (1, 2):
+        got = _pair_dists(A, la, B, lb, k)
+        want = np.minimum([lev(x, y) for x, y in pairs], k + 1)
+        assert (got == want).all(), (pairs, k, got.tolist(), want.tolist())
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(st.text(alphabet="pq", min_size=1, max_size=5),
+                min_size=2, max_size=25),
+       st.integers(min_value=1, max_value=2))
+def test_edit_distance_selfjoin_property(texts, k):
+    """Full-pipeline property: arbitrary corpora WITH duplicates match the
+    brute-force all-pairs answer (dedup collapse + expansion included)."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from folkscope_ray.ops.editjoin import edit_distance_selfjoin
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                dp[j], prev = min(dp[j] + 1, dp[j - 1] + 1,
+                                  prev + (ca != cb)), dp[j]
+        return dp[len(b)]
+
+    df = pd.DataFrame({"rid": np.arange(len(texts), dtype="int64"),
+                       "t": texts})
+    got = (edit_distance_selfjoin(rd.from_pandas(df).repartition(2),
+                                  text_col="t", id_col="rid", k=k)
+           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+    want = sorted((i, j, lev(texts[i], texts[j]))
+                  for i in range(len(texts)) for j in range(i + 1, len(texts))
+                  if lev(texts[i], texts[j]) <= k)
+    assert [tuple(r) for r in got.to_numpy()] == want
