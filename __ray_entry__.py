@@ -2300,7 +2300,7 @@ def _q_sample_per_lang_docs(sf_dir: str):
     return sample_per_key(
         _rp(sf_dir, "documents", ["doc_id", "lang", "n_chars"]),
         key_col="lang", id_col="doc_id", n=5, keep_cols=["n_chars"],
-    ).drop_columns(["__md5"])
+    )
 
 
 def _q_full_outer_join_orders(sf_dir: str):

@@ -116,6 +116,18 @@ def target_encode(ds: Dataset, key_col: str, int_value_col: str,
     ).materialize()
     tot = per_key.aggregate(Sum(sum_alias, alias_name="gs"),
                             Sum(n_alias, alias_name="gn"))
+    if tot is None or tot.get("gn") is None or not tot["gn"]:
+        # empty input (fully-filtered shard): Dataset.aggregate returns
+        # None — return the empty keyed schema instead of a TypeError
+        # (the gini_coefficient empty-handling discipline)
+        import pandas as pd
+        import ray.data as _rd
+
+        return _rd.from_pandas(pd.DataFrame({
+            key_col: pd.Series([], dtype="string"),
+            sum_alias: pd.array([], dtype="int64"),
+            n_alias: pd.array([], dtype="int64"),
+            enc_alias: pd.array([], dtype="float64")}))
     prior = float(tot["gs"]) / float(tot["gn"])
     mm = float(m)
 
@@ -149,29 +161,56 @@ def ordinal_encode(ds: Dataset, cols: list[str],
     from .relational import map_combine_aggregate
 
     gate = int(os.environ.get("FOLKSCOPE_ENCODE_BROADCAST_MAX", 2_000_000))
+
+    # ONE scan for ALL vocabularies (was one distinct-aggregate scan per
+    # column): fan each block out to a tagged sparse table — one row per
+    # (column tag, value) with every OTHER value column null — and run a
+    # single map-side-combined distinct aggregate keyed on (tag, *cols).
+    # Native value types (and therefore native sort order) are preserved
+    # because each column keeps its own slot; nulls group as one key per
+    # Arrow group_by, so per-column distincts ride one shuffle.
+    def fan(b: pa.Table) -> pa.Table:
+        pieces = []
+        for c in cols:
+            arrs = {"__col": pa.nulls(b.num_rows, pa.string())
+                    .fill_null(c)}
+            for c2 in cols:
+                arrs[c2] = (b.column(c2).combine_chunks() if c2 == c
+                            else pa.nulls(b.num_rows, b.schema.field(c2).type))
+            pieces.append(pa.table(arrs))
+        t = pa.concat_tables(pieces, promote_options="default")
+        return t.group_by(["__col"] + cols).aggregate([])
+
+    v = map_combine_aggregate(
+        ds.select_columns(cols).map_batches(fan, batch_format="pyarrow"),
+        keys=["__col"] + cols, count_alias="__n",
+    ).materialize()
+    # gate BEFORE the driver pull: per-column distinct counts are one tiny
+    # aggregate over the (already-shuffled) vocabulary rows
+    sizes = dict(map_combine_aggregate(
+        v.select_columns(["__col"]), keys=["__col"], count_alias="nv",
+    ).to_pandas()[["__col", "nv"]].itertuples(index=False, name=None))
+    for c in cols:
+        if int(sizes.get(c, 0)) > gate:
+            raise ValueError(
+                f"ordinal_encode: column {c!r} has {sizes[c]} distinct "
+                f"values — above FOLKSCOPE_ENCODE_BROADCAST_MAX={gate}. "
+                "Dense contiguous ids require the vocabulary to be "
+                "broadcastable (an embedding table would have to hold it "
+                "anyway); use feature_hash for stateless stable ids at "
+                "this cardinality.")
+    vt = pa.concat_tables(ray.get(list(v.to_arrow_refs())),
+                          promote_options="default")
     vocabs: dict[str, np.ndarray] = {}
     for c in cols:
-        v = map_combine_aggregate(
-            ds.select_columns([c]), keys=[c], count_alias="__n",
-        ).materialize()
-        nv = v.count()
-        if nv > gate:
-            raise ValueError(
-                f"ordinal_encode: column {c!r} has {nv} distinct values — "
-                f"above FOLKSCOPE_ENCODE_BROADCAST_MAX={gate}. Dense "
-                "contiguous ids require the vocabulary to be broadcastable "
-                "(an embedding table would have to hold it anyway); use "
-                "feature_hash for stateless stable ids at this cardinality.")
-        col = pa.concat_tables(
-            ray.get(list(v.to_arrow_refs())),
-            promote_options="default").column(c)
-        if col.null_count:
+        sub = vt.filter(pc.equal(vt.column("__col"), c)).column(c)
+        if sub.null_count:
             # NULL has no position in a sorted dictionary (and DENSE_RANK
             # over NULL is engine-specific) — fail fast like the md5 kernel
             raise ValueError(
                 f"ordinal_encode: column {c!r} contains nulls — impute or "
                 "filter before encoding")
-        vocabs[c] = np.sort(col.to_pandas().to_numpy())
+        vocabs[c] = np.sort(sub.to_pandas().to_numpy())
     ref = ray.put(vocabs)
 
     def lookup(b: pa.Table) -> pa.Table:

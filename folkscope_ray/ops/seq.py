@@ -108,6 +108,11 @@ def frequent_path_ngrams(ds: Dataset, key_col: str, order_cols: list[str],
         # .encode("ascii") inside a remote task, and a multi-char default
         # would silently corrupt the fixed-width n-gram windows
         raise ValueError("default_code must be a single ASCII char")
+    if not 1 <= n <= 8:
+        # base-256 gram packing: 256^8 = 2^64 wraps int64, silently merging
+        # distinct grams (the first char's power becomes 0)
+        raise ValueError("n must be in [1, 8] (grams pack into int64 "
+                         "base-256; wider windows need a different key)")
     pw = (256 ** np.arange(n - 1, -1, -1)).astype(np.int64)
 
     def body(g: pd.DataFrame) -> pd.DataFrame:
@@ -118,7 +123,10 @@ def frequent_path_ngrams(ds: Dataset, key_col: str, order_cols: list[str],
         buf = np.frombuffer("".join(seqs.tolist()).encode("ascii"),
                             np.uint8)
         if len(buf) < n:
-            return pd.DataFrame({gram_alias: [],
+            # dtype-pinned empties: a bare [] types the gram column as
+            # Arrow null, and one short bucket would then poison the
+            # downstream aggregate with mixed block schemas
+            return pd.DataFrame({gram_alias: pd.Series([], dtype="string"),
                                  "__s": pd.array([], dtype="int64")})
         win = np.lib.stride_tricks.sliding_window_view(buf, n)
         owner = np.repeat(np.arange(len(seqs)), lens)

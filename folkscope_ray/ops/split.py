@@ -156,16 +156,21 @@ def quantiles_by_key(ds: Dataset, key_col: str, value_col: str,
         keys=[key_col, value_col], count_alias="__n",
     ).to_pandas().sort_values([key_col, value_col]).reset_index(drop=True)
 
+    import math as _math
+    from fractions import Fraction as _Fr
+
     out = []
     for key, g in hist.groupby(key_col, sort=True):
         cum = g["__n"].cumsum().to_numpy()
         values = g[value_col].to_numpy()
         total = int(cum[-1]) if len(cum) else 0
         for q in qs:
-            thresh = total * float(q)
-            idx = int(np.searchsorted(cum, thresh, side="left"))
-            if idx < len(cum) and cum[idx] < thresh:
-                idx += 1
+            # exact integral rank (the sketch.exact_quantiles_by_group
+            # discipline): float total*q can round past an exact cum value
+            # (e.g. 25 * 0.28 == 7.000000000000001) and silently return the
+            # next element, diverging from DuckDB quantile_disc
+            rank = max(1, _math.ceil(_Fr(str(q)) * total))
+            idx = int(np.searchsorted(cum, rank, side="left"))
             out.append({key_col: key, "q": float(q),
                         "value": values[min(idx, len(values) - 1)]})
     return pd.DataFrame(out)
@@ -201,9 +206,11 @@ def sample_per_key(ds: Dataset, key_col: str, id_col: str, n: int,
 
     from .window import _bucketed_groups
 
+    # drop the internal ranking column (the weighted_sample discipline):
+    # callers asked for (key, id, keep_cols), not the md5 plumbing
     return _bucketed_groups(
         ds.map_batches(annotate_prune, batch_format="pyarrow"),
-        key_col, head_n)
+        key_col, head_n).drop_columns(["__md5"])
 
 
 def deterministic_shuffle(ds: Dataset, id_col: str, seed: int,
@@ -589,7 +596,8 @@ def bernoulli_sample(ds: Dataset, id_col: str, rate_ppm_col: str,
         dig = _md5_digests(b.column(id_col), prefix=f"{seed}|")
         draw = (dig[:, :4].astype(np.int64)
                 @ (256 ** np.arange(3, -1, -1)).astype(np.int64))
-        rate = b.column(rate_ppm_col).to_numpy(zero_copy_only=False)
+        rate = b.column(rate_ppm_col).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)  # int32 rate columns: 2^32 overflows int32
         return b.filter(pa.array(draw * 1_000_000 < rate * (1 << 32)))
 
     return ds.map_batches(keep, batch_format="pyarrow")
@@ -603,7 +611,9 @@ def pareto_front(ds: Dataset, x_col: str, y_col: str) -> Dataset:
 
     Dominance: a row is dominated iff some row has ``x' >= x`` and
     ``y' >= y`` with at least one strict.  Duplicate points dominate
-    nothing and survive together (SQL NOT EXISTS semantics).
+    nothing and survive together (SQL NOT EXISTS semantics).  INTEGER
+    score columns (the mad_by_key contract — quantize floats upstream);
+    non-integral values fail fast in the partial cast.
 
     Scale shape: the front operator is ASSOCIATIVE — the front of a union
     is contained in the union of the fronts — so each block reduces to

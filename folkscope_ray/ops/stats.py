@@ -331,8 +331,13 @@ def weighted_avg_by_key(ds: Dataset, key_col: str, value_col: str,
             .astype(np.int64)
         sw = b.column("__sw").to_numpy(zero_copy_only=False) \
             .astype(np.int64)
+        # SQL division by zero is NULL (DuckDB sum(w*v)/sum(w) with zero
+        # total weight), not NaN/inf — mask to keep the oracle bit-parity
+        with np.errstate(divide="ignore", invalid="ignore"):
+            avg = swv / sw
         return pa.table({key_col: b.column(key_col),
-                         alias: pa.array(swv / sw, pa.float64()),
+                         alias: pa.array(avg, pa.float64(),
+                                         mask=(sw == 0)),
                          "total_w": pa.array(sw, pa.int64())})
 
     return m.map_batches(finish, batch_format="pyarrow")
@@ -483,7 +488,11 @@ def profile_table(ds: Dataset, cols: list[str]) -> Dataset:
         distinct.select_columns(["col"]), keys=["col"],
         count_alias="n_distinct").to_pandas()
 
-    out = stats.merge(nd, on="col")
+    # LEFT merge: an entirely-null column has stats rows but zero distinct
+    # rows (the distinct stream filters nulls) — an inner merge would drop
+    # exactly the column a data-quality profile most needs to flag
+    out = stats.merge(nd, on="col", how="left")
+    out["n_distinct"] = out["n_distinct"].fillna(0)
     out = out[["col", "n", "n_null", "n_distinct", "min_v", "max_v"]]
     for c in ("n", "n_null", "n_distinct"):
         out[c] = out[c].astype("int64")

@@ -211,3 +211,100 @@ def test_pair_dists_k2_clamps_to_sentinel():
     B, lb = _char_matrix(b, W)
     d = _pair_dists(A, la, B, lb, k=2)
     assert d.tolist() == [3, 0]  # true distance 4 clamps to k+1 = 3
+
+
+# ------------------------------------------- second review-pass fixes (r5)
+
+def test_quantiles_by_key_float_rank_edge_matches_duckdb():
+    """25 rows, q=0.28: float 25*0.28 == 7.000000000000001 would skip the
+    exact rank-7 element; the Fraction rank must not."""
+    from folkscope_ray.ops.split import quantiles_by_key
+
+    df = pd.DataFrame({"k": ["a"] * 25,
+                       "v": np.arange(1, 26, dtype="int64")})
+    out = quantiles_by_key(rd.from_pandas(df), "k", "v", [0.28])
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT quantile_disc(v, 0.28) FROM t").fetchone()[0]
+    assert int(out["value"].iloc[0]) == int(want) == 7
+
+
+def test_profile_table_keeps_all_null_column():
+    from folkscope_ray.ops.stats import profile_table
+
+    df = pd.DataFrame({"a": [1.0, 2.0, 3.0],
+                       "b": [np.nan, np.nan, np.nan]})
+    out = profile_table(rd.from_pandas(df), ["a", "b"]).to_pandas()
+    assert set(out["col"]) == {"a", "b"}
+    row = out[out["col"] == "b"].iloc[0]
+    assert row["n"] == 3 and row["n_null"] == 3 and row["n_distinct"] == 0
+
+
+def test_path_ngrams_rejects_wide_n_and_types_empty_as_string():
+    from folkscope_ray.ops.seq import frequent_path_ngrams
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "k": [1, 2, 3], "t": [1, 1, 1], "c": ["a", "a", "a"]}))
+    with pytest.raises(ValueError, match="\\[1, 8\\]"):
+        frequent_path_ngrams(ds, "k", ["t"], "c", codes={"a": "A"}, n=9,
+                             min_support=1)
+    # every key's path is shorter than n -> empty result without a
+    # mixed-schema crash (the empty bucket body is dtype-pinned to string)
+    out = frequent_path_ngrams(ds, "k", ["t"], "c", codes={"a": "A"},
+                               n=3, min_support=1)
+    assert len(out.to_pandas()) == 0
+    # mixed buckets: many single-event keys (short paths, n=2) alongside
+    # keys with real grams — short buckets must coexist with gram buckets
+    n_short, n_real = 40, 3
+    df = pd.DataFrame({
+        "k": (list(range(n_short))
+              + [100 + i for i in range(n_real) for _ in range(3)]),
+        "t": ([1] * n_short + [1, 2, 3] * n_real),
+        "c": (["a"] * n_short + ["a", "b", "a"] * n_real)})
+    got = frequent_path_ngrams(
+        rd.from_pandas(df).repartition(4), "k", ["t"], "c",
+        codes={"a": "A", "b": "B"}, n=2, min_support=2).to_pandas()
+    assert (got.set_index("gram")["n_keys"].to_dict()
+            == {"AB": n_real, "BA": n_real})
+
+
+def test_bernoulli_sample_int32_rate_column():
+    from folkscope_ray.ops.split import bernoulli_sample
+
+    df = pd.DataFrame({"doc_id": np.arange(400, dtype="int64"),
+                       "rate_ppm": np.full(400, 500_000, dtype="int32")})
+    out = bernoulli_sample(rd.from_pandas(df), "doc_id", "rate_ppm")
+    n = out.count()
+    assert 100 < n < 300  # ~50% acceptance
+
+
+def test_weighted_avg_zero_weight_key_is_null():
+    from folkscope_ray.ops.stats import weighted_avg_by_key
+
+    df = pd.DataFrame({"k": ["z", "z", "p"], "v": [5, 7, 3],
+                       "w": [0, 0, 2]})
+    out = (weighted_avg_by_key(rd.from_pandas(df), "k", "v", "w")
+           .to_pandas().set_index("k"))
+    assert pd.isna(out.loc["z", "wavg"])
+    assert out.loc["p", "wavg"] == 3.0
+
+
+def test_sample_per_key_schema_has_no_internal_columns():
+    from folkscope_ray.ops.split import sample_per_key
+
+    df = pd.DataFrame({"k": ["a"] * 6 + ["b"] * 6,
+                       "i": np.arange(12, dtype="int64"),
+                       "x": np.arange(12, dtype="int64") * 10})
+    out = sample_per_key(rd.from_pandas(df), "k", "i", 2, keep_cols=["x"])
+    assert sorted(out.schema().names) == ["i", "k", "x"]
+    assert out.count() == 4
+
+
+def test_target_encode_empty_input():
+    from folkscope_ray.ops.encode import target_encode
+
+    df = pd.DataFrame({"k": pd.Series([], dtype="string"),
+                       "v": pd.array([], dtype="int64")})
+    out = target_encode(rd.from_pandas(df), "k", "v").to_pandas()
+    assert len(out) == 0
