@@ -237,9 +237,15 @@ def interval_join(left: Dataset, right: Dataset, on: str,
         lg = g.loc[g["__side"] == "L", [*lnames, "__s", "__e", "__c", "__t"]]
         rg = g.loc[g["__side"] == "R",
                    [on, *rnames, "__s", "__e", "__c", "__t"]]
-        lg = lg.astype({c: dt for c, dt in out_int.items() if c in lnames})
-        rg = rg.rename(columns=ren).astype(
-            {ren[c]: out_int[ren[c]] for c in rnames if ren[c] in out_int})
+        # _restore_dtypes discipline: only cast back columns with no
+        # genuine nulls — a nullable-int payload column would otherwise
+        # raise IntCastingNaNError on the astype
+        lg = lg.astype({c: dt for c, dt in out_int.items()
+                        if c in lnames and not lg[c].isna().any()})
+        rg = rg.rename(columns=ren)
+        rg = rg.astype({ren[c]: out_int[ren[c]] for c in rnames
+                        if ren[c] in out_int
+                        and not rg[ren[c]].isna().any()})
         # the shard key joins too: a left row (one shard) meets each right
         # row exactly once even though right replicas exist in every shard
         m = lg.merge(rg, on=[on, "__c", "__t"], suffixes=("", "__rr"))

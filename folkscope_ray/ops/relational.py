@@ -152,8 +152,13 @@ def hash_join(left: Dataset, right: Dataset, on: str | list[str],
         except Exception:
             n_buckets = 8
     if hasattr(left, "join"):
-        return left.join(right, join_type=how, num_partitions=n_buckets,
-                         on=tuple(keys))
+        # Dataset.join rejects pandas-style aliases the broadcast gate
+        # accepts — normalize so the same call works on both sides of the
+        # size gate ("left" under the gate must not crash beyond it)
+        native_how = {"left": "left_outer", "right": "right_outer",
+                      "outer": "full_outer"}.get(how, how)
+        return left.join(right, join_type=native_how,
+                         num_partitions=n_buckets, on=tuple(keys))
 
     def bucketize(side: str):
         def fn(batch: pa.Table) -> pa.Table:
@@ -172,6 +177,8 @@ def hash_join(left: Dataset, right: Dataset, on: str | list[str],
 
     left_dtypes = _int_dtype_map(left.schema())
     right_dtypes = _int_dtype_map(right.schema())
+    left_names = list(left.schema().names)
+    right_names = list(right.schema().names)
     lb = left.map_batches(bucketize("L"), batch_format="pyarrow")
     rb = right.map_batches(bucketize("R"), batch_format="pyarrow")
     both = lb.union(rb)
@@ -181,15 +188,30 @@ def hash_join(left: Dataset, right: Dataset, on: str | list[str],
               "full_outer": "outer"}.get(how, how)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # reindex to each side's RECORDED schema: a single-side bucket's
+        # group frame may entirely lack the other side's columns (and a
+        # 0-row side would have every column dropped by any all-NA prune),
+        # so selection by name — not dropna — keeps the merge keys present
         lg = _restore_dtypes(
-            g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
-            .dropna(axis=1, how="all"), left_dtypes)
+            g[g["__side"] == "L"].reindex(columns=left_names), left_dtypes)
         rg = _restore_dtypes(
-            g[g["__side"] == "R"].drop(columns=["__side", "__bucket"])
-            .dropna(axis=1, how="all"), right_dtypes)
-        if lg.empty or rg.empty:
-            return lg.merge(rg, on=on, how=pd_how) if pd_how != "inner" else lg.head(0).merge(rg.head(0), on=on)
-        return lg.merge(rg, on=on, how=pd_how)
+            g[g["__side"] == "R"].reindex(columns=right_names), right_dtypes)
+        # SQL null-key semantics (match the Arrow broadcast/native paths):
+        # null keys never match; outer joins still emit them unmatched
+        lnull = lg[lg[keys].isna().any(axis=1)]
+        rnull = rg[rg[keys].isna().any(axis=1)]
+        if len(lnull):
+            lg = lg.drop(index=lnull.index)
+        if len(rnull):
+            rg = rg.drop(index=rnull.index)
+        out = lg.merge(rg, on=on, how=pd_how)
+        if len(lnull) and pd_how in ("left", "outer"):
+            out = pd.concat([out, lnull.reindex(columns=out.columns)],
+                            ignore_index=True)
+        if len(rnull) and pd_how in ("right", "outer"):
+            out = pd.concat([out, rnull.reindex(columns=out.columns)],
+                            ignore_index=True)
+        return out
 
     return both.groupby("__bucket").map_groups(merge_bucket, batch_format="pandas")
 
@@ -240,22 +262,31 @@ def asof_join(left: Dataset, right: Dataset, key_col: str, on_col: str,
     both = lb.union(rb)
 
     def merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # the union null-fills left-only columns on R rows; pandas promotes
-        # int64-with-null to float64 — restore the recorded left dtypes (L
-        # rows are all non-null), else an int left column ships out float
+        # reindex by RECORDED side schemas: a bucket holding only one
+        # side's rows lacks the other side's columns in its group frame,
+        # and a 0-row side would lose every column (incl. the sort key) to
+        # any all-NA prune — select by name instead.  The union null-fills
+        # left-only columns on R rows; pandas promotes int64-with-null to
+        # float64 — _restore_dtypes brings the recorded left ints back (L
+        # rows are all non-null), else an int left column ships out float.
         lg = _restore_dtypes(
-            g[g["__side"] == "L"].drop(columns=["__side", "__bucket"])
-            .dropna(axis=1, how="all"), left_dtypes)
+            g[g["__side"] == "L"].reindex(columns=left_keep), left_dtypes)
         rg = _restore_dtypes(
-            g[g["__side"] == "R"][right_keep].rename(columns=rename),
-            right_dtypes)
+            g[g["__side"] == "R"].reindex(columns=right_keep)
+            .rename(columns=rename), right_dtypes)
         lg = lg.sort_values([on_col, *([c for c in ("event_id",) if c in lg])],
                             kind="mergesort")
         rg = rg.sort_values(on_col + suffix, kind="mergesort")
         if lg.empty or rg.empty:
-            # typed no-match result: every rename column present, all-null
-            return lg.assign(**{c: pd.Series([pd.NA] * len(lg), index=lg.index)
-                                for c in rename.values()})
+            # no-match result shaped like merge_asof's unmatched rows:
+            # float64 NaN for recorded-int right columns, object None
+            # otherwise (also covers the 0-left-rows bucket: 0 rows out)
+            filled = {
+                c: pd.Series([np.nan] * len(lg), index=lg.index,
+                             dtype=("float64" if c in right_dtypes
+                                    else object))
+                for c in rename.values()}
+            return lg.assign(**filled)
         return pd.merge_asof(
             lg, rg, left_on=on_col, right_on=on_col + suffix, by=key_col,
             direction=direction, allow_exact_matches=True,
@@ -819,15 +850,12 @@ def table_diff(left: Dataset, right: Dataset, on: str,
     return j.map_batches(status, batch_format="pyarrow")
 
 
-def except_distinct(left: Dataset, right: Dataset,
-                    cols: list[str]) -> Dataset:
-    """SQL ``EXCEPT`` (distinct set difference): distinct ``cols`` tuples
-    of ``left`` that never appear in ``right``.
-
-    Scale shape: both sides first collapse to distinct tuples with
-    map-side combine (the shuffle moves distinct rows, never the
-    streams), then ONE composite-key left-outer hash join + a stateless
-    null-marker filter — no broadcast requirement on either side."""
+def _distinct_marker_join(left: Dataset, right: Dataset,
+                          cols: list[str]) -> Dataset:
+    """Shared body of except/intersect: distinct-collapse both sides with
+    map-side combine (the shuffle moves distinct tuples, never the
+    streams), mark the right side, ONE composite-key left-outer hash join.
+    Callers filter on the ``__r`` marker validity."""
 
     def distinct(ds: Dataset) -> Dataset:
         return map_combine_aggregate(ds.select_columns(cols), keys=cols,
@@ -838,7 +866,15 @@ def except_distinct(left: Dataset, right: Dataset,
         lambda b: b.append_column(
             "__r", pa.array(np.ones(b.num_rows, dtype=np.int8))),
         batch_format="pyarrow")
-    j = hash_join(distinct(left), r, on=cols, how="left_outer")
+    return hash_join(distinct(left), r, on=cols, how="left_outer")
+
+
+def except_distinct(left: Dataset, right: Dataset,
+                    cols: list[str]) -> Dataset:
+    """SQL ``EXCEPT`` (distinct set difference): distinct ``cols`` tuples
+    of ``left`` that never appear in ``right`` — no broadcast requirement
+    on either side (see :func:`_distinct_marker_join`)."""
+    j = _distinct_marker_join(left, right, cols)
 
     def only_left(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_null(b.column("__r"))).select(cols)
@@ -850,19 +886,8 @@ def intersect_distinct(left: Dataset, right: Dataset,
                        cols: list[str]) -> Dataset:
     """SQL ``INTERSECT`` (distinct set intersection): distinct ``cols``
     tuples present on BOTH sides — except_distinct's complement, same
-    scale shape (distinct-collapse with map-side combine, ONE composite
-    hash join, stateless marker filter)."""
-
-    def distinct(ds: Dataset) -> Dataset:
-        return map_combine_aggregate(ds.select_columns(cols), keys=cols,
-                                     count_alias="__c") \
-            .drop_columns(["__c"])
-
-    r = distinct(right).map_batches(
-        lambda b: b.append_column(
-            "__r", pa.array(np.ones(b.num_rows, dtype=np.int8))),
-        batch_format="pyarrow")
-    j = hash_join(distinct(left), r, on=cols, how="left_outer")
+    scale shape (see :func:`_distinct_marker_join`)."""
+    j = _distinct_marker_join(left, right, cols)
 
     def in_both(b: pa.Table) -> pa.Table:
         return b.filter(pc.is_valid(b.column("__r"))).select(cols)

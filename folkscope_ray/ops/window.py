@@ -334,6 +334,29 @@ def pivot_counts(ds: Dataset, key_col: str, cat_col: str,
     )
 
 
+def _require_string_keys(ds: Dataset, keys: list[str], all_sentinel: str,
+                         fn_name: str) -> None:
+    """The rollup/cube/grouping-sets sentinel is a STRING; writing it into
+    an int key column would produce a mixed object column that Arrow
+    rejects downstream — fail fast with direction instead."""
+    sch = ds.schema()
+    for name, typ in zip(sch.names, sch.types):
+        if name not in keys:
+            continue
+        # schema types are Arrow DataTypes for Arrow-backed datasets but
+        # plain Python/numpy dtypes for pandas-backed ones — accept the
+        # string-ish forms of both
+        if isinstance(typ, pa.DataType):
+            ok = pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        else:
+            ok = typ is object or str(typ) in ("object", "string", "str")
+        if not ok:
+            raise TypeError(
+                f"{fn_name}: key column {name!r} is {typ} — the "
+                f"{all_sentinel!r} sentinel requires string keys; cast the "
+                "column to string upstream")
+
+
 def rollup_counts(ds: Dataset, keys: list[str], int_value_col: str,
                   sum_alias: str, all_sentinel: str = "ALL") -> Dataset:
     """GROUP BY ROLLUP(k1, k2, ...): aggregates at every key prefix level,
@@ -342,6 +365,8 @@ def rollup_counts(ds: Dataset, keys: list[str], int_value_col: str,
     table).  Rolled-up key columns carry ``all_sentinel`` instead of SQL
     NULL so cross-engine hash comparison is exact."""
     from .relational import map_combine_aggregate
+
+    _require_string_keys(ds, keys, all_sentinel, "rollup_counts")
 
     finest = map_combine_aggregate(
         ds.select_columns(keys + [int_value_col]),
@@ -380,6 +405,7 @@ def cube_counts(ds: Dataset, keys: list[str], int_value_col: str,
 
     from .relational import map_combine_aggregate
 
+    _require_string_keys(ds, keys, all_sentinel, "cube_counts")
     finest = map_combine_aggregate(
         ds.select_columns(keys + [int_value_col]),
         keys=keys, sums={int_value_col: sum_alias}, count_alias="n",
@@ -923,24 +949,7 @@ def grouping_sets_counts(ds: Dataset, keys: list[str],
         bad = [c for c in s if c not in keys]
         if bad:
             raise ValueError(f"grouping set {s} has non-key columns {bad}")
-    sch = ds.schema()
-    for name, typ in zip(sch.names, sch.types):
-        if name not in keys:
-            continue
-        # schema types are Arrow DataTypes for Arrow-backed datasets but
-        # plain Python/numpy dtypes for pandas-backed ones — accept the
-        # string-ish forms of both
-        if isinstance(typ, pa.DataType):
-            ok = pa.types.is_string(typ) or pa.types.is_large_string(typ)
-        else:
-            ok = typ is object or str(typ) in ("object", "string", "str")
-        if not ok:
-            # the sentinel is a STRING; writing it into an int key column
-            # would produce a mixed object column that Arrow rejects
-            raise TypeError(
-                f"grouping_sets_counts: key column {name!r} is {typ} — the "
-                f"{all_sentinel!r} sentinel requires string keys; cast the "
-                "column to string upstream")
+    _require_string_keys(ds, keys, all_sentinel, "grouping_sets_counts")
 
     finest = map_combine_aggregate(
         ds.select_columns(keys + [int_value_col]),

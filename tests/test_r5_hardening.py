@@ -308,3 +308,107 @@ def test_target_encode_empty_input():
                        "v": pd.array([], dtype="int64")})
     out = target_encode(rd.from_pandas(df), "k", "v").to_pandas()
     assert len(out) == 0
+
+
+# --------------------------------------- join-family review fixes (r5)
+
+def test_asof_join_single_side_buckets():
+    """Buckets holding only one side's rows must not crash (KeyError on
+    missing columns) — right-only buckets emit nothing, left-only buckets
+    emit unmatched left rows."""
+    from folkscope_ray.ops.relational import asof_join
+    import ray.data as _rd
+
+    left = pd.DataFrame({"k": ["a"], "ts": [10],
+                         "payload": [7]}).astype({"ts": "int64"})
+    right = pd.DataFrame({"k": [f"r{i}" for i in range(50)] + ["a"],
+                          "ts": list(range(50)) + [5],
+                          "price": list(range(51))}).astype({"ts": "int64"})
+    out = asof_join(_rd.from_pandas(left), _rd.from_pandas(right),
+                    key_col="k", on_col="ts", n_buckets=8,
+                    right_cols=["price"]).to_pandas()
+    assert len(out) == 1
+    assert out["price_asof"].iloc[0] == 50  # right row (a, 5) is rank 50
+    # left-only buckets: 30 left keys, right has just one key
+    left2 = pd.DataFrame({"k": [f"l{i}" for i in range(30)],
+                          "ts": np.arange(30, dtype="int64")})
+    right2 = pd.DataFrame({"k": ["l0"], "ts": [0],
+                           "price": [99]}).astype({"ts": "int64"})
+    out2 = asof_join(_rd.from_pandas(left2), _rd.from_pandas(right2),
+                     key_col="k", on_col="ts", n_buckets=8,
+                     right_cols=["price"]).to_pandas()
+    assert len(out2) == 30
+    assert out2.loc[out2["k"] == "l0", "price_asof"].iloc[0] == 99
+    assert out2.loc[out2["k"] != "l0", "price_asof"].isna().all()
+
+
+def test_hash_join_left_alias_beyond_gate(monkeypatch):
+    """how='left' must work identically under and beyond the broadcast
+    gate (the native Dataset.join path rejects the pandas alias)."""
+    from folkscope_ray.ops.relational import hash_join
+    import ray.data as _rd
+
+    left = _rd.from_pandas(pd.DataFrame({"k": [1, 2, 3],
+                                         "x": [10, 20, 30]}))
+    right = _rd.from_pandas(pd.DataFrame({"k": [2, 3, 4],
+                                          "y": [200, 300, 400]}))
+    under = (hash_join(left, right, on="k", how="left")
+             .to_pandas().sort_values("k").reset_index(drop=True))
+    monkeypatch.setenv("FOLKSCOPE_JOIN_BROADCAST_MAX", "0")
+    beyond = (hash_join(left, right, on="k", how="left")
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    assert under["k"].tolist() == beyond["k"].tolist() == [1, 2, 3]
+    for df in (under, beyond):
+        assert pd.isna(df.loc[df["k"] == 1, "y"]).all()
+        assert df.loc[df["k"] == 3, "y"].iloc[0] == 300
+
+
+def test_interval_join_nullable_int_payload():
+    from folkscope_ray.ops.interval import interval_join
+    import ray.data as _rd
+
+    left = pa.table({"g": pa.array([1, 1], pa.int64()),
+                     "id": pa.array([1, 2], pa.int64()),
+                     "s": pa.array([0, 10], pa.int64()),
+                     "e": pa.array([5, 15], pa.int64()),
+                     "extra": pa.array([1, None], pa.int64())})
+    right = pa.table({"g": pa.array([1], pa.int64()),
+                      "rid": pa.array([7], pa.int64()),
+                      "rs": pa.array([3], pa.int64()),
+                      "re": pa.array([4], pa.int64())})
+    out = interval_join(_rd.from_arrow(left), _rd.from_arrow(right),
+                        on="g", left_start="s", left_end="e",
+                        right_start="rs", right_end="re").to_pandas()
+    assert len(out) == 1 and out["id"].iloc[0] == 1
+
+
+def test_rollup_cube_reject_int_keys():
+    from folkscope_ray.ops.window import cube_counts, rollup_counts
+    import ray.data as _rd
+
+    ds = _rd.from_pandas(pd.DataFrame({"a": [1, 2], "b": [3, 4],
+                                       "v": [10, 20]}))
+    with pytest.raises(TypeError, match="sentinel requires string keys"):
+        rollup_counts(ds, ["a", "b"], "v", "sv")
+    with pytest.raises(TypeError, match="sentinel requires string keys"):
+        cube_counts(ds, ["a", "b"], "v", "sv")
+
+
+def test_hash_join_fallback_null_keys_sql_semantics():
+    """Null keys never match (Arrow/SQL semantics) on every hash_join
+    path; outer joins still emit the null-keyed rows unmatched."""
+    from folkscope_ray.ops.relational import hash_join
+    import ray.data as _rd
+
+    left = pd.DataFrame({"k": pd.array([1, None, 2], dtype="Int64"),
+                         "x": [10, 20, 30]})
+    right = pd.DataFrame({"k": pd.array([1, None], dtype="Int64"),
+                          "y": [100, 200]})
+    inner = hash_join(_rd.from_pandas(left), _rd.from_pandas(right),
+                      on="k", how="inner").to_pandas()
+    assert inner["x"].tolist() == [10]  # null != null
+    louter = (hash_join(_rd.from_pandas(left), _rd.from_pandas(right),
+                        on="k", how="left_outer")
+              .to_pandas().sort_values("x").reset_index(drop=True))
+    assert len(louter) == 3
+    assert pd.isna(louter.loc[louter["x"] == 20, "y"]).all()
