@@ -169,7 +169,11 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
     tref = ray.put(terms_sorted)
 
     def masks(b: pa.Table) -> pa.Table:
-        ts = ray.get(tref)
+        ck_t = "xjt" + tref.hex()
+        ts = _WORKER_CACHE.get(ck_t)
+        if ts is None:
+            ts = ray.get(tref)
+            broadcast_cache_put(_WORKER_CACHE, ck_t, ts)
         lists = pc.split_pattern_regex(
             pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
         la = (lists.combine_chunks()
@@ -212,8 +216,14 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
     slab = 4096
 
     def score(b: pa.Table) -> pa.Table:
-        rids, rm, rlen = ray.get(rref)
-        ts = ray.get(tref)
+        # broadcast state resolves ONCE per worker process via the module
+        # cache (the scan_batch discipline above), not once per batch
+        ck = "xj" + rref.hex()
+        state = _WORKER_CACHE.get(ck)
+        if state is None:
+            state = ray.get(rref)
+            broadcast_cache_put(_WORKER_CACHE, ck, state)
+        rids, rm, rlen = state
         mb = masks(b)
         lids = mb.column(id_col).to_numpy(zero_copy_only=False)
         lm = (_mask_matrix(mb.column("__m"), w)

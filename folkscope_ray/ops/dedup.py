@@ -98,9 +98,30 @@ _A = _rng.randint(1, _M61, size=128, dtype=np.int64)
 _B = _rng.randint(0, _M61, size=128, dtype=np.int64)
 
 
+def _perm_family(n_perms: int) -> tuple[np.ndarray, np.ndarray]:
+    """First ``n_perms`` coefficients of the minhash permutation family.
+    The first 128 are the pinned seed-7 values (committed fixtures hash
+    them); beyond 128 the family EXTENDS deterministically (seed 7001)
+    instead of silently truncating — bands*rows > 128 used to reshape-crash
+    in minhash_bands_batch."""
+    global _A, _B
+    if n_perms > len(_A):
+        # regenerate the whole extension from the START of two dedicated
+        # streams (one per coefficient array) so the k-th coefficient is
+        # identical no matter which n_perms was requested first — a
+        # grow-by-delta draw would make values depend on call order
+        grow = n_perms - 128
+        _A = np.concatenate([_A[:128], np.random.RandomState(7001)
+                             .randint(1, _M61, size=grow, dtype=np.int64)])
+        _B = np.concatenate([_B[:128], np.random.RandomState(7002)
+                             .randint(0, _M61, size=grow, dtype=np.int64)])
+    return _A[:n_perms], _B[:n_perms]
+
+
 def doc_minhash(text: str, n_perms: int = 128) -> np.ndarray:
     sh = np.unique(_text_shingles(text))
-    vals = (sh[:, None].astype(np.int64) * _A[:n_perms] + _B[:n_perms]) % _M61
+    a, b = _perm_family(n_perms)
+    vals = (sh[:, None].astype(np.int64) * a + b) % _M61
     return vals.min(axis=0)
 
 
@@ -261,7 +282,14 @@ def word_jaccard_vs_query(ds: Dataset, query_text: str, text_col: str = "text",
     SQL oracle bit-exactly.  This is the exact-verification half of the
     near-dup family (minhash-LSH generates candidates; this scores them) —
     reference analogue: assertion-text overlap filtering, pattern_match.py."""
-    q_tokens = np.unique([t for t in query_text.lower().split()])
+    import re as _re
+
+    # tokenize the query with RE2 semantics (\S = non-ASCII-whitespace),
+    # matching the Arrow/DuckDB doc side: Python str.split() breaks on
+    # Unicode whitespace (NBSP etc.), so a doc identical to the query
+    # could otherwise score < 1.0
+    q_tokens = np.unique(
+        _re.findall(r"[^ \t\n\r\f\v]+", query_text.lower()))
     q_ref = ray.put(q_tokens)
     scale = float(10 ** quantize_digits)
 
@@ -363,9 +391,22 @@ def chunk_dedup(ds: Dataset, id_col: str = "doc_id", text_col: str = "text",
 
     def chunks(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if len(ids) and (int(ids.min()) < 0
+                         or int(ids.max()) >= 1 << (63 - CHUNK_IDX_BITS)):
+            # the jaccard_selfjoin packed-key discipline: out-of-range ids
+            # would silently migrate chunks between documents
+            raise ValueError(
+                "chunk_dedup requires 0 <= doc_id < 2^43 (packed "
+                "(doc_id << 20 | chunk_idx) keys); densify ids first")
         out_ck, out_chunk = [], []
         for i, t in zip(ids, batch.column(text_col).to_pylist()):
             toks = TERM_RE.findall(t.lower())
+            n_chunks = (len(toks) + chunk_tokens - 1) // chunk_tokens
+            if n_chunks >= 1 << CHUNK_IDX_BITS:
+                raise ValueError(
+                    f"chunk_dedup: doc {int(i)} has {n_chunks} chunks — "
+                    f"the packed key holds < 2^{CHUNK_IDX_BITS}; raise "
+                    "chunk_tokens or split the document upstream")
             for j in range(0, len(toks), chunk_tokens):
                 out_ck.append((int(i) << CHUNK_IDX_BITS) | (j // chunk_tokens))
                 out_chunk.append(" ".join(toks[j:j + chunk_tokens]))

@@ -45,7 +45,6 @@ i * 1e6 // union`` — hash-exact against the SQL oracle at any parallelism.
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pandas as pd
@@ -55,8 +54,8 @@ import ray
 from ray.data import Dataset
 
 from ..util import broadcast_cache_put
+from .index import TERM_RE  # ONE tokenizer object across index/setjoin/dedup
 
-TERM_RE = re.compile(r"[a-z0-9]+")
 PPM = 1_000_000
 
 # per-worker-process cache for broadcast-state task closures

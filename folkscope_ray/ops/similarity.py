@@ -4,7 +4,7 @@
   against a broadcast query matrix (``ray.put`` once, read per worker), then a
   driver-side merge of per-batch partial top-ks.  This is the scale baseline:
   each batch does one (B × d) @ (d × Q) GEMM, no shuffle at all.
-- lsh_bucketed_topk : random-hyperplane LSH variant — candidates restricted to
+- LshTopK (actor class) : random-hyperplane LSH variant — candidates restricted to
   query-colliding buckets, so at corpus scale only a fraction of batches do
   real work.  Same output contract; approximate.
 - ivf_topk : IVF variant — a deterministic distributed spherical-k-means
@@ -83,14 +83,21 @@ class BruteForceTopK:
         # quantize BEFORE selecting the top-k so boundary vectors that collide
         # after rounding rank identically to a quantizing SQL oracle
         # (tiebreak: vec_id ascending)
-        self.q_scale = float(10 ** quantize_digits) if quantize_digits else None
+        # "if quantize_digits" would treat digits=0 (round to integers) as
+        # disabled — test against None explicitly
+        self.q_scale = (float(10 ** quantize_digits)
+                        if quantize_digits is not None else None)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         m = _normalize(_as_matrix(batch.column(self.vec_col)))  # (B, d)
         ids = batch.column(self.id_col).to_numpy(
             zero_copy_only=False).astype(np.int64, copy=False)
         sims = m @ self.q.T  # (B, Q)
-        if self.q_scale:
+        if self.q_scale is not None:
+            # np.round is round-half-to-EVEN; the committed ANN fixtures pin
+            # this convention (an exactly-representable n+0.5 scaled cosine
+            # would differ from SQL's half-away-from-zero — no SQL oracle
+            # consumes these, the golden fixtures are the contract)
             sims = np.round(sims * self.q_scale).astype(np.int64) / self.q_scale
         k = min(self.k, len(ids))
         o_q, o_id, o_s = [], [], []
@@ -131,15 +138,29 @@ def brute_force_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
         return fn(batch)
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    if "query_id" not in partials.columns:
+        return _topk_frame([])  # empty corpus: zero blocks, zero columns
     out = []
     for qi, grp in partials.groupby("query_id"):
         top = heapq.nlargest(k, grp.itertuples(), key=lambda r: (r.cosine, -r.vec_id))
         for r in top:
             out.append({"query_id": qi, "vec_id": r.vec_id, "cosine": r.cosine})
+    return _topk_frame(out)
+
+
+def _topk_frame(rows: list[dict]):
+    """(query_id, vec_id, cosine) result frame — typed-empty-safe: a bare
+    ``pd.DataFrame([])`` has no columns and sort_values would KeyError on
+    an empty corpus / empty probe set."""
     import pandas as pd
 
-    return pd.DataFrame(out).sort_values(["query_id", "cosine", "vec_id"],
-                                         ascending=[True, False, True]).reset_index(drop=True)
+    if not rows:
+        return pd.DataFrame({"query_id": pd.array([], dtype="int64"),
+                             "vec_id": pd.array([], dtype="int64"),
+                             "cosine": pd.array([], dtype="float64")})
+    return pd.DataFrame(rows).sort_values(
+        ["query_id", "cosine", "vec_id"],
+        ascending=[True, False, True]).reset_index(drop=True)
 
 
 # ------------------------------------------------------- LSH-bucketed ANN
@@ -291,7 +312,12 @@ def embedding_neardup_pairs_lsh(ds: Dataset, tau: float = 0.4,
 
 def hyperplanes_for(ds: Dataset, vec_col: str, n_planes: int) -> np.ndarray:
     """Hyperplanes sized to the Dataset's embedding dim (reads one row)."""
-    dim = len(ds.take(1)[0][vec_col])
+    first = ds.take(1)
+    if not first:
+        raise ValueError(
+            "hyperplanes_for: empty dataset — the embedding dim cannot be "
+            "inferred; pass hyperplanes(dim, n_planes) explicitly")
+    dim = len(first[0][vec_col])
     return hyperplanes(dim, n_planes)
 
 
@@ -421,13 +447,13 @@ def ivf_topk(ds: Dataset, queries: np.ndarray, k: int = 10,
         return fn(batch)
 
     partials = ds.map_batches(ivf_batch, batch_format="pyarrow").to_pandas()
+    if "query_id" not in partials.columns:
+        return _topk_frame([])  # empty corpus / empty probe set
     out = []
     for qi, grp in partials.groupby("query_id"):
         top = _heapq.nlargest(k, grp.itertuples(), key=lambda r: (r.cosine, -r.vec_id))
         out.extend({"query_id": qi, "vec_id": r.vec_id, "cosine": r.cosine} for r in top)
-    return pd.DataFrame(out).sort_values(
-        ["query_id", "cosine", "vec_id"], ascending=[True, False, True]
-    ).reset_index(drop=True)
+    return _topk_frame(out)
 
 
 class LshTopK(BruteForceTopK):

@@ -412,3 +412,61 @@ def test_hash_join_fallback_null_keys_sql_semantics():
               .to_pandas().sort_values("x").reset_index(drop=True))
     assert len(louter) == 3
     assert pd.isna(louter.loc[louter["x"] == 20, "y"]).all()
+
+
+# ---------------------------------- dedup/similarity review fixes (r5)
+
+def test_minhash_perm_family_extends_beyond_128():
+    from folkscope_ray.ops.dedup import doc_minhash, minhash_bands_batch
+
+    sig = doc_minhash("the quick brown fox jumps over the lazy dog", 256)
+    assert sig.shape == (256,)
+    # first 128 coefficients unchanged (committed fixtures pin them)
+    assert (sig[:128] == doc_minhash(
+        "the quick brown fox jumps over the lazy dog", 128)).all()
+    # bands * rows > 128 no longer reshape-crashes
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "text": ["some text with several tokens in it"]})
+    out = minhash_bands_batch(t, bands=32, rows=8)
+    assert out.num_rows == 32
+
+
+def test_chunk_dedup_rejects_out_of_range_ids():
+    from folkscope_ray.ops.dedup import chunk_dedup
+
+    df = pd.DataFrame({"doc_id": np.array([1 << 43], dtype="int64"),
+                       "text": ["hello world"]})
+    with pytest.raises(Exception, match="2\\^43"):
+        chunk_dedup(rd.from_pandas(df)).to_pandas()
+
+
+def test_brute_force_topk_empty_corpus():
+    from folkscope_ray.ops.similarity import brute_force_topk
+
+    empty = rd.from_pandas(pd.DataFrame({
+        "vec_id": pd.array([], dtype="int64"),
+        "embedding": pd.Series([], dtype=object)}))
+    q = np.ones((2, 4), dtype=np.float64)
+    out = brute_force_topk(empty, q, k=3)
+    assert len(out) == 0
+    assert list(out.columns) == ["query_id", "vec_id", "cosine"]
+
+
+def test_word_jaccard_nbsp_query_matches_doc():
+    from folkscope_ray.ops.dedup import word_jaccard_vs_query
+
+    text = "hello world token"
+    ds = rd.from_pandas(pd.DataFrame({"doc_id": [1], "text": [text]}))
+    out = word_jaccard_vs_query(ds, text).to_pandas()
+    # doc identical to query must score exactly 1.0 (RE2 \S+ both sides)
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_brute_force_quantize_digits_zero_applies():
+    from folkscope_ray.ops.similarity import BruteForceTopK
+
+    q = np.array([[1.0, 0.0]])
+    b = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                  "embedding": [[0.8, 0.6], [0.6, 0.8]]})
+    out = BruteForceTopK(q, k=2, quantize_digits=0)(b).to_pandas()
+    assert set(out["cosine"]) <= {0.0, 1.0}  # rounded to integers
