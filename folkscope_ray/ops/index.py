@@ -282,6 +282,14 @@ def ndcg_at_k(ds: Dataset, id_col: str, score_col: str, rel_col: str,
            .limit(k).to_pandas())
     r = np.arange(1, len(top) + 1, dtype=np.int64)
     rel = top[rel_col].to_numpy().astype(np.float64)
+    # the emitted rel column is int64: fractional grades would silently
+    # contradict the DCG computed from the float values — enforce the
+    # integral-grade contract instead (quantize fractional labels upstream)
+    if not np.array_equal(rel.astype(np.int64).astype(np.float64), rel):
+        raise ValueError(
+            "ndcg_at_k: rel_col must carry integral relevance grades "
+            "(emitted rel is int64); scale fractional labels to integers "
+            "upstream")
     dcg = rel / np.log2(r + 1)
     ideal = np.sort(rel)[::-1]
     idcg = ideal / np.log2(r + 1)

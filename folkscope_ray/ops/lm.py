@@ -45,6 +45,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
@@ -235,6 +236,30 @@ def bpe_token_counts(word_freq_ds: Dataset, merges: pd.DataFrame) -> Dataset:
 # bigram-LM perplexity quality scoring (CCNet-style)
 # --------------------------------------------------------------------------
 
+def corpus_tokens_batch(b: pa.Table, text_col: str,
+                        key_col: str | None = None) -> pa.Table:
+    """ONE corpus tokenizer for the whole-batch Arrow path: lowercase,
+    split on ``[^a-z0-9]+``, drop empties.  With ``key_col`` the output
+    carries each token's originating key (js_divergence shape); without it
+    just the token column (vocab_coverage shape).  Keeping this a single
+    helper preserves the module's one-token-class parity promise."""
+    lists = pc.split_pattern_regex(
+        pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
+    la = (lists.combine_chunks()
+          if isinstance(lists, pa.ChunkedArray) else lists)
+    flat = la.flatten()
+    keep = pc.greater(pc.binary_length(flat), 0)
+    if key_col is None:
+        return pa.table({"tok": flat.filter(keep)})
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    off = la.offsets.to_numpy().astype(np.int64)
+    doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))[keep_np]
+    return pa.table({
+        key_col: b.column(key_col).take(pa.array(doc_of, pa.int64())),
+        "tok": flat.filter(pa.array(keep_np)),
+    })
+
+
 def train_bigram_lm(ds: Dataset, text_col: str = "text",
                     max_vocab: int = 50_000,
                     max_bigrams: int = 500_000) -> dict:
@@ -266,11 +291,14 @@ def train_bigram_lm(ds: Dataset, text_col: str = "text",
             "n": pa.array([n for _, _, n in grams], pa.int64()),
         })
 
+    # materialize: top() below consumes this twice (unigram + bigram
+    # extraction) — without the pin the whole gram-partial combine/shuffle
+    # would re-execute per call (the js_divergence/vocab_coverage shape)
     counts = map_combine_aggregate(
         ds.select_columns([text_col])
         .map_batches(gram_partials, batch_format="pyarrow"),
         keys=["kind", "gram"], sums={"n": "n"}, count_alias="__nb",
-    ).drop_columns(["__nb"])
+    ).drop_columns(["__nb"]).materialize()
 
     def top(kind: str, k: int) -> pd.DataFrame:
         import pyarrow.compute as pc
@@ -410,19 +438,7 @@ def js_divergence_by_key(ds: Dataset, key_col: str, text_col: str = "text",
     from .window import _bucketed_groups
 
     def toks(b: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(
-            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
-        la = (lists.combine_chunks()
-              if isinstance(lists, pa.ChunkedArray) else lists)
-        flat = la.flatten()
-        keep = pc.greater(pc.binary_length(flat), 0).to_numpy(
-            zero_copy_only=False)
-        off = la.offsets.to_numpy().astype(np.int64)
-        doc_of = np.repeat(np.arange(b.num_rows), np.diff(off))[keep]
-        return pa.table({
-            key_col: b.column(key_col).take(pa.array(doc_of, pa.int64())),
-            "tok": flat.filter(pa.array(keep)),
-        })
+        return corpus_tokens_batch(b, text_col, key_col)
 
     counts = map_combine_aggregate(
         ds.select_columns([key_col, text_col])
@@ -501,26 +517,29 @@ def vocab_coverage(ds: Dataset, text_col: str = "text",
     ks = sorted(ks or [100, 1000, 10000])
 
     def toks(b: pa.Table) -> pa.Table:
-        lists = pc.split_pattern_regex(
-            pc.utf8_lower(b.column(text_col)), "[^a-z0-9]+")
-        la = (lists.combine_chunks()
-              if isinstance(lists, pa.ChunkedArray) else lists)
-        flat = la.flatten()
-        keep = pc.greater(pc.binary_length(flat), 0)
-        return pa.table({"tok": flat.filter(keep)})
+        return corpus_tokens_batch(b, text_col)
 
     counts = map_combine_aggregate(
         ds.select_columns([text_col])
         .map_batches(toks, batch_format="pyarrow"),
         keys=["tok"], count_alias="c",
     ).materialize()
-    total = int(counts.aggregate(Sum("c", alias_name="t"))["t"])
+    tot_agg = counts.aggregate(Sum("c", alias_name="t"))
+    # Dataset.aggregate returns None on an empty dataset (empty corpus or
+    # a fully-filtered upstream) — report zero coverage, don't TypeError
+    total = int(tot_agg["t"]) if tot_agg and tot_agg.get("t") is not None \
+        else 0
     top = (counts.sort(["c", "tok"], descending=[True, False])
            .limit(ks[-1]).to_pandas())
-    cum = top["c"].cumsum().to_numpy()
+    # an empty corpus yields a 0-column frame (no blocks) — no "c" column
+    cum = (top["c"].cumsum().to_numpy()
+           if "c" in top.columns else np.array([], dtype=np.int64))
     rows = []
     for k in ks:
-        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) else 0
+        # guard k <= 0: cum[min(0, len)-1] would wrap to cum[-1] and claim
+        # the empty vocabulary covers the whole corpus
+        covered = int(cum[min(k, len(cum)) - 1]) if len(cum) and k > 0 \
+            else 0
         rows.append({"k": k, "covered": covered, "total": total,
                      "share": covered / total if total else 0.0})
     out = pd.DataFrame(rows)

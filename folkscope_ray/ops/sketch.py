@@ -368,7 +368,12 @@ def dd_quantiles(ds: Dataset, value_col: str, qs: list[float],
         if n == 0:
             out.append((q, float("nan")))
             continue
-        rank = int(np.floor(q * (n - 1)))  # 0-based target rank
+        # exact integral rank: float q*(n-1) can round BELOW the exact
+        # product (0.29 * 100 == 28.999999999999996) and select the
+        # previous element, blowing the documented rel_err bound when
+        # adjacent values differ — same Fraction discipline as
+        # exact_quantiles_by_counting
+        rank = int(Fraction(str(q)) * (n - 1))  # 0-based target rank
         idx = int(np.searchsorted(cum, rank + 1, side="left"))
         out.append((q, bucket_estimate(ordered.iloc[idx])))
     return pd.DataFrame(out, columns=["q", "est"])

@@ -104,11 +104,18 @@ def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     blob = "".join(texts).encode("utf-8", "surrogatepass")
     if len(blob) == int(lengths.sum()):  # pure ASCII: byte == char
-        good = _ALNUM_SPACE_LUT[np.frombuffer(blob, dtype=np.uint8)]
+        # one trailing False sentinel keeps every reduceat start index in
+        # range WITHOUT clipping: clipping a trailing empty doc's start from
+        # len to len-1 used to split the previous segment and silently drop
+        # its final byte from that doc's alnum sum
+        good = np.concatenate(
+            (_ALNUM_SPACE_LUT[np.frombuffer(blob, dtype=np.uint8)],
+             np.zeros(1, dtype=bool)))
         bounds = np.concatenate(([0], np.cumsum(lengths)))
-        sums = np.add.reduceat(good, bounds[:-1].clip(max=max(len(blob) - 1, 0))) \
+        sums = np.add.reduceat(good, bounds[:-1]) \
             if len(blob) else np.zeros(n)
-        # reduceat quirk: an empty trailing slice repeats the previous segment
+        # reduceat quirk: an empty (zero-length) slice yields the single
+        # element at its start index — zero those rows explicitly
         sums = np.where(lengths == 0, 0, sums)
         punct_ratio = np.where(
             lengths > 0, 1.0 - sums / np.maximum(lengths, 1), 0.0
@@ -326,7 +333,16 @@ def term_stats_partials(batch: pa.Table, text_col: str = "text",
     flat, rows = _explode_tokens(batch.column(text_col).to_pylist())
     if len(flat) == 0:
         return empty
-    lang_codes, lang_uniq = pd.factorize(np.asarray(langs, dtype=object))
+    # use_na_sentinel=False: a null lang gets its OWN code (and a null
+    # output row, SQL GROUP BY NULL semantics) — the default -1 sentinel
+    # would index lang_uniq[-1] through the packed key and silently merge
+    # null-lang token counts into the last real language
+    lang_codes, lang_uniq = pd.factorize(
+        np.asarray(langs, dtype=object), use_na_sentinel=False)
+    # factorize encodes the null as NaN in the uniques — normalize to None
+    # so the Arrow string cast below accepts it (tiny: one entry per lang)
+    lang_uniq = np.array([None if pd.isna(v) else v for v in lang_uniq],
+                         dtype=object)
     d = pc.dictionary_encode(flat)
     tcodes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     terms = d.dictionary

@@ -470,3 +470,63 @@ def test_brute_force_quantize_digits_zero_applies():
                   "embedding": [[0.8, 0.6], [0.6, 0.8]]})
     out = BruteForceTopK(q, k=2, quantize_digits=0)(b).to_pandas()
     assert set(out["cosine"]) <= {0.0, 1.0}  # rounded to integers
+
+
+# ------------------------------------ text/lm/sketch review fixes (r5)
+
+def test_quality_batch_trailing_empty_doc_exact():
+    from folkscope_ray.ops.text import quality_batch
+
+    out = quality_batch(pa.table({"text": ["ab", ""]}))
+    assert out.column("punct_ratio").to_pylist() == [0.0, 0.0]
+    out2 = quality_batch(pa.table({"text": ["a!", "", "cd", ""]}))
+    assert out2.column("punct_ratio").to_pylist() == [0.5, 0.0, 0.0, 0.0]
+
+
+def test_term_stats_null_lang_not_misattributed():
+    from folkscope_ray.ops.text import term_stats_partials
+
+    out = term_stats_partials(pa.table({
+        "text": ["hello world", "foo bar"],
+        "lang": ["en", None]})).to_pandas()
+    en_terms = set(out[out["lang"] == "en"]["term"])
+    assert en_terms == {"hello", "world"}
+    null_terms = set(out[out["lang"].isna()]["term"])
+    assert null_terms == {"foo", "bar"}
+    # all-null batch: no IndexError, null group carries the counts
+    out2 = term_stats_partials(pa.table({
+        "text": ["x y"], "lang": pa.array([None], pa.string())})).to_pandas()
+    assert set(out2["term"]) == {"x", "y"} and out2["lang"].isna().all()
+
+
+def test_dd_quantiles_exact_rank_boundary():
+    from folkscope_ray.ops.sketch import dd_quantiles
+
+    # float 0.29*100 rounds below 29; the Fraction rank must select the
+    # 1000-bucket and stay inside the promised 1% relative error
+    vals = [1.0] * 29 + [1000.0] * 72
+    out = dd_quantiles(rd.from_pandas(pd.DataFrame({"v": vals})),
+                       "v", [0.29], rel_err=0.01)
+    assert abs(out["est"].iloc[0] - 1000.0) <= 0.01 * 1000.0
+
+
+def test_vocab_coverage_empty_and_k_zero():
+    from folkscope_ray.ops.lm import vocab_coverage
+
+    empty = rd.from_pandas(pd.DataFrame({"text": pd.Series([], dtype=str)}))
+    out = vocab_coverage(empty, ks=[10])
+    assert out["covered"].tolist() == [0] and out["share"].tolist() == [0.0]
+    ds = rd.from_pandas(pd.DataFrame({"text": ["a a b c"]}))
+    out2 = vocab_coverage(ds, ks=[0, 2]).set_index("k")
+    assert out2.loc[0, "covered"] == 0 and out2.loc[0, "share"] == 0.0
+    assert out2.loc[2, "covered"] == 3  # top-2 types cover 3 of 4 tokens
+
+
+def test_ndcg_rejects_fractional_grades():
+    from folkscope_ray.ops.index import ndcg_at_k
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2], "score": [0.9, 0.8], "rel": [0.5, 1.0]}))
+    with pytest.raises(ValueError, match="integral"):
+        ndcg_at_k(ds, k=2, id_col="doc_id", score_col="score",
+                  rel_col="rel")
