@@ -131,27 +131,23 @@ def is_near_duplicate(a: str, b: str) -> bool:
 # ------------------------------------------------------------- Ray stages
 
 def _distinct_norms_batch(batch: pa.Table) -> pa.Table:
-    """Map-side combine: distinct (norm, surface-sample) pairs per batch.
+    """Map-side combine: distinct norms per batch.
 
     ``pc.unique`` first (vectorized) — only the few hundred distinct surfaces
-    per block pay the Python normalization, not every row."""
+    per block pay the Python normalization, not every row.  Only the NORM
+    ships: banding, edge verification, and the canonical map all key on the
+    normalized form, so carrying a surface sample through the shuffle was
+    pure dead payload."""
     import pyarrow.compute as pc
 
-    if "norm" in batch.column_names:  # already a (norm, surface) partial
-        return batch.select(["norm", "surface"])
-    seen: dict[str, str] = {}
+    if "norm" in batch.column_names:  # already a norm partial
+        return batch.select(["norm"])
+    seen: set[str] = set()
     for col in ("surf_a", "surf_b"):
         if col in batch.column_names:
             for s in pc.unique(batch.column(col)).to_pylist():
-                n = normalize_surface(s)
-                if n not in seen or s < seen[n]:
-                    seen[n] = s
-    return pa.table(
-        {
-            "norm": pa.array(list(seen.keys()), pa.string()),
-            "surface": pa.array(list(seen.values()), pa.string()),
-        }
-    )
+                seen.add(normalize_surface(s))
+    return pa.table({"norm": pa.array(sorted(seen), pa.string())})
 
 
 def _band_rows_batch(batch: pa.Table) -> pa.Table:
@@ -205,10 +201,15 @@ class UnionFind:
         self.parent: dict[str, str] = {}
 
     def find(self, x: str) -> str:
-        p = self.parent.setdefault(x, x)
-        if p != x:
-            p = self.parent[x] = self.find(p)
-        return p
+        # iterative with full path compression: union is by lex order (not
+        # rank), so parent chains can exceed Python's recursion limit — the
+        # same hardening ops/components._driver_union_find carries
+        root = self.parent.setdefault(x, x)
+        while self.parent[root] != root:
+            root = self.parent[root]
+        while self.parent[x] != root:
+            self.parent[x], x = root, self.parent[x]
+        return root
 
     def union(self, a: str, b: str) -> None:
         ra, rb = self.find(a), self.find(b)
@@ -225,18 +226,17 @@ def build_canonical_labels(pairs_or_surfaces: Dataset) -> Dataset:
     min-label propagation.  Only norms that merged with something appear
     (identity mappings are implied; apply with ``canon.get(n, n)`` semantics
     or a left join).  No driver-side materialization anywhere."""
-    from ray.data.aggregate import Min
-
     from ..ops.components import connected_components
+    from ..ops.relational import map_combine_aggregate
 
     partials = pairs_or_surfaces.map_batches(
         _distinct_norms_batch, batch_format="pyarrow"
     )
-    # distributed distinct: aggregate (partial+final combine), NOT per-key
-    # map_groups — ~1-row groups make per-group accumulators pathological
-    distinct = partials.groupby("norm").aggregate(
-        Min("surface", alias_name="surface")
-    )
+    # distributed distinct: map-side-combined count (the partial+final
+    # combine shape), NOT per-key map_groups — ~1-row groups make per-group
+    # accumulators pathological; the count column is dropped by banding
+    distinct = map_combine_aggregate(partials, keys=["norm"],
+                                     count_alias="__c")
     bands = distinct.map_batches(_band_rows_batch, batch_format="pyarrow")
     edges = bands.groupby(["band_id", "band_hash"]).map_groups(
         _verified_bucket_edges, batch_format="pandas"

@@ -55,13 +55,19 @@ def seed_rule_conceptualize(words, ners=None):
     (stages/parse.py ner_tags) through the eid merge."""
     ners = ners or ["O"] * len(words)
     out = []
-    counters: dict[str, int] = {}
+    # per-TYPE dict of distinct WORDS (conceptualizer.py:266-277
+    # ners_dict[ner][word] exactly): two distinct same-type mentions get
+    # DISTINCT indices ("Alice met Bob" -> __PERSON__0 met __PERSON__1),
+    # a repeated mention reuses its index, and each type counts from 0
+    per_type: dict[str, dict[str, int]] = {}
     for w, ner in zip(words, ners):
         if ner in NER_TYPES:
-            k = counters.setdefault(ner, len(counters))
+            d = per_type.setdefault(ner, {})
+            k = d.setdefault(w, len(d))
             out.append(f"__{ner}__{k}")
         elif w.lower() in PRONOUNS:
-            k = counters.setdefault("PERSON", len(counters))
+            d = per_type.setdefault("PERSON", {})
+            k = d.setdefault(w.lower(), len(d))
             out.append(f"__PERSON__{k}")
         else:
             out.append(w)
@@ -133,11 +139,20 @@ class TaxonomyIndex:
 
 
 def conceptualize_words(index: TaxonomyIndex, words, pos_tags,
-                        max_candidates: int = MAX_CANDIDATES):
+                        max_candidates: int = MAX_CANDIDATES,
+                        max_matched_words: int | None = None):
     """All bounded-heap concept rewrites of one word sequence.
 
     Returns [(concept_words, score)] sorted by score desc then words.
-    """
+
+    Work bound: subset enumeration carries the reference's early-break
+    (conceptualizer.py:556-561) — once the heap is full and the minimum
+    retained score has not improved across a whole combination size, no
+    larger subset can enter the heap (scores only shrink as more words are
+    rewritten), so the loop stops instead of walking all 2^n subsets.
+    ``max_matched_words`` adds an OPTIONAL hard cap (first-seen order,
+    deterministic) for adversarial rows whose single combination size is
+    itself huge; default None preserves exact reference enumeration."""
     word2concepts = {}
     for w, t in zip(words, pos_tags):
         if t.startswith("NN") and w and w[0].islower() and w not in word2concepts:
@@ -147,8 +162,15 @@ def conceptualize_words(index: TaxonomyIndex, words, pos_tags,
     if not word2concepts:
         return []
     matched = list(word2concepts.keys())
+    if max_matched_words is not None:
+        matched = matched[:max_matched_words]
     heap: list[tuple[float, list[str]]] = []
+    pre_min_score, min_score = 1.0, -1.0
+    pre_comb_len, comb_len = 0, 1
+    done = False
     for r in range(1, len(matched) + 1):
+        if done:
+            break
         for combo in combinations(matched, r):
             partials = [(1.0, list(words))]
             for w in combo:
@@ -158,12 +180,21 @@ def conceptualize_words(index: TaxonomyIndex, words, pos_tags,
                         rewritten = [concept if x == w else x for x in ws]
                         nxt.append((prob * cprob, rewritten))
                 partials = nxt
-            for prob, ws in partials:
-                item = (prob, ws)
+            for item in partials:
                 if len(heap) >= max_candidates:
-                    heapq.heappushpop(heap, item)
+                    item = heapq.heappushpop(heap, item)
                 else:
                     heapq.heappush(heap, item)
+                if min_score < item[0]:
+                    min_score = item[0]
+            comb_len = len(combo)
+            if (pre_min_score == min_score and pre_comb_len + 1 < comb_len
+                    and len(heap) >= max_candidates):
+                done = True
+                break
+            if pre_min_score != min_score:
+                pre_min_score = min_score
+                pre_comb_len = comb_len
     out = sorted(heap, key=lambda t: (-t[0], t[1]))
     return [(ws, prob) for prob, ws in out]
 

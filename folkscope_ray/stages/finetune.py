@@ -131,10 +131,16 @@ def _grad_fn(w_ref, dim: int, text_col: str, label_col: str):
         texts = batch.column(text_col).to_pylist()
         y = (np.asarray(batch.column(label_col).to_pylist(), dtype=object)
              == POSITIVE).astype(np.float64)
-        p = _scores(texts, w, dim)
+        # ONE feature pass per block per epoch: the tokenize/factorize/hash
+        # extraction dominates epoch cost, so derive the scores from the
+        # same COO triple instead of calling _scores (which re-extracts) —
+        # identical math, half the hot path
+        ii, jj, cc = _features_coo(texts, dim)
+        z = np.full(len(texts), w[dim], dtype=np.float64)  # bias slot
+        np.add.at(z, ii, cc.astype(np.float64) * w[jj])
+        p = 1.0 / (1.0 + np.exp(-z))
         # per-ROW quantization before any cross-row sum => associativity
         r = np.rint((p - y) * FIXED_SCALE).astype(np.int64)
-        ii, jj, cc = _features_coo(texts, dim)
         g = np.zeros(dim + 3, dtype=np.int64)
         np.add.at(g, jj, cc * r[ii])
         g[dim] = int(r.sum())  # bias: count 1 per row
@@ -151,28 +157,54 @@ def _grad_fn(w_ref, dim: int, text_col: str, label_col: str):
 
 
 def _config_fp(dim: int, epochs: int, lr: float, n_rows: int,
-               text_col: str, label_col: str) -> str:
+               text_col: str, label_col: str, data_sum: int) -> str:
     return fingerprint("finetune", dim, epochs, lr, n_rows, text_col,
-                       label_col, FIXED_SCALE)
+                       label_col, FIXED_SCALE, data_sum)
+
+
+_DATA_SUM_MOD = (1 << 61) - 1
+
+
+def _data_checksum(slim: Dataset, text_col: str, label_col: str) -> int:
+    """Order-insensitive content checksum of the (text, label) training
+    set: per-row md5 folded to int61, summed mod a Mersenne prime — one
+    cheap pass so a CHANGED dataset of the SAME size cannot silently
+    resume from (and skip training against) stale checkpoints."""
+    import hashlib
+
+    def part(b: pa.Table) -> pa.Table:
+        s = 0
+        for t, l in zip(b.column(text_col).to_pylist(),
+                        b.column(label_col).to_pylist()):
+            d = hashlib.md5(f"{t}\x1f{l}".encode()).digest()
+            s = (s + (int.from_bytes(d[:8], "big") & _DATA_SUM_MOD)) \
+                % _DATA_SUM_MOD
+        return pa.table({"s": pa.array([s], pa.int64())})
+
+    tot = slim.map_batches(part, batch_format="pyarrow").to_pandas()
+    return int(tot["s"].sum() % _DATA_SUM_MOD) if len(tot) else 0
 
 
 _CKPT_RE = re.compile(r"^checkpoint-(\d+)$")
+
+
+def _checkpoints_newest_first(run_dir: str) -> list[str]:
+    if not os.path.isdir(run_dir):
+        return []
+    found = []
+    for name in os.listdir(run_dir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.isfile(os.path.join(run_dir, name, "state.json")):
+            found.append((int(m.group(1)), os.path.join(run_dir, name)))
+    return [p for _, p in sorted(found, reverse=True)]
 
 
 def last_checkpoint(run_dir: str) -> str | None:
     """Newest ``checkpoint-{epoch}`` dir under ``run_dir`` — the
     ``transformers.trainer_utils.get_last_checkpoint`` contract
     (run_classification.py:575-579)."""
-    if not os.path.isdir(run_dir):
-        return None
-    best, best_epoch = None, -1
-    for name in os.listdir(run_dir):
-        m = _CKPT_RE.match(name)
-        if m and os.path.isfile(os.path.join(run_dir, name, "state.json")):
-            e = int(m.group(1))
-            if e > best_epoch:
-                best, best_epoch = os.path.join(run_dir, name), e
-    return best
+    cks = _checkpoints_newest_first(run_dir)
+    return cks[0] if cks else None
 
 
 def _save_checkpoint(run_dir: str, epoch: int, w: np.ndarray, fp: str,
@@ -227,20 +259,23 @@ def train_classifier(
         slim = slim.repartition(target_blocks).materialize()
     if n_rows == 0:
         raise ValueError("train_classifier: empty training set")
-    fp = _config_fp(dim, epochs, lr, n_rows, text_col, label_col)
+    data_sum = _data_checksum(slim, text_col, label_col)
+    fp = _config_fp(dim, epochs, lr, n_rows, text_col, label_col, data_sum)
     w = np.zeros(dim + 1, dtype=np.float64)
     history: list[dict] = []
     start_epoch = 0
     if run_dir is not None:
         os.makedirs(run_dir, exist_ok=True)
-        ck = last_checkpoint(run_dir)
-        if ck is not None:
+        # newest COMPATIBLE checkpoint: a stale higher-epoch dir from an
+        # older config/data must not mask a resumable one below it
+        for ck in _checkpoints_newest_first(run_dir):
             with open(os.path.join(ck, "state.json")) as f:
                 state = json.load(f)
             if state.get("config_fp") == fp:
                 w = np.load(os.path.join(ck, "weights.npy"))
                 history = list(state["history"])
                 start_epoch = int(state["epoch"]) + 1
+                break
 
     for epoch in range(start_epoch, epochs):
         w_ref = ray.put(w)

@@ -159,21 +159,47 @@ def pattern_counts_batch(batch: pa.Table) -> pa.Table:
     )
 
 
+def length_counts_batch(batch: pa.Table) -> pa.Table:
+    """Per-batch (rel, n_tokens, n) partials — the length histogram
+    grow_subskeleton_patterns' CDF-adaptive window needs."""
+    import pyarrow.compute as pc
+
+    rels = batch.column("rel")
+    nt = pc.list_value_length(batch.column("tokens"))
+    t = pa.table({"rel": rels, "n_tokens": pc.cast(nt, pa.int64())})
+    g = t.group_by(["rel", "n_tokens"]).aggregate([("rel", "count")])
+    return g.rename_columns(["rel", "n_tokens", "n"])
+
+
 def mine_patterns(parsed: Dataset, total_rows: int | None = None) -> list[Pattern]:
-    """Full mining pass; returns the deduped frequent pattern list (small)."""
+    """Full mining pass; returns the deduped frequent pattern list (small).
+
+    Matches the pipeline's fused stats pass EXACTLY: skeleton counts AND
+    the per-relation token-length histogram feed
+    :func:`grow_subskeleton_patterns` BEFORE the exclusive attribution —
+    a pattern frequent only as a subgraph of individually-infrequent
+    skeletons is discovered here too, not just in pipelines/kg.py."""
+    parsed = parsed.materialize()  # two aggregates read it
     partials = parsed.map_batches(pattern_counts_batch, batch_format="pyarrow")
     counted = partials.groupby(["rel", "pattern_key"]).aggregate(
         Sum("n", alias_name="support")
     )
     tbl = counted.to_pandas()  # dozens–hundreds of rows: driver-side is correct
+    lt = (parsed.map_batches(length_counts_batch, batch_format="pyarrow")
+          .groupby(["rel", "n_tokens"]).aggregate(Sum("n", alias_name="n"))
+          .to_pandas())
+    length_counts: dict[str, dict[int, int]] = {}
+    for row in lt.itertuples():
+        length_counts.setdefault(row.rel, {})[int(row.n_tokens)] = int(row.n)
     if total_rows is None:
         total_rows = int(tbl["support"].sum())
     floor = max(MIN_SUPPORT, math.ceil(total_rows * SUPPORT_FLOOR_FRAC))
     skel_counts = {row.pattern_key: int(row.support) for row in tbl.itertuples()}
+    grown = grow_subskeleton_patterns(skel_counts, length_counts)
     # A5 reference semantics: priority-ordered exclusive attribution — a
     # below-floor skeleton releases its lines to smaller contained candidates
     return attribute_exclusive_support(
-        skel_counts, [decode_pattern(k) for k in skel_counts], floor
+        skel_counts, [decode_pattern(k) for k in skel_counts] + grown, floor
     )
 
 

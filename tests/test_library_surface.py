@@ -298,10 +298,20 @@ def test_slice_at_template():
 def test_seed_rule_conceptualize():
     from folkscope_ray.stages.conceptualize import seed_rule_conceptualize
 
+    # reference parity (conceptualizer.py:266-277 ners_dict[ner][word]):
+    # each TYPE counts its own distinct words from 0
     words = ["he", "visited", "paris", "with", "acme"]
     ners = ["O", "O", "CITY", "O", "ORGANIZATION"]
     out = seed_rule_conceptualize(words, ners)
-    assert out == ["__PERSON__0", "visited", "__CITY__1", "with", "__ORGANIZATION__2"]
+    assert out == ["__PERSON__0", "visited", "__CITY__0", "with",
+                   "__ORGANIZATION__0"]
+    # two distinct same-type mentions get DISTINCT indices; a repeated
+    # mention reuses its index
+    out2 = seed_rule_conceptualize(
+        ["alice", "met", "bob", "and", "alice"],
+        ["PERSON", "O", "PERSON", "O", "PERSON"])
+    assert out2 == ["__PERSON__0", "met", "__PERSON__1", "and",
+                    "__PERSON__0"]
     assert seed_rule_conceptualize(["plain", "words"]) == ["plain", "words"]
 
 

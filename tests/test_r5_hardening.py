@@ -530,3 +530,80 @@ def test_ndcg_rejects_fractional_grades():
     with pytest.raises(ValueError, match="integral"):
         ndcg_at_k(ds, k=2, id_col="doc_id", score_col="score",
                   rel_col="rel")
+
+
+# --------------------------------------------- stage review fixes (r5)
+
+def test_mine_patterns_matches_stats_pass_semantics():
+    """mine_patterns (library API) must include grown sub-skeleton
+    patterns, exactly like the pipeline's fused stats pass — not just the
+    full skeletons."""
+    import ray
+
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True)
+    from folkscope_ray.pipelines.kg import build_kg
+    from folkscope_ray.stages.mine import mine_patterns
+    from folkscope_ray.synth import corpus_path
+
+    p = build_kg(corpus_path(200))
+    want = {pt.key for pt in p.patterns()}
+    parsed = p.parsed()
+    got = {pt.key for pt in mine_patterns(parsed)}
+    assert got == want
+
+
+def test_train_classifier_data_fingerprint_blocks_stale_resume(tmp_path):
+    from folkscope_ray.stages.finetune import train_classifier
+
+    df1 = pd.DataFrame({"text": [f"tok{i} alpha beta" for i in range(40)],
+                        "label": ["v" if i % 2 else "x" for i in range(40)]})
+    run = str(tmp_path / "run")
+    w1, h1 = train_classifier(rd.from_pandas(df1), dim=64, epochs=3,
+                              run_dir=run)
+    # same SIZE, different content: must NOT resume from df1's checkpoints
+    df2 = df1.copy()
+    df2.loc[0, "label"] = "v" if df2.loc[0, "label"] == "x" else "x"
+    w2, h2 = train_classifier(rd.from_pandas(df2), dim=64, epochs=3,
+                              run_dir=run)
+    wf, _ = train_classifier(rd.from_pandas(df2), dim=64, epochs=3)
+    assert (w2 == wf).all()  # fresh training on df2, not stale resume
+    assert not (w1 == w2).all()  # one flipped label must move some weight
+
+
+def test_train_classifier_resumes_past_stale_higher_epoch(tmp_path):
+    from folkscope_ray.stages.finetune import train_classifier
+
+    df = pd.DataFrame({"text": [f"tok{i} gamma" for i in range(30)],
+                       "label": ["v" if i % 3 else "x" for i in range(30)]})
+    run = str(tmp_path / "run")
+    # old run with MORE epochs leaves checkpoint-0..9
+    train_classifier(rd.from_pandas(df), dim=64, epochs=10, run_dir=run)
+    # new config (epochs=5): its full run writes checkpoint-0..4 with the
+    # new fp; a rerun must find the compatible checkpoint-4 below the
+    # stale checkpoint-9 and do NO epoch work (bit-identical weights)
+    w_a, _ = train_classifier(rd.from_pandas(df), dim=64, epochs=5,
+                              run_dir=run)
+    w_b, _ = train_classifier(rd.from_pandas(df), dim=64, epochs=5,
+                              run_dir=run)
+    assert (w_a == w_b).all()
+    w_fresh, _ = train_classifier(rd.from_pandas(df), dim=64, epochs=5)
+    assert (w_b == w_fresh).all()
+
+
+def test_seed_rule_distinct_same_type_mentions():
+    from folkscope_ray.stages.conceptualize import seed_rule_conceptualize
+
+    out = seed_rule_conceptualize(["alice", "met", "bob"],
+                                  ["PERSON", "O", "PERSON"])
+    assert out == ["__PERSON__0", "met", "__PERSON__1"]
+
+
+def test_canonicalize_unionfind_deep_chain_no_recursion():
+    from folkscope_ray.stages.canonicalize import UnionFind
+
+    uf = UnionFind()
+    names = [f"n{i:06d}" for i in range(3000)]
+    for a, b in zip(names, names[1:]):  # one long chain
+        uf.union(a, b)
+    assert uf.find(names[-1]) == names[0]
