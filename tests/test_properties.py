@@ -134,7 +134,12 @@ def test_edit_distance_selfjoin_property(texts, k):
                        "t": texts})
     got = (edit_distance_selfjoin(rd.from_pandas(df).repartition(2),
                                   text_col="t", id_col="rid", k=k)
-           .to_pandas().sort_values(["a", "b"]).reset_index(drop=True))
+           .to_pandas())
+    if got.empty and not list(got.columns):
+        # Ray's to_pandas drops columns on a zero-row Dataset (the schema
+        # itself is intact) — normalize for the compare
+        got = pd.DataFrame({"a": [], "b": [], "dist": []})
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
     want = sorted((i, j, lev(texts[i], texts[j]))
                   for i in range(len(texts)) for j in range(i + 1, len(texts))
                   if lev(texts[i], texts[j]) <= k)
