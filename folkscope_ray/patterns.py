@@ -124,10 +124,17 @@ def enumerate_anchored_subgraphs(verts, edges, n_anchor: int, k: int,
     vertices — the enumeration core of sub-skeleton pattern growth.  The
     window mirrors the reference's prefix truncation of sentence graphs
     before gSpan (src/pattern/pattern_filter.py:158-166); anchor containment
-    keeps fragments template-relevant.  Vertices keep ascending original
-    order and re-index to 0..k-1; edge lists are sorted (the canonical key
-    form of ``encode_pattern``)."""
-    from itertools import combinations
+    keeps fragments template-relevant.
+
+    Returns DISTINCT fragments in gSpan graph-frequency form: each fragment
+    is CANONICALIZED (anchor positions fixed — they are template slots —
+    and the extra vertices re-labeled by the lexicographically minimal
+    permutation of their positions) and deduplicated per skeleton, so a
+    fragment embedded twice in one skeleton counts ONCE and isomorphic
+    fragments found under different original vertex orders share one key —
+    without both, support counting double-counts embeddings and splits
+    isomorphism classes across keys."""
+    from itertools import combinations, permutations
 
     m = min(len(verts), window)
     if k > m or n_anchor > k or n_anchor < 1:
@@ -159,8 +166,34 @@ def enumerate_anchored_subgraphs(verts, edges, n_anchor: int, k: int,
             (remap[g], l, remap[d]) for g, l, d in edges
             if g in remap and d in remap
         ))
-        out.append((sub_verts, sub_edges))
-    return out
+        out.append(_canon_fragment(sub_verts, sub_edges, n_anchor))
+    return list(dict.fromkeys(out))
+
+
+def _canon_fragment(sub_verts: tuple, sub_edges: tuple, n_anchor: int):
+    """Canonical labeling of one anchored fragment: anchor vertices keep
+    their positions (template slots are ordered), the extras take the
+    lexicographically minimal (verts, edges) encoding over all
+    permutations of their positions.  Fragments are tiny (extras <= ~4),
+    so brute force over <= 4! permutations is cheaper than a DFS-code."""
+    from itertools import permutations
+
+    k = len(sub_verts)
+    ex = list(range(n_anchor, k))
+    if len(ex) <= 1:
+        return sub_verts, sub_edges
+    best = None
+    for perm in permutations(ex):
+        m = dict(zip(ex, perm))
+        pv = list(sub_verts[:n_anchor]) + [None] * len(ex)
+        for old, new in m.items():
+            pv[new] = sub_verts[old]
+        pe = tuple(sorted((m.get(g, g), l, m.get(d, d))
+                          for g, l, d in sub_edges))
+        cand = (tuple(pv), pe)
+        if best is None or cand < best:
+            best = cand
+    return best
 
 
 # -------------------------------------------------- gSpan text interop

@@ -490,7 +490,10 @@ class KGPipeline:
             starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
             index = {k: (int(s), int(c))
                      for k, s, c in zip(items, starts, counts)}
-            ref = (ray.put(tbl), ray.put(index))
+            # combine ONCE on the driver: workers read the broadcast table
+            # zero-copy from plasma, and a multi-chunk put would force each
+            # worker's combine_chunks() to heap-copy the whole memo
+            ref = (ray.put(tbl.combine_chunks()), ray.put(index))
         self._cache["full_evs_ref"] = ref
         return ref
 
@@ -961,8 +964,12 @@ class KGPipeline:
                 lkey = "LA" + lineage_ref.hex()
                 lin_arr = _WORKER_CACHE.get(lkey)
                 if lin_arr is None:
+                    from ..util import broadcast_cache_put as _bput
+
                     lin_arr = ray.get(lineage_ref)
-                    _WORKER_CACHE[lkey] = lin_arr
+                    # bounded insert: a raw assignment would re-open the
+                    # per-invocation broadcast leak the FIFO cache closes
+                    _bput(_WORKER_CACHE, lkey, lin_arr)
                 lin_col = pc.take(lin_arr, lin_col)
             # vectorized lineage split (Arrow kernel, no per-row Python):
             # lineage = repo\tpath\tcommit\tsha, all four tab-free

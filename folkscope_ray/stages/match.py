@@ -41,7 +41,9 @@ def match_objs_chunk(pats: list, items: list[str]) -> dict:
     from .parse import cached_parse
 
     by_rel: dict[str, list] = {}
-    for p in pats:
+    # PatternMatcher order: every matcher entry point must iterate patterns
+    # in priority order or the memo/fallback paths' ev ordering diverges
+    for p in sorted(pats, key=Pattern.priority):
         by_rel.setdefault(p.rel, []).append(p)
     out: dict[str, list] = {}
     for key in items:
@@ -302,7 +304,10 @@ def make_triple_partials_fn(pat_ref, canon_ref, n_buckets: int, evs_ref=None,
             if c is None:
                 n = normalize_surface(surface)
                 c = canon.get(n, n) if canon is not None else n
-                surf_cache[surface] = c
+                if len(surf_cache) < 1_000_000:  # the mcache bound: a
+                    # worker-lifetime memo over unbounded distinct surfaces
+                    # must not grow without limit
+                    surf_cache[surface] = c
             return c
 
         # global lineage rank map: one ray.get + dict build per worker

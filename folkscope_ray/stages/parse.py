@@ -68,7 +68,13 @@ def slice_at_template(rel_name: str, generation: str) -> str | None:
     if r is None or not r.tokens:
         return None
     prefix = " ".join(r.tokens)
+    # token-anchored search (the reference matches on the token list,
+    # pattern_filter.py:74-92): a bare str.find could anchor mid-word
+    # ("Matthey are both ..." matching "they are both ...") and slice a
+    # fabricated assertion out of a word fragment
     idx = generation.find(prefix)
+    while idx > 0 and not generation[idx - 1].isspace():
+        idx = generation.find(prefix, idx + 1)
     if idx < 0:
         return None
     return generation[idx:].strip()
@@ -186,7 +192,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
         tok_flat.extend(t)
         lem_flat.extend(l)
         pos_flat.extend(p)
-        ners = ner_tags(t, p)
+        ners, mentions = cached_ners_mentions(rel, text, t, p)
         ner_flat.extend(ners)
         tok_off.append(len(tok_flat))
         for g, lab, dp in d:
@@ -194,7 +200,7 @@ def parse_batch(batch: pa.Table) -> pa.Table:
             dep_lab.append(lab)
             dep_dep.append(dp)
         dep_off.append(len(dep_gov))
-        for m in extract_mentions(t, ners):
+        for m in mentions:
             men_s.append(m["start"])
             men_e.append(m["end"])
             men_t.append(m["text"])
@@ -293,6 +299,21 @@ def constituency_parse(tokens: list[str], pos: list[str]) -> str:
 
 
 _PARSE_CACHE: dict = {}
+_NER_CACHE: dict = {}
+
+
+def cached_ners_mentions(rel: str, text: str, tokens, pos_tags):
+    """Memoized (ners, mentions) per distinct (rel, assertion) — pure
+    functions of the memoized parse, so repeats must be dict lookups like
+    the parse itself (each ner_of pays a blake2b per noun token)."""
+    ck = (rel, text)
+    hit = _NER_CACHE.get(ck)
+    if hit is None:
+        ners = ner_tags(tokens, pos_tags)
+        hit = (ners, extract_mentions(tokens, ners))
+        if len(_NER_CACHE) < 1_000_000:
+            _NER_CACHE[ck] = hit
+    return hit
 _CPARSE_CACHE: dict = {}
 
 

@@ -54,7 +54,7 @@ def generate_cid(words) -> str:
     return sha1_hex(" ".join(words))
 
 
-def broadcast_cache_put(cache: dict, key, value, cap: int = 6) -> None:
+def broadcast_cache_put(cache: dict, key, value, cap: int = 16) -> None:
     """Insert resolved broadcast state into a per-worker-process module
     cache, evicting the OLDEST entries once ``cap`` is reached.
 
@@ -64,9 +64,11 @@ def broadcast_cache_put(cache: dict, key, value, cap: int = 6) -> None:
     state per invocation in every long-lived worker process — an unbounded
     leak.  A bounded FIFO keeps the once-per-worker ``ray.get`` discipline
     (the live ref of the current stage is always resident) without the
-    growth.  ``cap`` must exceed the number of DISTINCT refs one fused
-    stage resolves concurrently (the matcher holds 3) or eviction would
-    thrash a rebuild per batch; 6 leaves 2x headroom."""
+    growth.  ``cap`` must comfortably exceed the number of DISTINCT keys
+    one fused stage resolves concurrently or eviction would thrash a
+    rebuild per batch — the fused triple-partials stage alone holds 6
+    (T/C/surf/L/E/mc), so 16 leaves >2x headroom even with a second
+    broadcast stage sharing the worker."""
     while len(cache) >= cap:
         cache.pop(next(iter(cache)))
     cache[key] = value

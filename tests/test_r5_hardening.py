@@ -607,3 +607,20 @@ def test_canonicalize_unionfind_deep_chain_no_recursion():
     for a, b in zip(names, names[1:]):  # one long chain
         uf.union(a, b)
     assert uf.find(names[-1]) == names[0]
+
+
+def test_anchored_subgraph_canonical_dedup():
+    """gSpan graph-frequency semantics: a fragment embedded twice in one
+    skeleton counts once, and isomorphic embeddings under different
+    original vertex orders share ONE canonical key."""
+    from folkscope_ray.patterns import enumerate_anchored_subgraphs
+
+    verts = ("PRP", "DT", "VB", "NN", "NN", "NN")
+    edges = ((0, "a", 1), (1, "a", 2), (2, "b", 5),
+             (5, "compound", 3), (5, "compound", 4))
+    out = enumerate_anchored_subgraphs(verts, edges, 3, 5, 6)
+    # the {3,5} and {4,5} embeddings are isomorphic -> ONE fragment
+    assert len(out) == 1
+    assert len(set(out)) == len(out)
+    # anchor slots stay positionally fixed in the canonical form
+    assert out[0][0][:3] == ("PRP", "DT", "VB")
