@@ -29,6 +29,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -175,11 +176,12 @@ class ImageFeatures:
         self.target = target_size
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # filter BEFORE to_pylist: converting skipped multi-MB audio/video
+        # payloads to Python bytes just to test kind defeats the module's
+        # stay-Arrow discipline
+        batch = batch.filter(pc.equal(batch.column("kind"), "image"))
         ids, means, stds, phashes = [], [], [], []
-        kind = batch.column("kind").to_pylist()
-        for i, row in enumerate(batch.to_pylist()):
-            if kind[i] != "image":
-                continue
+        for row in batch.to_pylist():
             img = decode_image(row["payload"], row["mime"], row["width"], row["height"])
             ids.append(row["media_id"])
             px = img.reshape(-1, 3).astype(np.float64)
@@ -207,15 +209,20 @@ class ImageResizer:
         self.out_h, self.out_w = out_h, out_w
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        rows = batch.to_pylist()
+        # only image payloads round-trip through Python; other media rows
+        # pass through as their original Arrow buffers, uncopied
+        is_img = pc.equal(batch.column("kind"), "image")
+        rest = batch.filter(pc.invert(is_img))
+        rows = batch.filter(is_img).to_pylist()
         for row in rows:
-            if row["kind"] != "image":
-                continue
             img = decode_image(row["payload"], row["mime"], row["width"], row["height"])
             row["payload"] = resize_bilinear(img, self.out_h, self.out_w).tobytes()
             row["width"], row["height"] = self.out_w, self.out_h
             row["mime"] = RAW_IMAGE_MIME
-        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        out = pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+        if rest.num_rows:
+            out = pa.concat_tables([out, rest.cast(MEDIA_SCHEMA)])
+        return out
 
 
 class AudioFeatures:
@@ -227,10 +234,9 @@ class AudioFeatures:
         self.sr = sample_rate
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "audio"))
         ids, rms, zcr, durs = [], [], [], []
         for row in batch.to_pylist():
-            if row["kind"] != "audio":
-                continue
             wave = decode_audio(row["payload"], row["mime"])
             if wave.size == 0:
                 continue
@@ -259,10 +265,9 @@ class FrameSampler:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch.column("kind"), "video"))
         ids, idxs, tss, fps, lums = [], [], [], [], []
         for row in batch.to_pylist():
-            if row["kind"] != "video":
-                continue
             frames = iter_video_frames(row["payload"], row["mime"],
                                        row["width"], row["height"])
             n_frames = frames.shape[0]

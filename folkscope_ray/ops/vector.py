@@ -25,7 +25,10 @@ def mean_vector_by_key(ds: Dataset, key_col: str, vec_col: str,
     so the result is bit-identical across any block/batch partitioning
     (required for golden-fixture hash-compare across parallelism levels).
     """
-    scale = float(10 ** fixed_point_digits) if fixed_point_digits else None
+    # "is not None": digits=0 (quantize to integers) is a legal value the
+    # falsy check would silently turn into float accumulation
+    scale = (float(10 ** fixed_point_digits)
+             if fixed_point_digits is not None else None)
 
     def partial(batch: pa.Table) -> pa.Table:
         vtype_ = pa.list_(pa.int64()) if scale else pa.list_(pa.float64())
@@ -222,13 +225,23 @@ def medoid_by_key(ds: Dataset, key_col: str, vec_col: str, id_col: str,
             return pa.table({
                 key_col: pa.array([], batch.schema.field(key_col).type),
                 "vsum": pa.array([], pa.list_(pa.int64()))})
+        if batch.column(key_col).null_count:
+            # the default factorize sentinel (-1) would np.add.at a
+            # null-keyed row's vector into the LAST key's sum, silently
+            # corrupting that key's medoid — fail fast like the md5 kernel
+            raise ValueError(
+                "medoid_by_key: null values in the key column — filter or "
+                "fill nulls before computing medoids")
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         q = np.round(_as_matrix(batch.column(vec_col)) * scale).astype(
             np.int64)
         codes, uniq = pd.factorize(keys)
         sums = np.zeros((len(uniq), q.shape[1]), dtype=np.int64)
         np.add.at(sums, codes, q)
-        return pa.table({key_col: pa.array(uniq),
+        # pin the input key type: Arrow inference on uniq would diverge
+        # from the typed empty branch for non-default key types
+        return pa.table({key_col: pa.array(uniq,
+                                           batch.schema.field(key_col).type),
                          "vsum": pa.array(list(sums), pa.list_(pa.int64()))})
 
     parts = (ds.select_columns([key_col, vec_col])

@@ -55,7 +55,22 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..util import stable_u64
+from ..util import broadcast_cache_put, stable_u64
+
+# per-worker cache: the vocab dicts are not zero-copy, so a per-block
+# ray.get re-deserializes O(vocab) state every block of every epoch
+_WORKER_CACHE: dict[str, object] = {}
+
+
+def _cached_refs(tag: str, *refs):
+    """Resolve a tuple of ObjectRefs once per worker process (None refs
+    pass through as None), keyed by the refs' hexes."""
+    key = tag + "|".join(r.hex() if r is not None else "-" for r in refs)
+    hit = _WORKER_CACHE.get(key)
+    if hit is None:
+        hit = tuple(ray.get(r) if r is not None else None for r in refs)
+        broadcast_cache_put(_WORKER_CACHE, key, hit)
+    return hit
 
 FP = 14                      # fractional bits of the fixed-point format
 ONE = 1 << FP
@@ -276,7 +291,9 @@ def build_rec_vocab(interactions: Dataset) -> tuple[dict, dict]:
         return pa.table(
             {
                 "name": pa.array(us + its, pa.string()),
-                "is_item": pa.array([False] * len(us) + [True] * len(its)),
+                # explicit bool type: empty blocks would infer pa.null()
+                "is_item": pa.array([False] * len(us) + [True] * len(its),
+                                    pa.bool_()),
             }
         )
 
@@ -357,10 +374,8 @@ def _grad_fn(params_ref, user_vocab_ref, item_vocab_ref, feat_ref,
     """map_batches task: one block's gradient partials at raw 2*FP scale."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        p = ray.get(params_ref)
-        uv = ray.get(user_vocab_ref)
-        iv = ray.get(item_vocab_ref)
-        feat_fp = ray.get(feat_ref) if feat_ref is not None else None
+        p, uv, iv, feat_fp = _cached_refs(
+            "rg", params_ref, user_vocab_ref, item_vocab_ref, feat_ref)
         empty = pa.table(
             {
                 "kind": pa.array([], pa.string()),
@@ -459,10 +474,8 @@ def _eval_pass(split_ds: Dataset, params_ref, uv_ref, iv_ref, feat_ref,
     int64 SSE partials + count, sqrt on the driver."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        p = ray.get(params_ref)
-        uv = ray.get(uv_ref)
-        iv = ray.get(iv_ref)
-        feat_fp = ray.get(feat_ref) if feat_ref is not None else None
+        p, uv, iv, feat_fp = _cached_refs(
+            "re", params_ref, uv_ref, iv_ref, feat_ref)
         if batch.num_rows == 0:
             cols = {
                 "sse2fp": pa.array([], pa.int64()),

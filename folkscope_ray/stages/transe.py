@@ -36,7 +36,12 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..util import stable_u64
+from ..util import broadcast_cache_put, stable_u64
+
+# per-worker-process cache for broadcast parameter state (one ray.get +
+# deserialize per worker per epoch, not per block — dict payloads are not
+# zero-copy, so per-block gets re-deserialize the whole vocab)
+_WORKER_CACHE: dict[str, object] = {}
 
 FIXED_SCALE = 2 ** 32  # gradient fixed-point scale (|grad| per entity << 2^31)
 
@@ -66,7 +71,10 @@ def build_vocab(triples: Dataset) -> tuple[list[str], list[str]]:
         return pa.table(
             {
                 "name": pa.array(sorted(ents) + sorted(rels), pa.string()),
-                "is_rel": pa.array([False] * len(ents) + [True] * len(rels)),
+                # explicit bool type: an empty block would otherwise infer
+                # pa.null() and diverge the stream schema
+                "is_rel": pa.array([False] * len(ents) + [True] * len(rels),
+                                   pa.bool_()),
             }
         )
 
@@ -92,7 +100,17 @@ def _grad_fn(params_ref, epoch: int, n_ent: int, margin: float):
     """map_batches task: sparse fixed-point gradient partials for one block."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        ent_emb, rel_emb, ent_ids, rel_ids = ray.get(params_ref)
+        if batch.num_rows == 0:
+            # typed-empty upstream blocks: np.asarray([]) is float64 and
+            # would crash the integer fancy-indexing below
+            return pa.table({"pid": pa.array([], pa.int64()),
+                             "grad_fp": pa.array([], pa.list_(pa.int64()))})
+        key = "tg" + params_ref.hex()
+        cached = _WORKER_CACHE.get(key)
+        if cached is None:
+            cached = ray.get(params_ref)
+            broadcast_cache_put(_WORKER_CACHE, key, cached)
+        ent_emb, rel_emb, ent_ids, rel_ids = cached
         h = np.asarray([ent_ids[s] for s in batch.column("subj").to_pylist()])
         r = np.asarray([rel_ids[p] for p in batch.column("pred").to_pylist()])
         t = np.asarray([ent_ids[o] for o in batch.column("obj").to_pylist()])
@@ -151,7 +169,12 @@ def train_transe(
     Every epoch broadcasts the parameters once and streams one gradient pass
     over the triples; fixed-point partials make the run bit-deterministic at
     any parallelism (verified by test + fixture)."""
-    entities, rels = build_vocab(triples)
+    # materialize ONCE, FIRST: both build_vocab and the epoch loop read the
+    # slim projection — a lazy pipeline-backed Dataset would otherwise
+    # re-execute the entire upstream KG build epochs+1 times (the
+    # train_recommender discipline)
+    slim = triples.select_columns(["subj", "pred", "obj"]).materialize()
+    entities, rels = build_vocab(slim)
     n_ent = len(entities)
     ent_ids = {e: i for i, e in enumerate(entities)}
     rel_ids = {p: i for i, p in enumerate(rels)}
@@ -160,7 +183,6 @@ def train_transe(
     # reference normalizes relation rows once at init (L1) and entity rows
     # every step (L2) — run_transE.py:44,63
     rel_emb /= np.maximum(np.abs(rel_emb).sum(axis=1, keepdims=True), 1e-12)
-    slim = triples.select_columns(["subj", "pred", "obj"])
     for epoch in range(epochs):
         ent_emb /= np.maximum(
             np.linalg.norm(ent_emb, axis=1, keepdims=True), 1e-12
