@@ -73,18 +73,35 @@ def write_jsonl(ds: Dataset, path: str) -> None:
     ds.write_json(path)
 
 
-def write_triples(ds: Dataset, run_dir: str, *, source_path: str) -> dict:
+def write_triples(ds: Dataset, run_dir: str, *, source_path: str,
+                  config_fp: str | None = None) -> dict:
     """Write triples hive-partitioned by ``pred`` with a lineage manifest;
-    a rerun with the same inputs is a no-op (resume semantics)."""
+    a rerun with the same inputs is a no-op (resume semantics).
+
+    ``config_fp``: fingerprint of everything BESIDES the source that shaped
+    ``ds`` (pipeline thresholds, code version...).  The resume key chains
+    it with the source-content fingerprint — without it, changed triples
+    derived from an unchanged source would silently never be rewritten
+    (the kg.py sink chains its config constants the same way)."""
+    import os as _os
+    import shutil as _shutil
     import tempfile
 
     from ..state import manifest as mf
 
     # chain from the CONTENT fingerprint (size+mtime of every data file),
     # not the path string — rewriting the source in place must invalidate
-    fp = mf.fingerprint("triples", mf.source_fingerprint(source_path))
+    fp = mf.fingerprint("triples", mf.source_fingerprint(source_path),
+                        config_fp or "")
     if not mf.stage_complete(run_dir, "triples", fp):
+        _os.makedirs(run_dir, exist_ok=True)
+        mf.sweep_stale_tmp(run_dir, "triples")
         tmp_out = tempfile.mkdtemp(dir=run_dir, prefix=".triples-tmp-")
-        ds.write_parquet(tmp_out, partition_cols=["pred"])
-        return mf.finalize_stage_partitioned(run_dir, "triples", fp, tmp_out)
+        try:
+            ds.write_parquet(tmp_out, partition_cols=["pred"])
+            return mf.finalize_stage_partitioned(run_dir, "triples", fp,
+                                                 tmp_out)
+        except BaseException:
+            _shutil.rmtree(tmp_out, ignore_errors=True)
+            raise
     return mf.load_manifest(run_dir, "triples")

@@ -67,7 +67,14 @@ class Critic:
 
         keys = batch.column("pair_key").to_pylist()
         gens = batch.column("gen_idx").to_pylist()
-        texts = batch.column("assertion").to_pylist()
+        # score the prepped classifier input when the caller ran
+        # prep_critic_batch (placeholder substitution,
+        # run_classification.py:479-482); raw assertion otherwise — a real
+        # model dropped in here then sees the substituted text, not
+        # "Item A/Item B" placeholders
+        text_col = ("critic_input" if "critic_input" in batch.column_names
+                    else "assertion")
+        texts = batch.column(text_col).to_pylist()
         n = len(keys)
         plaus = np.empty(n, dtype=np.float64)
         typic = np.empty(n, dtype=np.float64)

@@ -26,6 +26,36 @@ GEN_BATCH_SIZE = 512  # prompts per inference batch (reference uses 10 on GPU)
 MAX_PROMPT_WORDS = 50  # long-title guard, generation.py:217-220 / prompt.py:57-59
 
 
+
+def _sliced_fanout(gen, batch: pa.Table) -> pa.Table | None:
+    """Shared fixed-GEN_BATCH_SIZE slicing (generation.py:238-243): recurse
+    through ``gen`` per slice, or None when the batch is already small."""
+    if batch.num_rows > GEN_BATCH_SIZE:
+        return pa.concat_tables([
+            gen(batch.slice(i, GEN_BATCH_SIZE))
+            for i in range(0, batch.num_rows, GEN_BATCH_SIZE)
+        ])
+    return None
+
+
+def _empty_result(batch: pa.Table) -> pa.Table:
+    """Typed empty with the generator output schema (drops 'prompt')."""
+    return batch.drop_columns(["prompt"])                 .append_column("gen_idx", pa.array([], pa.int8()))                 .append_column("assertion", pa.array([], pa.string()))
+
+
+def _length_filtered(batch: pa.Table) -> tuple[pa.Table, list[str]]:
+    """Per-row long-prompt guard — the reference drops the WHOLE batch at
+    generation.py:96-99, which loses data; we filter rows.  The +12 covers
+    the pair-template tokens around the MAX_PROMPT_WORDS title budget."""
+    prompts = batch.column("prompt").to_pylist()
+    keep = [i for i, p in enumerate(prompts)
+            if len(p.split()) <= MAX_PROMPT_WORDS + 12]
+    if len(keep) < batch.num_rows:
+        batch = batch.take(pa.array(keep, pa.int64()))
+        prompts = [prompts[i] for i in keep]
+    return batch, prompts
+
+
 class ApiGenerator:
     """HTTP-API generator actor — the OPT-175B "api" generation path
     (generation.py:63-66 host_url config, :74-79 request payload
@@ -99,28 +129,15 @@ class ApiGenerator:
             f"{self.host_url}") from last_err
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if batch.num_rows > GEN_BATCH_SIZE:
-            pieces = [
-                self(batch.slice(i, GEN_BATCH_SIZE))
-                for i in range(0, batch.num_rows, GEN_BATCH_SIZE)
-            ]
-            return pa.concat_tables(pieces)
+        sliced = _sliced_fanout(self, batch)
+        if sliced is not None:
+            return sliced
+        if batch.num_rows == 0:
+            return _empty_result(batch)
+        batch, prompts = _length_filtered(batch)
         n = batch.num_rows
         if n == 0:
-            return batch.drop_columns(["prompt"]) \
-                        .append_column("gen_idx", pa.array([], pa.int8())) \
-                        .append_column("assertion", pa.array([], pa.string()))
-        prompts = batch.column("prompt").to_pylist()
-        # per-row long-prompt guard — same policy as MockGenerator (the
-        # reference drops the WHOLE batch at generation.py:96-99)
-        keep = [i for i, p in enumerate(prompts)
-                if len(p.split()) <= MAX_PROMPT_WORDS + 12]
-        if len(keep) < n:
-            batch = batch.take(pa.array(keep, pa.int64()))
-            prompts = [prompts[i] for i in keep]
-            n = batch.num_rows
-        if n == 0:
-            return self(batch)  # empty path above, keeps the schema
+            return _empty_result(batch)
         texts = self._request(prompts)
         idx = np.repeat(np.arange(n, dtype=np.int64), self.n_gens)
         rep = batch.take(pa.array(idx))
@@ -148,26 +165,15 @@ class MockGenerator:
         batches internally — the fixed-batch contract of the reference
         generator (generation.py:238-243) without forcing Ray-level row
         bundling (which would throttle upstream fan-out)."""
-        if batch.num_rows > GEN_BATCH_SIZE:
-            pieces = [
-                self(batch.slice(i, GEN_BATCH_SIZE))
-                for i in range(0, batch.num_rows, GEN_BATCH_SIZE)
-            ]
-            return pa.concat_tables(pieces)
+        sliced = _sliced_fanout(self, batch)
+        if sliced is not None:
+            return sliced
+        if batch.num_rows == 0:
+            return _empty_result(batch)
+        batch, _prompts = _length_filtered(batch)
         n = batch.num_rows
         if n == 0:
-            # same schema as the non-empty path (which drops 'prompt') — block
-            # schema divergence makes the streaming executor warn/misbehave
-            return batch.drop_columns(["prompt"]) \
-                        .append_column("gen_idx", pa.array([], pa.int8())) \
-                        .append_column("assertion", pa.array([], pa.string()))
-        # prompt-length guard (per-row, not per-batch — the reference drops the
-        # whole batch at generation.py:96-99, which loses data; we filter rows)
-        prompts = batch.column("prompt").to_pylist()
-        keep = [i for i, p in enumerate(prompts) if len(p.split()) <= MAX_PROMPT_WORDS + 12]
-        if len(keep) < n:
-            batch = batch.take(pa.array(keep, pa.int64()))
-            n = batch.num_rows
+            return _empty_result(batch)
         idx = np.repeat(np.arange(n, dtype=np.int64), self.n_gens)
         rep = batch.take(pa.array(idx))
         gen_idx = np.tile(np.arange(self.n_gens, dtype=np.int8), n)

@@ -13,7 +13,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..relations import N_RELATIONS, PAIR_PREDICATE, REL_NAMES, RELATIONS
-from ..util import md5_hex
+from ..util import md5_hex, pair_key
 
 _SUFFIXES = [r.suffix for r in RELATIONS]
 
@@ -35,7 +35,13 @@ def expand_single_prompts(batch: pa.Table, entity_col: str = "surf_a") -> pa.Tab
     analogue; same fan-out law as the pair form)."""
     n = batch.num_rows
     if n == 0:
-        return batch
+        # typed empty WITH the fan-out columns: returning the input batch
+        # unchanged would omit rel/prompt/pair_key and diverge the stream
+        # schema (the expand_prompts _empty() discipline)
+        out = batch
+        for c in ("rel", "prompt", "pair_key"):
+            out = out.append_column(c, pa.array([], pa.string()))
+        return out
     idx = np.repeat(np.arange(n, dtype=np.int64), N_RELATIONS)
     rep = batch.take(pa.array(idx))
     rels = np.tile(np.asarray(REL_NAMES, dtype=object), n)
@@ -67,7 +73,9 @@ def expand_prompts(batch: pa.Table) -> pa.Table:
         PAIR_PREDICATE.replace("[A]", a).replace("[B]", b) + suf
         for a, b, suf in zip(surf_a, surf_b, suffixes)
     ]
-    keys = [md5_hex(f"{a}-{b}-{r}") for a, b, r in zip(surf_a, surf_b, rels)]
+    # util.pair_key IS the canonical format (oracle.py joins on it) — one
+    # implementation, not an inline re-spelling that could drift
+    keys = [pair_key(a, b, r) for a, b, r in zip(surf_a, surf_b, rels)]
     out = rep.append_column("rel", pa.array(rels, pa.string()))
     out = out.append_column("prompt", pa.array(prompts, pa.string()))
     out = out.append_column("pair_key", pa.array(keys, pa.string()))

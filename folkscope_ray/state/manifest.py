@@ -152,7 +152,28 @@ def checkpoint(ds, run_dir: str, stage: str, fp: str, counters: dict | None = No
 
     os.makedirs(run_dir, exist_ok=True)
     if not stage_complete(run_dir, stage, fp):
+        sweep_stale_tmp(run_dir, stage)
         tmp_out = tempfile.mkdtemp(dir=run_dir, prefix=f".{stage}-tmp-")
-        ds.write_parquet(tmp_out)
-        finalize_stage(run_dir, stage, fp, tmp_out, counters)
+        try:
+            ds.write_parquet(tmp_out)
+            finalize_stage(run_dir, stage, fp, tmp_out, counters)
+        except BaseException:
+            # a failed write must not leave a near-stage-sized tmp copy in
+            # run_dir (each crashed retry would add another until disk
+            # fills); the sweep above also clears dirs a killed -9 left
+            shutil.rmtree(tmp_out, ignore_errors=True)
+            raise
     return rd.read_parquet(stage_dir(run_dir, stage))
+
+
+def sweep_stale_tmp(run_dir: str, stage: str) -> None:
+    """Remove half-written ``.{stage}-tmp-*`` dirs a killed run left
+    behind — they are rewrite candidates by construction (the stage is not
+    complete when this runs)."""
+    try:
+        names = os.listdir(run_dir)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.startswith(f".{stage}-tmp-"):
+            shutil.rmtree(os.path.join(run_dir, name), ignore_errors=True)

@@ -227,7 +227,17 @@ def corpus_path(n_files: int, root: str = "/tmp/folkscope_corpus") -> str:
             if piece.num_rows:
                 pq.write_table(piece, os.path.join(tmp, f"part-{s:05d}.parquet"),
                                row_group_size=2048)
-        os.replace(tmp, path)
+        try:
+            os.replace(tmp, path)
+        except OSError:
+            # concurrent caller won the publish race (os.replace onto an
+            # existing non-empty dir raises ENOTEMPTY) — their corpus is
+            # byte-identical (deterministic, seed-pinned); drop ours
+            if not os.path.isdir(path):
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return path
 
 
