@@ -56,8 +56,12 @@ def _drop_empty_blocks(ds: Dataset) -> Dataset | None:
 
 def _field_type(ds: Dataset, col: str) -> pa.DataType:
     """Arrow type of a column regardless of block format (pandas-backed
-    datasets report numpy dtypes)."""
+    datasets report numpy dtypes).  A fully-empty dataset can have NO
+    schema (zero blocks after a map over zero rows) — fall back to string
+    so the documented empty-result contract holds instead of crashing."""
     sch = ds.schema()
+    if sch is None:
+        return pa.string()
     t = dict(zip(sch.names, sch.types))[col]
     if isinstance(t, pa.DataType):
         return t

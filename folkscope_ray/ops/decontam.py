@@ -87,6 +87,12 @@ def ngram_contamination(
         if g is None:
             g = ray.get(grams_ref)
             broadcast_cache_put(_WORKER_CACHE, ck, g)
+        if batch.column(text_col).null_count:
+            # fail fast with direction (the md5-kernel discipline) instead
+            # of an opaque AttributeError deep inside a remote task
+            raise ValueError(
+                "ngram_contamination: null values in the text column — "
+                "filter or fill nulls before scanning")
         texts = batch.column(text_col).to_pylist()
         totals, hits, ratios = [], [], []
         for t in texts:
@@ -169,6 +175,10 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
     tref = ray.put(terms_sorted)
 
     def masks(b: pa.Table) -> pa.Table:
+        if b.column(text_col).null_count:
+            raise ValueError(
+                "jaccard_cross_join: null values in the text column — "
+                "filter or fill nulls before joining")
         ck_t = "xjt" + tref.hex()
         ts = _WORKER_CACHE.get(ck_t)
         if ts is None:
@@ -207,6 +217,7 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
             "large should go through the MinHash-LSH band join instead")
     rt = pa.concat_tables(ray.get(list(r_masked.to_arrow_refs())),
                           promote_options="default")
+    idt = rt.schema.field(id_col).type  # id columns keep this type end-to-end
     r_ids = rt.column(id_col).to_numpy(zero_copy_only=False)
     r_m = (_mask_matrix(rt.column("__m"), w)
            if nr else np.zeros((0, w), np.uint64))
@@ -245,9 +256,19 @@ def jaccard_cross_join(left: Dataset, right: Dataset, id_col: str,
             out_i.append(inter[li, ri])
             out_u.append(uni[li, ri])
         cat = (lambda xs: np.concatenate(xs) if xs else np.array([], np.int64))
+        # ids keep their INPUT type (string doc ids are as legal here as in
+        # ngram_contamination — the old pa.int64() hard-cast crashed them)
+        if pa.types.is_integer(idt):
+            l_arr = pa.array(cat(out_l), idt)
+            r_arr = pa.array(cat(out_r), idt)
+        else:
+            l_arr = pa.array(
+                (np.concatenate(out_l).tolist() if out_l else []), idt)
+            r_arr = pa.array(
+                (np.concatenate(out_r).tolist() if out_r else []), idt)
         return pa.table({
-            left_alias: pa.array(cat(out_l), pa.int64()),
-            right_alias: pa.array(cat(out_r), pa.int64()),
+            left_alias: l_arr,
+            right_alias: r_arr,
             "inter": pa.array(cat(out_i), pa.int64()),
             "uni": pa.array(cat(out_u), pa.int64()),
         })

@@ -24,7 +24,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
+from ..util import broadcast_cache_put
+
 SCALE = 1_000_000_000  # 1e9 fixed-point units of rank mass per node
+
+# per-worker-process cache for broadcast rank state
+_WORKER_CACHE: dict[str, object] = {}
 
 
 def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
@@ -62,8 +67,13 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         except Exception:
             n_partitions = 8
 
+    # ONE id type everywhere: node ids are carried as strings (the node
+    # universe below casts anyway) — native int edges against a string rank
+    # index silently produced base-only ranks in broadcast mode and crashed
+    # the shuffle-mode join
     e = edges.map_batches(
-        lambda b: pa.table({"src": b.column(src_col), "dst": b.column(dst_col)}),
+        lambda b: pa.table({"src": b.column(src_col).cast(pa.string()),
+                            "dst": b.column(dst_col).cast(pa.string())}),
         batch_format="pyarrow",
     ).materialize()
 
@@ -96,15 +106,25 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         import numpy as np
         import pandas as pd
 
+        # sorted node array + aligned rank vector: the per-batch probe is
+        # one vectorized searchsorted (bfs_depths' neigh discipline), and
+        # the broadcast state resolves once per worker via the module cache
         node_list = nodes.to_pandas()["node"]  # one row per node (bound above)
-        ranks_s = pd.Series(SCALE, index=node_list, dtype="int64")
+        sorted_nodes = np.sort(np.asarray(node_list.to_numpy(),
+                                          dtype=np.str_))
+        rank_vals = np.full(len(sorted_nodes), SCALE, dtype=np.int64)
         for _ in range(iterations):
-            rref = ray.put(ranks_s)
+            rref = ray.put((sorted_nodes, rank_vals))
 
-            def contrib_fn(b: pa.Table) -> pa.Table:
-                r = ray.get(rref)
-                src = pd.Series(b.column("src").to_pylist())
-                c = (src.map(r).to_numpy(dtype="int64")
+            def contrib_fn(b: pa.Table, _rref=rref) -> pa.Table:
+                key = "pr" + _rref.hex()
+                state = _WORKER_CACHE.get(key)
+                if state is None:
+                    state = ray.get(_rref)
+                    broadcast_cache_put(_WORKER_CACHE, key, state)
+                sn, rv = state
+                src = np.asarray(b.column("src").to_pylist(), dtype=np.str_)
+                c = (rv[np.searchsorted(sn, src)]
                      // b.column("out_deg").to_numpy(zero_copy_only=False))
                 return pa.table({"dst": b.column("dst"),
                                  "c": pa.array(c, pa.int64())})
@@ -113,16 +133,18 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
                 e_deg.map_batches(contrib_fn, batch_format="pyarrow"),
                 keys=["dst"], sums={"c": "in_sum"}, count_alias="__n",
             ).to_pandas()
-            in_s = pd.Series(
-                incoming["in_sum"].to_numpy(dtype="int64"),
-                index=incoming["dst"]).reindex(node_list, fill_value=0)
-            ranks_s = base + (in_s * damping_pct) // 100
+            in_vals = np.zeros(len(sorted_nodes), dtype=np.int64)
+            if len(incoming):
+                dsts = np.asarray(incoming["dst"].to_numpy(), dtype=np.str_)
+                in_vals[np.searchsorted(sorted_nodes, dsts)] = \
+                    incoming["in_sum"].to_numpy(dtype="int64")
+            rank_vals = base + (in_vals * damping_pct) // 100
 
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame(
-            {"node": node_list.to_numpy(),
-             "rank_units": ranks_s.to_numpy(dtype="int64")}))
+            {"node": sorted_nodes.astype(object),
+             "rank_units": rank_vals}))
 
     ranks = nodes.map_batches(
         lambda b: b.append_column(
@@ -146,7 +168,10 @@ def pagerank(edges: Dataset, src_col: str = "src", dst_col: str = "dst",
         incoming = map_combine_aggregate(
             contrib, keys=["dst"], sums={"c": "in_sum"}, count_alias="__n",
         ).drop_columns(["__n"]).map_batches(
-            lambda b: b.rename_columns(["node", "in_sum"]),
+            # select by NAME — group_by column order is not part of the
+            # pyarrow API contract (relational.py's own rename discipline)
+            lambda b: pa.table({"node": b.column("dst"),
+                                "in_sum": b.column("in_sum")}),
             batch_format="pyarrow")
         # left join: nodes with no in-edges keep base mass only
         joined = hash_join(nodes, incoming, on="node",
@@ -245,7 +270,9 @@ def triangle_count(edges: Dataset, a_col: str = "a", b_col: str = "b",
     Returns a one-row Arrow table {triangles: int64} (a scalar aggregate)."""
     from .relational import hash_join
 
-    slim = edges.select_columns([a_col, b_col])
+    # materialize: three consumers (both wedge roles + the closing edge
+    # keys) would otherwise each re-execute the upstream edge scan
+    slim = edges.select_columns([a_col, b_col]).materialize()
 
     def ren(names: dict[str, str]):
         def fn(batch: pa.Table) -> pa.Table:
@@ -322,6 +349,12 @@ def bfs_depths(edges: Dataset, seeds: list[int], src_col: str = "src",
 
     if mode not in ("broadcast", "shuffle"):
         raise ValueError(mode)
+    if not seeds:
+        # an upstream filter can legitimately match nothing; the broadcast
+        # neigh probe would otherwise index an empty frontier array
+        return rd.from_pandas(pd.DataFrame(
+            {"node": pd.array([], dtype="int64"),
+             "depth": pd.array([], dtype="int64")}))
 
     e = edges.map_batches(
         lambda b: pa.table({"src": pc.cast(b.column(src_col), pa.int64()),
@@ -433,8 +466,10 @@ def twohop_distinct_counts(edges: Dataset, a_col: str = "a",
             "d": pa.concat_arrays([bb.combine_chunks(), a.combine_chunks()]),
         })
 
+    # materialize: up to three consumers (two wedge roles + the direct-edge
+    # exclusion) read the symmetrized stream
     und = edges.select_columns([a_col, b_col]).map_batches(
-        sym, batch_format="pyarrow")
+        sym, batch_format="pyarrow").materialize()
 
     if max_degree is not None:
         from .split import cap_per_key

@@ -52,7 +52,6 @@ def oracle_triples(n_files: int) -> pd.DataFrame:
         row = file_row(i)
         ents = extract_entities(row["lang"], row["content"])
         for a, b in zip(ents, ents[1:]):
-            surfaces.update((a, b))
             for rel in REL_NAMES:
                 key = pair_key(a, b, rel)
                 for g in range(N_GENS):
@@ -65,6 +64,14 @@ def oracle_triples(n_files: int) -> pd.DataFrame:
                     if parsed is None:
                         continue
                     toks, lems, pos, deps = parsed
+                    # surfaces for canonicalization come from SURVIVING
+                    # assertions only — the pipeline builds its norm set
+                    # from the scored (post-critic) checkpoint, so an
+                    # entity whose every generation fails the critic must
+                    # not enter the oracle's union-find either (it could
+                    # shift a cluster's lexicographic-min canonical id and
+                    # charge the diff to the distributed plan)
+                    surfaces.update((a, b))
                     parsed_rows.append((rel, a, b, plaus, typ, toks, lems, pos, deps))
 
     # 2. pattern mining: global Counter over canonical skeleton keys, plus
